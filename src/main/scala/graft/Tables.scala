@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All operators take the table directory as a parameter so the same code
+  * runs at any scale factor — and, on a real cluster, against any
+  * warehouse path. Reads are plain parquet scans: column pruning and
+  * predicate pushdown reach the scan via Catalyst (verified with
+  * `.explain("formatted")` — see `PlanSpec`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The driver's events table stores TIMESTAMP(NANOS), which Spark 4 only
+    // reads as a long (spark.sql.legacy.parquet.nanosAsLong). Normalize to
+    // TimestampType (µs, floor) so every operator sees a real timestamp.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Session settings every graft session needs (nanos timestamps, UTC). */
+  def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+
+  /** Register every table as a temp view (used by tests and the SQL path). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

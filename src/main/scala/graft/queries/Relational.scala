@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Core relational operators from SURVEY §2 expressed Spark-first.
+  *
+  * Each entry is a named query over the driver's parquet tables plus a
+  * DuckDB oracle (SURVEY §5 harness). Scale notes inline: the point of
+  * each formulation is that it survives a 1000-executor / 100 TB run.
+  */
+object Relational {
+
+  /** A2/A1 facet aggregation (reference: ES terms aggs,
+    * type_field_group_by_mappings.json:1-71; TLD stats docs/index.md:108-114).
+    * Hash aggregate with map-side partial agg — one shuffle of the grouped
+    * partials only; decimals keep the oracle comparison exact.
+    */
+  def aggPricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        // Product has ≤4 true decimal digits; re-cast to scale 4 keeps the
+        // scaled integer < 2^53 so both engines' decimal→double is exact.
+        sum(($"l_extendedprice".cast(Dec) * (lit(1).cast(Dec) - $"l_discount".cast(Dec)))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggPricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_price,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  COUNT(*) AS cnt
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A2/O4 facet top-k: term counts ordered desc with deterministic
+    * tie-break, then limit — at scale this is a partial-agg + single
+    * reduce of k rows per facet field, never a full sort of the data.
+    */
+  def facetTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"o_orderpriority")
+      .limit(3)
+  }
+
+  val facetTopKSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+      |GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority LIMIT 3""".stripMargin
+
+  /** J1 denormalizing join (join_indexing, generate_mydig_config.py:467-516):
+    * orders ⨝ customer ⨝ nation rolled up per nation. `nation` (25 rows) is
+    * broadcast — no shuffle of the big side for that join; the
+    * customer⨝orders equi-join shuffles on the key, AQE picks the strategy
+    * at real scale.
+    */
+  def joinDenorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables(s, dir, "customer")
+    val nation = Tables(s, dir, "nation")
+    val orders = Tables(s, dir, "orders")
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("order_cnt"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  val joinDenormSql: String =
+    s"""SELECT n_name, COUNT(*) AS order_cnt, ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** J5 broadcast lookup join (landmark rules by TLD, em_base.py:62-64):
+    * the small dimension is broadcast so the fact table never shuffles.
+    */
+  def broadcastDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lineitem = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part").filter($"p_size" > 25)
+    lineitem
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy($"p_brand")
+  }
+
+  val broadcastDimSql: String =
+    s"""SELECT p_brand, ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_size > 25 GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** O2 per-group quota (per-TLD `desired` enqueue quota,
+    * docs/index.md:108-114): row_number window partitioned by the group
+    * key. One shuffle on the partition key; no global sort.
+    */
+  def windowQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val windowQuotaSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  /** J4 semi-join semantics (glossary membership keeps matching docs,
+    * em_elicit.py:15-26): LEFT SEMI — no duplication of the left side, and
+    * Spark can broadcast the distinct keys of the right side.
+    */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables(s, dir, "customer")
+    val bigOrders = Tables(s, dir, "orders").filter($"o_totalprice" > 200000.0)
+    customer
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** §2.8 union-by-name (multiple datasets into one stream,
+    * docs/advanced.md:314-331): narrow op, no shuffle.
+    */
+  def unionDatasets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .select($"c_name".as("name"), $"c_acctbal".as("acctbal"), lit("customer").as("kind"))
+    val sup = Tables(s, dir, "supplier")
+      .select($"s_name".as("name"), $"s_acctbal".as("acctbal"), lit("supplier").as("kind"))
+    c.unionByName(sup).filter($"acctbal" > 0).orderBy($"kind", $"name")
+  }
+
+  val unionDatasetsSql: String =
+    """SELECT * FROM (
+      |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
+      |WHERE acctbal > 0 ORDER BY kind, name""".stripMargin
+
+  /** A5 idempotent dedup (ES upsert by doc_id, manager.py:216-217) as
+    * exact content dedup: group by the payload, keep the lowest id. At
+    * 100 TB you group by a 128-bit content hash instead of the payload —
+    * same plan shape, fixed-width shuffle key (see Dedup.exactByHash).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .select(md5($"text").as("fp"), $"keep_id", $"copies")
+      .orderBy($"keep_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** A3 temporal_region (ts_converter.py:174-180): per-series min/max
+    * timestamps. Emitted as epoch millis so the oracle comparison is
+    * precision-independent (the source is ns, Spark reads µs).
+    */
+  def temporalRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        unix_millis(min($"ts")).as("start_ms"),
+        unix_millis(max($"ts")).as("end_ms"),
+        count(lit(1)).as("n"))
+      .orderBy($"user_id")
+  }
+
+  val temporalRegionSql: String =
+    """SELECT user_id, epoch_ms(date_trunc('millisecond', min(ts))) AS start_ms,
+      |  epoch_ms(date_trunc('millisecond', max(ts))) AS end_ms, COUNT(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing" -> (aggPricing _),
+    "facet_topk" -> (facetTopK _),
+    "join_denorm" -> (joinDenorm _),
+    "broadcast_dim" -> (broadcastDim _),
+    "window_quota" -> (windowQuota _),
+    "semi_join" -> (semiJoin _),
+    "union_datasets" -> (unionDatasets _),
+    "dedup_exact" -> (dedupExact _),
+    "temporal_region" -> (temporalRegion _))
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing" -> aggPricingSql,
+    "facet_topk" -> facetTopKSql,
+    "join_denorm" -> joinDenormSql,
+    "broadcast_dim" -> broadcastDimSql,
+    "window_quota" -> windowQuotaSql,
+    "semi_join" -> semiJoinSql,
+    "union_datasets" -> unionDatasetsSql,
+    "dedup_exact" -> dedupExactSql,
+    "temporal_region" -> temporalRegionSql)
+}
