@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the large-scale training-data
+  * pipeline (builder brief) and the reference's extraction plane
+  * (SURVEY §2.3): tokenization, quality scoring, language-ID,
+  * fingerprinting, and the regex extractor battery
+  * (reference extractors E4/E9/E10, em_base.py:14-21).
+  *
+  * Everything here is a composition of codegen'd built-in expressions —
+  * no UDFs — so the whole battery stays inside WholeStageCodegen and
+  * scales as a narrow map over document partitions (no shuffle).
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace+BPE-ish token count (builder brief: token counting). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Count of alphanumeric characters (for avg token length). */
+  def alnumChars(c: Column): Column =
+    length(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  /** Exact average token length: int/int division done once in double. */
+  def avgTokenLen(c: Column): Column =
+    alnumChars(c).cast("double") / tokenCount(c).cast("double")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def stopwordCount(c: Column): Column = {
+    val stop = Stopwords.map(lit(_))
+    size(filter(tokens(c), t => t.isin(stop: _*)))
+  }
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.!?,;:]"), lit(0)))
+
+  /** Quality score in [0,1]: length signal × (1 − stopword excess) ×
+    * (1 − punctuation density). Deterministic: integer counts, one
+    * double op per factor.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenSignal = least(nTok / lit(100.0), lit(1.0))
+    val stopRatio = stopwordCount(c).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(length(c).cast("double"), lit(1.0))
+    lenSignal * (lit(1.0) - stopRatio) * (lit(1.0) - punctRatio)
+  }
+
+  /** Marker-word language-ID heuristic (n-gram style): count per-language
+    * marker tokens, argmax with a fixed precedence for ties. Integer
+    * scores → fully deterministic.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("de5", "shi4"))
+
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val m = markers.map(lit(_))
+    size(filter(tokens(c), t => t.isin(m: _*)))
+  }
+
+  def langId(c: Column): Column = {
+    // First language (in declaration order) whose score equals the max.
+    val scored = LangMarkers.map { case (l, ms) => (l, langScore(c, ms)) }
+    val mx = greatest(scored.map(_._2): _*)
+    scored.reverse.tail.foldLeft(lit(scored.last._1): Column) {
+      case (acc, (l, s)) => when(s === mx, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: sha256 of whitespace-normalized lowercase text
+    * (reference A6 content-hash ids, ts_converter.py:30-33).
+    */
+  def fingerprint(c: Column): Column =
+    sha2(regexp_replace(trim(lower(c)), "[^a-z0-9]+", " "), 256)
+
+  // ---- regex extractor battery (E4/E9/E10) -------------------------------
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val UrlRx = "https?://[^\\s\"'<>]+"
+  val HostRx = "https?://([^/\\s:]+)"
+  val CveRx = "CVE-\\d{4}-\\d{4,7}"
+  val HashRx = "\\b[a-f0-9]{32,64}\\b"
+
+  def extractEmails(c: Column): Column = regexp_extract_all(c, lit(EmailRx), lit(0))
+  def extractIps(c: Column): Column = regexp_extract_all(c, lit(Ipv4Rx), lit(0))
+  def extractUrls(c: Column): Column = regexp_extract_all(c, lit(UrlRx), lit(0))
+  def hostname(c: Column): Column = regexp_extract(c, HostRx, 1)
+  def extractCves(c: Column): Column = regexp_extract_all(c, lit(CveRx), lit(0))
+
+  /** Token 3-gram shingles for near-dup detection (builder brief). */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

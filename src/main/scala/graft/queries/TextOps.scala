@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import Exact._
+
+/** Text-analysis + extraction-plane queries (SURVEY §2.3, builder brief's
+  * text-analysis ops) over the `documents` and `events` tables.
+  * All narrow maps + one final aggregation — at 100 TB these are
+  * scan-bound with zero shuffles before the (tiny) grouped output.
+  */
+object TextOps {
+
+  private val TokSql = "regexp_extract_all(lower(text),'[a-z0-9]+')"
+  private def stopListSql = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Token statistics per language (token counting op). */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"lang", tokenCount($"text").as("n_tok"), alnumChars($"text").as("n_alnum"))
+      .groupBy($"lang")
+      .agg(
+        sum($"n_tok").as("tokens"),
+        sum($"n_alnum").as("alnum_chars"),
+        count(lit(1)).as("docs"))
+      .orderBy($"lang")
+  }
+
+  val textTokensSql: String =
+    s"""SELECT lang, SUM(len($TokSql)) AS tokens,
+       |  SUM(length(regexp_replace(lower(text),'[^a-z0-9]','','g'))) AS alnum_chars,
+       |  COUNT(*) AS docs
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document quality scoring; emits the lowest-quality k docs
+    * (integer counts; the composite double is computed identically in
+    * both engines).
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(
+        $"doc_id",
+        tokenCount($"text").as("n_tok"),
+        stopwordCount($"text").as("n_stop"),
+        punctCount($"text").as("n_punct"),
+        qualityScore($"text").as("quality"))
+      .orderBy($"quality", $"doc_id")
+      .limit(100)
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, len($TokSql) AS n_tok,
+       |  len(list_filter($TokSql, t -> t IN ($stopListSql))) AS n_stop,
+       |  len(regexp_extract_all(text,'[.!?,;:]')) AS n_punct,
+       |  least(CAST(len($TokSql) AS DOUBLE)/100.0, 1.0)
+       |    * (1.0 - CAST(len(list_filter($TokSql, t -> t IN ($stopListSql))) AS DOUBLE)
+       |        / greatest(CAST(len($TokSql) AS DOUBLE), 1.0))
+       |    * (1.0 - CAST(len(regexp_extract_all(text,'[.!?,;:]')) AS DOUBLE)
+       |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
+       |FROM documents ORDER BY quality, doc_id LIMIT 100""".stripMargin
+
+  /** Language-ID heuristic vs the labeled lang column: confusion counts. */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"lang", langId($"text").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val textLangIdSql: String = {
+    val scores = LangMarkers.map { case (l, ms) =>
+      l -> s"len(list_filter($TokSql, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    }
+    val mx = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val caseExpr = scores.init
+      .map { case (l, sc) => s"WHEN $sc = $mx THEN '$l'" }
+      .mkString("CASE ", " ", s" ELSE '${scores.last._1}' END")
+    s"""SELECT lang, $caseExpr AS predicted, COUNT(*) AS cnt
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Content fingerprint (A6 sha-based ids, ts_converter.py:30-33,79-89). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, sha256(regexp_replace(trim(lower(text)),'[^a-z0-9]+',' ','g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** E14 segment selection via JSONPath (em_elicit.py:33,50): pull `$.k`
+    * out of the props JSON blob and aggregate it.
+    */
+  def extractProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count($"k").as("n"))
+      .orderBy($"event_type")
+  }
+
+  val extractPropsSql: String =
+    """SELECT event_type, SUM(CAST(regexp_extract(props,'"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      |  COUNT(CAST(regexp_extract(props,'"k": (\d+)', 1) AS BIGINT)) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** P8 decoding_dict recode (dig_tabular_import.py:265-288): dictionary
+    * re-map with default_action=preserve, as a when-chain (broadcast-join
+    * for big dicts — see MappingRules).
+    */
+  def ruleRecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = when($"event_type" === "click", "tap")
+      .when($"event_type" === "view", "impression")
+      .when($"event_type" === "purchase", "conversion")
+      .otherwise($"event_type")
+    Tables(s, dir, "events")
+      .select(decoded.as("action"), $"value")
+      .groupBy($"action")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .orderBy($"action")
+  }
+
+  val ruleRecodeSql: String =
+    s"""SELECT CASE WHEN event_type='click' THEN 'tap'
+       |  WHEN event_type='view' THEN 'impression'
+       |  WHEN event_type='purchase' THEN 'conversion'
+       |  ELSE event_type END AS action,
+       |  COUNT(*) AS cnt, ${sqlSum("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY action""".stripMargin
+
+  /** P9 template concat (dig_tabular_import.py:320-342): "{brand} {type}
+    * size {size}" title synthesis.
+    */
+  def ruleTemplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .select(
+        $"p_partkey",
+        concat_ws(" ", $"p_brand", $"p_type", lit("size"), $"p_size".cast("string")).as("title"))
+      .orderBy($"p_partkey")
+  }
+
+  val ruleTemplateSql: String =
+    """SELECT p_partkey, concat_ws(' ', p_brand, p_type, 'size', CAST(p_size AS VARCHAR)) AS title
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** P11 guard predicate (regex over a field, dig_tabular_import.py:290-304). */
+  def ruleGuard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter($"text".rlike("window (scan|merge)"))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val ruleGuardSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE regexp_matches(text, 'window (scan|merge)') ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "extract_props" -> (extractProps _),
+    "rule_recode" -> (ruleRecode _),
+    "rule_template" -> (ruleTemplate _),
+    "rule_guard" -> (ruleGuard _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "extract_props" -> extractPropsSql,
+    "rule_recode" -> ruleRecodeSql,
+    "rule_template" -> ruleTemplateSql,
+    "rule_guard" -> ruleGuardSql)
+}
