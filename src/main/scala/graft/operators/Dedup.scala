@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication suite for the training-data pipeline (builder brief):
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Signatures (minhash, simhash, fingerprints) are **per-row array
+  *    expressions** — computed in a narrow map, no shuffle, inside
+  *    codegen'd projections.
+  *  - Candidate generation shuffles only on **fixed-width band keys**
+  *    (md5 strings), never on raw text.
+  *  - Verification (exact Jaccard) runs only on candidate pairs via
+  *    `array_intersect` on the two shingle arrays — no shingle-level
+  *    explode join of the whole corpus.
+  * The exact all-pairs Jaccard (inverted shingle index) is kept as the
+  * small-scale oracle baseline; MinHash-LSH is the scale path.
+  */
+object Dedup {
+
+  /** A5 exact dedup keyed by content hash: the shuffle key is a 256-bit
+    * digest, not the (potentially megabyte) payload.
+    */
+  def exactByHash(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.groupBy(sha2(textCol, 256).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Portable per-seed min-hash over a shingle array: min of md5("i:"+s).
+    * String min over hex digests — deterministic across engines.
+    */
+  def minhashSig(shingleArr: Column, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
+
+  /** LSH band keys: b bands of r signature rows, digested to fixed width. */
+  def bandKeys(sigCols: Seq[Column], bands: Int, rows: Int): Column =
+    array((0 until bands).map(j =>
+      md5(concat_ws("|", sigCols.slice(j * rows, (j + 1) * rows): _*))): _*)
+
+  /** MinHash+LSH near-dup pairs over (id, text):
+    * shingle → k-signature → band join → verified Jaccard on candidates.
+    * Returns (id_a, id_b, inter, na, nb, jaccard), exact-verified.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val shingled = docs.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = minhashSig(col("sh"), k)
+    val banded = shingled
+      .withColumn("bands", bandKeys(sigs, bands, rows))
+      .select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val a = banded.select(col("band_id"), col("band_key"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_key"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .distinct()
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+  }
+
+  /** Exact n-gram Jaccard all-pairs via the inverted shingle index
+    * (small-scale baseline; at 100 TB use [[minhashLshPairs]]).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val shingled = docs.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val common = inv.select(col("id").as("id_a"), col("s"))
+      .join(inv.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  }
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** Integer value [0,15] of hex digit at 0-based position `p` of digest
+    * `h`. Pure integer arithmetic so the DuckDB oracle reproduces it
+    * bit-for-bit.
+    */
+  private def hexVal(h: Column, p: Column): Column =
+    call_function("instr", lit(HexDigits), h.substr(p + 1, lit(1))) - 1
+
+  /** Power-of-two mask for bit (i % 4) inside a hex digit. */
+  private def bitMask(i: Column): Column = {
+    val m = pmod(i, lit(4))
+    when(m === 0, 1).when(m === 1, 2).when(m === 2, 4).otherwise(8)
+  }
+
+  /** SimHash as a 64-char bit string: per-token md5, ±1 vote per bit,
+    * sign of the vote sum. Per-row expression — no shuffle, no UDF.
+    */
+  def simhash64(textCol: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(textCol), t => md5(t))
+    val bits = transform(sequence(lit(0), lit(63)), { i =>
+      val vote = aggregate(hashes, lit(0), (acc, h) => {
+        val hv = hexVal(h, floor(i / 4).cast("int"))
+        acc + when(hv.bitwiseAND(bitMask(i)) =!= 0, 1).otherwise(-1)
+      })
+      when(vote > 0, "1").otherwise("0")
+    })
+    concat_ws("", bits)
+  }
+
+  /** SimHash near-dup candidates: docs whose 16-bit simhash prefix chunk
+    * matches in any of the 4 chunks (banding over the bit string), with
+    * exact Hamming distance computed on candidates only.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(j => col("sig").substr(j * 16 + 1, 16)): _*))
+        .as(Seq("band_id", "chunk")))
+    val a = banded.select(col("band_id"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val hamming = aggregate(sequence(lit(0), lit(63)), lit(0), (acc, i) =>
+      acc + when(col("sig_a").substr(i + 1, lit(1)) =!= col("sig_b").substr(i + 1, lit(1)), 1)
+        .otherwise(0))
+    a.join(b, Seq("band_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

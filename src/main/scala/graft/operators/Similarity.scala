@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder brief): brute-force
+  * cosine top-k baseline + random-hyperplane LSH bucketing as the scale
+  * path (the IVF-style variant: only same-bucket candidates are scored).
+  *
+  * Numeric discipline: dot products and norms are summed as decimals
+  * (exact, order-independent) and reduced to double once — identical in
+  * Spark and the DuckDB oracle, so cosine scores hash-match. All vector
+  * math is per-row array expressions (zip_with/aggregate) — narrow,
+  * codegen'd, no shuffle except the final top-k window on the (small)
+  * query side.
+  */
+object Similarity {
+
+  // Determinism note: dot products fold left-to-right in IEEE doubles.
+  // Spark's `aggregate` over an array and DuckDB's `list_reduce` use the
+  // same sequential order, so the result is bit-identical across engines
+  // (decimal casting is NOT portable: Spark rounds the double's
+  // shortest-repr digits, DuckDB the exact binary value).
+
+  /** Sequential-fold dot product of two float-array columns (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm, same sequential fold. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity as a deterministic double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Brute-force cosine top-k: for each query vector (small side,
+    * broadcast), score every corpus vector and keep k per query.
+    * At scale: corpus stays partitioned, queries broadcast, the only
+    * shuffle is the top-k window on (query, score) — and that can be
+    * replaced by a per-partition top-k + merge when k is small.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component r[j][d] in [-1,1],
+    * derived from md5 — reproducible in any engine, no RNG state.
+    */
+  def planeComponent(j: Int, d: Column): Column = {
+    val hv = call_function("instr", lit("0123456789abcdef"),
+      md5(concat(lit(s"$j:"), d.cast("string"))).substr(1, 1)) - 1
+    hv.cast("double") / lit(7.5) - lit(1.0)
+  }
+
+  /** Sign-random-projection bucket: `nPlanes`-char bit string per vector.
+    * Per-row expression; bucketing the corpus equals an IVF coarse
+    * quantizer with deterministic centroids.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Bucketed ANN: per-query candidate count + exact top-k within the
+    * query's bucket (the scale path: score only same-bucket vectors).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(
+      col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qe"),
+      lshBucket(col("embedding"), nPlanes).as("bucket")))
+    val scored = bucketed.join(q, Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("bucket"), col("vec_id"), col("cos"), col("rank"))
+  }
+}

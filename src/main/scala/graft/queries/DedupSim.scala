@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Oracle-checked queries for the dedup + similarity-search suite
+  * (builder brief: MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine ANN). The shared SQL fragments mirror the Scala operators'
+  * arithmetic exactly (md5-based hashing, integer bit math,
+  * decimal-exact dot products) so results hash-match across engines.
+  */
+object DedupSim {
+
+  /** Shared oracle CTE: distinct token-3-gram shingles per doc. */
+  private val ShinglesCte =
+    """WITH tk AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT id, list_distinct(list_transform(range(greatest(len(t)-2,0)),
+      |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s FROM tk WHERE len(t) >= 3)""".stripMargin
+
+  /** MinHash+LSH near-dup pairs, exact-verified, top-100 by jaccard. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  val dedupMinhashSql: String = {
+    val sig = (j: Int) =>
+      s"md5(list_min(list_transform(s, x -> md5('${2 * j}:' || x))) || '|' || " +
+        s"list_min(list_transform(s, x -> md5('${2 * j + 1}:' || x))))"
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT id, s, $j AS band_id, ${sig(j)} AS key FROM sh")
+      .mkString("\n  UNION ALL ")
+    s"""$ShinglesCte,
+       |bands AS (\n  $bandSelects),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b, inter, na, nb,
+       |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+       |FROM cand ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard baseline (inverted shingle index), top-100. */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  val dedupJaccardSql: String =
+    s"""$ShinglesCte,
+       |inv AS (SELECT id, unnest(s) AS x FROM sh),
+       |common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+       |  FROM inv a JOIN inv b ON a.x = b.x AND a.id < b.id GROUP BY 1, 2),
+       |sizes AS (SELECT id, len(s) AS n FROM sh)
+       |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  /** Per-document 64-bit SimHash signature (bit string). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSimhashSql: String =
+    """WITH hs AS (SELECT doc_id, list_transform(regexp_extract_all(lower(text),'[a-z0-9]+'),
+      |    t -> md5(t)) AS h FROM documents)
+      |SELECT doc_id, array_to_string(list_transform(range(64), i -> CASE WHEN
+      |    list_sum(list_transform(h, x -> CASE WHEN
+      |      (strpos('0123456789abcdef', substr(x, i // 4 + 1, 1)) - 1)
+      |        & (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) != 0
+      |      THEN 1 ELSE -1 END)) > 0
+      |    THEN '1' ELSE '0' END), '') AS sig
+      |FROM hs ORDER BY doc_id""".stripMargin
+
+  /** Sequential-fold dot product in DuckDB — bit-identical to Spark's
+    * `aggregate` over the zipped array (same left-to-right IEEE order).
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> " +
+      s"CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Shared oracle CTE: squared norms per vector, sequential fold. */
+  private val NormCte =
+    s"nrm AS (SELECT vec_id, ${sqlDot("embedding", "embedding")} AS n2 FROM embeddings)"
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 8. */
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simTopKSql: String =
+    s"""WITH $NormCte,
+       |cs AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    ${sqlDot("q.embedding", "e.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |  FROM embeddings q, embeddings e, nrm a, nrm b
+       |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+       |    AND a.vec_id = q.vec_id AND b.vec_id = e.vec_id)
+       |SELECT qid, vec_id, cos, rank FROM (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cs)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** LSH-bucketed ANN (4 hyperplanes → 16 buckets): top-5 within the
+    * query's bucket only — the scale path.
+    */
+  def simLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nPlanes = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simLshSql: String = {
+    val planeDot =
+      "list_reduce(list_transform(range(len(embedding)), d -> " +
+        "CAST(embedding[d+1] AS DOUBLE) * " +
+        "((strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1)" +
+        " / 7.5 - 1.0)), (x, y) -> x + y)"
+    s"""WITH $NormCte,
+       |bkt AS (SELECT vec_id, embedding, array_to_string(list_transform(range(4), j ->
+       |    CASE WHEN $planeDot > 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings),
+       |cs AS (SELECT q.vec_id AS qid, q.bucket, e.vec_id AS vec_id,
+       |    ${sqlDot("q.embedding", "e.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |  FROM bkt q, bkt e, nrm a, nrm b
+       |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id AND q.bucket = e.bucket
+       |    AND a.vec_id = q.vec_id AND b.vec_id = e.vec_id)
+       |SELECT qid, bucket, vec_id, cos, rank FROM (
+       |  SELECT qid, bucket, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cs)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "sim_topk" -> (simTopK _),
+    "sim_lsh" -> (simLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "sim_topk" -> simTopKSql,
+    "sim_lsh" -> simLshSql)
+}
