@@ -2,22 +2,25 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, Relational, TextOps}
+import graft.queries.{DedupSim, KgPipeline, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference demo flow: corpus → glossary extraction → KG →
+    * weighted constraint search (SURVEY §3.3, docs/index.md:87-141).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.joinDenorm(spark, "/root/testdata/sf0.001")
+    KgPipeline.kgSearch(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ TextOps.all ++ DedupSim.all
+    Relational.all ++ TextOps.all ++ DedupSim.all ++ KgPipeline.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ DedupSim.oracles
+    Relational.oracles ++ TextOps.oracles ++ DedupSim.oracles ++ KgPipeline.oracles
 }

@@ -1,0 +1,120 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Extraction operators (SURVEY §2.3, E1–E14) as column expressions
+  * producing arrays of extractions. All built-ins / higher-order
+  * functions — codegen-friendly, no shuffle; glossaries are driver-side
+  * small data compiled into the plan (the Spark analogue of the
+  * reference's per-worker glossary warm-up, docs/index.md:115-117).
+  */
+object Extractors {
+
+  /** E1 extract_as_is (generate_mydig_config.py:226-231). */
+  def asIs(c: Column): Column = array(c)
+
+  /** E2 glossary extractor (em_elicit.py:15-26): n-gram (1–3) token match
+    * against a dictionary, case-insensitive. Single-token glossaries use
+    * array_intersect on the token array; multi-word entries match on the
+    * shingle arrays — all per-row, glossary folded into the plan as a
+    * literal array (for huge glossaries use a broadcast join instead —
+    * Dedup-style semi-join, SURVEY J4).
+    */
+  def glossary(c: Column, entries: Seq[String], maxNgram: Int = 3): Column = {
+    val norm = entries.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    val byLen = norm.groupBy(_.split("\\s+").length)
+    val matches = (1 to maxNgram).flatMap { n =>
+      byLen.get(n).map { es =>
+        val hay =
+          if (n == 1) TextFunctions.tokens(c)
+          else TextFunctions.shingles(c, n)
+        array_intersect(array_distinct(hay), array(es.map(lit): _*))
+      }
+    }
+    if (matches.isEmpty) array()
+    else matches.reduce(concat(_, _))
+  }
+
+  /** E4 email extractor (predefined_extractor "email"). */
+  def emails(c: Column): Column = TextFunctions.extractEmails(c)
+
+  /** E5 date battery (em_elicit.py:14,52-54): try multiple formats,
+    * first hit wins, normalized ISO.
+    */
+  val DateFormats: Seq[String] = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd", "MM/dd/yyyy", "dd-MM-yyyy",
+    "MMM d, yyyy", "MMMM d, yyyy", "yyyyMMdd")
+
+  def parseDate(c: Column): Column =
+    coalesce(DateFormats.map(f => try_to_timestamp(c, lit(f))): _*)
+
+  /** E6 HTML content ALL_TEXT strategy: tag-strip via regex (the strict/
+    * relaxed readability strategies are heuristics over this base).
+    */
+  def htmlAllText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " "), "(?s)<[^>]*>", " "))
+
+  /** E7 HTML metadata: title + meta description (em_elicit.py:40-46). */
+  def htmlTitle(c: Column): Column =
+    regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  def htmlMetaContent(c: Column, name: String): Column =
+    regexp_extract(c, s"""(?is)<meta[^>]*name=["']$name["'][^>]*content=["']([^"']*)""", 1)
+
+  /** E8 landmark/Inferlink rule: begin/end regex pair extraction
+    * (em_base.py:61-69); rule name field-i-j → field via stripping the
+    * trailing index (re.sub(r'-\\d+$','')).
+    */
+  final case class LandmarkRule(name: String, begin: String, end: String) {
+    def field: String = name.replaceAll("-\\d+$", "")
+  }
+
+  def landmark(c: Column, rule: LandmarkRule): Column =
+    regexp_extract(c, s"(?s)${rule.begin}(.*?)${rule.end}", 1)
+
+  /** E9 hostname / TLD extractor (em_base.py:71-80). */
+  def hostname(c: Column): Column = TextFunctions.hostname(c)
+
+  def tld(c: Column): Column =
+    regexp_extract(hostname(c), "([^.]+\\.[^.]+)$", 1)
+
+  /** E10 misc predefined extractors. */
+  def cveIds(c: Column): Column = TextFunctions.extractCves(c)
+  def ipAddresses(c: Column): Column = TextFunctions.extractIps(c)
+  def cryptoHashes(c: Column): Column =
+    regexp_extract_all(c, lit(TextFunctions.HashRx), lit(0))
+
+  /** E13 location compound: one segment fans out to 4 fields
+    * (generate_mydig_config.py:301-305).
+    */
+  def locationCompound(c: Column, countries: Seq[String], cities: Seq[String])
+      : Seq[(String, Column)] = Seq(
+    "location" -> glossary(c, countries ++ cities),
+    "country" -> glossary(c, countries),
+    "city_name" -> glossary(c, cities))
+
+  /** KG long-format builder: (field → array<value>) extraction columns
+    * exploded into KgValue rows (SURVEY §1.2 exploded long-format
+    * Dataset). `method`/`segment` record provenance.
+    */
+  def toKgValues(docs: DataFrame, idCol: String,
+                 extractions: Seq[(String, Column, String, String)]): DataFrame = {
+    val structs = extractions.map { case (field, values, method, segment) =>
+      struct(lit(field).as("field"),
+        values.cast("array<string>").as("values"),
+        lit(method).as("method"), lit(segment).as("segment"))
+    }
+    docs
+      .select(col(idCol).cast("string").as("doc_id"),
+        explode(array(structs: _*)).as("ex"))
+      .select(col("doc_id"), col("ex.field").as("field"),
+        explode(col("ex.values")).as("value"),
+        col("ex.method").as("method"), col("ex.segment").as("segment"))
+      .withColumn("key", lower(trim(col("value")))) // high_confidence_keys
+      .withColumn("confidence", lit(1.0))
+  }
+}

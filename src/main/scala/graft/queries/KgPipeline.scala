@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.extract.Extractors
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{Catalog, Constraint, QuerySpec, TypeMapping}
+
+/** End-to-end KG pipeline demo (SURVEY §3: ingest → extract → KG →
+  * structured query) on the `documents` corpus, with DuckDB oracles that
+  * re-derive the same KG from the raw text.
+  *
+  * The demo "project" declares three glossary fields over the corpus
+  * vocabulary (the reference's country/city glossaries, em_elicit.py:15-26),
+  * then runs the reference's own demo flow: constraint search + facets
+  * (docs/index.md:87-141: load corpus → extract → query Country=nigeria).
+  */
+object KgPipeline {
+
+  val OpGlossary = Seq("join", "scan", "sort", "merge", "filter", "group", "agg", "window", "hash")
+  val SpeedGlossary = Seq("fast", "slow")
+  val SizeGlossary = Seq("big", "small")
+
+  val DemoCatalog: Catalog = Catalog(
+    typeFieldMappings = Map(
+      "op" -> TypeMapping(Seq("op" -> 10.0)),
+      "speed" -> TypeMapping(Seq("speed" -> 5.0)),
+      "size" -> TypeMapping(Seq("size" -> 5.0))))
+
+  /** Build the long-format KG table from the corpus (E2 glossary
+    * extraction, §1.2 exploded KgValue layout).
+    */
+  def kg(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    Extractors.toKgValues(docs, "doc_id", Seq(
+      ("op", Extractors.glossary(col("text"), OpGlossary), "extract_using_dictionary", "content"),
+      ("speed", Extractors.glossary(col("text"), SpeedGlossary), "extract_using_dictionary", "content"),
+      ("size", Extractors.glossary(col("text"), SizeGlossary), "extract_using_dictionary", "content")))
+  }
+
+  private def glossSql(g: Seq[String]) = g.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Oracle CTE re-deriving the KG long table from raw text. */
+  private val KgCte = {
+    val fieldSelect = (f: String, g: Seq[String]) =>
+      s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, '$f' AS field, " +
+        s"unnest(list_intersect(t, ${glossSql(g)})) AS key FROM tk"
+    s"""WITH tk AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z0-9]+')) AS t FROM documents),
+       |kg AS (
+       |  ${fieldSelect("op", OpGlossary)}
+       |  UNION ALL ${fieldSelect("speed", SpeedGlossary)}
+       |  UNION ALL ${fieldSelect("size", SizeGlossary)})""".stripMargin
+  }
+
+  /** KG facet counts over the whole corpus (A2). */
+  def kgFacets(s: SparkSession, dir: String): DataFrame =
+    kg(s, dir)
+      .groupBy(col("field"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("field"), col("key"))
+
+  val kgFacetsSql: String =
+    s"""$KgCte
+       |SELECT field, key, COUNT(*) AS cnt FROM kg GROUP BY field, key ORDER BY field, key""".stripMargin
+
+  /** Structured search: op=join AND speed=fast, free text "spark stream",
+    * ranked by weighted score (Q4/Q6/Q13/O1).
+    */
+  val DemoSpec: QuerySpec = QuerySpec(
+    constraints = Seq(Constraint("op", "join"), Constraint("speed", "fast")),
+    freeText = Some("spark stream"),
+    limit = 50)
+
+  def kgSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    QueryCompiler.search(kg(s, dir), docs, "doc_id", "text", DemoSpec, DemoCatalog)
+  }
+
+  val kgSearchSql: String =
+    """WITH tk AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      |    list_distinct(regexp_extract_all(lower(text),'[a-z0-9]+')) AS t FROM documents)
+      |SELECT doc_id,
+      |  15.0 + CAST(len(list_intersect(t, ['spark', 'stream'])) AS DOUBLE) AS score,
+      |  2 AS matched
+      |FROM tk WHERE list_contains(t, 'join') AND list_contains(t, 'fast')
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Facets over the search hit set (the reference UI's post-search
+    * term aggregations, Q9/A2).
+    */
+  def kgSearchFacets(s: SparkSession, dir: String): DataFrame =
+    QueryCompiler.facets(kg(s, dir), kgSearch(s, dir), Seq("op", "size"), k = 10)
+      .orderBy(col("field"), col("rank"))
+
+  val kgSearchFacetsSql: String =
+    s"""$KgCte,
+       |hits AS (SELECT doc_id FROM (
+       |  SELECT tk2.doc_id,
+       |    15.0 + CAST(len(list_intersect(tk2.t, ['spark', 'stream'])) AS DOUBLE) AS score
+       |  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z0-9]+')) AS t FROM documents) tk2
+       |  WHERE list_contains(tk2.t, 'join') AND list_contains(tk2.t, 'fast')
+       |  ORDER BY score DESC, doc_id LIMIT 50)),
+       |fc AS (SELECT field, key, COUNT(*) AS cnt FROM kg JOIN hits USING (doc_id)
+       |  WHERE field IN ('op', 'size') GROUP BY field, key)
+       |SELECT field, key, cnt, rank FROM (
+       |  SELECT field, key, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY field ORDER BY cnt DESC, key) AS rank FROM fc)
+       |WHERE rank <= 10 ORDER BY field, rank""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_facets" -> (kgFacets _),
+    "kg_search" -> (kgSearch _),
+    "kg_search_facets" -> (kgSearchFacets _))
+
+  val oracles: Map[String, String] = Map(
+    "kg_facets" -> kgFacetsSql,
+    "kg_search" -> kgSearchSql,
+    "kg_search_facets" -> kgSearchFacetsSql)
+}

@@ -1,0 +1,104 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The structured-query plane (SURVEY §2.6, Q1–Q13): typed constraints →
+  * field resolution → weighted relevance scoring + facets, compiled to
+  * one DataFrame plan over the long-format KgValue table.
+  *
+  * Reference pipeline (sandpaper coarse, config/etk/config.json:1-97):
+  * predicate→type mapping (Q1), value normalization (Q2), constraint
+  * expansion via synonym dicts (Q3/Q11), AtLeastOneField OR-combination
+  * (Q4), type→field-path mapping (Q5), per-path weights (Q6), free-text
+  * fallback (Q13), ranked + faceted execution (O1/A2).
+  *
+  * Scale: constraints filter the KgValue table on (field, key) — both
+  * pushed to the Parquet scan — then one groupBy(doc_id) shuffle scores
+  * and enforces all-constraints-matched. Facets are per-field partial
+  * aggregations over the (small) hit set.
+  */
+object QueryCompiler {
+
+  /** Q1+Q5+Q6: a constraint type resolves to weighted field paths. */
+  final case class TypeMapping(fields: Seq[(String, Double)])
+
+  /** Q11: per-type synonym expansion dictionary. */
+  final case class Catalog(
+      typeFieldMappings: Map[String, TypeMapping],
+      synonyms: Map[String, Map[String, Seq[String]]] = Map.empty) {
+
+    /** Q2+Q3: normalize then expand a constraint value to its variants. */
+    def expand(ctype: String, value: String): Seq[String] = {
+      val norm = value.toLowerCase.trim
+      norm +: synonyms.getOrElse(ctype, Map.empty).getOrElse(norm, Nil)
+    }
+  }
+
+  final case class Constraint(ctype: String, value: String)
+
+  final case class QuerySpec(
+      constraints: Seq[Constraint],
+      freeText: Option[String] = None,
+      limit: Int = 50)
+
+  /** Compile + execute: ranked hits (doc_id, score, matched) with every
+    * constraint satisfied on ≥1 field (Q4 AtLeastOneField, clause
+    * combination = filter) and free-text token overlap added to the
+    * score (Q13, filters-to-shoulds Q9).
+    */
+  def search(kg: DataFrame, docs: DataFrame, docIdCol: String, textCol: String,
+             spec: QuerySpec, catalog: Catalog): DataFrame = {
+    val perConstraint = spec.constraints.zipWithIndex.map { case (c, i) =>
+      val tm = catalog.typeFieldMappings.getOrElse(c.ctype, TypeMapping(Seq(c.ctype -> 1.0)))
+      val variants = catalog.expand(c.ctype, c.value)
+      val fieldWeight = tm.fields
+        .map { case (f, w) => when(col("field") === f, lit(w)) }
+        .reduce((a, b) => coalesce(a, b))
+      kg.filter(col("field").isin(tm.fields.map(_._1): _*) &&
+          col("key").isin(variants: _*))
+        .select(col("doc_id"), lit(i).as("cid"), fieldWeight.as("w"))
+    }
+    val matched = perConstraint.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("cid")).as("matched"),
+        sum(col("w")).cast("double").as("kg_score"))
+      .filter(col("matched") === spec.constraints.length)
+
+    val scored = spec.freeText match {
+      case Some(q) =>
+        val qTokens = q.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+        val ftScore = size(array_intersect(
+          array_distinct(TextFunctions.tokens(col(textCol))),
+          array(qTokens.map(lit): _*))).cast("double")
+        matched.join(docs.select(col(docIdCol).cast("string").as("doc_id"),
+            ftScore.as("ft_score")), "doc_id")
+          .withColumn("score", col("kg_score") + col("ft_score"))
+      case None => matched.withColumn("score", col("kg_score"))
+    }
+    scored
+      .select(col("doc_id"), col("score"), col("matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(spec.limit)
+  }
+
+  /** A2/O4 facets over a hit set: top-k keys per facet field. */
+  def facets(kg: DataFrame, hits: DataFrame, fields: Seq[String], k: Int = 20): DataFrame = {
+    kg.join(hits.select(col("doc_id")), "doc_id")
+      .filter(col("field").isin(fields: _*))
+      .groupBy(col("field"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("field")).orderBy(col("cnt").desc, col("key"))))
+      .filter(col("rank") <= k)
+      .select(col("field"), col("key"), col("cnt"), col("rank"))
+  }
+
+  /** Q9 highlight: matched-fragment extraction around a term. */
+  def highlight(textCol: Column, term: String, context: Int = 30): Column =
+    regexp_extract(textCol,
+      s"(?i)(.{0,$context}${java.util.regex.Pattern.quote(term)}.{0,$context})", 1)
+}

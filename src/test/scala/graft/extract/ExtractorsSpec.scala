@@ -1,0 +1,89 @@
+package graft.extract
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExtractorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("E2 glossary matches unigrams and bigrams, case-insensitive") {
+    val df = Seq("Flights to New York and Paris from Boston").toDF("text")
+    val out = df.select(Extractors.glossary($"text",
+      Seq("new york", "paris", "london")).as("hits"))
+      .as[Seq[String]].collect().head
+    assert(out.toSet == Set("new york", "paris"))
+  }
+
+  test("E5 date battery parses multiple formats to one timestamp") {
+    val df = Seq("2016-01-05", "01/05/2016", "Jan 5, 2016", "garbage")
+      .toDF("d")
+    val out = df.select(date_format(Extractors.parseDate($"d"), "yyyy-MM-dd").as("iso"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("2016-01-05", "2016-01-05", "2016-01-05", null))
+  }
+
+  test("E6/E7 html all-text strip and title") {
+    val html = "<html><head><title>My Page</title><style>p{}</style></head>" +
+      "<body><p>Hello <b>world</b></p><script>var x=1;</script></body></html>"
+    val df = Seq(html).toDF("raw")
+    val row = df.select(
+      Extractors.htmlAllText($"raw").as("text"),
+      Extractors.htmlTitle($"raw").as("title")).collect().head
+    assert(row.getString(0).replaceAll("\\s+", " ").contains("Hello world"))
+    assert(!row.getString(0).contains("var x"))
+    assert(row.getString(1) == "My Page")
+  }
+
+  test("E8 landmark begin/end rule extracts the span; name maps to field") {
+    val rule = Extractors.LandmarkRule("artist-1", "<h2>", "</h2>")
+    assert(rule.field == "artist")
+    val df = Seq("<div><h2>Monet</h2></div>").toDF("raw")
+    assert(df.select(Extractors.landmark($"raw", rule)).as[String].collect().head == "Monet")
+  }
+
+  test("E9 hostname + tld") {
+    val df = Seq("https://sub.example.org/page?q=1").toDF("url")
+    val row = df.select(
+      Extractors.hostname($"url"), Extractors.tld($"url")).collect().head
+    assert(row.getString(0) == "sub.example.org")
+    assert(row.getString(1) == "example.org")
+  }
+
+  test("E10 regex battery: emails, ips, cves") {
+    val df = Seq("mail a@b.com ip 10.0.0.1 cve CVE-2021-44228 done").toDF("t")
+    val row = df.select(
+      Extractors.emails($"t"), Extractors.ipAddresses($"t"), Extractors.cveIds($"t"))
+      .collect().head
+    assert(row.getSeq[String](0) == Seq("a@b.com"))
+    assert(row.getSeq[String](1) == Seq("10.0.0.1"))
+    assert(row.getSeq[String](2) == Seq("CVE-2021-44228"))
+  }
+
+  test("toKgValues explodes extractions into long format with provenance") {
+    val docs = Seq((1L, "fast join on big table")).toDF("doc_id", "text")
+    val kg = Extractors.toKgValues(docs, "doc_id", Seq(
+      ("op", Extractors.glossary($"text", Seq("join", "scan")), "dict", "content"),
+      ("speed", Extractors.glossary($"text", Seq("fast", "slow")), "dict", "content")))
+    val rows = kg.orderBy("field", "key").collect()
+    assert(rows.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("op", "join"), ("speed", "fast")))
+    assert(rows.forall(_.getAs[String]("method") == "dict"))
+    assert(rows.forall(_.getAs[Double]("confidence") == 1.0))
+  }
+
+  test("Dispatcher routes by selector and passes through unmatched docs") {
+    val docs = Seq((1L, "src0", "a"), (2L, "src1", "b"), (3L, "other", "c"))
+      .toDF("doc_id", "source", "text")
+    val upper = new ExtractionModule {
+      val name = "upper"
+      val selector = col("source").startsWith("src")
+      def transform(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("text", upper(col("text")))
+      private def upper(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.functions.upper(c)
+    }
+    val out = Dispatcher.run(docs, Seq(upper)).orderBy("doc_id")
+    assert(out.select("text").as[String].collect().toSeq == Seq("A", "B", "c"))
+  }
+}

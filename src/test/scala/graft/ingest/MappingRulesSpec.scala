@@ -1,0 +1,82 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ports the reference's unit-test semantics (SURVEY §5):
+  * test_decode_dict.py (mapped / unmapped-preserve / unmapped-delete),
+  * test_cell_values_deletion.py (delete-by-value), plus the template,
+  * guard, nest, and blank-removal rules.
+  */
+class MappingRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cells = Seq(
+    ("r1", "A", "keep"),
+    ("r2", "NULL", "x"),
+    ("r3", "", "  pad  "),
+    ("r4", "B", "DEL")).toDF("id", "c1", "c2")
+
+  test("P7 delete-by-value nulls blacklisted cells only") {
+    val out = MappingRules.deleteValues(Map("c1" -> Seq("NULL"), "c2" -> Seq("DEL")))(cells)
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("A", null, "", "B"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("keep", "x", "  pad  ", null))
+  }
+
+  test("P8 decode_dict maps values; unmapped preserved by default") {
+    val out = MappingRules.decodeDict("c1", Map("A" -> "alpha", "NULL" -> "n/a"))(cells)
+    assert(out.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "n/a", "", "B"))
+  }
+
+  test("P8 decode_dict default_action=delete nulls unmapped values") {
+    val out = MappingRules.decodeDict("c1", Map("A" -> "alpha"), defaultPreserve = false)(cells)
+    assert(out.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", null, null, null))
+  }
+
+  test("P8 broadcast-join variant matches the when-chain") {
+    val dict = Seq(("A", "alpha"), ("NULL", "n/a")).toDF("k", "v")
+    val a = MappingRules.decodeDict("c1", Map("A" -> "alpha", "NULL" -> "n/a"))(cells)
+    val b = MappingRules.decodeDictJoin("c1", dict)(cells)
+    assert(a.orderBy("id").collect().toSeq == b.orderBy("id").collect().toSeq)
+  }
+
+  test("P5/P6 trim + blank-to-null") {
+    val out = MappingRules.blankToNull(MappingRules.trimWhitespace(cells))
+    val r3 = out.filter($"id" === "r3").collect().head
+    assert(r3.getString(1) == null) // "" -> null
+    assert(r3.getString(2) == "pad") // trimmed
+  }
+
+  test("P9 template substitutes refs, missing/null -> empty") {
+    val df = Seq(("b1", "t1"), ("b2", null)).toDF("brand", "typ")
+    val out = MappingRules.template("title", "brand {brand} typ {typ} end {missing}!")(df)
+    assert(out.orderBy("brand").collect().map(_.getString(2)).toSeq ==
+      Seq("brand b1 typ t1 end !", "brand b2 typ  end !"))
+  }
+
+  test("P11 all guards must pass") {
+    val out = MappingRules.guards(Seq("c1" -> "^[AB]$", "c2" -> "keep|DEL"))(cells)
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("r1", "r4"))
+  }
+
+  test("P12 nest groups columns into a struct, leftovers stay top-level") {
+    val out = MappingRules.nest("sub", Seq("c1", "c2"))(cells)
+    assert(out.columns.toSeq == Seq("id", "sub"))
+    assert(out.select("sub.c1").orderBy("id").collect().head.getString(0) == "A")
+  }
+
+  test("P16 default field-name mapping") {
+    assert(MappingRules.defaultFieldName("B 1") == "b_1")
+    assert(MappingRules.defaultFieldName("B-2!") == "b_2")
+    assert(MappingRules.defaultFieldName("Plain") == "plain")
+  }
+
+  test("P3 positional column slice renames to 1..n") {
+    val out = MappingRules.columnSlice(1, 3)(cells)
+    assert(out.columns.toSeq == Seq("1", "2"))
+  }
+}

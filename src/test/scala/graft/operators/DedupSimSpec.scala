@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exactByHash groups identical payloads") {
+    val out = Dedup.exactByHash(docs, $"text", $"doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 2L) // docs 1+4
+  }
+
+  test("minhash LSH finds the near-dup pair with high jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .filter($"jaccard" > 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, disjoint absent") {
+    val m = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m((1L, 2L)) > 0.7)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical text -> identical sig; near-dup -> small hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .as[(Long, String)].collect().toMap
+    assert(sigs(1L).length == 64 && sigs(1L).matches("[01]{64}"))
+    assert(sigs(1L) == sigs(4L))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("cosine: self-similarity is 1.0, topk ranks by similarity") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val self = emb.select(Similarity.cosine($"embedding", $"embedding")).as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+    val top = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("lsh bucket is deterministic and groups identical vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val buckets = emb.select(Similarity.lshBucket($"embedding", 8)).as[String].collect()
+    assert(buckets(0) == buckets(1) && buckets(0).matches("[01]{8}"))
+  }
+}

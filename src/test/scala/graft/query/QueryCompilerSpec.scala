@@ -1,0 +1,62 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.query.QueryCompiler._
+
+class QueryCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kg = Seq(
+    ("d1", "country", "nigeria", "nigeria", "dict", "content", 1.0),
+    ("d1", "city", "lagos", "lagos", "dict", "content", 1.0),
+    ("d2", "country", "nigeria", "nigeria", "dict", "content", 1.0),
+    ("d3", "city", "lagos", "lagos", "dict", "content", 1.0))
+    .toDF("doc_id", "field", "value", "key", "method", "segment", "confidence")
+
+  private def docs = Seq(
+    ("d1", "nigeria lagos report"),
+    ("d2", "nigeria summary"),
+    ("d3", "lagos note")).toDF("doc_id", "text")
+
+  private val catalog = Catalog(
+    typeFieldMappings = Map(
+      "country" -> TypeMapping(Seq("country" -> 10.0)),
+      "city" -> TypeMapping(Seq("city" -> 3.0))),
+    synonyms = Map("country" -> Map("naija" -> Seq("nigeria"))))
+
+  test("Q4 AtLeastOneField per constraint, all constraints required") {
+    val hits = QueryCompiler.search(kg, docs, "doc_id", "text",
+      QuerySpec(Seq(Constraint("country", "nigeria"), Constraint("city", "lagos"))),
+      catalog)
+    assert(hits.select("doc_id").as[String].collect().toSeq == Seq("d1"))
+  }
+
+  test("Q6 weighted scoring + Q13 free-text token overlap") {
+    val hits = QueryCompiler.search(kg, docs, "doc_id", "text",
+      QuerySpec(Seq(Constraint("country", "nigeria")), freeText = Some("report summary")),
+      catalog)
+    val rows = hits.collect().map(r => (r.getString(0), r.getDouble(1)))
+    // d1: 10 + 1 ("report"); d2: 10 + 1 ("summary") — tie broken by doc_id
+    assert(rows.toSeq == Seq(("d1", 11.0), ("d2", 11.0)))
+  }
+
+  test("Q3/Q11 synonym expansion matches variant values") {
+    val hits = QueryCompiler.search(kg, docs, "doc_id", "text",
+      QuerySpec(Seq(Constraint("country", "naija"))), catalog)
+    assert(hits.select("doc_id").as[String].collect().sorted.toSeq == Seq("d1", "d2"))
+  }
+
+  test("A2 facets over the hit set with rank") {
+    val hits = QueryCompiler.search(kg, docs, "doc_id", "text",
+      QuerySpec(Seq(Constraint("country", "nigeria"))), catalog)
+    val f = QueryCompiler.facets(kg, hits, Seq("country", "city"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(f.toSet == Set(("country", "nigeria", 2L), ("city", "lagos", 1L)))
+  }
+
+  test("Q9 highlight extracts fragment around the term") {
+    val frag = docs.select(QueryCompiler.highlight($"text", "lagos", 8).as("h"))
+      .as[String].collect()
+    assert(frag(0).contains("lagos"))
+  }
+}
