@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ts.{TimeSeriesOps => T, TrendFit}
+
+/** Time-series operator queries (SURVEY §2.9) over the events table,
+  * treating user_id as the series key (the reference's tiny-series
+  * shape: many small series, distributed across series).
+  */
+object TimeSeriesQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+
+  /** T4 imputation: error events' values are treated as missing and
+    * forward-filled (leading gap backfills from the next value).
+    */
+  def tsImpute(s: SparkSession, dir: String): DataFrame = {
+    val w = T.seriesWindow(col("user_id"), Seq(col("ts_ms"), col("event_id")))
+    events(s, dir)
+      .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .withColumn("imputed", T.impute(col("v"), w))
+      .select(col("user_id"), col("event_id"), col("imputed"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val tsImputeSql: String =
+    """SELECT user_id, event_id, coalesce(
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS imputed
+      |FROM (SELECT user_id, event_id, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** T5 anomaly detection: spikes vs both neighbors with sign flip. */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = T.seriesWindow(col("user_id"), Seq(col("ts_ms"), col("event_id")))
+    events(s, dir)
+      .withColumn("spike", T.isSpike(col("value"), w))
+      .filter(col("spike"))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val tsAnomalySql: String =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    value - lag(value) OVER w AS dprev,
+      |    lead(value) OVER w - value AS dnext,
+      |    max(value) OVER (PARTITION BY user_id) - min(value) OVER (PARTITION BY user_id) AS rng
+      |  FROM (SELECT user_id, event_id, value, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      |WHERE dprev IS NOT NULL AND dnext IS NOT NULL
+      |  AND abs(dprev) > 0.4 * rng AND abs(dnext) > 0.4 * rng AND dprev * dnext < 0
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** T3+T9: per-series OLS slope on a days-since-start x-axis via
+    * sorted-list sequential folds (cross-engine-deterministic double
+    * aggregation), with the reference's slope description labels.
+    */
+  def tsSlope(s: SparkSession, dir: String): DataFrame = {
+    val pts = sort_array(collect_list(struct(col("ts_ms"), col("event_id"), col("value"))))
+    val grouped = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(pts.as("pts"))
+    val x0 = element_at(col("pts"), 1).getField("ts_ms")
+    val xs = transform(col("pts"), p => (p.getField("ts_ms") - x0).cast("double") / lit(86400000.0))
+    val ys = transform(col("pts"), p => p.getField("value"))
+    grouped
+      .withColumn("n", size(col("pts")))
+      .withColumn("slope", T.olsSlope(xs, ys))
+      .withColumn("scaled", col("slope") * (array_max(xs) - array_min(xs)) /
+        (array_max(ys) - array_min(ys)))
+      .withColumn("description", T.slopeDescription(col("scaled")))
+      .select(col("user_id"), col("n"), col("slope"), col("scaled"), col("description"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsSlopeSql: String = {
+    val fold = (l: String) => s"list_reduce($l, (x, y) -> x + y)"
+    val prod = (a: String, b: String) =>
+      s"list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])"
+    val caseDesc = T.SlopeThresholds.zip(T.SlopeLabels)
+      .map { case (t, l) => s"WHEN scaled < $t THEN '$l'" }
+      .mkString("CASE ", " ", s" ELSE '${T.SlopeLabels.last}' END")
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |    epoch_ms(date_trunc('millisecond', ts)) AS ts_ms FROM events),
+       |g AS (SELECT user_id,
+       |    list(ts_ms ORDER BY ts_ms, event_id) AS lx,
+       |    list(value ORDER BY ts_ms, event_id) AS ly
+       |  FROM e GROUP BY user_id),
+       |xy AS (SELECT user_id, len(lx) AS n, ly,
+       |    list_transform(lx, v -> CAST(v - lx[1] AS DOUBLE) / 86400000.0) AS xs
+       |  FROM g),
+       |fit AS (SELECT user_id, n,
+       |    (n * ${fold(prod("xs", "ly"))} - ${fold("xs")} * ${fold("ly")})
+       |      / (n * ${fold(prod("xs", "xs"))} - ${fold("xs")} * ${fold("xs")}) AS slope,
+       |    list_max(xs) - list_min(xs) AS xrng, list_max(ly) - list_min(ly) AS yrng
+       |  FROM xy)
+       |SELECT user_id, n, slope, scaled, $caseDesc AS description
+       |FROM (SELECT user_id, n, slope, slope * xrng / yrng AS scaled FROM fit)
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** A4 numeric-share gate: impute-vs-stringify branch at 0.8. */
+  def tsNumericGate(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("num", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .groupBy(col("user_id"))
+      .agg(T.numericShare(col("num")).as("share"))
+      .withColumn("branch", when(col("share") >= 0.8, "impute").otherwise("stringify"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsNumericGateSql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(CASE WHEN event_type = 'error' THEN NULL ELSE value END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS share,
+      |  CASE WHEN CAST(COUNT(CASE WHEN event_type = 'error' THEN NULL ELSE value END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) >= 0.8 THEN 'impute' ELSE 'stringify' END AS branch
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** T13+A6: measure/measurement emission with content-hash ids. */
+  def tsEmission(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("series_id", T.seriesId(lit("events"), col("user_id").cast("string")))
+    val measurements = ev.select(
+      lit("measurement").as("kind"),
+      sha2(concat_ws(":", col("user_id"), col("ts_ms")), 256).as("doc_id"),
+      col("series_id"), col("ts_ms"), col("value"))
+    val measures = ev.groupBy(col("series_id"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+      .select(lit("measure").as("kind"), lower(col("series_id")).as("doc_id"),
+        col("series_id"), col("start_ms").as("ts_ms"), lit(null).cast("double").as("value"))
+    measurements.unionByName(measures)
+      .orderBy(col("kind"), col("doc_id"), col("ts_ms"))
+  }
+
+  val tsEmissionSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms, value,
+      |    upper(sha256('events' || CAST(user_id AS VARCHAR))) AS series_id FROM events)
+      |SELECT * FROM (
+      |  SELECT 'measurement' AS kind,
+      |    sha256(CAST(user_id AS VARCHAR) || ':' || CAST(ts_ms AS VARCHAR)) AS doc_id,
+      |    series_id, ts_ms, value FROM ev
+      |  UNION ALL
+      |  SELECT 'measure' AS kind, lower(series_id) AS doc_id, series_id,
+      |    min(ts_ms) AS ts_ms, CAST(NULL AS DOUBLE) AS value
+      |  FROM ev GROUP BY series_id)
+      |ORDER BY kind, doc_id, ts_ms""".stripMargin
+
+  /** T6–T10 piecewise-linear trend fit per series (Breeze, deterministic
+    * grid search) — not SQL-expressible; rows-only check.
+    */
+  def tsTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = events(s, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    pts.groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val arr = it.toArray.sortBy(p => (p._2, p._3))
+        val x = arr.map(p => (p._2 - arr.head._2) / 86400000.0)
+        val y = arr.map(_._4)
+        val segs = TrendFit.fitSeries(x, y)
+        (uid, segs.map(g => (g.startX, g.endX, g.slope, g.intercept, g.description)))
+      }
+      .flatMap { case (uid, segs) =>
+        segs.zipWithIndex.map { case (g, i) => (uid, i, g._1, g._2, g._3, g._4, g._5) }
+      }
+      .toDF("user_id", "seg", "start_x", "end_x", "slope", "intercept", "description")
+      .orderBy(col("user_id"), col("seg"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_impute" -> (tsImpute _),
+    "ts_anomaly" -> (tsAnomaly _),
+    "ts_slope" -> (tsSlope _),
+    "ts_numeric_gate" -> (tsNumericGate _),
+    "ts_emission" -> (tsEmission _),
+    "ts_trend" -> (tsTrend _))
+
+  val oracles: Map[String, String] = Map(
+    "ts_impute" -> tsImputeSql,
+    "ts_anomaly" -> tsAnomalySql,
+    "ts_slope" -> tsSlopeSql,
+    "ts_numeric_gate" -> tsNumericGateSql,
+    "ts_emission" -> tsEmissionSql)
+    // ts_trend: Breeze PWL fit, not SQL-expressible -> rows-only check
+}
