@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamPipeline
+
+class SourcesStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_test").toString
+
+  test("S1 json-lines source reads one doc per line") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jl"),
+      """{"doc_id":"a","raw_content":"<p>x</p>"}
+        |{"doc_id":"b","raw_content":"<p>y</p>"}""".stripMargin)
+    val df = Sources.jsonLines(spark, dir)
+    assert(df.count() == 2)
+    assert(df.select("doc_id").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("S2 csv source keeps all columns as strings (no type detection)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.csv"),
+      "A,B 1\n1,x\n2,y\n")
+    val df = Sources.csv(spark, dir)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 2)
+  }
+
+  test("S6 raw-dir pairs join json metadata with html payload by stem") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/p1.json"), """{"doc_id":"p1","t":"a"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/p1.html"), "<html>one</html>")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/p2.json"), """{"doc_id":"p2","t":"b"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/p2.html"), "<html>two</html>")
+    val df = Sources.rawDirPairs(spark, dir).orderBy("doc_id")
+    assert(df.count() == 2)
+    assert(df.select("raw_content").as[String].collect().head.contains("one"))
+  }
+
+  test("S9/A5 upsert keeps last write per doc_id") {
+    val existing = Seq(("d1", 1L, "old"), ("d2", 1L, "keep")).toDF("doc_id", "v", "x")
+    val incoming = Seq(("d1", 2L, "new"), ("d3", 1L, "add")).toDF("doc_id", "v", "x")
+    val out = Sources.upsert(Some(existing), incoming, "doc_id", "v")
+      .orderBy("doc_id").select("x").as[String].collect()
+    assert(out.toSeq == Seq("new", "keep", "add"))
+  }
+
+  test("toCdr wraps rows with nested payload, hash doc_id, dataset tag") {
+    val df = Seq(("r1", 5)).toDF("name", "n")
+    val cdr = Sources.toCdr(df, "acme", "file:///data.csv")
+    val row = cdr.collect().head
+    assert(cdr.columns.toSet == Set("acme", "raw_content", "doc_id", "url", "dataset"))
+    assert(row.getAs[String]("doc_id").length == 64)
+    assert(row.getAs[String]("url").startsWith("file:///data.csv#"))
+  }
+
+  test("ST1/ST2 file stream applies the batch transform incrementally with checkpoint") {
+    val in = tmp(); val out = tmp(); val cp = tmp()
+    val data = Seq(("a", 1.0), ("", 2.0), ("c", 3.0)).toDF("doc_id", "v")
+    data.write.mode("overwrite").parquet(in)
+    val q = StreamPipeline.fileStream(spark, in, data.schema,
+      df => StreamPipeline.withDeadLetter(df, StreamPipeline.validDocId(col("doc_id"))),
+      out, cp)
+    q.awaitTermination(60000)
+    val res = spark.read.parquet(out)
+    assert(res.count() == 3)
+    assert(res.filter(col("__dead")).count() == 1) // empty doc_id dead-lettered
+    // restart with no new files: checkpoint prevents reprocessing
+    val q2 = StreamPipeline.fileStream(spark, in, data.schema,
+      df => StreamPipeline.withDeadLetter(df, StreamPipeline.validDocId(col("doc_id"))),
+      out, cp)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("O2 tld quota caps docs per tld") {
+    val df = Seq(("t1", 1), ("t1", 2), ("t1", 3), ("t2", 1)).toDF("tld", "seq")
+    val out = StreamPipeline.tldQuota(df, "tld", "seq", 2)
+    assert(out.groupBy("tld").count().orderBy("tld")
+      .select("count").as[Long].collect().toSeq == Seq(2, 1))
+  }
+}
