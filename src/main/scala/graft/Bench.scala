@@ -1,5 +1,7 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,9 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: JVM/codegen + file-system metadata, so the first measured
+    // query doesn't pay session init.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.names.foreach(n => Tables(spark, sfDir, n).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // rdd.count() materializes every output column — a bare count()
+      // would let Catalyst prune the expressions under measurement.
+      try { fn(spark, sfDir).rdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

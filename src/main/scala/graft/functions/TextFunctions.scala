@@ -97,11 +97,20 @@ object TextFunctions {
   def hostname(c: Column): Column = regexp_extract(c, HostRx, 1)
   def extractCves(c: Column): Column = regexp_extract_all(c, lit(CveRx), lit(0))
 
-  /** Token 3-gram shingles for near-dup detection (builder brief). */
+  /** Token n-gram shingles for near-dup detection (builder brief).
+    *
+    * Built by zipping k shifted copies of the token array instead of a
+    * positional lambda: a lambda body referencing the token array would
+    * re-evaluate the whole tokenizer subtree PER ELEMENT (Catalyst
+    * inlines it), turning an O(tokens) row into O(tokens²) regex work.
+    * zip_with binds each shifted copy once per row. zip_with pads the
+    * shorter side with null and concat null-propagates, so the trailing
+    * (n-1) partial shingles drop in the final filter.
+    */
   def shingles(c: Column, n: Int = 3): Column = {
     val toks = tokens(c)
-    when(size(toks) < n, array()).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val shifted = (0 until n).map(k => if (k == 0) toks else slice(toks, lit(k + 1), size(toks)))
+    val zipped = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    filter(zipped, x => x.isNotNull)
   }
 }

