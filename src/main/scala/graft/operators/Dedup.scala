@@ -125,7 +125,13 @@ object Dedup {
     * subtree inside a 64-element lambda and re-evaluates it per bit —
     * 64× the work (measured: 31s → 0.9s at sf0.1).
     */
-  def simhash64(textCol: Column): Column = {
+  def simhash64(textCol: Column): Column =
+    graft.plans.NativeExpressions.simhash64(textCol)
+
+  /** Interpreted HOF formulation of [[simhash64]] — kept as the
+    * readable reference; the parity spec asserts bit-equality.
+    */
+  def simhash64Hof(textCol: Column): Column = {
     // binary-feature simhash: one vote per DISTINCT token (halves the
     // interpreted higher-order-function work vs tf-weighted votes)
     val hashes = transform(array_distinct(TextFunctions.tokens(textCol)), t => md5(t))

@@ -23,8 +23,14 @@ object Similarity {
   // (decimal casting is NOT portable: Spark rounds the double's
   // shortest-repr digits, DuckDB the exact binary value).
 
-  /** Sequential-fold dot product of two float-array columns (double). */
+  /** Sequential-fold dot product of two float-array columns (double).
+    * Native codegen'd expression; [[dotHof]] is the interpreted
+    * reference formulation (parity spec asserts bit-equality).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.plans.NativeExpressions.dotF(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for hot-path operators (builder brief:
+  * "a native Catalyst Expression (with doGenCode) beats a Scala UDF").
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * evaluated interpreted — per-element closure dispatch. These
+  * expressions generate a single static call into a tight JVM loop,
+  * keeping the surrounding projection inside whole-stage codegen.
+  * Semantics are bit-identical to the composed-HOF formulations they
+  * replace (same md5/vote arithmetic, same left-to-right IEEE fold), so
+  * the DuckDB oracles are unchanged.
+  */
+object NativeExpressions {
+
+  /** Tight-loop simhash: tokenize, distinct, md5 per token, ±1 bit
+    * votes, sign → 64-char bit string. Mirrors Dedup.simhash64 exactly.
+    */
+  def simhashCompute(text: UTF8String): UTF8String = {
+    val tokens = new java.util.LinkedHashSet[String]()
+    val m = TokenRx.matcher(text.toString.toLowerCase)
+    while (m.find()) tokens.add(m.group())
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = tokens.iterator()
+    while (it.hasNext) {
+      val h = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      var i = 0
+      while (i < 64) {
+        // hex digit i/4 of the digest; bit (i%4) of that digit — matches
+        // the oracle's strpos/substr arithmetic on the hex string
+        val byteIdx = i / 8
+        val hexInByte = (i / 4) % 2 // 0 -> high nibble (first hex char)
+        val digit =
+          if (hexInByte == 0) (h(byteIdx) >> 4) & 0xf
+          else h(byteIdx) & 0xf
+        votes(i) += (if ((digit & (1 << (i % 4))) != 0) 1 else -1)
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) { sb.append(if (votes(i) > 0) '1' else '0'); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private val TokenRx = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** Left-to-right IEEE double fold of the float-array dot product —
+    * identical to aggregate(zip_with(...)) and DuckDB list_reduce.
+    */
+  def dotCompute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "simhash64"
+    override protected def nullSafeEval(input: Any): Any =
+      simhashCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.NativeExpressions.simhashCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product_f"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.plans.NativeExpressions.dotCompute($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+        : DotProductF = copy(left = newLeft, right = newRight)
+  }
+
+  /** Column-API entry points (Spark 4 classic Column↔Expression bridge). */
+  def simhash64(c: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+  def dotF(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProductF(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

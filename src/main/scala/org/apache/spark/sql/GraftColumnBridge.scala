@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the classic Column ↔ catalyst Expression conversion,
+  * which Spark 4 makes `private[sql]`. Standard extension-library shim:
+  * this is the only file outside the `graft` namespace, and it only
+  * re-exports two conversions for graft's native expressions.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
