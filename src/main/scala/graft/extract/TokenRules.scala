@@ -1,0 +1,107 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** E3 token-sequence rule extractor (SURVEY §2.3; reference
+  * `extract_using_custom_spacy`, generate_mydig_config.py:46-63, rule
+  * format sample-projects/museum/...!spacy_rules/phone.json).
+  *
+  * The observed rule subset (SURVEY §7 hard parts): a rule is a token
+  * sequence; each token matcher is one of
+  *   - `token`: literal word (case-insensitive option)
+  *   - `shape`: d→digit, x→lower, X→upper (e.g. "ddd" = 3 digits)
+  *   - `punct`: a punctuation class
+  *   - `prefix`/`suffix`: word affix constraints
+  * with `required` (optional tokens may be absent) and `output` (only
+  * flagged tokens join the extraction) flags.
+  *
+  * Rules compile once (driver-side) to a single Java regex evaluated by
+  * codegen'd `regexp_extract_all` — the per-document work is one regex
+  * scan, no UDF, no shuffle.
+  */
+object TokenRules {
+
+  sealed trait Matcher
+  final case class TokenIs(word: String, caseSensitive: Boolean = false) extends Matcher
+  final case class Shape(shape: String) extends Matcher
+  final case class Punct(chars: String) extends Matcher
+  final case class Prefix(p: String) extends Matcher
+  final case class Suffix(s: String) extends Matcher
+  final case class AnyToken() extends Matcher
+
+  final case class RuleToken(
+      matcher: Matcher,
+      required: Boolean = true,
+      output: Boolean = true)
+
+  final case class Rule(name: String, tokens: Seq[RuleToken]) {
+    /** Field name: strip the trailing rule index (em_base.py:67-69). */
+    def field: String = name.replaceAll("-\\d+$", "")
+  }
+
+  private def q(s: String) = java.util.regex.Pattern.quote(s)
+
+  /** One token matcher → regex fragment (token boundary handled by the
+    * separator joining).
+    */
+  def matcherRegex(m: Matcher): String = m match {
+    case TokenIs(w, cs) =>
+      if (cs) q(w) else w.toCharArray.map { ch =>
+        if (ch.isLetter) s"[${ch.toLower}${ch.toUpper}]" else q(ch.toString)
+      }.mkString
+    case Shape(shape) =>
+      shape.map {
+        case 'd' => "\\d"
+        case 'x' => "[a-z]"
+        case 'X' => "[A-Z]"
+        case c => q(c.toString)
+      }.mkString
+    case Punct(chars) => s"[${chars.flatMap(c => "\\" + c)}]"
+    case Prefix(p) => s"${q(p)}\\w*"
+    case Suffix(s) => s"\\w*${q(s)}"
+    case AnyToken() => "\\w+"
+  }
+
+  /** Compile a rule to (regex, output-group indices). Tokens separated
+    * by optional whitespace/punct glue (the tokenizer's inter-token
+    * separators); optional tokens wrapped in `(?:...)?`.
+    */
+  def compile(rule: Rule): (String, Seq[Int]) = {
+    val sep = "[\\s\\-.()]*"
+    val parts = rule.tokens.zipWithIndex.map { case (t, i) =>
+      val core = s"(${matcherRegex(t.matcher)})"
+      val withSep = if (i == 0) core else s"(?:$sep$core)"
+      if (t.required) withSep else s"$withSep?"
+    }
+    val outGroups = rule.tokens.zipWithIndex.filter(_._1.output).map(_._2 + 1)
+    (parts.mkString, outGroups)
+  }
+
+  /** Apply a rule to a text column → array of extractions (each match's
+    * output groups joined by a space).
+    */
+  def extract(c: Column, rule: Rule): Column = {
+    val (rx, groups) = compile(rule)
+    val matches = regexp_extract_all(c, lit(s"($rx)"), lit(0))
+    // re-extract output groups per match (groups shift by 1 for the
+    // wrapping group); join non-empty group values with single spaces
+    transform(matches, m => {
+      val parts = groups.map(g => regexp_extract(m, rx, g))
+      trim(regexp_replace(concat_ws(" ", parts: _*), "\\s+", " "))
+    })
+  }
+
+  /** The reference's canonical phone rule (museum spacy_rules/phone.json:
+    * optional area code in parens + ddd + dddd).
+    */
+  val PhoneRule: Rule = Rule("phone-1", Seq(
+    RuleToken(Shape("ddd"), required = false),
+    RuleToken(Shape("ddd")),
+    RuleToken(Shape("dddd"))))
+
+  /** Stock-ticker style rule: 2-5 uppercase letters after a $ or colon. */
+  val TickerRule: Rule = Rule("stock_ticker-1", Seq(
+    RuleToken(Punct("$:"), output = false),
+    RuleToken(Shape("XX"))))
+}

@@ -129,6 +129,35 @@ object MappingRules {
       .withColumn("doc_id", sha2(col("url"), 256))
   }
 
+  /** P2 row-range slice (dig_tabular_import.py:76-90): content_start_row/
+    * content_end_row (1-based, inclusive) over an explicit ordering, and
+    * blank_row_ends_content (first all-blank row truncates). The
+    * ordering column makes row numbers deterministic under parallel
+    * scan (file sources supply a line index).
+    */
+  def rowRangeSlice(startRow: Int, endRow: Option[Int],
+                    blankRowEndsContent: Boolean, orderBy: Seq[Column])
+                   (df: DataFrame): DataFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
+    val allBlank =
+      if (stringCols.isEmpty) lit(false)
+      else stringCols.map(c => length(trim(coalesce(col(c), lit("")))) === 0).reduce(_ && _)
+    var out = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__blank", allBlank)
+    if (blankRowEndsContent) {
+      val wAcc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      out = out
+        .withColumn("__blanks_seen", sum(col("__blank").cast("int")).over(wAcc))
+        .filter(col("__blanks_seen") === 0)
+        .drop("__blanks_seen")
+    }
+    out = out.filter(col("__rn") >= startRow)
+    endRow.foreach(e => out = out.filter(col("__rn") <= e))
+    out.drop("__rn", "__blank")
+  }
+
   /** P3 positional column slice: columns [from, until) renamed "1".."n"
     * (dig_tabular_import.py:166-170).
     */
@@ -151,7 +180,7 @@ object MappingRules {
     * (lower, non-word → '_'; dig_tabular_import.py:536-581).
     */
   def defaultFieldName(c: String): String =
-    c.toLowerCase.replaceAll("\\W+", "_").stripPrefix("_").stripSuffix("_")
+    c.toLowerCase.replaceAll("\\W+", "_").replaceAll("^_+|_+$", "")
 
   def applyDefaultMapping(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(s"`$c`").as(defaultFieldName(c))).toIndexedSeq: _*)

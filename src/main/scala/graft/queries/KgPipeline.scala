@@ -109,13 +109,34 @@ object KgPipeline {
        |    ROW_NUMBER() OVER (PARTITION BY field ORDER BY cnt DESC, key) AS rank FROM fc)
        |WHERE rank <= 10 ORDER BY field, rank""".stripMargin
 
+  /** Q7 phrase search + Q9 highlight: docs where "hash join" occurs as
+    * an adjacent token phrase, with the matched fragment.
+    */
+  def kgPhrase(s: SparkSession, dir: String): DataFrame = {
+    val fragRx = "(.{0,24}hash[^a-z0-9]+join.{0,24})"
+    Tables(s, dir, "documents")
+      .filter(QueryCompiler.phraseMatch(col("text"), "hash join"))
+      .select(col("doc_id"), col("lang"),
+        regexp_extract(lower(col("text")), fragRx, 1).as("frag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val kgPhraseSql: String =
+    """SELECT doc_id, lang,
+      |  regexp_extract(lower(text), '(.{0,24}hash[^a-z0-9]+join.{0,24})', 1) AS frag
+      |FROM documents
+      |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+join($|[^a-z0-9])')
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_facets" -> (kgFacets _),
     "kg_search" -> (kgSearch _),
-    "kg_search_facets" -> (kgSearchFacets _))
+    "kg_search_facets" -> (kgSearchFacets _),
+    "kg_phrase" -> (kgPhrase _))
 
   val oracles: Map[String, String] = Map(
     "kg_facets" -> kgFacetsSql,
     "kg_search" -> kgSearchSql,
-    "kg_search_facets" -> kgSearchFacetsSql)
+    "kg_search_facets" -> kgSearchFacetsSql,
+    "kg_phrase" -> kgPhraseSql)
 }

@@ -97,6 +97,25 @@ object QueryCompiler {
       .select(col("field"), col("key"), col("cnt"), col("rank"))
   }
 
+  /** Q7 phrase matching (type_query_mappings.json: Title→match_phrase):
+    * tokens must appear adjacently (any non-alnum glue between them).
+    */
+  def phraseMatch(c: Column, phrase: String): Column = {
+    val toks = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val rx = toks.map(java.util.regex.Pattern.quote).mkString("(^|[^a-z0-9])", "[^a-z0-9]+", "($|[^a-z0-9])")
+    lower(c).rlike(rx)
+  }
+
+  /** Q9 source projection: the compiler's include/exclude select-list
+    * (elasticsearch_compiler_options.json:5-26) — column pruning that
+    * Catalyst then pushes into the scan.
+    */
+  def project(df: DataFrame, include: Seq[String], exclude: Seq[String]): DataFrame = {
+    val cols = (if (include.nonEmpty) df.columns.filter(include.contains)
+                else df.columns).filterNot(exclude.contains)
+    df.select(cols.map(col).toIndexedSeq: _*)
+  }
+
   /** Q9 highlight: matched-fragment extraction around a term. */
   def highlight(textCol: Column, term: String, context: Int = 30): Column =
     regexp_extract(textCol,

@@ -101,6 +101,14 @@ object TimeSeriesOps {
     (n * sxy - sx * sy) / (n * sxx - sx * sx)
   }
 
+  /** T14 label templating (ts_label_maker.py:12-44): format-string over
+    * series metadata, missing keys → '' — the P9 template engine reused
+    * on the series metadata frame.
+    */
+  def labelTemplate(target: String, pattern: String)
+                   (df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ingest.MappingRules.template(target, pattern)(df)
+
   /** A6 content-hash ids (ts_converter.py:30-33,58-61,79-89). */
   def seriesId(dataset: Column, name: Column): Column =
     upper(sha2(concat_ws("", dataset, name), 256))
