@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.extract.Extractors
+import graft.operators.Similarity
+
+/** Second-wave oracle coverage: embedding near-dup pairs (builder brief
+  * dedup method #5), P2 row-range slice, E5 date battery, E9 hostname.
+  */
+object Extended {
+
+  /** Embedding-cosine near-dup: same-bucket candidate pairs (4-plane
+    * LSH) whose exact cosine exceeds the threshold — the dedup variant
+    * of the ANN path (only bucket-mates are scored; at 100 TB the
+    * bucket join replaces the quadratic scan).
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), 4).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos") > 0.5)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(200)
+  }
+
+  val dedupEmbeddingSql: String = {
+    val dot = (x: String, y: String) =>
+      s"list_reduce(list_transform(range(len($x)), i -> " +
+        s"CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE)), (p, q) -> p + q)"
+    val planeDot =
+      "list_reduce(list_transform(range(len(embedding)), d -> " +
+        "CAST(embedding[d+1] AS DOUBLE) * " +
+        "((strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1)" +
+        " / 7.5 - 1.0)), (p, q) -> p + q)"
+    s"""WITH nrm AS (SELECT vec_id, ${dot("embedding", "embedding")} AS n2 FROM embeddings),
+       |bkt AS (SELECT vec_id, embedding, array_to_string(list_transform(range(4), j ->
+       |    CASE WHEN $planeDot > 0 THEN '1' ELSE '0' END), '') AS bucket FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${dot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+       |FROM bkt a, bkt b, nrm na, nrm nb
+       |WHERE a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  AND na.vec_id = a.vec_id AND nb.vec_id = b.vec_id
+       |  AND ${dot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) > 0.5
+       |ORDER BY cos DESC, id_a, id_b LIMIT 200""".stripMargin
+  }
+
+  /** P2 row-range slice over an explicit deterministic ordering. */
+  def ruleRowslice(s: SparkSession, dir: String): DataFrame = {
+    // The synthetic lineitem is NOT unique on (orderkey, linenumber) —
+    // row numbers need a total order, so break ties on every key-ish
+    // column (random doubles make full ties vanishingly unlikely).
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+    Tables(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(101, 150))
+      .select(col("rn"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  val ruleRowsliceSql: String =
+    """SELECT rn, l_orderkey, l_linenumber, l_quantity FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
+      |      l_suppkey, l_extendedprice, l_quantity) AS rn,
+      |    l_orderkey, l_linenumber, l_quantity FROM lineitem)
+      |WHERE rn BETWEEN 101 AND 150 ORDER BY rn""".stripMargin
+
+  /** E5 date battery: multi-format parse back to a canonical date. */
+  def extractDates(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .withColumn("s1", date_format(col("o_orderdate"), "MM/dd/yyyy"))
+      .withColumn("s2", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    o.select(
+      col("o_orderkey"),
+      date_format(Extractors.parseDate(col("s1")), "yyyy-MM-dd").as("d1"),
+      date_format(Extractors.parseDate(col("s2")), "yyyy-MM-dd").as("d2"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val extractDatesSql: String =
+    """SELECT o_orderkey,
+      |  strftime(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y'), '%Y-%m-%d') AS d1,
+      |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y-%m-%d') AS d2
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** E9 hostname/TLD extraction over synthesized urls. */
+  def extractHostname(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    Tables(s, dir, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.org/doc/"), col("doc_id").cast("string")))
+      .select(TextFunctions.hostname(col("url")).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("host"))
+  }
+
+  val extractHostnameSql: String =
+    """SELECT regexp_extract('https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR),
+      |    'https?://([^/\s:]+)', 1) AS host, COUNT(*) AS cnt
+      |FROM documents GROUP BY 1 ORDER BY host""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> (dedupEmbedding _),
+    "rule_rowslice" -> (ruleRowslice _),
+    "extract_dates" -> (extractDates _),
+    "extract_hostname" -> (extractHostname _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "rule_rowslice" -> ruleRowsliceSql,
+    "extract_dates" -> extractDatesSql,
+    "extract_hostname" -> extractHostnameSql)
+}
