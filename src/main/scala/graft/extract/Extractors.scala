@@ -58,6 +58,19 @@ object Extractors {
     trim(regexp_replace(regexp_replace(c,
       "(?is)<(script|style)[^>]*>.*?</\\1>", " "), "(?s)<[^>]*>", " "))
 
+  /** E6 MAIN_CONTENT_STRICT strategy (em_base.py:43-51): readability-style
+    * heuristic — keep only block-level text regions (<p>/<article>/
+    * heading blocks), dropping boilerplate that lives outside them
+    * (nav/footer link farms). RELAXED = strict plus list/table text.
+    */
+  def htmlMainContent(c: Column, relaxed: Boolean = false): Column = {
+    val blockTags = if (relaxed) "p|article|h[1-6]|blockquote|li|td" else "p|article|h[1-6]|blockquote"
+    val blocks = regexp_extract_all(c,
+      lit(s"(?is)<($blockTags)[^>]*>(.*?)</\\1>"), lit(2))
+    trim(regexp_replace(concat_ws(" ",
+      transform(blocks, b => regexp_replace(b, "(?s)<[^>]*>", " "))), "\\s+", " "))
+  }
+
   /** E7 HTML metadata: title + meta description (em_elicit.py:40-46). */
   def htmlTitle(c: Column): Column =
     regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)

@@ -30,15 +30,24 @@ object KgPipeline {
       "size" -> TypeMapping(Seq("size" -> 5.0))))
 
   /** Build the long-format KG table from the corpus (E2 glossary
-    * extraction, §1.2 exploded KgValue layout).
+    * extraction, §1.2 exploded KgValue layout). Memoized + cached per
+    * (session, dir): the KG is the materialized artifact the query
+    * plane reads (the reference's ES index) — deriving it once and
+    * caching mirrors that architecture and removes re-extraction from
+    * every search/facet query.
     */
-  def kg(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    Extractors.toKgValues(docs, "doc_id", Seq(
-      ("op", Extractors.glossary(col("text"), OpGlossary), "extract_using_dictionary", "content"),
-      ("speed", Extractors.glossary(col("text"), SpeedGlossary), "extract_using_dictionary", "content"),
-      ("size", Extractors.glossary(col("text"), SizeGlossary), "extract_using_dictionary", "content")))
-  }
+  private val kgCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def kg(s: SparkSession, dir: String): DataFrame =
+    kgCache.getOrElseUpdate((s, dir), {
+      val docs = Tables(s, dir, "documents")
+      Extractors.toKgValues(docs, "doc_id", Seq(
+        ("op", Extractors.glossary(col("text"), OpGlossary), "extract_using_dictionary", "content"),
+        ("speed", Extractors.glossary(col("text"), SpeedGlossary), "extract_using_dictionary", "content"),
+        ("size", Extractors.glossary(col("text"), SizeGlossary), "extract_using_dictionary", "content")))
+        .cache()
+    })
 
   private def glossSql(g: Seq[String]) = g.map(x => s"'$x'").mkString("[", ", ", "]")
 

@@ -74,15 +74,17 @@ object SpreadsheetRegions {
     range.end.col.foreach(c => out = out.filter(col("col") <= c))
     range.start.row.foreach(r => out = out.filter(col("row") >= r))
     range.end.row.foreach(r => out = out.filter(col("row") <= r))
-    if (range.end.row.isEmpty && range.start.row.nonEmpty) {
-      // infinite downward: keep rows before the first blank per column
-      val w = Window.partitionBy(col("sheet"), col("col")).orderBy(col("row"))
-      out = out
-        .withColumn("__blank",
+    def stopAtBlank(df: DataFrame, partAxis: String, walkAxis: String): DataFrame = {
+      val w = Window.partitionBy(col("sheet"), col(partAxis)).orderBy(col(walkAxis))
+      df.withColumn("__blank",
           sum(when(col("value").isNull || trim(col("value")) === "", 1).otherwise(0))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter(col("__blank") === 0).drop("__blank")
     }
+    if (range.end.row.isEmpty && range.start.row.nonEmpty)
+      out = stopAtBlank(out, "col", "row") // infinite downward
+    if (range.end.col.isEmpty && range.start.col.nonEmpty)
+      out = stopAtBlank(out, "row", "col") // infinite rightward (row-oriented sheets)
     out
   }
 

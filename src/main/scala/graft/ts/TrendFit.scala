@@ -90,7 +90,7 @@ object TrendFit {
     * replaced by this reproducible variant).
     */
   def searchBreaks(x: Array[Double], y: Array[Double], nSegments: Int,
-                   gridSize: Int = 12): Fit = {
+                   gridSize: Int = 8): Fit = {
     val lo = x.min; val hi = x.max
     if (nSegments <= 1) return fitFixedBreaks(x, y, Array(lo, hi))
     val candidates = (1 until gridSize)

@@ -35,6 +35,20 @@ class ExtractorsSpec extends SparkSpec {
     assert(row.getString(1) == "My Page")
   }
 
+  test("E6 MAIN_CONTENT_STRICT keeps block text, drops nav boilerplate") {
+    val html = "<html><body><nav>Home | About | Login</nav>" +
+      "<p>Real article text here.</p><h2>Subhead</h2>" +
+      "<ul><li>list item</li></ul><footer>copyright</footer></body></html>"
+    val df = Seq(html).toDF("raw")
+    val strict = df.select(Extractors.htmlMainContent($"raw")).as[String].collect().head
+    assert(strict.contains("Real article text") && strict.contains("Subhead"))
+    assert(!strict.contains("Login") && !strict.contains("copyright"))
+    assert(!strict.contains("list item"))
+    val relaxed = df.select(Extractors.htmlMainContent($"raw", relaxed = true))
+      .as[String].collect().head
+    assert(relaxed.contains("list item"))
+  }
+
   test("E8 landmark begin/end rule extracts the span; name maps to field") {
     val rule = Extractors.LandmarkRule("artist-1", "<h2>", "</h2>")
     assert(rule.field == "artist")

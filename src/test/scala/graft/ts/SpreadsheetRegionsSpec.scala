@@ -40,6 +40,14 @@ class SpreadsheetRegionsSpec extends SparkSpec {
     assert(r.select("value").as[String].collect().sorted.toSeq == Seq("2001", "2002", "2003"))
   }
 
+  test("infinite rightward range stops at first blank (row orientation)") {
+    val rowCells = Seq(
+      ("s1", 0, 0, "2001"), ("s1", 0, 1, "2002"), ("s1", 0, 2, ""), ("s1", 0, 3, "2004"))
+      .toDF("sheet", "row", "col", "value")
+    val r = region(rowCells, parseRange("[A:1]:[*:1]"))
+    assert(r.select("value").as[String].collect().sorted.toSeq == Seq("2001", "2002"))
+  }
+
   test("timeSeries joins time and value ranges positionally") {
     val ts = timeSeries(cells,
       times = parseRange("[A:2]:[A:*]"),
