@@ -38,6 +38,28 @@ object Extractors {
     else matches.reduce(concat(_, _))
   }
 
+  /** E2 at scale: glossary as a broadcast semi-join (SURVEY J4) for
+    * dictionaries too large to fold into the plan as literals. Explodes
+    * distinct tokens/shingles, joins the broadcast glossary table, and
+    * regroups matches per doc — still no big-side shuffle.
+    */
+  def glossaryJoin(docs: DataFrame, idCol: String, textCol: String,
+                   glossary: DataFrame, maxNgram: Int = 3): DataFrame = {
+    val gloss = broadcast(glossary.select(
+      lower(trim(col(glossary.columns.head))).as("__g")).distinct())
+    val candidates = docs.select(
+      col(idCol).as("__id"),
+      explode(array_distinct(concat(
+        (1 to maxNgram).map(n =>
+          if (n == 1) TextFunctions.tokens(col(textCol))
+          else TextFunctions.shingles(col(textCol), n)): _*))).as("__t"))
+    candidates
+      .join(gloss, col("__t") === col("__g"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__t"))).as("matches"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** E4 email extractor (predefined_extractor "email"). */
   def emails(c: Column): Column = TextFunctions.extractEmails(c)
 

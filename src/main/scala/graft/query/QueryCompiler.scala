@@ -97,6 +97,26 @@ object QueryCompiler {
       .select(col("field"), col("key"), col("cnt"), col("rank"))
   }
 
+  /** Q10 execution with timeout (config/etk/config.json:45, 180s): run
+    * the collect under a job group and cancel it if the deadline passes —
+    * the Spark analogue of the ES query timeout.
+    */
+  def executeWithTimeout(df: DataFrame, timeoutSec: Int,
+                         groupId: String = "graft-query"): Either[String, Array[org.apache.spark.sql.Row]] = {
+    val sc = df.sparkSession.sparkContext
+    sc.setJobGroup(groupId, s"graft query (timeout ${timeoutSec}s)", interruptOnCancel = true)
+    try {
+      val fut = scala.concurrent.Future(df.collect())(
+        scala.concurrent.ExecutionContext.global)
+      Right(scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(timeoutSec, "s")))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(groupId)
+        Left(s"query exceeded ${timeoutSec}s and was cancelled")
+    } finally sc.clearJobGroup()
+  }
+
   /** Q7 phrase matching (type_query_mappings.json: Title→match_phrase):
     * tokens must appear adjacently (any non-alnum glue between them).
     */

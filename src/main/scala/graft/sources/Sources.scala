@@ -69,6 +69,17 @@ object Sources {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** S9 upsert at document granularity for long-format tables (multiple
+    * rows per doc_id, e.g. the KG value table): a re-delivered document
+    * replaces ALL its previous rows (anti-join out, union in) — the
+    * exact ES `document_id => %{doc_id}` semantics for nested docs.
+    */
+  def upsertDocs(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame = {
+    val replaced = incoming.select(col(idCol)).distinct()
+    existing.join(replaced, Seq(idCol), "left_anti")
+      .unionByName(incoming, allowMissingColumns = true)
+  }
+
   /** S10 catalog bootstrap: register the project table (idempotent). */
   def bootstrapTable(spark: SparkSession, name: String, path: String): Unit =
     spark.sql(
