@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.extract.Extractors
-import graft.operators.Similarity
+import graft.operators.{KgOps, Similarity}
 
 /** Second-wave oracle coverage: embedding near-dup pairs (builder brief
   * dedup method #5), P2 row-range slice, E5 date battery, E9 hostname.
@@ -109,15 +109,47 @@ object Extended {
       |    'https?://([^/\s:]+)', 1) AS host, COUNT(*) AS cnt
       |FROM documents GROUP BY 1 ORDER BY host""".stripMargin
 
+  /** E11/J2 KG node split: nest each customer's orders as child structs,
+    * promote them to standalone child docs with sha identity + parent
+    * FK, then re-join to the parent (the full split/reassemble cycle).
+    * Doubles are excluded from the child payload so the JSON identity
+    * hash is engine-portable.
+    */
+  def kgNodeSplit(s: SparkSession, dir: String): DataFrame = {
+    val parents = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("o_orderkey"), col("o_orderstatus"))))
+        .as("children"))
+    val children = KgOps.nodeSplit(parents, "o_custkey", "children", "orders/child")
+    children
+      .groupBy(col("parent_doc_id"), col("dataset_identifier"))
+      .agg(count(lit(1)).as("n_children"),
+        min(col("doc_id")).as("first_child_id"))
+      .orderBy(col("parent_doc_id").cast("long"))
+  }
+
+  val kgNodeSplitSql: String =
+    """WITH ch AS (
+      |  SELECT CAST(o_custkey AS VARCHAR) AS parent_doc_id,
+      |    'orders/child' AS dataset_identifier,
+      |    sha256('orders/child' || ':' || CAST(o_custkey AS VARCHAR) || ':' ||
+      |      to_json(struct_pack(o_orderkey := o_orderkey, o_orderstatus := o_orderstatus))) AS doc_id
+      |  FROM orders)
+      |SELECT parent_doc_id, dataset_identifier, COUNT(*) AS n_children,
+      |  min(doc_id) AS first_child_id
+      |FROM ch GROUP BY 1, 2 ORDER BY CAST(parent_doc_id AS BIGINT)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
     "rule_rowslice" -> (ruleRowslice _),
     "extract_dates" -> (extractDates _),
-    "extract_hostname" -> (extractHostname _))
+    "extract_hostname" -> (extractHostname _),
+    "kg_node_split" -> (kgNodeSplit _))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
     "rule_rowslice" -> ruleRowsliceSql,
     "extract_dates" -> extractDatesSql,
-    "extract_hostname" -> extractHostnameSql)
+    "extract_hostname" -> extractHostnameSql,
+    "kg_node_split" -> kgNodeSplitSql)
 }
