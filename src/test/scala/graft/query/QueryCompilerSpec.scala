@@ -54,6 +54,21 @@ class QueryCompilerSpec extends SparkSpec {
     assert(f.toSet == Set(("country", "nigeria", 2L), ("city", "lagos", 1L)))
   }
 
+  test("Q12 zone profile: alternate catalog weights rank strict above relaxed") {
+    // zone model (zone_field_mappings.json): same field in two zones
+    // with different weights — expressed as a second catalog profile
+    val zoneKg = Seq(
+      ("d1", "country.strict", "nigeria", "nigeria", "dict", "strict", 1.0),
+      ("d2", "country.relaxed", "nigeria", "nigeria", "dict", "relaxed", 1.0))
+      .toDF("doc_id", "field", "value", "key", "method", "segment", "confidence")
+    val zoneCatalog = Catalog(Map(
+      "country" -> TypeMapping(Seq("country.strict" -> 10.0, "country.relaxed" -> 2.0))))
+    val hits = QueryCompiler.search(zoneKg, docs, "doc_id", "text",
+      QuerySpec(Seq(Constraint("country", "nigeria"))), zoneCatalog)
+    val rows = hits.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("d1", 10.0), ("d2", 2.0))) // strict zone outranks
+  }
+
   test("Q9 highlight extracts fragment around the term") {
     val frag = docs.select(QueryCompiler.highlight($"text", "lagos", 8).as("h"))
       .as[String].collect()
