@@ -50,6 +50,19 @@ object StreamPipeline {
   def validDocId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.isNotNull && length(c.cast("string")) > 0
 
+  /** Event-time windowed counts with a watermark (our documented
+    * extension beyond the reference's stateless plane, SURVEY ST7):
+    * tumbling windows on the event timestamp, late data bounded by the
+    * watermark. Usable identically in batch (window()+groupBy) and
+    * streaming (adds state cleanup).
+    */
+  def windowedCounts(df: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("cnt"))
+
   /** O2 per-TLD desired quota applied on the stream's micro-batch
     * (docs/index.md:108-114) — via foreachBatch in production; exposed
     * here as the batch transform for reuse.
