@@ -23,14 +23,20 @@ object Extractors {
     * literal array (for huge glossaries use a broadcast join instead —
     * Dedup-style semi-join, SURVEY J4).
     */
-  def glossary(c: Column, entries: Seq[String], maxNgram: Int = 3): Column = {
-    val norm = entries.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+  def glossary(c: Column, entries: Seq[String], maxNgram: Int = 3,
+               caseSensitive: Boolean = false): Column = {
+    val norm = entries.map(e => if (caseSensitive) e.trim else e.toLowerCase.trim)
+      .filter(_.nonEmpty).distinct
     val byLen = norm.groupBy(_.split("\\s+").length)
+    // case-sensitive mode tokenizes without lowercasing (the reference's
+    // case_sensitive glossary flag, master_config fields)
+    val base = if (caseSensitive) c else lower(c)
+    val toks = regexp_extract_all(base, lit("[A-Za-z0-9]+"), lit(0))
     val matches = (1 to maxNgram).flatMap { n =>
       byLen.get(n).map { es =>
         val hay =
-          if (n == 1) TextFunctions.tokens(c)
-          else TextFunctions.shingles(c, n)
+          if (n == 1) toks
+          else TextFunctions.shinglesOf(toks, n)
         array_intersect(array_distinct(hay), array(es.map(lit): _*))
       }
     }
@@ -117,11 +123,14 @@ object Extractors {
   def tld(c: Column): Column =
     regexp_extract(hostname(c), "([^.]+\\.[^.]+)$", 1)
 
-  /** E10 misc predefined extractors. */
+  /** E10 misc predefined extractors (em_base.py:14-21). */
   def cveIds(c: Column): Column = TextFunctions.extractCves(c)
   def ipAddresses(c: Column): Column = TextFunctions.extractIps(c)
   def cryptoHashes(c: Column): Column =
     regexp_extract_all(c, lit(TextFunctions.HashRx), lit(0))
+  val BtcRx = "\\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\\b"
+  def bitcoinAddresses(c: Column): Column =
+    regexp_extract_all(c, lit(BtcRx), lit(0))
 
   /** E13 location compound: one segment fans out to 4 fields
     * (generate_mydig_config.py:301-305).

@@ -107,8 +107,12 @@ object TextFunctions {
     * shorter side with null and concat null-propagates, so the trailing
     * (n-1) partial shingles drop in the final filter.
     */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
+  def shingles(c: Column, n: Int = 3): Column = shinglesOf(tokens(c), n)
+
+  /** Shingles over a pre-tokenized array (lets callers control the
+    * tokenizer, e.g. case-sensitive glossaries).
+    */
+  def shinglesOf(toks: Column, n: Int): Column = {
     val shifted = (0 until n).map(k => if (k == 0) toks else slice(toks, lit(k + 1), size(toks)))
     val zipped = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
     filter(zipped, x => x.isNotNull)

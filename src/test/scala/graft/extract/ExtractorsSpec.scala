@@ -15,6 +15,18 @@ class ExtractorsSpec extends SparkSpec {
     assert(out.toSet == Set("new york", "paris"))
   }
 
+  test("E2 case_sensitive glossary distinguishes case; E10 bitcoin regex") {
+    val df = Seq("Visited Paris and paris; paid to 1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa").toDF("text")
+    val cs = df.select(Extractors.glossary($"text", Seq("Paris"), caseSensitive = true))
+      .as[Seq[String]].collect().head
+    assert(cs == Seq("Paris"))
+    val ci = df.select(Extractors.glossary($"text", Seq("Paris")))
+      .as[Seq[String]].collect().head
+    assert(ci == Seq("paris")) // normalized, matches both
+    val btc = df.select(Extractors.bitcoinAddresses($"text")).as[Seq[String]].collect().head
+    assert(btc == Seq("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa"))
+  }
+
   test("E5 date battery parses multiple formats to one timestamp") {
     val df = Seq("2016-01-05", "01/05/2016", "Jan 5, 2016", "garbage")
       .toDF("d")
