@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.io.InputStream
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S3 XLS/XLSX source (SURVEY §2.1; reference uses pyexcel,
+  * dig_tabular_import.py:107-110,133-137). JDK-only implementation —
+  * .xlsx is a zip of SpreadsheetML parts, read with java.util.zip +
+  * StAX; no external codec.
+  *
+  * Produces the engine-neutral cell grid (sheet, row, col, value) that
+  * `SpreadsheetRegions` consumes, so annotated region extraction (S4)
+  * runs directly on real workbooks. Distribution model: one task per
+  * workbook via the binaryFile source + flatMap — workbooks are small
+  * relative to partitions; the parallel axis is the number of files.
+  */
+object XlsxReader {
+
+  final case class Cell(sheet: String, row: Int, col: Int, value: String)
+
+  /** Column letters → 0-based index ("A"->0, "AA"->26). */
+  def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
+  }
+
+  def rowIndex(ref: String): Int = ref.dropWhile(_.isLetter).toInt - 1
+
+  private def parseSharedStrings(in: InputStream): IndexedSeq[String] = {
+    val out = ArrayBuffer[String]()
+    val r = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(in)
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" => inT = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT && cur != null =>
+          cur.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString; cur = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  private def parseSheet(in: InputStream, sheetName: String,
+                         shared: IndexedSeq[String]): Seq[Cell] = {
+    val out = ArrayBuffer[Cell]()
+    val r = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(in)
+    var cellRef: String = null
+    var cellType: String = null
+    var inV = false
+    val v = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "c" =>
+              cellRef = r.getAttributeValue(null, "r")
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            case "v" | "t" if cellRef != null =>
+              inV = true; v.setLength(0)
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV =>
+          v.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" if inV =>
+              inV = false
+              if (cellRef != null) {
+                val value = cellType match {
+                  case "s" => shared.lift(v.toString.trim.toInt).getOrElse("")
+                  case _ => v.toString
+                }
+                out += Cell(sheetName, rowIndex(cellRef), colIndex(cellRef), value)
+                // inlineStr has <is><t>; value recorded on first text end
+                if (cellType != "inlineStr") cellRef = null
+              }
+            case "c" => cellRef = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    out.toSeq
+  }
+
+  /** Parse one workbook's bytes → cells of the `sheetNumber`-th sheet
+    * (1-based, matching the reference's sheet_number) or all sheets.
+    */
+  def parseWorkbook(bytes: Array[Byte], sheetNumber: Option[Int] = None): Seq[Cell] = {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    var shared: IndexedSeq[String] = IndexedSeq.empty
+    val sheets = ArrayBuffer[(String, Array[Byte])]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      val name = e.getName
+      if (name == "xl/sharedStrings.xml" || name.matches("xl/worksheets/sheet\\d+\\.xml")) {
+        val buf = new java.io.ByteArrayOutputStream()
+        zin.transferTo(buf)
+        if (name == "xl/sharedStrings.xml")
+          shared = parseSharedStrings(new java.io.ByteArrayInputStream(buf.toByteArray))
+        else sheets += ((name, buf.toByteArray))
+      }
+      e = zin.getNextEntry
+    }
+    val ordered = sheets.sortBy { case (n, _) =>
+      "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0)
+    }
+    val picked = sheetNumber match {
+      case Some(i) => ordered.slice(i - 1, i)
+      case None => ordered
+    }
+    picked.flatMap { case (n, bs) =>
+      val sheetName = "sheet" + "\\d+".r.findFirstIn(n).getOrElse("1")
+      parseSheet(new java.io.ByteArrayInputStream(bs), sheetName, shared)
+    }.toSeq
+  }
+
+  /** Distributed read: every .xlsx under `path` → one cell-grid frame.
+    * binaryFile source gives (path, bytes); each workbook parses in its
+    * own task.
+    */
+  def read(spark: SparkSession, path: String, sheetNumber: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val stem = p.split('/').last.stripSuffix(".xlsx")
+        parseWorkbook(bytes, sheetNumber)
+          .map(c => (s"$stem!${c.sheet}", c.row, c.col, c.value))
+      }
+      .toDF("sheet", "row", "col", "value")
+  }
+}
