@@ -113,6 +113,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** Connected components over verified near-dup pairs → dedup clusters:
+    * iterative min-label propagation (each id adopts the smallest id
+    * reachable through pairs) until fixpoint. Returns (id, cluster)
+    * where cluster = min id of the component — "keep cluster == id,
+    * drop the rest" is the dedup decision.
+    *
+    * Scale: each iteration is one join + one aggregate on the PAIR set
+    * (candidates only, not the corpus); iterations ≤ diameter of the
+    * largest cluster (near-dup clusters are shallow). The fixpoint test
+    * is a count — cheap relative to the join.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .cache()
+    // localCheckpoint each round: an iterative plan referencing its own
+    // previous iteration grows exponentially otherwise (join + change
+    // test double the lineage every round → analyzer OOM by depth ~8).
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   private val HexDigits = "0123456789abcdef"
 
   /** Integer value [0,15] of hex digit at 0-based position `p` of digest

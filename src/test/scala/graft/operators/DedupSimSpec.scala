@@ -38,6 +38,28 @@ class DedupSimSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    // components: {1,2,4} via 1-2, 2-4; {7,9}; singletons don't appear
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val c = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters: chain requiring multiple propagation rounds") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c = Dedup.clusters(chain).as[(Long, Long)].collect()
+    assert(c.forall(_._2 == 1L)) // the whole chain collapses to min id
+  }
+
+  test("end-to-end dedup: minhash pairs -> clusters -> representatives") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").filter($"jaccard" > 0.5)
+    val c = Dedup.clusters(pairs)
+    val reps = c.filter($"id" === $"cluster").select("id").as[Long].collect().toSet
+    // docs 1,2,4 form one near-dup cluster -> representative 1; doc 3 untouched
+    assert(reps == Set(1L))
+    assert(c.count() == 3)
+  }
+
   test("simhash: identical text -> identical sig; near-dup -> small hamming") {
     val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
       .as[(Long, String)].collect().toMap
