@@ -1,0 +1,83 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** E8 landmark/Inferlink rule engine — full observed ItemRule surface
+  * (SURVEY §2.3 E8; rule corpus
+  * sample-projects/museum/...!landmark_rules/consolidated_rules.json):
+  * begin_regex/end_regex span extraction with include_end_regex,
+  * strip_end_regex cleanup, and removehtml post-processing; rules are
+  * grouped per TLD (J5 broadcast lookup: docs route to their TLD's
+  * rule set).
+  */
+object LandmarkRules {
+
+  final case class ItemRule(
+      name: String,
+      beginRegex: String,
+      endRegex: String,
+      includeEnd: Boolean = false,
+      stripEndRegex: String = "",
+      removeHtml: Boolean = true) {
+    /** field = name minus trailing rule indices (em_base.py:67-69). */
+    def field: String = name.replaceAll("(-\\d+)+$", "")
+  }
+
+  /** Compile one rule into an extraction column over raw HTML. */
+  def extract(raw: Column, rule: ItemRule): Column = {
+    val span =
+      if (rule.includeEnd)
+        regexp_extract(raw, s"(?s)${rule.beginRegex}(.*?${rule.endRegex})", 1)
+      else
+        regexp_extract(raw, s"(?s)${rule.beginRegex}(.*?)${rule.endRegex}", 1)
+    val stripped =
+      if (rule.stripEndRegex.nonEmpty)
+        regexp_replace(span, s"(?s)${rule.stripEndRegex}\\s*$$", "")
+      else span
+    val cleaned =
+      if (rule.removeHtml)
+        trim(regexp_replace(regexp_replace(stripped, "(?s)<[^>]*>", " "), "\\s+", " "))
+      else trim(stripped)
+    cleaned
+  }
+
+  /** Apply a TLD's rule set: one column per field (first rule per field
+    * wins on name order, matching the generated em modules).
+    */
+  def applyRules(docs: DataFrame, rawCol: String, rules: Seq[ItemRule]): DataFrame =
+    rules.groupBy(_.field).toSeq.sortBy(_._1).foldLeft(docs) {
+      case (d, (field, rs)) =>
+        val exprs = rs.sortBy(_.name).map(r => extract(col(rawCol), r))
+        val firstNonEmpty = exprs
+          .map(e => when(length(e) > 0, e))
+          .reduce((a, b) => coalesce(a, b))
+        d.withColumn(field, firstNonEmpty)
+    }
+
+  /** Load the consolidated_rules.json corpus: tld → rule sets. */
+  def fromJson(json: String): Map[String, Seq[ItemRule]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val out = scala.collection.mutable.Map[String, Seq[ItemRule]]()
+    root.properties().forEach { e =>
+      val tld = e.getKey
+      val rules = scala.collection.mutable.ArrayBuffer[ItemRule]()
+      e.getValue.forEach { entry =>
+        val rs = entry.get("rules")
+        if (rs != null) rs.forEach { r =>
+          if (r.path("rule_type").asText() == "ItemRule")
+            rules += ItemRule(
+              name = r.path("name").asText(),
+              beginRegex = r.path("begin_regex").asText(),
+              endRegex = r.path("end_regex").asText(),
+              includeEnd = r.path("include_end_regex").asBoolean(false),
+              stripEndRegex = r.path("strip_end_regex").asText(""),
+              removeHtml = r.path("removehtml").asBoolean(true))
+        }
+      }
+      out(tld) = rules.toSeq
+    }
+    out.toMap
+  }
+}

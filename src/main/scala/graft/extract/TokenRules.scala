@@ -29,6 +29,8 @@ object TokenRules {
   final case class Prefix(p: String) extends Matcher
   final case class Suffix(s: String) extends Matcher
   final case class AnyToken() extends Matcher
+  /** Alternation over matchers (rule files list several tokens/shapes). */
+  final case class OneOf(opts: Seq[Matcher]) extends Matcher
 
   final case class RuleToken(
       matcher: Matcher,
@@ -61,6 +63,57 @@ object TokenRules {
     case Prefix(p) => s"${q(p)}\\w*"
     case Suffix(s) => s"\\w*${q(s)}"
     case AnyToken() => "\\w+"
+    case OneOf(opts) => opts.map(matcherRegex).mkString("(?:", "|", ")")
+  }
+
+  /** Load the reference's spacy-rule JSON (museum spacy_rules files):
+    * pattern token types word/token, shape, punctuation with
+    * is_required / is_in_output flags and prefix/suffix constraints.
+    */
+  def fromJson(json: String, name: String): Seq[Rule] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val rules = scala.collection.mutable.ArrayBuffer[Rule]()
+    val arr = root.path("rules")
+    var idx = 0
+    arr.forEach { r =>
+      val toks = scala.collection.mutable.ArrayBuffer[RuleToken]()
+      r.path("pattern").forEach { t =>
+        def strings(field: String): Seq[String] = {
+          val b = scala.collection.mutable.ArrayBuffer[String]()
+          t.path(field).forEach(v => b += v.asText())
+          b.toSeq
+        }
+        val m: Matcher = t.path("type").asText() match {
+          case "shape" =>
+            val shapes = strings("shapes")
+            if (shapes.isEmpty) AnyToken()
+            else if (shapes.size == 1) Shape(shapes.head)
+            else OneOf(shapes.map(Shape(_)))
+          case "punctuation" =>
+            val ts = strings("token")
+            if (ts.isEmpty) Punct(".,;:!?()[]")
+            else Punct(ts.mkString)
+          case _ => // word/token
+            val ts = strings("token")
+            val prefix = t.path("prefix").asText("")
+            val suffix = t.path("suffix").asText("")
+            if (ts.nonEmpty) {
+              if (ts.size == 1) TokenIs(ts.head)
+              else OneOf(ts.map(TokenIs(_)))
+            }
+            else if (prefix.nonEmpty) Prefix(prefix)
+            else if (suffix.nonEmpty) Suffix(suffix)
+            else AnyToken()
+        }
+        toks += RuleToken(m,
+          required = t.path("is_required").asText("true") == "true",
+          output = t.path("is_in_output").asText("true") == "true")
+      }
+      rules += Rule(s"$name-$idx", toks.toSeq)
+      idx += 1
+    }
+    rules.toSeq
   }
 
   /** Compile a rule to (regex, output-group indices). Tokens separated
@@ -85,11 +138,14 @@ object TokenRules {
     val (rx, groups) = compile(rule)
     val matches = regexp_extract_all(c, lit(s"($rx)"), lit(0))
     // re-extract output groups per match (groups shift by 1 for the
-    // wrapping group); join non-empty group values with single spaces
-    transform(matches, m => {
+    // wrapping group); join non-empty group values with single spaces.
+    // Rules with only optional tokens match the empty string — drop
+    // empty extractions (the reference emits no value for them either).
+    val values = transform(matches, m => {
       val parts = groups.map(g => regexp_extract(m, rx, g))
       trim(regexp_replace(concat_ws(" ", parts: _*), "\\s+", " "))
     })
+    filter(values, v => length(v) > 0)
   }
 
   /** The reference's canonical phone rule (museum spacy_rules/phone.json:
