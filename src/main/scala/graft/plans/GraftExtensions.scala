@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native expressions as SQL functions so
+  * `spark.sql("SELECT simhash64(text) ...")` works. Two entry points:
+  *  - config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)` at build time);
+  *  - runtime: `GraftExtensions.register(spark)` on a live session.
+  */
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-char simhash bit string of the text"),
+      (args: Seq[Expression]) => NativeExpressions.SimHash64(args.head)),
+    (FunctionIdentifier("dot_product_f"),
+      info("dot_product_f", "dot_product_f(a, b) - sequential-fold dot product of float arrays"),
+      (args: Seq[Expression]) => NativeExpressions.DotProductF(args(0), args(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k portable min-hashes of a string array"),
+      (args: Seq[Expression]) => NativeExpressions.MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+
+  /** Install into a live session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fi, b) =>
+      GraftColumnBridge.registerFunction(spark, id, fi, b)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}

@@ -1,0 +1,28 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("native functions are callable from SQL after registration") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(("hash join scan", Array(1.0f, 2.0f)), ("sort merge", Array(3.0f, 4.0f)))
+      .toDF("text", "vec").createOrReplaceTempView("ext_t")
+    val row = spark.sql(
+      """SELECT simhash64(text) AS sh, dot_product_f(vec, vec) AS d,
+        |  minhash_sig(array('a b c', 'b c d'), 4) AS mh FROM ext_t ORDER BY d""".stripMargin)
+      .collect().head
+    assert(row.getString(0).matches("[01]{64}"))
+    assert(row.getDouble(1) == 5.0)
+    assert(row.getSeq[String](2).length == 4)
+    assert(row.getSeq[String](2).forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("registration is idempotent and survives re-registration") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT dot_product_f(array(1.0f), array(2.0f))")
+      .collect().head.getDouble(0) == 2.0)
+  }
+}
