@@ -129,6 +129,26 @@ object MappingRules {
       .withColumn("doc_id", sha2(col("url"), 256))
   }
 
+  /** P1 heading-row promotion (dig_tabular_import.py:71-79): when the
+    * header is NOT the first line (heading_row > 1), take row N's cells
+    * as column names and drop rows ≤ N. Requires a deterministic
+    * ordering (file line index).
+    */
+  def promoteHeaderRow(headingRow: Int, orderBy: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    val numbered = df.withColumn("__rn", row_number().over(w))
+    val header = numbered.filter(col("__rn") === headingRow)
+      .drop("__rn").collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"no row $headingRow"))
+    val names = df.columns.indices.map { i =>
+      Option(header.get(i)).map(_.toString.trim).filter(_.nonEmpty)
+        .getOrElse((i + 1).toString)
+    }
+    numbered.filter(col("__rn") > headingRow)
+      .drop("__rn")
+      .toDF(names: _*)
+  }
+
   /** P2 row-range slice (dig_tabular_import.py:76-90): content_start_row/
     * content_end_row (1-based, inclusive) over an explicit ordering, and
     * blank_row_ends_content (first all-blank row truncates). The

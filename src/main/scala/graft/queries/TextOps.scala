@@ -169,7 +169,28 @@ object TextOps {
     """SELECT doc_id, lang, source FROM documents
       |WHERE regexp_matches(text, 'window (scan|merge)') ORDER BY doc_id""".stripMargin
 
+  /** Bigram frequency: top token 2-grams across the corpus (n-gram
+    * language statistics; narrow shingle map + one count shuffle).
+    */
+  def textBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(explode(shingles($"text", 2)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bigram")
+      .limit(50)
+  }
+
+  val textBigramsSql: String =
+    """SELECT bigram, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(list_transform(range(greatest(len(t)-1, 0)),
+      |    i -> t[i+1] || ' ' || t[i+2])) AS bigram
+      |  FROM (SELECT regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents))
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigrams" -> (textBigrams _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -180,6 +201,7 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_bigrams" -> textBigramsSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,

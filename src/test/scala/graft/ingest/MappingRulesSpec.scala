@@ -75,6 +75,18 @@ class MappingRulesSpec extends SparkSpec {
     assert(MappingRules.defaultFieldName("Plain") == "plain")
   }
 
+  test("P1 promoteHeaderRow takes row N as names, drops preamble") {
+    val df = Seq(
+      ("1", "junk", "preamble"),
+      ("2", "name", "age"),
+      ("3", "ada", "36"),
+      ("4", "alan", "41")).toDF("seq", "x", "y")
+    val out = MappingRules.promoteHeaderRow(2, Seq($"seq"))(df)
+    assert(out.columns.toSeq == Seq("2", "name", "age")) // seq cell "2" is the name col 1
+    assert(out.count() == 2)
+    assert(out.select("name").as[String].collect().sorted.toSeq == Seq("ada", "alan"))
+  }
+
   test("P3 positional column slice renames to 1..n") {
     val out = MappingRules.columnSlice(1, 3)(cells)
     assert(out.columns.toSeq == Seq("1", "2"))
