@@ -69,6 +69,66 @@ object NativeExpressions {
     acc
   }
 
+  /** One-pass text statistics: token count, stopword count, punctuation
+    * count, alphanumeric chars — the four counters behind quality
+    * scoring, without three separate regex scans. Integer outputs ≡
+    * the composed regexp_extract_all formulations (same [a-z0-9]+
+    * token model), so oracles are unchanged.
+    */
+  def textStatsCompute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var nTok = 0; var nStop = 0; var nPunct = 0; var nAlnum = 0
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(16)
+    def flushToken(): Unit = {
+      if (sb.length() > 0) {
+        nTok += 1
+        if (StopwordSet.contains(sb.toString)) nStop += 1
+        sb.setLength(0)
+      }
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      val lc = Character.toLowerCase(c)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+        nAlnum += 1
+        sb.append(lc)
+      } else {
+        flushToken()
+        if (c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':') nPunct += 1
+      }
+      i += 1
+    }
+    flushToken()
+    org.apache.spark.sql.catalyst.InternalRow(nTok, nStop, nPunct, nAlnum)
+  }
+
+  private val StopwordSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.functions.TextFunctions.Stopwords.foreach(s.add)
+    s
+  }
+
+  case class TextStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tok", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_stop", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_punct", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_alnum", org.apache.spark.sql.types.IntegerType)))
+    override def prettyName: String = "text_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      textStatsCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.NativeExpressions.textStatsCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): TextStats =
+      copy(child = newChild)
+  }
+
+  def textStats(c: Column): Column =
+    GraftColumnBridge.column(TextStats(GraftColumnBridge.expression(c)))
+
   /** All k min-hashes in one pass over the shingle array: for each
     * shingle, md5("i:"+s) per seed, tracking the minimum hex digest
     * lexicographically — identical to k× array_min(transform(...)).

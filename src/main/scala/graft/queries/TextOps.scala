@@ -17,15 +17,18 @@ object TextOps {
   private val TokSql = "regexp_extract_all(lower(text),'[a-z0-9]+')"
   private def stopListSql = Stopwords.map(s => s"'$s'").mkString(", ")
 
-  /** Token statistics per language (token counting op). */
+  /** Token statistics per language (token counting op). Uses the
+    * one-pass native TextStats expression (integer-identical to the
+    * composed regex formulation — parity spec'd).
+    */
   def textTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"lang", tokenCount($"text").as("n_tok"), alnumChars($"text").as("n_alnum"))
+      .select($"lang", graft.plans.NativeExpressions.textStats($"text").as("st"))
       .groupBy($"lang")
       .agg(
-        sum($"n_tok").as("tokens"),
-        sum($"n_alnum").as("alnum_chars"),
+        sum($"st.n_tok".cast("long")).as("tokens"),
+        sum($"st.n_alnum".cast("long")).as("alnum_chars"),
         count(lit(1)).as("docs"))
       .orderBy($"lang")
   }
@@ -42,13 +45,21 @@ object TextOps {
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val st = graft.plans.NativeExpressions.textStats($"text")
+    val nTok = col("st.n_tok").cast("double")
+    val quality =
+      least(nTok / lit(100.0), lit(1.0)) *
+        (lit(1.0) - col("st.n_stop").cast("double") / greatest(nTok, lit(1.0))) *
+        (lit(1.0) - col("st.n_punct").cast("double") /
+          greatest(length($"text").cast("double"), lit(1.0)))
     Tables(s, dir, "documents")
+      .select($"doc_id", $"text", st.as("st"))
       .select(
         $"doc_id",
-        tokenCount($"text").as("n_tok"),
-        stopwordCount($"text").as("n_stop"),
-        punctCount($"text").as("n_punct"),
-        qualityScore($"text").as("quality"))
+        col("st.n_tok").as("n_tok"),
+        col("st.n_stop").as("n_stop"),
+        col("st.n_punct").as("n_punct"),
+        quality.as("quality"))
       .orderBy($"quality", $"doc_id")
       .limit(100)
   }

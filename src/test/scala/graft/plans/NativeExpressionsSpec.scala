@@ -35,6 +35,18 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.filter(to_json($"hof") =!= to_json($"native")).count() == 0)
   }
 
+  test("native TextStats matches the composed regex counters") {
+    import graft.functions.TextFunctions._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      NativeExpressions.textStats($"text").as("st"),
+      tokenCount($"text").as("t"), stopwordCount($"text").as("s"),
+      punctCount($"text").as("p"), alnumChars($"text").as("a"))
+    assert(both.filter(
+      col("st.n_tok") =!= $"t" || col("st.n_stop") =!= $"s" ||
+        col("st.n_punct") =!= $"p" || col("st.n_alnum") =!= $"a").count() == 0)
+  }
+
   test("native expressions survive codegen (no fallback errors) and null inputs") {
     val df = Seq(Some("hash join scan"), None).toDF("t")
     val out = df.select(NativeExpressions.simhash64($"t").as("s")).collect()
