@@ -25,15 +25,55 @@ object QueryCompiler {
   /** Q1+Q5+Q6: a constraint type resolves to weighted field paths. */
   final case class TypeMapping(fields: Seq[(String, Double)])
 
-  /** Q11: per-type synonym expansion dictionary. */
+  /** Q3 constraint expanders (config/etk/config.json:16-23: Height and
+    * Phone expanders generate equivalent unit/format variants). A
+    * whitelist of named pure functions — no eval (SURVEY §7).
+    */
+  object Expanders {
+    /** Phone formats: digits-only, +1-prefixed, dashed. */
+    val phone: String => Seq[String] = { v =>
+      val d = v.replaceAll("\\D", "")
+      if (d.isEmpty) Nil
+      else {
+        val national = if (d.length == 11 && d.startsWith("1")) d.drop(1) else d
+        val dashed =
+          if (national.length == 10)
+            Seq(s"${national.take(3)}-${national.slice(3, 6)}-${national.drop(6)}")
+          else Nil
+        (Seq(d, national, s"+1$national") ++ dashed).distinct
+      }
+    }
+
+    /** Height units: 5'6" → inches and centimeters variants. */
+    val height: String => Seq[String] = { v =>
+      val ftIn = "(\\d)'(\\d{1,2})\"?".r.findFirstMatchIn(v.trim)
+      val cm = "(\\d{2,3})\\s*cm".r.findFirstMatchIn(v.trim.toLowerCase)
+      ftIn.map { m =>
+        val inches = m.group(1).toInt * 12 + m.group(2).toInt
+        Seq(s"${inches}in", s"${math.round(inches * 2.54)}cm", m.group(1) + "'" + m.group(2) + "\"")
+      }.orElse(cm.map { m =>
+        val c = m.group(1).toInt
+        val inches = math.round(c / 2.54).toInt
+        Seq(s"${c}cm", s"${inches}in", s"${inches / 12}'${inches % 12}\"")
+      }).getOrElse(Nil)
+    }
+
+    val registry: Map[String, String => Seq[String]] =
+      Map("phone" -> phone, "height" -> height)
+  }
+
+  /** Q11: per-type synonym expansion dictionary; Q3: named expanders. */
   final case class Catalog(
       typeFieldMappings: Map[String, TypeMapping],
-      synonyms: Map[String, Map[String, Seq[String]]] = Map.empty) {
+      synonyms: Map[String, Map[String, Seq[String]]] = Map.empty,
+      expanders: Map[String, String => Seq[String]] = Map.empty) {
 
-    /** Q2+Q3: normalize then expand a constraint value to its variants. */
+    /** Q2+Q3+Q11: normalize, then expand to synonym + format variants. */
     def expand(ctype: String, value: String): Seq[String] = {
       val norm = value.toLowerCase.trim
-      norm +: synonyms.getOrElse(ctype, Map.empty).getOrElse(norm, Nil)
+      val syn = synonyms.getOrElse(ctype, Map.empty).getOrElse(norm, Nil)
+      val exp = expanders.get(ctype).map(_(value)).getOrElse(Nil)
+      (norm +: (syn ++ exp)).distinct
     }
   }
 

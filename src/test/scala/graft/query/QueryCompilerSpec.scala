@@ -54,6 +54,21 @@ class QueryCompilerSpec extends SparkSpec {
     assert(f.toSet == Set(("country", "nigeria", 2L), ("city", "lagos", 1L)))
   }
 
+  test("Q3 expanders: phone formats and height units") {
+    val ph = QueryCompiler.Expanders.phone("+1 (555) 123-4567")
+    assert(ph.contains("5551234567") && ph.contains("+15551234567") &&
+      ph.contains("555-123-4567"))
+    val h = QueryCompiler.Expanders.height("5'6\"")
+    assert(h.contains("66in") && h.contains("168cm"))
+    val h2 = QueryCompiler.Expanders.height("168 cm")
+    assert(h2.contains("66in"))
+    // catalog wiring: expander variants reach constraint matching
+    val cat = Catalog(
+      Map("phone" -> TypeMapping(Seq("phone" -> 1.0))),
+      expanders = Map("phone" -> QueryCompiler.Expanders.phone))
+    assert(cat.expand("phone", "(555) 123-4567").contains("5551234567"))
+  }
+
   test("Q12 zone profile: alternate catalog weights rank strict above relaxed") {
     // zone model (zone_field_mappings.json): same field in two zones
     // with different weights — expressed as a second catalog profile
