@@ -203,7 +203,33 @@ object Relational {
       |  epoch_ms(date_trunc('millisecond', max(ts))) AS end_ms, COUNT(*) AS n
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** A2 at scale: ALL facet dimensions in one pass via CUBE instead of
+    * one groupBy job per facet field — one shuffle total for the whole
+    * facet panel. Null subtotal keys are coalesced to a sentinel so
+    * cross-engine null-ordering differences can't bite.
+    */
+  def facetCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("user_bucket", pmod($"user_id", lit(10)).cast("string"))
+      .cube($"event_type", $"user_bucket")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .select(
+        coalesce($"event_type", lit("<all>")).as("et"),
+        coalesce($"user_bucket", lit("<all>")).as("ub"),
+        $"cnt", $"sum_value")
+      .orderBy($"et", $"ub")
+  }
+
+  val facetCubeSql: String =
+    s"""SELECT coalesce(event_type, '<all>') AS et,
+       |  coalesce(user_bucket, '<all>') AS ub,
+       |  COUNT(*) AS cnt, ${sqlSum("value")} AS sum_value
+       |FROM (SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket, value FROM events)
+       |GROUP BY CUBE(event_type, user_bucket) ORDER BY et, ub""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "facet_cube" -> (facetCube _),
     "agg_pricing" -> (aggPricing _),
     "facet_topk" -> (facetTopK _),
     "join_denorm" -> (joinDenorm _),
@@ -215,6 +241,7 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "facet_cube" -> facetCubeSql,
     "agg_pricing" -> aggPricingSql,
     "facet_topk" -> facetTopKSql,
     "join_denorm" -> joinDenormSql,
