@@ -25,7 +25,8 @@ object Extractors {
     */
   def glossary(c: Column, entries: Seq[String], maxNgram: Int = 3,
                caseSensitive: Boolean = false): Column = {
-    val norm = entries.map(e => if (caseSensitive) e.trim else e.toLowerCase.trim)
+    val norm = entries
+      .map(e => if (caseSensitive) e.trim else e.toLowerCase(java.util.Locale.ROOT).trim)
       .filter(_.nonEmpty).distinct
     val byLen = norm.groupBy(_.split("\\s+").length)
     // case-sensitive mode tokenizes without lowercasing (the reference's

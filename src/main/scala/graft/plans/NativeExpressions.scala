@@ -26,7 +26,10 @@ object NativeExpressions {
     */
   def simhashCompute(text: UTF8String): UTF8String = {
     val tokens = new java.util.LinkedHashSet[String]()
-    val m = TokenRx.matcher(text.toString.toLowerCase)
+    // Locale.ROOT: JVM-default-locale lowercasing diverges under e.g.
+    // tr-TR ('I' -> dotless ı), breaking bit-parity with Spark's
+    // locale-independent lower() and the DuckDB oracle.
+    val m = TokenRx.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
     while (m.find()) tokens.add(m.group())
     val votes = new Array[Int](64)
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -33,9 +33,12 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // DuckDB SUM(BIGINT) widens to HUGEINT (decimal128 through Arrow) while
+  // Spark's sum(long) stays int64 — cast back to BIGINT so the driver's
+  // value hash sees the same representation on both sides.
   val textTokensSql: String =
-    s"""SELECT lang, SUM(len($TokSql)) AS tokens,
-       |  SUM(length(regexp_replace(lower(text),'[^a-z0-9]','','g'))) AS alnum_chars,
+    s"""SELECT lang, CAST(SUM(len($TokSql)) AS BIGINT) AS tokens,
+       |  CAST(SUM(length(regexp_replace(lower(text),'[^a-z0-9]','','g'))) AS BIGINT) AS alnum_chars,
        |  COUNT(*) AS docs
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -121,9 +124,12 @@ object TextOps {
       .orderBy($"event_type")
   }
 
+  // json_extract_string mirrors Spark's get_json_object (robust to JSON
+  // whitespace/sign variants, unlike a regex); BIGINT cast as above.
   val extractPropsSql: String =
-    """SELECT event_type, SUM(CAST(regexp_extract(props,'"k": (\d+)', 1) AS BIGINT)) AS sum_k,
-      |  COUNT(CAST(regexp_extract(props,'"k": (\d+)', 1) AS BIGINT)) AS n
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props,'$.k')) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** P8 decoding_dict recode (dig_tabular_import.py:265-288): dictionary
