@@ -59,9 +59,20 @@ object Extended {
     // The synthetic lineitem is NOT unique on (orderkey, linenumber) —
     // row numbers need a total order, so break ties on every key-ish
     // column (random doubles make full ties vanishingly unlikely).
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+    //
+    // Scale shape: a global rank 101..150 does NOT need a global sort.
+    // orderBy(...).limit(150) plans as TakeOrderedAndProject — each
+    // partition keeps its local top-150, the driver merges 150-row
+    // heaps — then row numbers are assigned on the 150-row result
+    // (window over a bounded set; the partition key is a constant but
+    // non-foldable expression — EliminateWindowPartitions folds lit()
+    // away and WindowExec would warn/single-partition the input again).
+    val keys = Seq(col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+    val w = Window.partitionBy(pmod(col("l_orderkey"), lit(1))).orderBy(keys: _*)
     Tables(s, dir, "lineitem")
+      .orderBy(keys: _*)
+      .limit(150)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn").between(101, 150))
       .select(col("rn"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
