@@ -69,20 +69,27 @@ object Dedup {
       array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
+    // Candidate generation shuffles (id, band_key) ONLY — a pair that
+    // collides in multiple bands is deduplicated while the rows are
+    // still two ids wide. Shingle arrays join back once per UNIQUE
+    // pair, so at scale the band join never carries payload arrays and
+    // the exact intersection runs exactly once per candidate (not once
+    // per colliding band).
     val banded = shingled
       .withColumn("bands", bandKeys(minhashSig(col("sh"), k), bands, rows))
-      .select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
-      .cache()
-    val a = banded.select(col("band_id"), col("band_key"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_key"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_id", "band_key"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val candidates = banded.select(col("band_id"), col("band_key"), col("id").as("id_a"))
+      .join(banded.select(col("band_id"), col("band_key"), col("id").as("id_b")),
+        Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
-      .distinct()
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))

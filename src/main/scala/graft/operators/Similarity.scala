@@ -86,6 +86,43 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** Embedding near-dup candidate pairs via banded sign-random-projection
+    * LSH: a `nPlanes`-bit signature split into `bands` bands; two vectors
+    * are candidates when ANY band matches (OR-of-bands — recall grows
+    * with bands, candidate volume per band shrinks with bits-per-band).
+    * Pairs are deduplicated on ids BEFORE the embedding arrays join
+    * back, so the band join never shuffles payload vectors and each
+    * unique pair is scored exactly once.
+    *
+    * Sizing at scale: expected bucket population is N / 2^(planes/bands),
+    * and within-bucket pairing is quadratic in that — so planes/bands
+    * must grow as log2(N/targetBucket). E.g. N=1e9 vectors with ~1e4 per
+    * bucket needs ~17 bits per band; the defaults (8 planes, 2 bands →
+    * 4-bit bands) fit the sf test corpora. Both knobs are parameters —
+    * callers at larger N raise planes (and bands for recall).
+    */
+  def lshNearDupPairs(corpus: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    val bitsPerBand = nPlanes / bands
+    val sig = corpus.select(
+      col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes).as("sig"))
+    val banded = sig.select(col("vec_id"),
+      posexplode(array((0 until bands).map(bIdx =>
+        col("sig").substr(bIdx * bitsPerBand + 1, bitsPerBand)): _*))
+        .as(Seq("band_id", "bits")))
+    val candidates = banded.select(col("band_id"), col("bits"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band_id"), col("bits"), col("vec_id").as("id_b")),
+        Seq("band_id", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sig.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(sig.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Bucketed ANN: per-query candidate count + exact top-k within the
     * query's bucket (the scale path: score only same-bucket vectors).
     */

@@ -13,25 +13,18 @@ import graft.operators.{KgOps, Similarity}
   */
 object Extended {
 
-  /** Embedding-cosine near-dup: same-bucket candidate pairs (4-plane
-    * LSH) whose exact cosine exceeds the threshold — the dedup variant
-    * of the ANN path (only bucket-mates are scored; at 100 TB the
-    * bucket join replaces the quadratic scan).
+  /** Embedding-cosine near-dup via banded sign-random-projection LSH
+    * (8 planes, 2 OR-ed 4-bit bands): candidate pairs that share any
+    * band have their exact cosine verified; pairs dedup on ids before
+    * the embedding arrays join back. Plane/band counts are parameters
+    * of [[Similarity.lshNearDupPairs]] — at 100 TB bits-per-band grows
+    * as log2(N/targetBucket) so within-bucket pairing stays linear.
     */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      Similarity.lshBucket(col("embedding"), 4).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"), nPlanes = 8, bands = 2)
       .filter(col("cos") > 0.5)
-      .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(200)
-  }
 
   val dedupEmbeddingSql: String = {
     val dot = (x: String, y: String) =>
@@ -42,14 +35,19 @@ object Extended {
         "CAST(embedding[d+1] AS DOUBLE) * " +
         "((strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1)" +
         " / 7.5 - 1.0)), (p, q) -> p + q)"
-    s"""WITH nrm AS (SELECT vec_id, ${dot("embedding", "embedding")} AS n2 FROM embeddings),
-       |bkt AS (SELECT vec_id, embedding, array_to_string(list_transform(range(4), j ->
-       |    CASE WHEN $planeDot > 0 THEN '1' ELSE '0' END), '') AS bucket FROM embeddings)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    s"""WITH sig AS (SELECT vec_id, embedding, array_to_string(list_transform(range(8), j ->
+       |    CASE WHEN $planeDot > 0 THEN '1' ELSE '0' END), '') AS sig FROM embeddings),
+       |nrm AS (SELECT vec_id, ${dot("embedding", "embedding")} AS n2 FROM embeddings),
+       |bands AS (SELECT vec_id, b, substr(sig, CAST(b * 4 + 1 AS INT), 4) AS bits
+       |  FROM sig, range(2) t(b)),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bits = y.bits
+       |  WHERE x.vec_id < y.vec_id)
+       |SELECT c.id_a, c.id_b,
        |  ${dot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
-       |FROM bkt a, bkt b, nrm na, nrm nb
-       |WHERE a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |  AND na.vec_id = a.vec_id AND nb.vec_id = b.vec_id
+       |FROM cand c, sig a, sig b, nrm na, nrm nb
+       |WHERE a.vec_id = c.id_a AND b.vec_id = c.id_b
+       |  AND na.vec_id = c.id_a AND nb.vec_id = c.id_b
        |  AND ${dot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) > 0.5
        |ORDER BY cos DESC, id_a, id_b LIMIT 200""".stripMargin
   }
