@@ -179,19 +179,88 @@ object TimeSeriesQueries {
       .orderBy(col("user_id"), col("seg"))
   }
 
+  /** T10+T9+T11 connect-the-dots trend on short series, DuckDB-checkable:
+    * the ≤6-point path of [[graft.ts.TrendFit.fitSeries]] is pure
+    * arithmetic (consecutive-point segments + scaled-slope description),
+    * so truncating each series to its first 5 points gives the trend
+    * emission an exact cross-engine oracle. The full PWL fit (ts_trend)
+    * is Breeze least squares — covered by the golden-fixture spec in
+    * TrendFitSpec instead.
+    */
+  def tsTrendDots(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val first5 = events(s, dir)
+      .withColumn("rn", row_number().over(wOrder))
+      .filter(col("rn") <= 5)
+    val wAll = Window.partitionBy(col("user_id"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val withX = first5
+      .withColumn("x",
+        (col("ts_ms") - min(col("ts_ms")).over(wAll)).cast("double") / lit(86400000.0))
+    val paired = withX
+      .withColumn("x1", lead(col("x"), 1).over(wSeq))
+      .withColumn("v1", lead(col("value"), 1).over(wSeq))
+      .withColumn("xr", greatest(lit(1e-12), max(col("x")).over(wAll) - min(col("x")).over(wAll)))
+      .withColumn("yr", greatest(lit(1e-12),
+        max(col("value")).over(wAll) - min(col("value")).over(wAll)))
+      .filter(col("x1").isNotNull)
+      .withColumn("slope", when(col("x1") === col("x"), lit(0.0))
+        .otherwise((col("v1") - col("value")) / (col("x1") - col("x"))))
+    paired
+      .withColumn("scaled", col("slope") * col("xr") / col("yr"))
+      .select(
+        col("user_id"), (col("rn") - 1).as("seg"),
+        col("x").as("x0"), col("x1"),
+        col("slope"), (col("value") - col("slope") * col("x")).as("intercept"),
+        T.slopeDescription(col("scaled")).as("description"))
+      .orderBy(col("user_id"), col("seg"))
+  }
+
+  val tsTrendDotsSql: String = {
+    val caseDesc = T.SlopeThresholds.zip(T.SlopeLabels)
+      .map { case (t, l) => s"WHEN scaled < $t THEN '$l'" }
+      .mkString("CASE ", " ", s" ELSE '${T.SlopeLabels.last}' END")
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |    epoch_ms(date_trunc('millisecond', ts)) AS ts_ms FROM events),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+       |  FROM e),
+       |f AS (SELECT user_id, rn, value, ts_ms FROM r WHERE rn <= 5),
+       |x AS (SELECT user_id, rn, value,
+       |    CAST(ts_ms - min(ts_ms) OVER (PARTITION BY user_id) AS DOUBLE) / 86400000.0 AS x
+       |  FROM f),
+       |p AS (SELECT user_id, rn, x, value,
+       |    lead(x) OVER w AS x1, lead(value) OVER w AS v1,
+       |    greatest(1e-12, max(x) OVER (PARTITION BY user_id)
+       |      - min(x) OVER (PARTITION BY user_id)) AS xr,
+       |    greatest(1e-12, max(value) OVER (PARTITION BY user_id)
+       |      - min(value) OVER (PARTITION BY user_id)) AS yr
+       |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+       |sl AS (SELECT *, CASE WHEN x1 = x THEN 0.0 ELSE (v1 - value) / (x1 - x) END AS slope
+       |  FROM p WHERE x1 IS NOT NULL)
+       |SELECT user_id, rn - 1 AS seg, x AS x0, x1, slope,
+       |  value - slope * x AS intercept, $caseDesc AS description
+       |FROM (SELECT *, slope * xr / yr AS scaled FROM sl)
+       |ORDER BY user_id, seg""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_impute" -> (tsImpute _),
     "ts_anomaly" -> (tsAnomaly _),
     "ts_slope" -> (tsSlope _),
     "ts_numeric_gate" -> (tsNumericGate _),
     "ts_emission" -> (tsEmission _),
-    "ts_trend" -> (tsTrend _))
+    "ts_trend" -> (tsTrend _),
+    "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
     "ts_impute" -> tsImputeSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_slope" -> tsSlopeSql,
     "ts_numeric_gate" -> tsNumericGateSql,
-    "ts_emission" -> tsEmissionSql)
+    "ts_emission" -> tsEmissionSql,
+    "ts_trend_dots" -> tsTrendDotsSql)
     // ts_trend: Breeze PWL fit, not SQL-expressible -> rows-only check
+    // plus the golden-fixture e2e spec (TrendFitSpec) asserting exact
+    // segments on a hand-derived piecewise series.
 }
