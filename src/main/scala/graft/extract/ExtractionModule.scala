@@ -21,15 +21,18 @@ trait ExtractionModule {
   def transform(docs: DataFrame): DataFrame
 }
 
-/** Dispatcher (SURVEY §3.2 stage 4): each module processes the docs its
-  * selector accepts; non-matching docs pass through untouched. Output
-  * unioned by name (the reference's implicit multi-dataset union, §2.8).
+/** Dispatcher (SURVEY §3.2 stage 4): modules CHAIN over one document
+  * stream, exactly like the reference's `process_ems` loop
+  * (etk_worker.py:102-105 — every module whose selector accepts the doc
+  * runs on the previous module's output) — so a document matching N
+  * modules is emitted ONCE, carrying all N modules' extractions, never
+  * duplicated. Docs matching no module pass through untouched.
   */
 object Dispatcher {
-  def run(docs: DataFrame, modules: Seq[ExtractionModule]): DataFrame = {
-    val processed = modules.map(m => m.transform(docs.filter(m.selector)))
-    val anySelector = modules.map(_.selector).reduce(_ || _)
-    val passthrough = docs.filter(!coalesce(anySelector, lit(false)))
-    (processed :+ passthrough).reduce(_.unionByName(_, allowMissingColumns = true))
-  }
+  def run(docs: DataFrame, modules: Seq[ExtractionModule]): DataFrame =
+    modules.foldLeft(docs) { (d, m) =>
+      val sel = coalesce(m.selector, lit(false))
+      m.transform(d.filter(sel))
+        .unionByName(d.filter(!sel), allowMissingColumns = true)
+    }
 }

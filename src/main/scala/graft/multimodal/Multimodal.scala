@@ -58,13 +58,22 @@ object Multimodal {
     filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(everyK)) === 0)
   }
 
-  /** Size-aware layout: media tables must partition by payload size so a
-    * few huge blobs don't skew tasks (100 TB guidance: target
+  /** Size-aware layout: media tables must spread payload BYTES evenly so
+    * a few huge blobs don't skew tasks (100 TB guidance: target
     * `spark.sql.files.maxPartitionBytes`-sized groups).
+    *
+    * The size bucket alone is the wrong partition key — nearly all rows
+    * share bucket 0, so hashing it CONCENTRATES similar-sized blobs
+    * instead of spreading them. A payload-hash salt inside each size
+    * class makes bytes-per-partition uniform in expectation: small
+    * blobs scatter, and each over-target blob lands alone wherever its
+    * salt sends it.
     */
-  def repartitionBySize(df: DataFrame, bytesCol: String, targetPartitionBytes: Long): DataFrame =
+  def repartitionBySize(df: DataFrame, bytesCol: String, targetPartitionBytes: Long,
+                        saltBuckets: Int = 64): DataFrame =
     df.withColumn("__b",
         floor(octet_length(col(bytesCol)) / lit(targetPartitionBytes.toDouble)).cast("int"))
-      .repartition(col("__b"))
-      .drop("__b")
+      .withColumn("__salt", pmod(xxhash64(col(bytesCol)), lit(saltBuckets)))
+      .repartition(col("__b"), col("__salt"))
+      .drop("__b", "__salt")
 }

@@ -144,17 +144,25 @@ object QueryCompiler {
   def executeWithTimeout(df: DataFrame, timeoutSec: Int,
                          groupId: String = "graft-query"): Either[String, Array[org.apache.spark.sql.Row]] = {
     val sc = df.sparkSession.sparkContext
-    sc.setJobGroup(groupId, s"graft query (timeout ${timeoutSec}s)", interruptOnCancel = true)
+    // Job-group local properties are read on the thread that TRIGGERS the
+    // action, and pooled threads inherit properties only at creation — so
+    // the group is set inside the task on a dedicated single-use thread
+    // (caller-thread setJobGroup + global pool can cancel nothing, or
+    // wrongly cancel a later query that reuses the pooled thread).
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(exec)
     try {
-      val fut = scala.concurrent.Future(df.collect())(
-        scala.concurrent.ExecutionContext.global)
+      val fut = scala.concurrent.Future {
+        sc.setJobGroup(groupId, s"graft query (timeout ${timeoutSec}s)", interruptOnCancel = true)
+        try df.collect() finally sc.clearJobGroup()
+      }(ec)
       Right(scala.concurrent.Await.result(fut,
         scala.concurrent.duration.Duration(timeoutSec, "s")))
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         sc.cancelJobGroup(groupId)
         Left(s"query exceeded ${timeoutSec}s and was cancelled")
-    } finally sc.clearJobGroup()
+    } finally exec.shutdown()
   }
 
   /** Q7 phrase matching (type_query_mappings.json: Title→match_phrase):

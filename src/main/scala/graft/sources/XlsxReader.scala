@@ -64,6 +64,11 @@ object XlsxReader {
     var cellType: String = null
     var inV = false
     val v = new StringBuilder
+    // inlineStr cells may hold MULTIPLE rich-text runs
+    // (<is><r><t>a</t></r><r><t>b</t></r></is>) — runs accumulate here
+    // and emit ONE concatenated Cell on </c>, never one Cell per run.
+    val inlineAcc = new StringBuilder
+    var inlineRuns = 0
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
@@ -71,6 +76,7 @@ object XlsxReader {
             case "c" =>
               cellRef = r.getAttributeValue(null, "r")
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              inlineAcc.setLength(0); inlineRuns = 0
             case "v" | "t" if cellRef != null =>
               inV = true; v.setLength(0)
             case _ =>
@@ -82,15 +88,21 @@ object XlsxReader {
             case "v" | "t" if inV =>
               inV = false
               if (cellRef != null) {
-                val value = cellType match {
-                  case "s" => shared.lift(v.toString.trim.toInt).getOrElse("")
-                  case _ => v.toString
+                if (cellType == "inlineStr") {
+                  inlineAcc.append(v); inlineRuns += 1
+                } else {
+                  val value = cellType match {
+                    case "s" => shared.lift(v.toString.trim.toInt).getOrElse("")
+                    case _ => v.toString
+                  }
+                  out += Cell(sheetName, rowIndex(cellRef), colIndex(cellRef), value)
+                  cellRef = null
                 }
-                out += Cell(sheetName, rowIndex(cellRef), colIndex(cellRef), value)
-                // inlineStr has <is><t>; value recorded on first text end
-                if (cellType != "inlineStr") cellRef = null
               }
-            case "c" => cellRef = null
+            case "c" =>
+              if (cellRef != null && cellType == "inlineStr" && inlineRuns > 0)
+                out += Cell(sheetName, rowIndex(cellRef), colIndex(cellRef), inlineAcc.toString)
+              cellRef = null
             case _ =>
           }
         case _ =>

@@ -112,4 +112,24 @@ class ExtractorsSpec extends SparkSpec {
     val out = Dispatcher.run(docs, Seq(upper)).orderBy("doc_id")
     assert(out.select("text").as[String].collect().toSeq == Seq("A", "B", "c"))
   }
+
+  test("Dispatcher chains modules: a doc matching N modules is emitted once with all extractions") {
+    val docs = Seq((1L, "src0", "a"), (2L, "other", "b")).toDF("doc_id", "source", "text")
+    def mod(n: String, sel: org.apache.spark.sql.Column) = new ExtractionModule {
+      val name = n
+      val selector = sel
+      def transform(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn(n, org.apache.spark.sql.functions.lit(true))
+    }
+    // doc 1 matches BOTH modules (etk_worker.py:102-105: each em whose
+    // selector accepts the doc runs on the chained result)
+    val out = Dispatcher.run(docs,
+      Seq(mod("m1", col("source").startsWith("src")), mod("m2", col("doc_id") === 1)))
+      .orderBy("doc_id")
+    assert(out.count() == 2) // no duplication
+    val r1 = out.filter(col("doc_id") === 1).collect().head
+    assert(r1.getAs[Boolean]("m1") && r1.getAs[Boolean]("m2"))
+    val r2 = out.filter(col("doc_id") === 2).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("m1")) && r2.isNullAt(r2.fieldIndex("m2")))
+  }
 }

@@ -57,6 +57,25 @@ class XlsxReaderSpec extends SparkSpec {
       Seq(("2001", "10"), ("2002", "11"), ("2003", "12")))
   }
 
+  test("inlineStr cells: multi-run rich text concatenates into ONE cell") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c>
+        |<c r="B1" t="inlineStr"><is><t>plain</t></is></c>
+        |<c r="C1"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8"))
+    z.closeEntry()
+    z.close()
+    val cells = XlsxReader.parseWorkbook(bos.toByteArray, sheetNumber = Some(1))
+    assert(cells.size == 3)
+    assert(cells.find(c => c.row == 0 && c.col == 0).get.value == "Hello World")
+    assert(cells.find(c => c.row == 0 && c.col == 1).get.value == "plain")
+    assert(cells.find(c => c.row == 0 && c.col == 2).get.value == "42")
+  }
+
   test("column reference arithmetic") {
     assert(XlsxReader.colIndex("A1") == 0)
     assert(XlsxReader.colIndex("AA10") == 26)
