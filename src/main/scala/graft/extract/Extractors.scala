@@ -124,6 +124,31 @@ object Extractors {
   def tld(c: Column): Column =
     regexp_extract(hostname(c), "([^.]+\\.[^.]+)$", 1)
 
+  /** E10 HTML table extractor (em_base.py:14-21 imports the etk table
+    * extractor): every <table> in the page becomes a cell grid
+    * array<struct<table_idx,row_idx,col_idx,text>> — nested
+    * index-carrying transforms over regexp_extract_all, all per-row
+    * expressions (no UDF, no shuffle; the 100 TB shape is a narrow map).
+    * th and td both count as cells; nested markup inside a cell is
+    * stripped to text.
+    */
+  def htmlTables(c: Column): Column = {
+    val cellText = (s: Column) =>
+      trim(regexp_replace(regexp_replace(s, "(?s)<[^>]*>", " "), "\\s+", " "))
+    val tables = regexp_extract_all(c, lit("(?is)<table[^>]*>(.*?)</table>"), lit(1))
+    flatten(transform(tables, (t, ti) => {
+      val rows = regexp_extract_all(t, lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1))
+      flatten(transform(rows, (r, ri) => {
+        val cells = regexp_extract_all(r, lit("(?is)<(td|th)[^>]*>(.*?)</\\1>"), lit(2))
+        transform(cells, (cell, ci) => struct(
+          ti.cast("int").as("table_idx"),
+          ri.cast("int").as("row_idx"),
+          ci.cast("int").as("col_idx"),
+          cellText(cell).as("text")))
+      }))
+    }))
+  }
+
   /** E10 misc predefined extractors (em_base.py:14-21). */
   def cveIds(c: Column): Column = TextFunctions.extractCves(c)
   def ipAddresses(c: Column): Column = TextFunctions.extractIps(c)

@@ -148,11 +148,42 @@ object Extended {
       |  min(doc_id) AS first_child_id
       |FROM ch GROUP BY 1, 2 ORDER BY CAST(parent_doc_id AS BIGINT)""".stripMargin
 
+  /** E10 HTML table extractor: per-document HTML (synthesized
+    * deterministically from the row so the oracle can state the exact
+    * expected grid in closed form) → cell grid via nested
+    * index-carrying transforms. Two tables per page — a 2x2 header/data
+    * table and a 1x1 — exercising multi-table, th/td and nested-markup
+    * stripping.
+    */
+  def extractTables(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><table class=\"x\"><tr><th>Lang</th><th>Source</th></tr><tr><td>"),
+      col("lang"), lit("</td><td><b>"), col("source"),
+      lit("</b></td></tr></table><p>between</p><table><tr><td>"),
+      col("doc_id").cast("string"), lit("</td></tr></table></body></html>"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(Extractors.htmlTables(html)).as("cell"))
+      .select(col("doc_id"), col("cell.table_idx").as("table_idx"),
+        col("cell.row_idx").as("row_idx"), col("cell.col_idx").as("col_idx"),
+        col("cell.text").as("text"))
+      .orderBy(col("doc_id"), col("table_idx"), col("row_idx"), col("col_idx"))
+  }
+
+  val extractTablesSql: String =
+    """SELECT doc_id, table_idx, row_idx, col_idx, text FROM (
+      |  SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx, 'Lang' AS text FROM documents
+      |  UNION ALL SELECT doc_id, 0, 0, 1, 'Source' FROM documents
+      |  UNION ALL SELECT doc_id, 0, 1, 0, lang FROM documents
+      |  UNION ALL SELECT doc_id, 0, 1, 1, source FROM documents
+      |  UNION ALL SELECT doc_id, 1, 0, 0, CAST(doc_id AS VARCHAR) FROM documents)
+      |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
     "rule_rowslice" -> (ruleRowslice _),
     "extract_dates" -> (extractDates _),
     "extract_hostname" -> (extractHostname _),
+    "extract_tables" -> (extractTables _),
     "kg_node_split" -> (kgNodeSplit _))
 
   val oracles: Map[String, String] = Map(
@@ -160,5 +191,6 @@ object Extended {
     "rule_rowslice" -> ruleRowsliceSql,
     "extract_dates" -> extractDatesSql,
     "extract_hostname" -> extractHostnameSql,
+    "extract_tables" -> extractTablesSql,
     "kg_node_split" -> kgNodeSplitSql)
 }

@@ -113,6 +113,32 @@ class ExtractorsSpec extends SparkSpec {
     assert(out.select("text").as[String].collect().toSeq == Seq("A", "B", "c"))
   }
 
+  test("E10 htmlTables parses a museum-style page into a cell grid") {
+    val page =
+      """<HTML><body><h1>Collection</h1>
+        |<TABLE border="1" class="objects">
+        |  <TR><TH scope="col"> Object </TH><th>Artist</th><th>Year</th></TR>
+        |  <tr><td><a href="/o/1">Vase</a></td><td>  Unknown </td><td>1780</td></tr>
+        |  <tr><td><b>Mask</b> (wood)</td><td><i>Attributed</i></td><td></td></tr>
+        |</TABLE>
+        |<p>no cells here</p>
+        |<table><tr><td>footer</td></tr></table>
+        |</body></HTML>""".stripMargin
+    val out = Seq(page).toDF("html")
+      .select(explode(Extractors.htmlTables(col("html"))).as("c"))
+      .select("c.table_idx", "c.row_idx", "c.col_idx", "c.text")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.count(_._1 == 0) == 9)
+    assert(out.contains((0, 0, 0, "Object")))
+    assert(out.contains((0, 0, 2, "Year")))
+    assert(out.contains((0, 1, 0, "Vase"))) // nested <a> stripped
+    assert(out.contains((0, 1, 1, "Unknown"))) // whitespace collapsed
+    assert(out.contains((0, 2, 0, "Mask (wood)"))) // mixed markup
+    assert(out.contains((0, 2, 2, ""))) // empty cell kept (position matters)
+    assert(out.contains((1, 0, 0, "footer"))) // second table indexed
+  }
+
   test("Dispatcher chains modules: a doc matching N modules is emitted once with all extractions") {
     val docs = Seq((1L, "src0", "a"), (2L, "other", "b")).toDF("doc_id", "source", "text")
     def mod(n: String, sel: org.apache.spark.sql.Column) = new ExtractionModule {
