@@ -107,6 +107,41 @@ object Extractors {
   def htmlMetaContent(c: Column, name: String): Column =
     regexp_extract(c, s"""(?is)<meta[^>]*name=["']$name["'][^>]*content=["']([^"']*)""", 1)
 
+  /** E7 microdata/RDFa (em_elicit.py:40-46 extracts title, meta,
+    * microdata AND RDFa — the latter two were the fidelity gap):
+    * `itemprop=` (microdata) and `property=` (RDFa) annotated values as
+    * array<struct<prop:string,value:string>>. Covers the three
+    * attribute shapes: content-after-prop, content-before-prop (void
+    * elements like <meta>/<link>), and container elements whose inner
+    * text is the value (markup stripped). Per-row regex expressions —
+    * same narrow-map scaling as the rest of the extractor battery.
+    */
+  def htmlAnnotations(c: Column): Column = {
+    val cleanText = (s: Column) =>
+      trim(regexp_replace(regexp_replace(s, "(?s)<[^>]*>", " "), "\\s+", " "))
+    def pairs(pat: String, propG: Int, valG: Int, textForm: Boolean): Column = {
+      val ms0 = regexp_extract_all(c, lit(pat), lit(0))
+      // the text form must not re-capture elements already handled by
+      // the content= attribute forms
+      val ms = if (!textForm) ms0
+        else filter(ms0, m =>
+          !regexp_extract(m, "(?is)^<[^>]*", 0).rlike("(?i)\\bcontent="))
+      transform(ms, m => struct(
+        regexp_extract(m, pat, propG).as("prop"),
+        (if (textForm) cleanText(regexp_extract(m, pat, valG))
+         else regexp_extract(m, pat, valG)).as("value")))
+    }
+    val attr =
+      """(?is)<\w+[^>]*\b(?:itemprop|property)=["']([^"']+)["'][^>]*\bcontent=["']([^"']*)["'][^>]*>"""
+    val attrRev =
+      """(?is)<\w+[^>]*\bcontent=["']([^"']*)["'][^>]*\b(?:itemprop|property)=["']([^"']+)["'][^>]*>"""
+    val text =
+      """(?is)<(\w+)[^>]*\b(?:itemprop|property)=["']([^"']+)["'][^>]*>(.*?)</\1>"""
+    concat(pairs(attr, 1, 2, textForm = false),
+      pairs(attrRev, 2, 1, textForm = false),
+      pairs(text, 2, 3, textForm = true))
+  }
+
   /** E8 landmark/Inferlink rule: begin/end regex pair extraction
     * (em_base.py:61-69); rule name field-i-j → field via stripping the
     * trailing index (re.sub(r'-\\d+$','')).

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   *   - `shape`: d→digit, x→lower, X→upper (e.g. "ddd" = 3 digits)
   *   - `punct`: a punctuation class
   *   - `prefix`/`suffix`: word affix constraints
+  *   - `capitalization`: title/upper/lower/mixed word classes
+  *   - `number`: digit runs, allowed-value lists, digit-length sets
+  *   - `linebreak`, `contain_digit`, `length` (token-length set)
   * with `required` (optional tokens may be absent) and `output` (only
-  * flagged tokens join the extraction) flags.
+  * flagged tokens join the extraction) flags. The ONLY remaining
+  * degrade-to-AnyToken is a bare `part_of_speech` constraint — POS
+  * needs a tagger, not a regex; every museum rule also carries a
+  * regex-able constraint, so none degrade in practice. Value-range
+  * minimum/maximum on numbers is likewise unenforced (documented).
   *
   * Rules compile once (driver-side) to a single Java regex evaluated by
   * codegen'd `regexp_extract_all` — the per-document work is one regex
@@ -29,6 +36,22 @@ object TokenRules {
   final case class Prefix(p: String) extends Matcher
   final case class Suffix(s: String) extends Matcher
   final case class AnyToken() extends Matcher
+  /** Capitalization shape (rule field `capitalization`): title | upper |
+    * lower | mixed — regex-able word classes, so these rules no longer
+    * degrade to AnyToken.
+    */
+  final case class Capitalized(kind: String) extends Matcher
+  /** `number` token type: any digit run, a specific allowed list, or a
+    * digit-length set. (The reference's value-range minimum/maximum is
+    * not regex-able and is documented as unenforced.)
+    */
+  final case class NumberTok(numbers: Seq[String], lengths: Seq[Int]) extends Matcher
+  /** `linebreak` token type. */
+  final case class LineBreak() extends Matcher
+  /** Word constrained to contain a digit (`contain_digit`). */
+  final case class DigitWord() extends Matcher
+  /** Word with an allowed token-length set (`length`). */
+  final case class WordLen(lengths: Seq[Int]) extends Matcher
   /** Alternation over matchers (rule files list several tokens/shapes). */
   final case class OneOf(opts: Seq[Matcher]) extends Matcher
 
@@ -63,6 +86,18 @@ object TokenRules {
     case Prefix(p) => s"${q(p)}\\w*"
     case Suffix(s) => s"\\w*${q(s)}"
     case AnyToken() => "\\w+"
+    case Capitalized("title") => "[A-Z][a-z]*"
+    case Capitalized("upper") => "[A-Z]+"
+    case Capitalized("lower") => "[a-z]+"
+    case Capitalized(_) => // mixed: both cases present
+      "(?=[A-Za-z]*[A-Z])(?=[A-Za-z]*[a-z])[A-Za-z]+"
+    case NumberTok(ns, _) if ns.nonEmpty => ns.map(q).mkString("(?:", "|", ")")
+    case NumberTok(_, ls) if ls.nonEmpty =>
+      ls.map(l => s"\\d{$l}").mkString("(?:", "|", ")")
+    case NumberTok(_, _) => "\\d+"
+    case LineBreak() => "\\r?\\n"
+    case DigitWord() => "(?=\\w*\\d)\\w+"
+    case WordLen(ls) => ls.map(l => s"\\w{$l}").mkString("(?:", "|", ")")
     case OneOf(opts) => opts.map(matcherRegex).mkString("(?:", "|", ")")
   }
 
@@ -84,9 +119,10 @@ object TokenRules {
           t.path(field).forEach(v => b += v.asText())
           b.toSeq
         }
+        val lengths = strings("length").flatMap(_.toIntOption)
         val m: Matcher = t.path("type").asText() match {
           case "shape" =>
-            val shapes = strings("shapes")
+            val shapes = strings("shapes") ++ strings("shape")
             if (shapes.isEmpty) AnyToken()
             else if (shapes.size == 1) Shape(shapes.head)
             else OneOf(shapes.map(Shape(_)))
@@ -94,16 +130,31 @@ object TokenRules {
             val ts = strings("token")
             if (ts.isEmpty) Punct(".,;:!?()[]")
             else Punct(ts.mkString)
+          case "number" =>
+            // value-range minimum/maximum is not regex-able; numbers
+            // list and digit-length set are (documented subset)
+            NumberTok(strings("numbers"), lengths)
+          case "linebreak" => LineBreak()
           case _ => // word/token
             val ts = strings("token")
             val prefix = t.path("prefix").asText("")
             val suffix = t.path("suffix").asText("")
+            val caps = strings("capitalization")
+            val containDigit = t.path("contain_digit").asText("") == "true"
             if (ts.nonEmpty) {
               if (ts.size == 1) TokenIs(ts.head)
               else OneOf(ts.map(TokenIs(_)))
             }
             else if (prefix.nonEmpty) Prefix(prefix)
             else if (suffix.nonEmpty) Suffix(suffix)
+            else if (caps.nonEmpty) {
+              if (caps.size == 1) Capitalized(caps.head)
+              else OneOf(caps.map(Capitalized(_)))
+            }
+            else if (containDigit) DigitWord()
+            else if (lengths.nonEmpty) WordLen(lengths)
+            // part_of_speech alone is NOT regex-able (needs a tagger):
+            // the only remaining degrade, documented in the scaladoc
             else AnyToken()
         }
         toks += RuleToken(m,

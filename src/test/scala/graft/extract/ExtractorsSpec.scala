@@ -113,6 +113,32 @@ class ExtractorsSpec extends SparkSpec {
     assert(out.select("text").as[String].collect().toSeq == Seq("A", "B", "c"))
   }
 
+  test("E7 htmlAnnotations extracts microdata itemprop and RDFa property values") {
+    val page =
+      """<html><head>
+        |<meta itemprop="datePublished" content="2018-02-02"/>
+        |<meta content="The Met" itemprop="publisher"/>
+        |<meta property="og:title" content="Vase Collection"/>
+        |</head><body>
+        |<div itemscope itemtype="http://schema.org/Painting">
+        |  <span itemprop="name">The <b>Night</b> Watch</span>
+        |  <a itemprop="url" href="/nw">link text</a>
+        |</div>
+        |</body></html>""".stripMargin
+    val out = Seq(page).toDF("html")
+      .select(explode(Extractors.htmlAnnotations(col("html"))).as("a"))
+      .select("a.prop", "a.value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.contains(("datePublished", "2018-02-02"))) // prop-then-content
+    assert(out.contains(("publisher", "The Met"))) // content-then-prop
+    assert(out.contains(("og:title", "Vase Collection"))) // RDFa property=
+    assert(out.contains(("name", "The Night Watch"))) // container text, markup stripped
+    assert(out.contains(("url", "link text")))
+    // void-element values are not double-counted by the text form
+    assert(out.count(_._1 == "datePublished") == 1)
+  }
+
   test("E10 htmlTables parses a museum-style page into a cell grid") {
     val page =
       """<HTML><body><h1>Collection</h1>

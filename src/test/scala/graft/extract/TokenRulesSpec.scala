@@ -44,4 +44,49 @@ class TokenRulesSpec extends SparkSpec {
     assert(PhoneRule.field == "phone")
     assert(Rule("date_birth-2", Nil).field == "date_birth")
   }
+
+  test("capitalization matchers: title/upper/lower/mixed word classes") {
+    // "Died <TitleWord>" style rule: capitalized surname after a marker
+    val rule = Rule("surname-1", Seq(
+      RuleToken(TokenIs("died"), output = false),
+      RuleToken(Capitalized("title"))))
+    val df = Seq("The artist died Smith? no — Died Rembrandt 1669",
+      "died lowercase stays out").toDF("t")
+    val out = df.select(TokenRules.extract($"t", rule).as("x"))
+      .as[Seq[String]].collect()
+    assert(out(0).contains("Rembrandt") || out(0).contains("Smith"))
+    assert(out(1).isEmpty) // lowercase after marker: no title match
+    assert(matcherRegex(Capitalized("upper")) == "[A-Z]+")
+    val mixedRx = matcherRegex(Capitalized("mixed"))
+    assert("McDonald".matches(mixedRx) && !"UPPER".matches(mixedRx) && !"lower".matches(mixedRx))
+  }
+
+  test("number/linebreak/contain_digit/length matchers from rule JSON") {
+    val json =
+      """{"rules":[{"pattern":[
+        |  {"type":"number","is_required":"true","is_in_output":"true",
+        |   "numbers":[],"length":[]},
+        |  {"type":"linebreak","is_required":"true","is_in_output":"false"},
+        |  {"type":"word","token":[],"prefix":"","suffix":"",
+        |   "capitalization":["title"],"is_required":"true","is_in_output":"true"}
+        |]}]}""".stripMargin
+    val rules = TokenRules.fromJson(json, "test")
+    assert(rules.head.tokens(0).matcher == NumberTok(Nil, Nil))
+    assert(rules.head.tokens(1).matcher == LineBreak())
+    assert(rules.head.tokens(2).matcher == Capitalized("title"))
+    val df = Seq("1669\nAmsterdam", "1669 Amsterdam no break").toDF("t")
+    val out = df.select(TokenRules.extract($"t", rules.head).as("x"))
+      .as[Seq[String]].collect()
+    assert(out(0).exists(v => v.contains("1669") && v.contains("Amsterdam")))
+    // POS-only token is the one remaining AnyToken degrade
+    val posOnly = TokenRules.fromJson(
+      """{"rules":[{"pattern":[{"type":"word","token":[],
+        |"part_of_speech":["NOUN"],"is_required":"true","is_in_output":"true"}]}]}""".stripMargin,
+      "pos")
+    assert(posOnly.head.tokens.head.matcher == AnyToken())
+    assert(matcherRegex(DigitWord()).nonEmpty && "ab3c".matches(matcherRegex(DigitWord())))
+    assert(!"abc".matches(matcherRegex(DigitWord())))
+    assert("abcde".matches(matcherRegex(WordLen(Seq(3, 5)))) &&
+      !"abcd".matches(matcherRegex(WordLen(Seq(3, 5)))))
+  }
 }
