@@ -77,8 +77,27 @@ object Extractors {
     "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd", "MM/dd/yyyy", "dd-MM-yyyy",
     "MMM d, yyyy", "MMMM d, yyyy", "yyyyMMdd")
 
+  /** Shape pre-dispatch: each format is gated behind an anchored regex
+    * that ACCEPTS A SUPERSET of what the format can parse, so
+    * `when(shape, parse)` inside the coalesce is semantically identical
+    * to the bare battery — but a row pays cheap fail-fast regex tests
+    * plus (usually) ONE formatter parse instead of up to 7 formatter
+    * parse attempts. Order matches [[DateFormats]].
+    */
+  private val DateShapes: Seq[(String, String)] = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss" -> "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$",
+    "yyyy-MM-dd" -> "^\\d{4}-\\d{2}-\\d{2}$",
+    "MM/dd/yyyy" -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
+    "dd-MM-yyyy" -> "^\\d{1,2}-\\d{1,2}-\\d{4}$",
+    "MMM d, yyyy" -> "^[A-Za-z]{3} \\d{1,2}, \\d{4}$",
+    // full month names can be 3 letters too ("May")
+    "MMMM d, yyyy" -> "^[A-Za-z]{3,} \\d{1,2}, \\d{4}$",
+    "yyyyMMdd" -> "^\\d{8}$")
+
   def parseDate(c: Column): Column =
-    coalesce(DateFormats.map(f => try_to_timestamp(c, lit(f))): _*)
+    coalesce(DateShapes.map { case (f, rx) =>
+      when(c.rlike(rx), try_to_timestamp(c, lit(f)))
+    }: _*)
 
   /** E6 HTML content ALL_TEXT strategy: tag-strip via regex (the strict/
     * relaxed readability strategies are heuristics over this base).

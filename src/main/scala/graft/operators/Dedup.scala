@@ -75,9 +75,12 @@ object Dedup {
     // pair, so at scale the band join never carries payload arrays and
     // the exact intersection runs exactly once per candidate (not once
     // per colliding band).
+    // cache: the self-join below evaluates both branches — without the
+    // barrier the k× md5 signature work runs twice over the corpus
     val banded = shingled
       .withColumn("bands", bandKeys(minhashSig(col("sh"), k), bands, rows))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      .cache()
     val candidates = banded.select(col("band_id"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_id"), col("band_key"), col("id").as("id_b")),
         Seq("band_id", "band_key"))

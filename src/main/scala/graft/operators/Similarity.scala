@@ -71,17 +71,33 @@ object Similarity {
     hv.cast("double") / lit(7.5) - lit(1.0)
   }
 
+  /** Driver-side mirror of [[planeComponent]]: first md5 hex digit of
+    * "j:d" mapped to [-1,1]. Identical doubles (integer digit / 7.5 - 1
+    * in both), so plans built from these literals stay bit-parity with
+    * the DuckDB oracle's md5 formulation.
+    */
+  def planeComponentValue(j: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((h(0) >> 4) & 0xf) / 7.5 - 1.0
+  }
+
   /** Sign-random-projection bucket: `nPlanes`-char bit string per vector.
     * Per-row expression; bucketing the corpus equals an IVF coarse
-    * quantizer with deterministic centroids.
+    * quantizer with deterministic centroids. Plane components are
+    * precomputed driver-side and folded in as literal arrays — the md5
+    * that derives them is constant per (plane, dim) and has no business
+    * running per row per element (measured: the md5-in-lambda version
+    * dominated dedup_embedding's runtime). `dim` must equal the
+    * embedding dimension (testdata: 64).
     */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(j, i)),
+      val plane = array((0 until dim).map(d => lit(planeComponentValue(j, d))): _*)
+      val dp = aggregate(
+        zip_with(vec, plane, (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v)
-      when(d > 0, "1").otherwise("0")
+      when(dp > 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
@@ -104,8 +120,11 @@ object Similarity {
   def lshNearDupPairs(corpus: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
     require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
     val bitsPerBand = nPlanes / bands
+    // cache: sig feeds the banded self-join (both branches) AND the two
+    // embedding join-backs — four otherwise-recomputed projections
     val sig = corpus.select(
       col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes).as("sig"))
+      .cache()
     val banded = sig.select(col("vec_id"),
       posexplode(array((0 until bands).map(bIdx =>
         col("sig").substr(bIdx * bitsPerBand + 1, bitsPerBand)): _*))
