@@ -106,17 +106,43 @@ object Extractors {
     trim(regexp_replace(regexp_replace(c,
       "(?is)<(script|style)[^>]*>.*?</\\1>", " "), "(?s)<[^>]*>", " "))
 
-  /** E6 MAIN_CONTENT_STRICT strategy (em_base.py:43-51): readability-style
-    * heuristic — keep only block-level text regions (<p>/<article>/
-    * heading blocks), dropping boilerplate that lives outside them
-    * (nav/footer link farms). RELAXED = strict plus list/table text.
+  /** E6 MAIN_CONTENT_STRICT / RELAXED (em_base.py:43-51 delegates to the
+    * readability package): an Arc90-style scorer, not just a block-tag
+    * filter. Candidate containers (<div>/<article>/<section>/<main>/
+    * <td>) are scored by comma count + capped text length, penalized by
+    * link density (anchor chars / text chars — the classic boilerplate
+    * signal), and the best container's block text wins; pages with no
+    * scoring container fall back to whole-page block extraction.
+    * RELAXED widens the block set with list/table text. All per-row
+    * expressions (nested HOFs over regexp_extract_all) — no UDF, no
+    * shuffle. Known limit vs a DOM parser: nested same-tag containers
+    * truncate at the first close tag (regex, not a tree).
     */
   def htmlMainContent(c: Column, relaxed: Boolean = false): Column = {
     val blockTags = if (relaxed) "p|article|h[1-6]|blockquote|li|td" else "p|article|h[1-6]|blockquote"
-    val blocks = regexp_extract_all(c,
-      lit(s"(?is)<($blockTags)[^>]*>(.*?)</\\1>"), lit(2))
-    trim(regexp_replace(concat_ws(" ",
-      transform(blocks, b => regexp_replace(b, "(?s)<[^>]*>", " "))), "\\s+", " "))
+    val stripTags = (s: Column) => regexp_replace(s, "(?s)<[^>]*>", " ")
+    val blockText = (b: Column) => trim(regexp_replace(concat_ws(" ",
+      transform(regexp_extract_all(b, lit(s"(?is)<($blockTags)[^>]*>(.*?)</\\1>"), lit(2)),
+        stripTags)), "\\s+", " "))
+    val containers = regexp_extract_all(c,
+      lit("(?is)<(div|article|section|main|td)[^>]*>(.*?)</\\1>"), lit(2))
+    val scored = transform(containers, b => {
+      val text = blockText(b)
+      val tl = length(text).cast("double")
+      val linkChars = aggregate(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        lit(0.0), (acc, a) => acc + length(trim(stripTags(a))).cast("double"))
+      val commas = (size(split(text, ",")) - 1).cast("double")
+      val linkDensity = linkChars / greatest(tl, lit(1.0))
+      val score = (commas + least(tl / 100.0, lit(3.0))) * (lit(1.0) - linkDensity)
+      struct(score.as("score"), text.as("text"))
+    })
+    val positives = filter(scored, s =>
+      s.getField("score") > 0.1 && length(s.getField("text")) > 0)
+    // struct ordering compares score first -> array_max = best candidate
+    coalesce(
+      when(size(positives) > 0, array_max(positives).getField("text")),
+      blockText(c))
   }
 
   /** E7 HTML metadata: title + meta description (em_elicit.py:40-46). */

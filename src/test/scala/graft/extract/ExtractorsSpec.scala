@@ -61,6 +61,20 @@ class ExtractorsSpec extends SparkSpec {
     assert(relaxed.contains("list item"))
   }
 
+  test("E6 readability scoring picks the main container, drops link farms") {
+    val html = "<html><body>" +
+      "<div class=\"nav\"><p><a href=\"#\">Home</a>, <a href=\"#\">About</a>, <a href=\"#\">Products</a></p></div>" +
+      "<div class=\"content\"><p>The exhibition opened in 1998, drawing record crowds, and critics praised it.</p>" +
+      "<p>A second paragraph, with more detail, follows here.</p></div>" +
+      "<div class=\"footer\"><p><a href=\"#\">Terms</a> <a href=\"#\">Privacy</a></p></div>" +
+      "</body></html>"
+    val strict = Seq(html).toDF("raw")
+      .select(Extractors.htmlMainContent($"raw")).as[String].collect().head
+    assert(strict.contains("exhibition") && strict.contains("second paragraph"))
+    // the link-farm nav and footer score below the content container
+    assert(!strict.contains("Home") && !strict.contains("Terms"))
+  }
+
   test("E8 landmark begin/end rule extracts the span; name maps to field") {
     val rule = Extractors.LandmarkRule("artist-1", "<h2>", "</h2>")
     assert(rule.field == "artist")
