@@ -121,6 +121,47 @@ object TrendFit {
     best
   }
 
+  /** T7 stochastic break search — the reference's actual optimizer
+    * family (pwlf.py:268-320 runs scipy differential_evolution over the
+    * interior break positions). This is DE/rand/1/bin with a FIXED seed:
+    * same algorithm, reproducible runs (the deterministic grid variant
+    * [[searchBreaks]] remains the default; this closes the documented
+    * T7 deviation for callers wanting optimizer parity).
+    */
+  def searchBreaksDE(x: Array[Double], y: Array[Double], nSegments: Int,
+                     popSize: Int = 15, generations: Int = 40,
+                     f: Double = 0.8, cr: Double = 0.9, seed: Long = 42L): Fit = {
+    val lo = x.min; val hi = x.max
+    val nInterior = nSegments - 1
+    if (nInterior <= 0) return fitFixedBreaks(x, y, Array(lo, hi))
+    val rnd = new scala.util.Random(seed)
+    val minGap = (hi - lo) * 1e-6
+    def fitness(v: Array[Double]): Double = {
+      val all = (lo +: v.sorted.toSeq :+ hi).toArray
+      // coincident breaks make the PWL basis rank-deficient — reject
+      if (all.sliding(2).exists { case Array(a, b) => b - a < minGap }) Double.MaxValue
+      else fitFixedBreaks(x, y, all).ssr
+    }
+    val pop = Array.fill(popSize)(Array.fill(nInterior)(lo + (hi - lo) * rnd.nextDouble()))
+    val fitVals = pop.map(fitness)
+    for (_ <- 0 until generations; i <- 0 until popSize) {
+      def pick(): Int = {
+        var j = rnd.nextInt(popSize); while (j == i) j = rnd.nextInt(popSize); j
+      }
+      val (a, b, c) = (pop(pick()), pop(pick()), pop(pick()))
+      val jRand = rnd.nextInt(nInterior)
+      val trial = Array.tabulate(nInterior) { j =>
+        if (j == jRand || rnd.nextDouble() < cr)
+          math.min(hi, math.max(lo, a(j) + f * (b(j) - c(j))))
+        else pop(i)(j)
+      }
+      val tf = fitness(trial)
+      if (tf <= fitVals(i)) { pop(i) = trial; fitVals(i) = tf }
+    }
+    val best = fitVals.indices.minBy(fitVals)
+    fitFixedBreaks(x, y, (lo +: pop(best).sorted.toSeq :+ hi).toArray)
+  }
+
   /** T8 model selection (linear_fit.py:13,149-175): grow segments from 3
     * while cost = SSR/n/range² + 0.02·segments decreases; cap at n/3.
     * T10: ≤6 points → connect-the-dots; 1 point → single_point.

@@ -59,6 +59,21 @@ class TrendFitSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("T7 differential evolution finds the knee, reproducibly") {
+    val x = (0 to 20).map(_.toDouble).toArray
+    val y = x.map(v => if (v <= 5) 4 * v else 20 - (v - 5))
+    val fit = TrendFit.searchBreaksDE(x, y, 2)
+    assert(fit.breaks.length == 3)
+    assert(math.abs(fit.breaks(1) - 5.0) < 0.2) // DE converges to the true knee
+    assert(fit.ssr < 1.0)
+    // fixed seed -> bit-identical reruns
+    val again = TrendFit.searchBreaksDE(x, y, 2)
+    assert(fit.breaks.sameElements(again.breaks) && fit.ssr == again.ssr)
+    // and it matches (or beats) the deterministic grid at equal segments
+    val grid = TrendFit.searchBreaks(x, y, 2)
+    assert(fit.ssr <= grid.ssr + 1e-9)
+  }
+
   // Golden fixture for the full fitSeries pipeline (T6+T7+T8+T9+T11),
   // expectations derived by hand from the model definition:
   //   y = 4x on [0,5] (up to 20), y = 20-(x-5) on [5,20] (down to 5),
