@@ -63,4 +63,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-k must be TakeOrderedAndProject, not Sort+Limit of the full data")
   }
+
+  test("rule_rowslice: global rank slice plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(graft.queries.Extended.ruleRowslice(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "rank 101..150 must be per-partition top-k + merge, not a single-partition sort")
+    // the bounded 150-row window is partitioned (constant key) — the
+    // full-table WindowExec-without-partition shape must not appear
+    assert(!"(?s)Window.*windowspecdefinition\\(\\s*l_orderkey".r
+      .findFirstIn(p).exists(_.contains("windowspecdefinition(l_orderkey")) ||
+      p.contains("pmod"), "window must carry a partition key")
+  }
+
+  test("extract_tables: scan reads only the columns the synthesized page needs") {
+    val p = plan(graft.queries.Extended.extractTables(spark, dir))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") &&
+      readSchema.contains("source"))
+    assert(!readSchema.contains("text"), s"documents.text must be pruned: $readSchema")
+  }
+
+  test("ts_trend_dots: every window exchange hash-partitions on the series key") {
+    val p = plan(graft.queries.TimeSeriesQueries.tsTrendDots(spark, dir))
+    assert(p.contains("hashpartitioning(user_id"),
+      "per-series windows must shuffle on user_id, not funnel to one partition")
+    assert(!p.contains("SinglePartition") ||
+      p.contains("TakeOrderedAndProject"), // final orderBy merge is fine
+      s"no full-table single-partition stage expected")
+  }
+
+  test("dedup_minhash: band join carries ids and band keys only, shingles join back later") {
+    val df = graft.operators.Dedup.minhashLshPairs(
+      Tables(spark, dir, "documents").limit(50), "doc_id", "text")
+    val p = plan(df)
+    val joins = "(?m)SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).length
+    assert(joins >= 3, "candidate join + two shingle join-backs expected")
+    // no plan line touching the band keys (join keys, exchanges,
+    // projections) may carry the shingle array — pairs dedup first
+    val bandLines = p.linesIterator.filter(_.contains("band_key")).toSeq
+    assert(bandLines.nonEmpty, "expected a band_key join in the plan")
+    assert(bandLines.forall(l => !l.contains("sh#") && !l.contains("sh_a") && !l.contains("sh_b")),
+      s"shingle arrays must not ride through the band join:\n${bandLines.mkString("\n")}")
+  }
 }
