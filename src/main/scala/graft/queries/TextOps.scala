@@ -206,7 +206,39 @@ object TextOps {
       |  FROM (SELECT regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents))
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
 
+  /** Training-data cleaning funnel (the composition a real 100 TB
+    * pipeline runs): language → quality gate (token count + stopword
+    * ratio, integer-exact) → exact near-dup collapse by content
+    * fingerprint — emitted as per-language retention stats. One narrow
+    * map over the corpus + a single aggregation: no extra shuffle per
+    * stage, the funnel IS one pass.
+    */
+  def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = graft.plans.NativeExpressions.textStats($"text")
+    val gate = col("st.n_tok") >= 30 && col("st.n_stop") * 2 < col("st.n_tok")
+    Tables(s, dir, "documents")
+      .select($"lang", st.as("st"), fingerprint($"text").as("fp"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        count(when(gate, lit(1))).as("kept"),
+        countDistinct(when(gate, col("fp"))).as("unique_kept"))
+      .orderBy($"lang")
+  }
+
+  val pipelineCleanSql: String =
+    s"""SELECT lang, COUNT(*) AS docs,
+       |  COUNT(CASE WHEN len($TokSql) >= 30
+       |    AND len(list_filter($TokSql, t -> t IN ($stopListSql))) * 2 < len($TokSql)
+       |    THEN 1 END) AS kept,
+       |  COUNT(DISTINCT CASE WHEN len($TokSql) >= 30
+       |    AND len(list_filter($TokSql, t -> t IN ($stopListSql))) * 2 < len($TokSql)
+       |    THEN sha256(regexp_replace(trim(lower(text)),'[^a-z0-9]+',' ','g')) END) AS unique_kept
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean" -> (pipelineClean _),
     "text_bigrams" -> (textBigrams _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -218,6 +250,7 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean" -> pipelineCleanSql,
     "text_bigrams" -> textBigramsSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -161,19 +161,25 @@ object TimeSeriesQueries {
     */
   def tsTrend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pts = events(s, dir)
-      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
-      .as[(Long, Long, Long, Double)]
-    pts.groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val arr = it.toArray.sortBy(p => (p._2, p._3))
-        val x = arr.map(p => (p._2 - arr.head._2) / 86400000.0)
-        val y = arr.map(_._4)
-        val segs = TrendFit.fitSeries(x, y)
-        (uid, segs.map(g => (g.startX, g.endX, g.slope, g.intercept, g.description)))
-      }
-      .flatMap { case (uid, segs) =>
-        segs.zipWithIndex.map { case (g, i) => (uid, i, g._1, g._2, g._3, g._4, g._5) }
+    // collect_list + sort_array instead of groupByKey.mapGroups: the
+    // aggregate gets map-side partial collection and tungsten layout
+    // (one shuffle of packed structs), where groupByKey pays sort-based
+    // grouping + per-row encoder round-trips. The Breeze fit then runs
+    // per (small) series on the aggregated rows — the distributed axis
+    // is the number of series, same as before.
+    val grouped = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"), col("value"))))
+        .as("pts"))
+      .as[(Long, Seq[(Long, Long, Double)])]
+    grouped
+      .flatMap { case (uid, pts) =>
+        val x0 = pts.head._1
+        val x = pts.map(p => (p._1 - x0) / 86400000.0).toArray
+        val y = pts.map(_._3).toArray
+        TrendFit.fitSeries(x, y).zipWithIndex.map { case (g, i) =>
+          (uid, i, g.startX, g.endX, g.slope, g.intercept, g.description)
+        }
       }
       .toDF("user_id", "seg", "start_x", "end_x", "slope", "intercept", "description")
       .orderBy(col("user_id"), col("seg"))
