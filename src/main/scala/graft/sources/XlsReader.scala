@@ -17,9 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Produces the same engine-neutral cell grid (sheet, row, col, value)
   * as [[XlsxReader]], so S4 region extraction runs on legacy workbooks
-  * unchanged. Documented subset: SST CONTINUE-record splitting and
-  * rich-text/phonetic payloads are skipped (tiny-workbook fixtures and
-  * typical tabular uploads don't produce them); BIFF5 (.xls written by
+  * unchanged. SST CONTINUE-record splitting IS handled (including the
+  * mid-string option-byte encoding switch); rich-text/phonetic payload
+  * CONTENT is skipped (correctly stepped over). BIFF5 (.xls written by
   * Excel 5.0/95) is not supported.
   */
 object XlsReader {
@@ -104,6 +104,77 @@ object XlsReader {
 
   // ---- BIFF8 records ([MS-XLS]) ----
 
+  /** Cursor over the SST payload plus its CONTINUE-record payloads,
+    * implementing the BIFF8 continued-string rules: a record boundary
+    * crossed inside CHARACTER DATA starts with a fresh option byte (the
+    * 8-bit/UTF-16 encoding may switch mid-string); boundaries inside
+    * headers, rich-text runs or ext blocks do not.
+    */
+  private final class SstCursor(segs: IndexedSeq[Array[Byte]]) {
+    private var si = 0
+    private var off = 0
+    private def ensure(): Unit =
+      while (si < segs.length && off >= segs(si).length) { si += 1; off = 0 }
+    def u8(): Int = { ensure(); val v = segs(si)(off) & 0xff; off += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Int = u16() | (u16() << 16)
+    def skip(n: Int): Unit = {
+      var r = n
+      while (r > 0) {
+        ensure()
+        if (si >= segs.length) return
+        val take = math.min(r, segs(si).length - off)
+        off += take; r -= take
+      }
+    }
+    def atEnd: Boolean = { ensure(); si >= segs.length }
+    def chars(cch: Int, wide0: Boolean): String = {
+      val sb = new java.lang.StringBuilder(cch)
+      var wide = wide0
+      var remaining = cch
+      while (remaining > 0 && si < segs.length) {
+        if (off >= segs(si).length) { // crossing mid-chars: new option byte
+          si += 1; off = 0
+          if (si >= segs.length) return sb.toString
+          wide = (segs(si)(0) & 0x01) != 0
+          off = 1
+        }
+        val bytesPer = if (wide) 2 else 1
+        val take = math.min(remaining, (segs(si).length - off) / bytesPer)
+        if (take == 0) off = segs(si).length // odd trailing byte: defensive
+        else {
+          if (wide) sb.append(new String(segs(si), off, take * 2, "UTF-16LE"))
+          else {
+            var i = 0
+            while (i < take) { sb.append((segs(si)(off + i) & 0xff).toChar); i += 1 }
+          }
+          off += take * bytesPer
+          remaining -= take
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** Parse the SST string table from its payload + CONTINUE payloads. */
+  private def parseSst(segs: IndexedSeq[Array[Byte]]): IndexedSeq[String] = {
+    val cur = new SstCursor(segs)
+    cur.u32() // cstTotal
+    val cstUnique = cur.u32()
+    val out = ArrayBuffer[String]()
+    var i = 0
+    while (i < cstUnique && !cur.atEnd) {
+      val cch = cur.u16()
+      val flags = cur.u8()
+      val cRun = if ((flags & 0x08) != 0) cur.u16() else 0
+      val cbExt = if ((flags & 0x04) != 0) cur.u32() else 0
+      out += cur.chars(cch, (flags & 0x01) != 0)
+      cur.skip(cRun * 4 + cbExt)
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
   /** BIFF8 short/long unicode string at `off`; returns (text, bytesRead).
     * 8-bit compressed or UTF-16LE per the grbit flag; rich-text runs and
     * extended (phonetic) blocks are skipped.
@@ -146,7 +217,7 @@ object XlsReader {
     val s = workbookStream(bytes)
     // pass 1: workbook globals — sheet table + shared strings
     val sheets = ArrayBuffer[(String, Int)]() // (name, stream offset of sheet BOF)
-    val sst = ArrayBuffer[String]()
+    var sst: IndexedSeq[String] = IndexedSeq.empty
     var p = 0
     var inGlobals = true
     while (p + 4 <= s.length && inGlobals) {
@@ -160,14 +231,15 @@ object XlsReader {
             if (hi) new String(s, p + 12, cch * 2, "UTF-16LE")
             else new String(s.slice(p + 12, p + 12 + cch).map(x => (x & 0xff).toChar))
           sheets += ((name, pos))
-        case 0xFC => // SST (single-record subset; CONTINUE splits unsupported)
-          val cstUnique = u32(s, p + 8) // payload: cstTotal, cstUnique, strings
-          var q = p + 12
-          var i = 0
-          while (i < cstUnique && q < p + 4 + len) {
-            val (t, n) = xlString(s, q)
-            sst += t; q += n; i += 1
+        case 0xFC => // SST + any immediately-following CONTINUE records
+          val segs = ArrayBuffer[Array[Byte]](s.slice(p + 4, p + 4 + len))
+          var q = p + 4 + len
+          while (q + 4 <= s.length && u16(s, q) == 0x3C) { // CONTINUE
+            val clen = u16(s, q + 2)
+            segs += s.slice(q + 4, q + 4 + clen)
+            q += 4 + clen
           }
+          sst = parseSst(segs.toIndexedSeq)
         case 0x0A => inGlobals = false // EOF of globals substream
         case _ =>
       }

@@ -151,6 +151,28 @@ class XlsReaderSpec extends SparkSpec {
     assert(grid.select("sheet").distinct().as[String].collect().head == "gdp!data")
   }
 
+  test("SST split across CONTINUE mid-string with an encoding switch") {
+    def bof(dt: Int) = rec(0x809, new LE().u16(0x0600).u16(dt).u16(0).u16(0).u32(0).u32(0))
+    val eof = rec(0x0A, new LE())
+    // SST: 2 strings; string 0 "hello worl" (cch=10) has 6 compressed
+    // chars in the SST record, then the CONTINUE starts with option
+    // byte 0x01 and the last 4 chars in UTF-16LE; string 1 "gdp"
+    // follows inside the CONTINUE with its own header (no flag byte).
+    val sstRec = rec(0xFC, new LE().u32(2).u32(2).u16(10).u8(0).ascii("hello "))
+    val contRec = rec(0x3C, new LE().u8(1).utf16("worl").u16(3).u8(0).ascii("gdp"))
+    def boundsheet(pos: Int, name: String) =
+      rec(0x85, new LE().u32(pos).u16(0).u8(name.length).u8(0).ascii(name))
+    def labelSst(row: Int, col: Int, idx: Int) =
+      rec(0xFD, new LE().u16(row).u16(col).u16(0).u32(idx))
+    val sheet = bof(0x0010) ++ labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++ eof
+    def globals(p1: Int) = bof(0x0005) ++ sstRec ++ contRec ++ boundsheet(p1, "s") ++ eof
+    val stream = globals(globals(0).length) ++ sheet
+    val cells = XlsReader.parseWorkbook(cfb(stream))
+    val grid = cells.map(c => (c.row, c.col) -> c.value).toMap
+    assert(grid((0, 0)) == "hello worl")
+    assert(grid((0, 1)) == "gdp")
+  }
+
   test("RK decoding: int, x100 scaling, truncated double") {
     assert(XlsReader.decodeRk((42 << 2) | 0x02) == 42.0)
     assert(XlsReader.decodeRk((4200 << 2) | 0x03) == 42.0) // int / 100
