@@ -29,20 +29,41 @@ object Dedup {
     df.groupBy(sha2(textCol, 256).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Portable per-seed min-hash over a shingle array: min of md5("i:"+s).
-    * String min over hex digests — deterministic across engines.
-    *
-    * Measured note: the HOF formulation WINS here (4.6s vs 9.0s at
-    * sf0.1) — Spark's md5/concat kernels work on UTF8String bytes
-    * directly, while the native one-pass expression
-    * (NativeExpressions.minhashSig, kept as the parity-tested
-    * alternative) pays a string decode/encode per (shingle, seed).
-    * Unlike simhash, the md5 cost dominates, so loop fusion buys
-    * nothing.
+  /** Universal-hash min-hash constants: p Mersenne-prime modulus, odd
+    * multipliers. a*h+b stays under 2^63 for 32-bit h, so the identical
+    * integer arithmetic runs un-overflowed in Spark longs and DuckDB
+    * BIGINTs.
     */
-  def minhashSig(shingleArr: Column, k: Int): Column =
-    minhashSigHof(shingleArr, k)
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = 1103515245L + 2L * i
+  def minhashB(i: Int): Long = 12345L + 7L * i
 
+  /** 32-bit base hash per shingle: first 8 md5 hex digits as an integer.
+    * ONE digest per shingle — the k per-seed hashes derive from it
+    * affinely ([[minhashSig]]), instead of k full md5 runs per shingle
+    * (the dominant CPU cost of the old scheme at any scale).
+    */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => conv(substr(md5(s), lit(1), lit(8)), 16, 10).cast("long"))
+
+  /** Per-seed min-hash over the base-hash array: min of the affine
+    * universal hash (a_i*h + b_i) mod p. Pure integer arithmetic —
+    * bit-identical across engines by construction.
+    *
+    * Measured note (history): with the old k×md5 scheme the HOF
+    * formulation beat the native one-pass expression (md5 kernel
+    * dominated; NativeExpressions.MinHashSig kept as the parity-tested
+    * record of that A/B). Universal hashing removes the md5 bottleneck
+    * outright — one digest per shingle, then k cheap integer maps.
+    */
+  def minhashSig(hashArr: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hashArr, h =>
+        (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashP)))): _*)
+
+  /** The original k×md5 formulation (min of md5("i:"+s) hex strings) —
+    * retained for the native-expression parity spec.
+    */
   def minhashSigHof(shingleArr: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s))))): _*)
@@ -50,7 +71,8 @@ object Dedup {
   /** LSH band keys: b bands of r signature rows, digested to fixed width. */
   def bandKeys(sigArr: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { j =>
-      val parts = (0 until rows).map(r => element_at(sigArr, j * rows + r + 1))
+      val parts = (0 until rows).map(r =>
+        element_at(sigArr, j * rows + r + 1).cast("string"))
       md5(concat_ws("|", parts: _*))
     }: _*)
 
@@ -64,10 +86,15 @@ object Dedup {
     // Materialize the shingle arrays: without the barrier CollapseProject
     // inlines the tokenizer into every one of the k signature expressions
     // (k× recompute); with it, signatures read the cached array column.
+    // The base-hash array rides inside the cache barrier: without it,
+    // CollapseProject would inline the per-shingle md5 into every one
+    // of the k signature lambdas (k× digest work — the same trap the
+    // shingle-tokenizer barrier guards against).
     val shingled = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("hs", shingleHashes(col("sh")))
       .cache()
     // Candidate generation shuffles (id, band_key) ONLY — a pair that
     // collides in multiple bands is deduplicated while the rows are
@@ -76,9 +103,9 @@ object Dedup {
     // the exact intersection runs exactly once per candidate (not once
     // per colliding band).
     // cache: the self-join below evaluates both branches — without the
-    // barrier the k× md5 signature work runs twice over the corpus
+    // barrier the signature work runs twice over the corpus
     val banded = shingled
-      .withColumn("bands", bandKeys(minhashSig(col("sh"), k), bands, rows))
+      .withColumn("bands", bandKeys(minhashSig(col("hs"), k), bands, rows))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
       .cache()
     val candidates = banded.select(col("band_id"), col("band_key"), col("id").as("id_a"))

@@ -28,13 +28,22 @@ object DedupSim {
   }
 
   val dedupMinhashSql: String = {
-    val sig = (j: Int) =>
-      s"md5(list_min(list_transform(s, x -> md5('${2 * j}:' || x))) || '|' || " +
-        s"list_min(list_transform(s, x -> md5('${2 * j + 1}:' || x))))"
+    // mirrors Dedup.shingleHashes + minhashSig: ONE md5 per shingle
+    // (first 8 hex digits as a 32-bit int), then affine universal
+    // hashes (a_i*h + b_i) mod p — identical integer arithmetic in
+    // DuckDB BIGINTs and Spark longs (products stay under 2^63)
+    val p = graft.operators.Dedup.MinhashP
+    val sigI = (i: Int) =>
+      s"list_min(list_transform(h, v -> (${graft.operators.Dedup.minhashA(i)} * v + " +
+        s"${graft.operators.Dedup.minhashB(i)}) % $p))"
+    val bandKey = (j: Int) =>
+      s"md5(CAST(${sigI(2 * j)} AS VARCHAR) || '|' || CAST(${sigI(2 * j + 1)} AS VARCHAR))"
     val bandSelects = (0 until 4)
-      .map(j => s"SELECT id, s, $j AS band_id, ${sig(j)} AS key FROM sh")
+      .map(j => s"SELECT id, s, $j AS band_id, ${bandKey(j)} AS key FROM hs")
       .mkString("\n  UNION ALL ")
     s"""$ShinglesCte,
+       |hs AS (SELECT id, s, list_transform(s,
+       |    x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS h FROM sh),
        |bands AS (\n  $bandSelects),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
