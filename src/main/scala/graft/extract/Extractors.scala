@@ -25,14 +25,26 @@ object Extractors {
     */
   def glossary(c: Column, entries: Seq[String], maxNgram: Int = 3,
                caseSensitive: Boolean = false): Column = {
+    // case-sensitive mode tokenizes without lowercasing (the reference's
+    // case_sensitive glossary flag, master_config fields)
+    val base = if (caseSensitive) c else lower(c)
+    glossaryFromTokens(
+      regexp_extract_all(base, lit("[A-Za-z0-9]+"), lit(0)),
+      entries, maxNgram, caseSensitive)
+  }
+
+  /** [[glossary]] over a pre-tokenized column. Callers extracting
+    * SEVERAL glossary fields from one text should tokenize once behind
+    * a barrier (projection + cache) and pass the array here —
+    * CollapseProject otherwise inlines the tokenizer subtree into every
+    * field's expression (N× regex scans of the same text).
+    */
+  def glossaryFromTokens(toks: Column, entries: Seq[String], maxNgram: Int = 3,
+                         caseSensitive: Boolean = false): Column = {
     val norm = entries
       .map(e => if (caseSensitive) e.trim else e.toLowerCase(java.util.Locale.ROOT).trim)
       .filter(_.nonEmpty).distinct
     val byLen = norm.groupBy(_.split("\\s+").length)
-    // case-sensitive mode tokenizes without lowercasing (the reference's
-    // case_sensitive glossary flag, master_config fields)
-    val base = if (caseSensitive) c else lower(c)
-    val toks = regexp_extract_all(base, lit("[A-Za-z0-9]+"), lit(0))
     val matches = (1 to maxNgram).flatMap { n =>
       byLen.get(n).map { es =>
         val hay =

@@ -42,10 +42,18 @@ object KgPipeline {
   def kg(s: SparkSession, dir: String): DataFrame =
     kgCache.getOrElseUpdate((s, dir), {
       val docs = Tables(s, dir, "documents")
-      Extractors.toKgValues(docs, "doc_id", Seq(
-        ("op", Extractors.glossary(col("text"), OpGlossary), "extract_using_dictionary", "content"),
-        ("speed", Extractors.glossary(col("text"), SpeedGlossary), "extract_using_dictionary", "content"),
-        ("size", Extractors.glossary(col("text"), SizeGlossary), "extract_using_dictionary", "content")))
+      // Tokenize ONCE behind a cache barrier: three glossary fields read
+      // the same token array instead of CollapseProject inlining three
+      // full regex scans of the text into the extraction projection
+      // (the "resource loaded once per worker" architecture of the
+      // reference's extractor init, docs/index.md:116).
+      val tokenized = docs.select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[A-Za-z0-9]+"), lit(0)).as("__toks"))
+        .cache()
+      Extractors.toKgValues(tokenized, "doc_id", Seq(
+        ("op", Extractors.glossaryFromTokens(col("__toks"), OpGlossary), "extract_using_dictionary", "content"),
+        ("speed", Extractors.glossaryFromTokens(col("__toks"), SpeedGlossary), "extract_using_dictionary", "content"),
+        ("size", Extractors.glossaryFromTokens(col("__toks"), SizeGlossary), "extract_using_dictionary", "content")))
         .cache()
     })
 
