@@ -58,6 +58,45 @@ object Multimodal {
     filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(everyK)) === 0)
   }
 
+  /** Batched decode plumbing — the Scala analogue of mapInPandas: rows
+    * stream through mapPartitions in bounded batches so a real codec
+    * can amortize model/library init per batch (not per row) while
+    * memory stays bounded by batchSize × payload, never the partition.
+    * The decode function itself is the pluggable part: it receives one
+    * batch of (id, bytes) and returns per-row feature vectors —
+    * STUBBED here as a deterministic byte-derived vector (no codec
+    * libs in this container); a javacv/JNI decode drops into the same
+    * signature with zero plan changes.
+    */
+  def decodeBatched(df: DataFrame, idCol: String, bytesCol: String,
+                    batchSize: Int = 64,
+                    decodeBatch: Seq[(Long, Array[Byte])] => Seq[Array[Float]] =
+                      stubDecodeBatch): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = decodeBatch(batch)
+          batch.iterator.zip(feats.iterator).map { case ((id, _), f) => (id, f) }
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** STUB batch decode: deterministic 4-dim byte statistics per payload
+    * (real impl: decode + embed). Marked fake; the batch SHAPE is the
+    * tested contract.
+    */
+  def stubDecodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (_, bytes) =>
+      val n = math.max(1, bytes.length)
+      var sum = 0L; var mx = 0; var i = 0
+      while (i < bytes.length) { val v = bytes(i) & 0xff; sum += v; if (v > mx) mx = v; i += 1 }
+      Array(n.toFloat, (sum.toDouble / n).toFloat, mx.toFloat,
+        (bytes.headOption.map(_ & 0xff).getOrElse(0)).toFloat)
+    }
+
   /** Size-aware layout: media tables must spread payload BYTES evenly so
     * a few huge blobs don't skew tasks (100 TB guidance: target
     * `spark.sql.files.maxPartitionBytes`-sized groups).

@@ -44,4 +44,29 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.repartitionBySize(media, "bytes", 64)
     assert(out.count() == media.count())
   }
+
+  test("batched decode: batch shape bounded, per-row features, schema preserved") {
+    val many = (1L to 200L).map(i => (i, s"payload $i ${"x" * (i % 37).toInt}"))
+      .toDF("id", "txt").withColumn("bytes", $"txt".cast("binary"))
+      .repartition(4)
+    // instrumented decode: record every batch size it was called with
+    // (accumulator: closures are serialized per task even in local mode)
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val out = Multimodal.decodeBatched(many, "id", "bytes", batchSize = 16,
+      decodeBatch = { batch =>
+        sizes.add(batch.size)
+        Multimodal.stubDecodeBatch(batch)
+      }).collect()
+    assert(out.length == 200)
+    assert(out.forall(_.getAs[Seq[Float]]("features").length == 4))
+    // every batch the codec saw is bounded by batchSize; ids all survive
+    val seen = sizes.value
+    assert(seen.size() > 4)
+    seen.forEach(s => assert(s >= 1 && s <= 16))
+    assert(out.map(_.getLong(0)).sorted.sameElements(1L to 200L))
+    // deterministic stub: same payload -> same vector
+    val again = Multimodal.decodeBatched(many, "id", "bytes", batchSize = 16).collect()
+    assert(again.map(r => (r.getLong(0), r.getAs[Seq[Float]]("features"))).toMap ==
+      out.map(r => (r.getLong(0), r.getAs[Seq[Float]]("features"))).toMap)
+  }
 }

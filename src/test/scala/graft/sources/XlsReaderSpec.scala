@@ -9,10 +9,9 @@ import graft.SparkSpec
   * it back: CFB mini-stream resolution, BOUNDSHEET/SST globals, and the
   * LABELSST / LABEL / NUMBER / RK / MULRK cell records.
   */
-class XlsReaderSpec extends SparkSpec {
-  import spark.implicits._
-
-  private class LE {
+/** Shared BIFF/CFB byte builders for the reader specs. */
+object BiffFixture {
+  class LE {
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): LE = { out.write(v & 0xff); this }
     def u16(v: Int): LE = { u8(v); u8(v >> 8) }
@@ -27,46 +26,9 @@ class XlsReaderSpec extends SparkSpec {
     def bytes: Array[Byte] = out.toByteArray
   }
 
-  private def rec(typ: Int, payload: LE): Array[Byte] = {
+  def rec(typ: Int, payload: LE): Array[Byte] = {
     val b = payload.bytes
     val r = new LE; r.u16(typ); r.u16(b.length); r.out.write(b); r.bytes
-  }
-
-  /** Assemble the BIFF8 Workbook stream: globals (BOF, SST, 2x
-    * BOUNDSHEET, EOF) + two sheet substreams.
-    */
-  private def biffStream(): Array[Byte] = {
-    def bof(dt: Int) = rec(0x809, new LE().u16(0x0600).u16(dt).u16(0).u16(0).u32(0).u32(0))
-    val sst = rec(0xFC, {
-      val l = new LE().u32(2).u32(2)
-      l.u16(4).u8(0).ascii("year")
-      l.u16(3).u8(0).ascii("gdp")
-      l
-    })
-    def labelSst(row: Int, col: Int, idx: Int) =
-      rec(0xFD, new LE().u16(row).u16(col).u16(0).u32(idx))
-    def number(row: Int, col: Int, v: Double) =
-      rec(0x203, new LE().u16(row).u16(col).u16(0).f64(v))
-    def rkInt(v: Int): Int = (v << 2) | 0x02
-    val eof = rec(0x0A, new LE())
-
-    val sheet1 = bof(0x0010) ++ labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++
-      number(1, 0, 2001.0) ++
-      rec(0x27E, new LE().u16(1).u16(1).u16(0).u32(rkInt(10))) ++ // RK
-      rec(0xBD, new LE().u16(2).u16(0) // MULRK: 2002, 11 in cols 0-1
-        .u16(0).u32(rkInt(2002)).u16(0).u32(rkInt(11)).u16(1)) ++
-      rec(0x204, new LE().u16(3).u16(0).u16(0).u16(4).u8(0).ascii("note")) ++ // LABEL
-      eof
-    val sheet2 = bof(0x0010) ++ number(0, 0, 3.5) ++ eof
-
-    def boundsheet(pos: Int, name: String) =
-      rec(0x85, new LE().u32(pos).u16(0).u8(name.length).u8(0).ascii(name))
-    // globals length depends only on name lengths -> compute with
-    // placeholder positions, then rebuild with real offsets
-    def globals(p1: Int, p2: Int) =
-      bof(0x0005) ++ sst ++ boundsheet(p1, "data") ++ boundsheet(p2, "extra") ++ eof
-    val gLen = globals(0, 0).length
-    globals(gLen, gLen + sheet1.length) ++ sheet1 ++ sheet2
   }
 
   /** Wrap a small (< 4096 byte) stream as a CFB compound document with
@@ -74,7 +36,7 @@ class XlsReaderSpec extends SparkSpec {
     * for small workbooks. Sectors: 0=FAT, 1=directory, 2=miniFAT,
     * 3=mini-stream container.
     */
-  private def cfb(stream: Array[Byte]): Array[Byte] = {
+  def cfb(stream: Array[Byte]): Array[Byte] = {
     require(stream.length <= 512)
     val EndOfChain = 0xFFFFFFFE; val FreeSect = 0xFFFFFFFF; val FatSect = 0xFFFFFFFD
     val nMini = (stream.length + 63) / 64
@@ -116,6 +78,48 @@ class XlsReaderSpec extends SparkSpec {
     miniStream.out.write(stream); miniStream.pad(512)
 
     h.bytes ++ fat.bytes ++ dir ++ miniFat.bytes ++ miniStream.bytes
+  }
+}
+
+class XlsReaderSpec extends SparkSpec {
+  import spark.implicits._
+  import BiffFixture.{LE, rec, cfb}
+
+  /** Assemble the BIFF8 Workbook stream: globals (BOF, SST, 2x
+    * BOUNDSHEET, EOF) + two sheet substreams.
+    */
+  private def biffStream(): Array[Byte] = {
+    def bof(dt: Int) = rec(0x809, new LE().u16(0x0600).u16(dt).u16(0).u16(0).u32(0).u32(0))
+    val sst = rec(0xFC, {
+      val l = new LE().u32(2).u32(2)
+      l.u16(4).u8(0).ascii("year")
+      l.u16(3).u8(0).ascii("gdp")
+      l
+    })
+    def labelSst(row: Int, col: Int, idx: Int) =
+      rec(0xFD, new LE().u16(row).u16(col).u16(0).u32(idx))
+    def number(row: Int, col: Int, v: Double) =
+      rec(0x203, new LE().u16(row).u16(col).u16(0).f64(v))
+    def rkInt(v: Int): Int = (v << 2) | 0x02
+    val eof = rec(0x0A, new LE())
+
+    val sheet1 = bof(0x0010) ++ labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++
+      number(1, 0, 2001.0) ++
+      rec(0x27E, new LE().u16(1).u16(1).u16(0).u32(rkInt(10))) ++ // RK
+      rec(0xBD, new LE().u16(2).u16(0) // MULRK: 2002, 11 in cols 0-1
+        .u16(0).u32(rkInt(2002)).u16(0).u32(rkInt(11)).u16(1)) ++
+      rec(0x204, new LE().u16(3).u16(0).u16(0).u16(4).u8(0).ascii("note")) ++ // LABEL
+      eof
+    val sheet2 = bof(0x0010) ++ number(0, 0, 3.5) ++ eof
+
+    def boundsheet(pos: Int, name: String) =
+      rec(0x85, new LE().u32(pos).u16(0).u8(name.length).u8(0).ascii(name))
+    // globals length depends only on name lengths -> compute with
+    // placeholder positions, then rebuild with real offsets
+    def globals(p1: Int, p2: Int) =
+      bof(0x0005) ++ sst ++ boundsheet(p1, "data") ++ boundsheet(p2, "extra") ++ eof
+    val gLen = globals(0, 0).length
+    globals(gLen, gLen + sheet1.length) ++ sheet1 ++ sheet2
   }
 
   private def makeXls(): Array[Byte] = cfb(biffStream())
