@@ -25,7 +25,11 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k portable min-hashes of a string array"),
       (args: Seq[Expression]) => NativeExpressions.MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())))
+        args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "text_stats(text) - struct(n_tok, n_stop, n_punct, n_alnum) in one pass"),
+      (args: Seq[Expression]) => NativeExpressions.TextStats(args.head)))
 
   /** Install into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -19,6 +19,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[String](2).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("text_stats is callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT text_stats('The quick, brown fox.') AS st").select("st.*").collect().head
+    assert(r.getInt(0) == 4) // n_tok
+    assert(r.getInt(1) == 1) // n_stop: 'the'
+    assert(r.getInt(2) == 2) // n_punct: comma + period
+    assert(r.getInt(3) == 16) // n_alnum
+  }
+
   test("registration is idempotent and survives re-registration") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
