@@ -94,8 +94,14 @@ object Similarity {
   def lshBucket(vec: Column, nPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { j =>
       val plane = array((0 until dim).map(d => lit(planeComponentValue(j, d))): _*)
+      // truncate BOTH sides to the common length: zip_with pads the
+      // shorter array with nulls, and one null element null-poisons the
+      // whole fold — a dim mismatch would silently collapse every
+      // vector into one bucket instead of erroring or degrading softly
+      val n = least(size(vec), lit(dim))
       val dp = aggregate(
-        zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        zip_with(slice(vec, lit(1), n), slice(plane, lit(1), n),
+          (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v)
       when(dp > 0, "1").otherwise("0")
     }
