@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupSim, Extended, KgPipeline, MultimodalQueries, Relational, TextOps, TimeSeriesQueries}
+import graft.queries.{CurationQueries, DedupSim, Extended, KgPipeline, MultimodalQueries, Relational, TextOps, TimeSeriesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ DedupSim.all ++ KgPipeline.all ++
-      TimeSeriesQueries.all ++ MultimodalQueries.all ++ Extended.all
+      TimeSeriesQueries.all ++ MultimodalQueries.all ++ Extended.all ++
+      CurationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ DedupSim.oracles ++ KgPipeline.oracles ++
-      TimeSeriesQueries.oracles ++ MultimodalQueries.oracles ++ Extended.oracles
+      TimeSeriesQueries.oracles ++ MultimodalQueries.oracles ++ Extended.oracles ++
+      CurationQueries.oracles
 }

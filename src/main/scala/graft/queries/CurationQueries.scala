@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Dataset-curation operators a large-scale training-data pipeline
+  * needs beyond cleaning/dedup (builder brief): deterministic split
+  * assignment, intra-document repetition scoring, and benchmark
+  * contamination flagging. All narrow maps + one aggregation/join —
+  * the 100 TB shapes match the dedup family they reuse.
+  */
+object CurationQueries {
+
+  /** Deterministic train/valid/test split by content-independent hash
+    * of the document id (90/5/5): reproducible across engines, runs,
+    * and partitionings — never `rand()`. Emits per-language split
+    * counts (the sanity report a pipeline checks before training).
+    */
+  def pipelineSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)), 16, 10).cast("long"),
+      lit(100))
+    val split = when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    Tables(s, dir, "documents")
+      .select(col("lang"), split.as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val pipelineSplitSql: String =
+    """SELECT lang,
+      |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
+      |  COUNT(*) AS docs
+      |FROM (SELECT lang,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+      |  FROM documents)
+      |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  /** Gopher-style repetition signal: fraction of duplicate token
+    * 3-grams within each document (high value = boilerplate/spam).
+    * Top-50 most repetitive docs.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextFunctions.shingles(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), size(sh).as("total"), size(array_distinct(sh)).as("uniq"))
+      .filter(col("total") > 0)
+      .withColumn("rep",
+        (col("total") - col("uniq")).cast("double") / col("total").cast("double"))
+      .select(col("doc_id"), col("total"), col("uniq"), col("rep"))
+      .orderBy(col("rep").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val textRepetitionSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(greatest(len(t)-2, 0)),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS s FROM tk)
+      |SELECT doc_id, len(s) AS total, len(list_distinct(s)) AS uniq,
+      |  CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE) AS rep
+      |FROM sh WHERE len(s) > 0
+      |ORDER BY rep DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Benchmark-contamination flagging: corpus docs sharing >= minShared
+    * distinct 3-gram shingles with ANY benchmark document must be
+    * dropped before training. Benchmark here = the deterministic
+    * doc_id % 20 == 0 subset standing in for an eval set; the operator
+    * shape (distinct benchmark shingle set, semi-join via the inverted
+    * index, per-doc overlap count) is the real thing — the benchmark
+    * side is small and broadcastable at any corpus scale.
+    */
+  def contamination(s: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
+    val isBench = pmod(col("doc_id"), lit(20)) === 0
+    val benchShingles = broadcast(
+      docs.filter(isBench).select(explode(col("sh")).as("s")).distinct())
+    docs.filter(!isBench)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(benchShingles, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared")) // sh pre-distinct -> count = distinct overlap
+      .filter(col("shared") >= minShared)
+      .orderBy(col("shared").desc, col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(t)-2, 0)),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s FROM tk),
+      |bench AS (SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % 20 = 0),
+      |inv AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT doc_id, COUNT(*) AS shared
+      |FROM inv JOIN bench USING (x)
+      |GROUP BY doc_id HAVING COUNT(*) >= 3
+      |ORDER BY shared DESC, doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> (pipelineSplit _),
+    "text_repetition" -> (textRepetition _),
+    "contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_split" -> pipelineSplitSql,
+    "text_repetition" -> textRepetitionSql,
+    "contamination" -> contaminationSql)
+}
