@@ -99,13 +99,50 @@ object CurationQueries {
       |GROUP BY doc_id HAVING COUNT(*) >= 3
       |ORDER BY shared DESC, doc_id""".stripMargin
 
+  /** PII redaction: emails and IPv4 literals replaced with typed
+    * placeholder tags before training. Patterns stay in the Java∩RE2
+    * subset so the DuckDB oracle matches byte-for-byte; the corpus has
+    * no PII, so each document gets deterministic synthetic PII derived
+    * from its row (the oracle re-derives the same), and the check
+    * hashes the redacted text. Narrow map — the 100 TB shape is a scan.
+    */
+  private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRx = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+    val redacted = regexp_replace(
+      regexp_replace(withPii, EmailRx, "<EMAIL>"), IpRx, "<IP>")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(withPii, lit(EmailRx), lit(0))).as("n_email"),
+        size(regexp_extract_all(withPii, lit(IpRx), lit(0))).as("n_ip"),
+        sha2(redacted, 256).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRedactSql: String = {
+    val pii = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'" +
+      " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all($pii, '$EmailRx')) AS n_email,
+       |  len(regexp_extract_all($pii, '$IpRx')) AS n_ip,
+       |  sha256(regexp_replace(regexp_replace($pii, '$EmailRx', '<EMAIL>', 'g'),
+       |    '$IpRx', '<IP>', 'g')) AS redacted_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (pipelineSplit _),
     "text_repetition" -> (textRepetition _),
+    "text_redact" -> (textRedact _),
     "contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> pipelineSplitSql,
     "text_repetition" -> textRepetitionSql,
+    "text_redact" -> textRedactSql,
     "contamination" -> contaminationSql)
 }

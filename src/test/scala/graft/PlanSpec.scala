@@ -92,6 +92,12 @@ class PlanSpec extends SparkSpec {
       s"no full-table single-partition stage expected")
   }
 
+  test("contamination: benchmark shingle set broadcasts, corpus side never shuffles whole") {
+    val p = plan(graft.queries.CurationQueries.contamination(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the (small) benchmark shingle set must broadcast, not shuffle the corpus")
+  }
+
   test("dedup_minhash: band join carries ids and band keys only, shingles join back later") {
     val df = graft.operators.Dedup.minhashLshPairs(
       Tables(spark, dir, "documents").limit(50), "doc_id", "text")
