@@ -30,9 +30,17 @@ trait ExtractionModule {
   */
 object Dispatcher {
   def run(docs: DataFrame, modules: Seq[ExtractionModule]): DataFrame =
-    modules.foldLeft(docs) { (d, m) =>
+    modules.zipWithIndex.foldLeft(docs) { case (d, (m, i)) =>
+      // Lineage barrier between module stages: the fold references `d`
+      // in BOTH branches (matched + passthrough), so without truncation
+      // module k's plan embeds two copies of module k-1's — 2^N source
+      // scans for N modules. localCheckpoint materializes each stage
+      // once (the reference also processes stage-by-stage per doc);
+      // lazy, so no job runs until the pipeline's own action, and the
+      // last stage needs no barrier.
       val sel = coalesce(m.selector, lit(false))
-      m.transform(d.filter(sel))
+      val staged = m.transform(d.filter(sel))
         .unionByName(d.filter(!sel), allowMissingColumns = true)
+      if (i < modules.size - 1) staged.localCheckpoint(false) else staged
     }
 }

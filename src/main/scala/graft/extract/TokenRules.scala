@@ -167,14 +167,30 @@ object TokenRules {
     rules.toSeq
   }
 
+  /** Word-like matchers describe WHOLE tokens (the reference tokenizes
+    * before matching) — without boundaries, `\d{4}` would extract
+    * "1234" out of "123456" and "died" would match inside "studied".
+    * Punctuation and linebreaks are their own token class and need no
+    * boundary.
+    */
+  private def needsBoundary(m: Matcher): Boolean = m match {
+    case Punct(_) | LineBreak() => false
+    case OneOf(opts) => opts.exists(needsBoundary)
+    case _ => true
+  }
+
   /** Compile a rule to (regex, output-group indices). Tokens separated
     * by optional whitespace/punct glue (the tokenizer's inter-token
-    * separators); optional tokens wrapped in `(?:...)?`.
+    * separators); optional tokens wrapped in `(?:...)?`; word-like
+    * tokens anchored with non-word lookarounds (whole-token semantics).
     */
   def compile(rule: Rule): (String, Seq[Int]) = {
     val sep = "[\\s\\-.()]*"
     val parts = rule.tokens.zipWithIndex.map { case (t, i) =>
-      val core = s"(${matcherRegex(t.matcher)})"
+      val body =
+        if (needsBoundary(t.matcher)) s"(?<!\\w)(?:${matcherRegex(t.matcher)})(?!\\w)"
+        else matcherRegex(t.matcher)
+      val core = s"($body)"
       val withSep = if (i == 0) core else s"(?:$sep$core)"
       if (t.required) withSep else s"$withSep?"
     }

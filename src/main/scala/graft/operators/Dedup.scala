@@ -46,9 +46,9 @@ object Dedup {
   def shingleHashes(shingleArr: Column): Column =
     transform(shingleArr, s => conv(substr(md5(s), lit(1), lit(8)), 16, 10).cast("long"))
 
-  /** Per-seed min-hash over the base-hash array: min of the affine
-    * universal hash (a_i*h + b_i) mod p. Pure integer arithmetic —
-    * bit-identical across engines by construction.
+  /** Per-seed min-hash over a PRE-HASHED long array ([[shingleHashes]]):
+    * min of the affine universal hash (a_i*h + b_i) mod p. Pure integer
+    * arithmetic — bit-identical across engines by construction.
     *
     * Measured note (history): with the old k×md5 scheme the HOF
     * formulation beat the native one-pass expression (md5 kernel
@@ -56,10 +56,20 @@ object Dedup {
     * record of that A/B). Universal hashing removes the md5 bottleneck
     * outright — one digest per shingle, then k cheap integer maps.
     */
-  def minhashSig(hashArr: Column, k: Int): Column =
+  def minhashSigAffine(hashArr: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(hashArr, h =>
         (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashP)))): _*)
+
+  /** Min-hash signature of a SHINGLE-STRING array — the stable public
+    * contract (callers passing shingles keep working; the affine scheme
+    * would otherwise coerce strings to null and collapse every band).
+    * Pipelines sharing the hash array across signatures should compute
+    * [[shingleHashes]] once behind a barrier and call
+    * [[minhashSigAffine]] directly.
+    */
+  def minhashSig(shingleArr: Column, k: Int): Column =
+    minhashSigAffine(shingleHashes(shingleArr), k)
 
   /** The original k×md5 formulation (min of md5("i:"+s) hex strings) —
     * retained for the native-expression parity spec.
@@ -105,7 +115,7 @@ object Dedup {
     // cache: the self-join below evaluates both branches — without the
     // barrier the signature work runs twice over the corpus
     val banded = shingled
-      .withColumn("bands", bandKeys(minhashSig(col("hs"), k), bands, rows))
+      .withColumn("bands", bandKeys(minhashSigAffine(col("hs"), k), bands, rows))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
       .cache()
     val candidates = banded.select(col("band_id"), col("band_key"), col("id").as("id_a"))

@@ -123,13 +123,23 @@ object Similarity {
     * 4-bit bands) fit the sf test corpora. Both knobs are parameters —
     * callers at larger N raise planes (and bands for recall).
     */
+  /** Actual embedding dimensionality, probed from one row (a single
+    * cheap driver job at operator-build time). lshBucket's hyperplanes
+    * are plan-time literals, so the dimension must be known up front —
+    * defaulting it blind would silently truncate longer embeddings to
+    * the literal length (removed signal, oracle divergence).
+    */
+  def probeDim(corpus: DataFrame): Int =
+    corpus.select(size(col("embedding"))).head().getInt(0)
+
   def lshNearDupPairs(corpus: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
     require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
     val bitsPerBand = nPlanes / bands
+    val dim = probeDim(corpus)
     // cache: sig feeds the banded self-join (both branches) AND the two
     // embedding join-backs — four otherwise-recomputed projections
     val sig = corpus.select(
-      col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes).as("sig"))
+      col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes, dim).as("sig"))
       .cache()
     val banded = sig.select(col("vec_id"),
       posexplode(array((0 until bands).map(bIdx =>
@@ -152,11 +162,12 @@ object Similarity {
     * query's bucket (the scale path: score only same-bucket vectors).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val dim = probeDim(corpus)
     val bucketed = corpus.select(
-      col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes).as("bucket"))
+      col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val q = broadcast(queries.select(
       col("vec_id").as("qid"), col("embedding").as("qe"),
-      lshBucket(col("embedding"), nPlanes).as("bucket")))
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket")))
     val scored = bucketed.join(q, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qe"), col("embedding")))

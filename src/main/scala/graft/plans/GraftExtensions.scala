@@ -23,7 +23,10 @@ object GraftExtensions {
       info("dot_product_f", "dot_product_f(a, b) - sequential-fold dot product of float arrays"),
       (args: Seq[Expression]) => NativeExpressions.DotProductF(args(0), args(1))),
     (FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(shingles, k) - k portable min-hashes of a string array"),
+      info("minhash_sig",
+        "minhash_sig(shingles, k) - k min-hashes of a string array (LEGACY k-digest " +
+          "scheme, parity-tested vs Dedup.minhashSigHof; the dedup pipeline now uses " +
+          "the affine universal-hash scheme, Dedup.minhashSig)"),
       (args: Seq[Expression]) => NativeExpressions.MinHashSig(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("text_stats"),

@@ -45,8 +45,12 @@ object XlsReader {
     val firstDir = u32(bytes, 48)
     val miniCutoff = u32(bytes, 56)
     val firstMiniFat = u32(bytes, 60)
+    // sector i starts at (i+1) << sectorShift: for v3 (512-byte sectors)
+    // that is 512 + i*512, and for v4 (4096-byte sectors) the header
+    // occupies the whole first sector — a flat 512 offset would read
+    // v4 directories 3584 bytes off
     def sector(i: Int): Array[Byte] =
-      bytes.slice(512 + i * sectorSize, 512 + (i + 1) * sectorSize)
+      bytes.slice((i + 1) * sectorSize, (i + 2) * sectorSize)
     // FAT from the header DIFAT (109 entries — enough for <7 MB files;
     // DIFAT-sector extension files are far beyond workbook uploads)
     val fat = ArrayBuffer[Int]()
@@ -135,6 +139,9 @@ object XlsReader {
       while (remaining > 0 && si < segs.length) {
         if (off >= segs(si).length) { // crossing mid-chars: new option byte
           si += 1; off = 0
+          // zero-length CONTINUE records are legal — skip them before
+          // reading the option byte
+          while (si < segs.length && segs(si).isEmpty) si += 1
           if (si >= segs.length) return sb.toString
           wide = (segs(si)(0) & 0x01) != 0
           off = 1

@@ -34,18 +34,23 @@ object XlsxReader {
     val r = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(in)
     var cur: StringBuilder = null
     var inT = false
+    // <rPh> phonetic-hint runs carry their own <t> (furigana) that must
+    // NOT concatenate into the cell text
+    var inRPh = false
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => cur = new StringBuilder
-            case "t" => inT = true
+            case "rPh" => inRPh = true
+            case "t" if !inRPh => inT = true
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT && cur != null =>
           cur.append(r.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "rPh" => inRPh = false
             case "t" => inT = false
             case "si" => out += cur.toString; cur = null
             case _ =>
@@ -67,8 +72,10 @@ object XlsxReader {
     // inlineStr cells may hold MULTIPLE rich-text runs
     // (<is><r><t>a</t></r><r><t>b</t></r></is>) — runs accumulate here
     // and emit ONE concatenated Cell on </c>, never one Cell per run.
+    // <rPh> phonetic runs inside <is> are skipped (furigana, not text).
     val inlineAcc = new StringBuilder
     var inlineRuns = 0
+    var inRPh = false
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
@@ -77,7 +84,8 @@ object XlsxReader {
               cellRef = r.getAttributeValue(null, "r")
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
               inlineAcc.setLength(0); inlineRuns = 0
-            case "v" | "t" if cellRef != null =>
+            case "rPh" => inRPh = true
+            case "v" | "t" if cellRef != null && !inRPh =>
               inV = true; v.setLength(0)
             case _ =>
           }
@@ -85,6 +93,7 @@ object XlsxReader {
           v.append(r.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "rPh" => inRPh = false
             case "v" | "t" if inV =>
               inV = false
               if (cellRef != null) {

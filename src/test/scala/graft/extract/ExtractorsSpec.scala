@@ -179,6 +179,24 @@ class ExtractorsSpec extends SparkSpec {
     assert(out.contains((1, 0, 0, "footer"))) // second table indexed
   }
 
+  test("Dispatcher plan size stays linear in module count (no 2^N doubling)") {
+    val docs = Seq((1L, "src0", "a")).toDF("doc_id", "source", "text")
+    def mod(n: String) = new ExtractionModule {
+      val name = n
+      val selector = col("source").startsWith("src")
+      def transform(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn(n, org.apache.spark.sql.functions.lit(true))
+    }
+    val out = Dispatcher.run(docs, (1 to 6).map(i => mod(s"m$i")))
+    // without the per-stage lineage barrier the logical plan embeds
+    // 2^6 = 64 copies of the source; with it the plan stays shallow
+    val planLines = out.queryExecution.logical.toString.linesIterator.size
+    assert(planLines < 200, s"plan blew up: $planLines lines")
+    assert(out.count() == 1)
+    val r = out.collect().head
+    assert((1 to 6).forall(i => r.getAs[Boolean](s"m$i")))
+  }
+
   test("Dispatcher chains modules: a doc matching N modules is emitted once with all extractions") {
     val docs = Seq((1L, "src0", "a"), (2L, "other", "b")).toDF("doc_id", "source", "text")
     def mod(n: String, sel: org.apache.spark.sql.Column) = new ExtractionModule {

@@ -45,6 +45,21 @@ class TokenRulesSpec extends SparkSpec {
     assert(Rule("date_birth-2", Nil).field == "date_birth")
   }
 
+  test("whole-token semantics: matchers never fire inside longer tokens") {
+    // "died" must not match inside "studied"
+    val died = Rule("d-1", Seq(RuleToken(TokenIs("died"), output = false),
+      RuleToken(Shape("dddd"))))
+    val out1 = Seq("she studied 1867 hard").toDF("t")
+      .select(TokenRules.extract($"t", died).as("x")).as[Seq[String]].collect().head
+    assert(out1.isEmpty)
+    // a 4-digit number constraint must not extract a prefix of a 6-digit run
+    val year = Rule("y-1", Seq(RuleToken(NumberTok(Nil, Seq(4)))))
+    val out2 = Seq("code 123456 end", "year 1867 end").toDF("t")
+      .select(TokenRules.extract($"t", year).as("x")).as[Seq[String]].collect()
+    assert(out2(0).isEmpty)
+    assert(out2(1) == Seq("1867"))
+  }
+
   test("capitalization matchers: title/upper/lower/mixed word classes") {
     // "Died <TitleWord>" style rule: capitalized surname after a marker
     val rule = Rule("surname-1", Seq(

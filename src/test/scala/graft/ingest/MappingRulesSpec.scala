@@ -91,4 +91,21 @@ class MappingRulesSpec extends SparkSpec {
     val out = MappingRules.columnSlice(1, 3)(cells)
     assert(out.columns.toSeq == Seq("1", "2"))
   }
+
+  test("P13 synthesizeIdentity: urls unique across multi-column partition keys") {
+    // row numbers restart per (file, batch) partition — the tag must
+    // key on BOTH columns or two batches would mint url "...#1" twice
+    val df = Seq(
+      ("", "b1", 10), ("", "b1", 11),
+      ("", "b2", 20), ("", "b2", 21)).toDF("file", "batch", "ord")
+    val out = MappingRules.synthesizeIdentity("u", Seq($"ord"),
+      perFile = Seq($"file", $"batch"))(df)
+    val urls = out.select("url").as[String].collect()
+    assert(urls.distinct.length == 4, s"duplicate urls: ${urls.mkString(", ")}")
+    // single empty-string key (the in-memory default shape): no tag
+    val plain = MappingRules.synthesizeIdentity("u", Seq($"ord"),
+      perFile = Seq(lit("")))(df.select($"ord"))
+    assert(plain.select("url").as[String].collect().toSet ==
+      Set("u#1", "u#2", "u#3", "u#4"))
+  }
 }

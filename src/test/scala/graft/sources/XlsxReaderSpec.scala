@@ -76,6 +76,27 @@ class XlsxReaderSpec extends SparkSpec {
     assert(cells.find(c => c.row == 0 && c.col == 2).get.value == "42")
   }
 
+  test("rPh phonetic runs are excluded from shared strings and inlineStr") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><r><t>Kanji</t></r>
+        |<rPh sb="0" eb="2"><t>furigana</t></rPh></si></sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c>
+        |<c r="B1" t="inlineStr"><is><r><t>base</t></r>
+        |<rPh sb="0" eb="1"><t>hint</t></rPh></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val cells = XlsxReader.parseWorkbook(bos.toByteArray, sheetNumber = Some(1))
+    assert(cells.find(c => c.col == 0).get.value == "Kanji")
+    assert(cells.find(c => c.col == 1).get.value == "base")
+  }
+
   test("column reference arithmetic") {
     assert(XlsxReader.colIndex("A1") == 0)
     assert(XlsxReader.colIndex("AA10") == 26)
