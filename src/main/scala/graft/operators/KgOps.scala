@@ -37,8 +37,14 @@ object KgOps {
       val guard = r.guardDataset
         .map(g => col("dataset_identifier") === g)
         .getOrElse(lit(true))
-      val existing = if (d.columns.contains(r.field)) col(r.field) else lit(null).cast("string")
-      d.withColumn(r.field, when(guard && existing.isNull, lit(r.value)).otherwise(existing))
+      // the constant fills typed as the EXISTING column's type — a bare
+      // string literal would coerce a numeric column to string for
+      // every row (or fail under ANSI) just to null-fill it
+      val (existing, fill) = d.schema.fields.find(_.name == r.field) match {
+        case Some(f) => (col(r.field), lit(r.value).cast(f.dataType))
+        case None => (lit(null).cast("string"), lit(r.value))
+      }
+      d.withColumn(r.field, when(guard && existing.isNull, fill).otherwise(existing))
     }
 
   /** J1 join_indexing: hoist child-struct fields to searchable top-level

@@ -28,11 +28,14 @@ object Skew {
   }
 
   /** Skew diagnosis: per-key share of rows — keys above `threshold`
-    * share are salting candidates.
+    * share are salting candidates. ONE scan of the (by definition
+    * large, skewed) input: the total derives from the cached per-key
+    * counts, not a second full count() job.
     */
   def hotKeys(df: DataFrame, key: String, threshold: Double = 0.01): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val grouped = df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).cache()
+    val total = grouped.agg(sum(col("cnt"))).head().getLong(0).toDouble
+    grouped
       .withColumn("share", col("cnt") / lit(total))
       .filter(col("share") >= threshold)
       .orderBy(col("cnt").desc)

@@ -101,15 +101,25 @@ object QueryCompiler {
           col("key").isin(variants: _*))
         .select(col("doc_id"), lit(i).as("cid"), fieldWeight.as("w"))
     }
-    val matched = perConstraint.reduce(_.unionByName(_))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("cid")).as("matched"),
-        sum(col("w")).cast("double").as("kg_score"))
-      .filter(col("matched") === spec.constraints.length)
+    // no constraints = the Q13 free-text-only mode: every doc matches
+    // with kg_score 0 (an empty reduce would throw before planning)
+    val matched =
+      if (perConstraint.isEmpty)
+        docs.select(col(docIdCol).cast("string").as("doc_id"),
+          lit(0L).as("matched"), lit(0.0).as("kg_score"))
+      else perConstraint.reduce(_.unionByName(_))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("cid")).as("matched"),
+          sum(col("w")).cast("double").as("kg_score"))
+        .filter(col("matched") === spec.constraints.length)
 
     val scored = spec.freeText match {
       case Some(q) =>
-        val qTokens = q.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+        // tokenize the QUERY exactly like the documents ([a-z0-9]+):
+        // \W+ keeps underscores, which the doc tokenizer splits — an
+        // underscore-bearing query token could otherwise never match
+        val qTokens = "[a-z0-9]+".r
+          .findAllIn(q.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
         val ftScore = size(array_intersect(
           array_distinct(TextFunctions.tokens(col(textCol))),
           array(qTokens.map(lit): _*))).cast("double")
@@ -144,6 +154,9 @@ object QueryCompiler {
   def executeWithTimeout(df: DataFrame, timeoutSec: Int,
                          groupId: String = "graft-query"): Either[String, Array[org.apache.spark.sql.Row]] = {
     val sc = df.sparkSession.sparkContext
+    // Per-invocation group id: a shared id would make one query's
+    // timeout cancel every concurrently running query in the group.
+    val gid = s"$groupId-${java.util.UUID.randomUUID()}"
     // Job-group local properties are read on the thread that TRIGGERS the
     // action, and pooled threads inherit properties only at creation — so
     // the group is set inside the task on a dedicated single-use thread
@@ -151,16 +164,25 @@ object QueryCompiler {
     // wrongly cancel a later query that reuses the pooled thread).
     val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
     val ec = scala.concurrent.ExecutionContext.fromExecutorService(exec)
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       val fut = scala.concurrent.Future {
-        sc.setJobGroup(groupId, s"graft query (timeout ${timeoutSec}s)", interruptOnCancel = true)
-        try df.collect() finally sc.clearJobGroup()
+        sc.setJobGroup(gid, s"graft query (timeout ${timeoutSec}s)", interruptOnCancel = true)
+        try {
+          // closes the race where the timeout fires before this thread
+          // even set the group (cancelJobGroup would have been a no-op
+          // and the job would run unbounded)
+          if (cancelled.get()) throw new InterruptedException("cancelled before start")
+          df.collect()
+        } finally sc.clearJobGroup()
       }(ec)
       Right(scala.concurrent.Await.result(fut,
         scala.concurrent.duration.Duration(timeoutSec, "s")))
     } catch {
       case _: java.util.concurrent.TimeoutException =>
-        sc.cancelJobGroup(groupId)
+        cancelled.set(true)
+        sc.cancelJobGroup(gid)
+        exec.shutdownNow() // interrupt the worker if it never reached collect
         Left(s"query exceeded ${timeoutSec}s and was cancelled")
     } finally exec.shutdown()
   }

@@ -19,11 +19,20 @@ object Sessionize {
   final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Int)
 
   /** Close a session when the gap between consecutive events exceeds
-    * `gapMs`. Emits closed sessions; the open session stays in state.
+    * `gapMs`. Emits closed sessions; the open session stays in state
+    * with a processing-time timeout of `gapMs`, and a timeout firing
+    * (idle user, empty batch for this key) closes and emits the open
+    * session — without this, idle users' last sessions would never
+    * emit and their state would live forever.
     */
   def updateSessions(gapMs: Long)(
       userId: Long, events: Iterator[Event], state: GroupState[SessionState])
       : Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(s => Session(userId, s.startMs, s.lastMs, s.n))
+      state.remove()
+      return out.iterator
+    }
     val sorted = events.toSeq.sortBy(_.tsMs)
     var cur = state.getOption
     val closed = scala.collection.mutable.ArrayBuffer[Session]()
@@ -38,8 +47,26 @@ object Sessionize {
           cur = Some(SessionState(e.tsMs, e.tsMs, 1))
       }
     }
-    cur.foreach(state.update)
+    cur.foreach { s =>
+      state.update(s)
+      // timeout registration is only legal under a configured
+      // GroupStateTimeout (the streaming entry point); the batch/test
+      // entry runs with NoTimeout where this throws — ignored there
+      try state.setTimeoutDuration(gapMs) catch {
+        case _: UnsupportedOperationException => case _: IllegalStateException =>
+      }
+    }
     closed.iterator
+  }
+
+  /** Streaming entry: same state function with processing-time timeouts
+    * wired so idle users' open sessions close and state is reclaimed.
+    */
+  def sessionsStream(spark: SparkSession, ds: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import spark.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        updateSessions(gapMs))
   }
 
   /** Batch/testing entry: run the same state function over a bounded

@@ -49,15 +49,20 @@ object SpreadsheetRegions {
     }
   }
 
-  /** Parse "A1:C9" / "[B:2]:[B:*]" style range strings. */
+  /** Parse "A1:C9" / "[B:2]:[B:*]" / single-location "[B:3]" / "A1"
+    * range strings.
+    */
   def parseRange(s: String): Range = {
+    val t = s.trim
     // split on the ':' separating two bracketed or bare locs; bracketed
-    // locs contain ':' themselves, so split between "]:"/":[" first.
+    // locs contain ':' themselves, so split between "]:"/":[" first —
+    // and a lone bracketed loc ("[B:3]") must NOT split on its inner ':'
     val parts =
-      if (s.contains("]:")) s.split("\\]:", 2).toSeq match {
+      if (t.contains("]:")) t.split("\\]:", 2).toSeq match {
         case Seq(a, b) => Seq(a + "]", b)
       }
-      else s.split(":", 2).toSeq
+      else if (t.startsWith("[")) Seq(t)
+      else t.split(":", 2).toSeq
     parts match {
       case Seq(a, b) => Range(parseLoc(a), parseLoc(b))
       case Seq(a) => val l = parseLoc(a); Range(l, l)
@@ -100,8 +105,11 @@ object SpreadsheetRegions {
     t.join(v, "__k").withColumnRenamed("__k", "pos").orderBy(col("pos"))
   }
 
-  /** Metadata source (extractSpreadsheet.py metadata modes): const /
-    * cell(loc) / sheet_name.
+  /** Metadata sources with a fixed value per extraction
+    * (extractSpreadsheet.py metadata modes): const / cell(loc) /
+    * sheet_name. Per-series row/col sources are positional — use
+    * [[rangeMetadata]] — and are rejected here rather than silently
+    * emitted as constant spec strings.
     */
   def metadata(cells: DataFrame, spec: Map[String, String]): Map[String, Column] =
     spec.map {
@@ -110,6 +118,23 @@ object SpreadsheetRegions {
         k -> first(when(col("row") === loc.row.getOrElse(0) &&
           col("col") === loc.col.getOrElse(0), col("value")), ignoreNulls = true)
       case (k, v) if v == "sheet_name" => k -> first(col("sheet"))
+      case (k, v) if v.startsWith("row:") || v.startsWith("col:") =>
+        throw new IllegalArgumentException(
+          s"metadata '$k': per-series $v sources are positional — use rangeMetadata")
       case (k, v) => k -> lit(v.stripPrefix("const:"))
     }
+
+  /** Per-series row/col metadata source (extractSpreadsheet.py:72-80):
+    * the values of the metadata row/col segment aligned with the
+    * series, space-joined in axis order (the reference's
+    * `" ".join(md_vals)`). Returns the joined string.
+    */
+  def rangeMetadata(cells: DataFrame, mdRange: Range, rowOriented: Boolean): String = {
+    val axis = if (rowOriented) "col" else "row"
+    region(cells, mdRange)
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col(axis), col("value")))),
+          p => p.getField("value"))).as("md"))
+      .head().getString(0)
+  }
 }

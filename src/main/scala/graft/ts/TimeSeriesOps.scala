@@ -41,10 +41,13 @@ object TimeSeriesOps {
 
   /** T2 inline-metadata series splitting (extractSpreadsheet.py:161-186):
     * sub-series id increments whenever the metadata column changes.
+    * Null-safe comparison: inside a run of null metadata, `=!=` yields
+    * null while `lag.isNull` stays true — the old formulation started a
+    * NEW sub-series on every consecutive null row instead of keeping
+    * the run together.
     */
   def splitOnChange(meta: Column, w: WindowSpec): Column =
-    sum(when(meta =!= lag(meta, 1).over(w) || lag(meta, 1).over(w).isNull, 1)
-      .otherwise(0))
+    sum(when(meta <=> lag(meta, 1).over(w), 0).otherwise(1))
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   /** T3 date-diff x-axis (trend/io_utils.py:15-48): fractional "years"

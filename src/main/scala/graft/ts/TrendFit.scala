@@ -93,8 +93,18 @@ object TrendFit {
                    gridSize: Int = 8): Fit = {
     val lo = x.min; val hi = x.max
     if (nSegments <= 1) return fitFixedBreaks(x, y, Array(lo, hi))
-    val candidates = (1 until gridSize)
-      .map(i => lo + (hi - lo) * i / gridSize.toDouble).toArray
+    // quantiles of the SORTED x (linearly interpolated), not a uniform
+    // span grid: clumped data (e.g. 90 points in [0,1] plus one at 100)
+    // needs candidate breaks where the points actually are — a uniform
+    // grid would place every candidate in the empty region. For evenly
+    // spaced x the two coincide.
+    val xs = x.sorted
+    val candidates = (1 until gridSize).map { i =>
+      val pos = (xs.length - 1).toDouble * i / gridSize
+      val lo2 = xs(pos.toInt)
+      val hi2 = xs(math.min(xs.length - 1, pos.toInt + 1))
+      lo2 + (hi2 - lo2) * (pos - pos.toInt)
+    }.distinct.toArray
     val nInterior = nSegments - 1
     var best: Fit = null
     def eval(interior: Array[Double]): Unit = {

@@ -36,6 +36,17 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1, 1, 2, 2, 1))
   }
 
+  test("T2 splitOnChange keeps a null-metadata run as ONE sub-series") {
+    val df = Seq(
+      ("s", 1L, Some("A")), ("s", 2L, None), ("s", 3L, None),
+      ("s", 4L, None), ("s", 5L, Some("B")))
+      .toDF("sid", "t", "meta")
+    val out = df.withColumn("sub", TimeSeriesOps.splitOnChange($"meta", w))
+      .orderBy("t").select("sub").as[Long].collect()
+    // A | null-run | B = three sub-series, not one per null row
+    assert(out.toSeq == Seq(1, 2, 2, 2, 3))
+  }
+
   test("T5 spike detection flags the middle outlier only") {
     val df = Seq(("s", 1L, 1.0), ("s", 2L, 1.1), ("s", 3L, 9.0), ("s", 4L, 1.2), ("s", 5L, 1.3))
       .toDF("sid", "t", "v")
