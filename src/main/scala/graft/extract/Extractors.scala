@@ -41,8 +41,14 @@ object Extractors {
     */
   def glossaryFromTokens(toks: Column, entries: Seq[String], maxNgram: Int = 3,
                          caseSensitive: Boolean = false): Column = {
+    // entries normalize through the SAME tokenizer as the documents —
+    // lowercase+trim alone leaves punctuation ("washington, d.c.",
+    // "o'brien") that the alphanumeric shingles can never match
     val norm = entries
-      .map(e => if (caseSensitive) e.trim else e.toLowerCase(java.util.Locale.ROOT).trim)
+      .map { e =>
+        val base = if (caseSensitive) e else e.toLowerCase(java.util.Locale.ROOT)
+        "[A-Za-z0-9]+".r.findAllIn(base).mkString(" ")
+      }
       .filter(_.nonEmpty).distinct
     val byLen = norm.groupBy(_.split("\\s+").length)
     val matches = (1 to maxNgram).flatMap { n =>
@@ -64,8 +70,12 @@ object Extractors {
     */
   def glossaryJoin(docs: DataFrame, idCol: String, textCol: String,
                    glossary: DataFrame, maxNgram: Int = 3): DataFrame = {
+    // same tokenizer normalization as glossaryFromTokens: punctuation
+    // inside entries must not block shingle matches
     val gloss = broadcast(glossary.select(
-      lower(trim(col(glossary.columns.head))).as("__g")).distinct())
+      concat_ws(" ", regexp_extract_all(lower(col(glossary.columns.head)),
+        lit("[a-z0-9]+"), lit(0))).as("__g"))
+      .filter(length(col("__g")) > 0).distinct())
     val candidates = docs.select(
       col(idCol).as("__id"),
       explode(array_distinct(concat(
@@ -161,8 +171,15 @@ object Extractors {
   def htmlTitle(c: Column): Column =
     regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)
 
-  def htmlMetaContent(c: Column, name: String): Column =
-    regexp_extract(c, s"""(?is)<meta[^>]*name=["']$name["'][^>]*content=["']([^"']*)""", 1)
+  def htmlMetaContent(c: Column, name: String): Column = {
+    // both attribute orders occur in real pages (content-before-name is
+    // common generator output)
+    val nameFirst =
+      regexp_extract(c, s"""(?is)<meta[^>]*name=["']$name["'][^>]*content=["']([^"']*)""", 1)
+    val contentFirst =
+      regexp_extract(c, s"""(?is)<meta[^>]*content=["']([^"']*)["'][^>]*name=["']$name["']""", 1)
+    when(length(nameFirst) > 0, nameFirst).otherwise(contentFirst)
+  }
 
   /** E7 microdata/RDFa (em_elicit.py:40-46 extracts title, meta,
     * microdata AND RDFa — the latter two were the fidelity gap):
@@ -204,7 +221,10 @@ object Extractors {
     * trailing index (re.sub(r'-\\d+$','')).
     */
   final case class LandmarkRule(name: String, begin: String, end: String) {
-    def field: String = name.replaceAll("-\\d+$", "")
+    // rule names use the two-index field-i-j form (museum corpus:
+    // title-0-0, name-0-1, ...) — strip ALL trailing indices, matching
+    // LandmarkRules.ItemRule (a single strip left "title-0")
+    def field: String = name.replaceAll("(-\\d+)+$", "")
   }
 
   def landmark(c: Column, rule: LandmarkRule): Column =

@@ -24,13 +24,23 @@ object LandmarkRules {
     def field: String = name.replaceAll("(-\\d+)+$", "")
   }
 
+  /** Neutralize capturing groups inside a rule-supplied regex: the
+    * extraction relies on OUR span group being group 1, so any '(' the
+    * rule author wrote (alternations like '<(b|strong)>') must become
+    * non-capturing or regexp_extract returns the wrong group.
+    */
+  private[extract] def nonCapturing(rx: String): String =
+    rx.replaceAll("(?<!\\\\)\\((?![?])", "(?:")
+
   /** Compile one rule into an extraction column over raw HTML. */
   def extract(raw: Column, rule: ItemRule): Column = {
+    val begin = nonCapturing(rule.beginRegex)
+    val end = nonCapturing(rule.endRegex)
     val span =
       if (rule.includeEnd)
-        regexp_extract(raw, s"(?s)${rule.beginRegex}(.*?${rule.endRegex})", 1)
+        regexp_extract(raw, s"(?s)$begin(.*?$end)", 1)
       else
-        regexp_extract(raw, s"(?s)${rule.beginRegex}(.*?)${rule.endRegex}", 1)
+        regexp_extract(raw, s"(?s)$begin(.*?)$end", 1)
     val stripped =
       if (rule.stripEndRegex.nonEmpty)
         regexp_replace(span, s"(?s)${rule.stripEndRegex}\\s*$$", "")
@@ -42,13 +52,24 @@ object LandmarkRules {
     cleaned
   }
 
+  /** Numeric rule order from the trailing indices (field-i-j): the
+    * generated em modules iterate rules in index order, and a
+    * lexicographic name sort would rank '...-0-10' before '...-0-2'.
+    */
+  private def ruleOrder(name: String): (String, Seq[Int]) = {
+    val idx = "-(\\d+)".r.findAllMatchIn(name).map(_.group(1).toInt).toSeq
+    (name.replaceAll("(-\\d+)+$", ""), idx)
+  }
+
   /** Apply a TLD's rule set: one column per field (first rule per field
-    * wins on name order, matching the generated em modules).
+    * wins in NUMERIC index order, matching the generated em modules).
     */
   def applyRules(docs: DataFrame, rawCol: String, rules: Seq[ItemRule]): DataFrame =
     rules.groupBy(_.field).toSeq.sortBy(_._1).foldLeft(docs) {
       case (d, (field, rs)) =>
-        val exprs = rs.sortBy(_.name).map(r => extract(col(rawCol), r))
+        val ordered = rs.sortBy(r => ruleOrder(r.name)._2.toList)(
+          scala.math.Ordering.Implicits.seqOrdering[List, Int])
+        val exprs = ordered.map(r => extract(col(rawCol), r))
         val firstNonEmpty = exprs
           .map(e => when(length(e) > 0, e))
           .reduce((a, b) => coalesce(a, b))

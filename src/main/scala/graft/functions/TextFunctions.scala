@@ -78,10 +78,13 @@ object TextFunctions {
   }
 
   /** Document fingerprint: sha256 of whitespace-normalized lowercase text
-    * (reference A6 content-hash ids, ts_converter.py:30-33).
+    * (reference A6 content-hash ids, ts_converter.py:30-33). trim wraps
+    * the collapse — trimming FIRST left a residual space when the text
+    * ended in punctuation ('foo.' hashed "foo ", 'foo' hashed "foo"),
+    * so trivially-equal content fingerprinted differently.
     */
   def fingerprint(c: Column): Column =
-    sha2(regexp_replace(trim(lower(c)), "[^a-z0-9]+", " "), 256)
+    sha2(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")), 256)
 
   // ---- regex extractor battery (E4/E9/E10) -------------------------------
   val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -40,14 +40,18 @@ object Multimodal {
   }
 
   /** STUB resize: real impl transforms pixels; the stub keeps the
-    * contract (metadata updated, payload passed through).
+    * contract (FULL MetaSchema carried through with width/height
+    * updated, payload passed through — dropping fields would give
+    * chained/unioned media frames incompatible struct schemas).
     */
   def resizeStub(bytes: Column, meta: Column, w: Int, h: Int): Column =
     struct(
       bytes.as("bytes"),
       meta.getField("format").as("format"),
       lit(w).cast("int").as("width"),
-      lit(h).cast("int").as("height"))
+      lit(h).cast("int").as("height"),
+      meta.getField("n_frames").as("n_frames"),
+      meta.getField("sample_rate").as("sample_rate"))
 
   /** STUB frame sampling for video: pick every k-th "frame" (here: k-th
     * 1KiB chunk index) — demonstrates the explode shape a real frame
@@ -70,11 +74,13 @@ object Multimodal {
     */
   def decodeBatched(df: DataFrame, idCol: String, bytesCol: String,
                     batchSize: Int = 64,
-                    decodeBatch: Seq[(Long, Array[Byte])] => Seq[Array[Float]] =
+                    decodeBatch: Seq[(String, Array[Byte])] => Seq[Array[Float]] =
                       stubDecodeBatch): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(bytesCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    // ids travel as strings: the pipeline's doc_id convention is sha256
+    // hex — a long cast would null them and crash the tuple encoder
+    df.select(col(idCol).cast("string"), col(bytesCol).cast("binary"))
+      .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           val feats = decodeBatch(batch)
@@ -88,7 +94,7 @@ object Multimodal {
     * (real impl: decode + embed). Marked fake; the batch SHAPE is the
     * tested contract.
     */
-  def stubDecodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[Array[Float]] =
+  def stubDecodeBatch(batch: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
     batch.map { case (_, bytes) =>
       val n = math.max(1, bytes.length)
       var sum = 0L; var mx = 0; var i = 0

@@ -109,7 +109,7 @@ object TextOps {
   }
 
   val textFingerprintSql: String =
-    """SELECT doc_id, sha256(regexp_replace(trim(lower(text)),'[^a-z0-9]+',' ','g')) AS fp
+    """SELECT doc_id, sha256(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** E14 segment selection via JSONPath (em_elicit.py:33,50): pull `$.k`
@@ -234,7 +234,7 @@ object TextOps {
        |    THEN 1 END) AS kept,
        |  COUNT(DISTINCT CASE WHEN len($TokSql) >= 30
        |    AND len(list_filter($TokSql, t -> t IN ($stopListSql))) * 2 < len($TokSql)
-       |    THEN sha256(regexp_replace(trim(lower(text)),'[^a-z0-9]+',' ','g')) END) AS unique_kept
+       |    THEN sha256(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))) END) AS unique_kept
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -63,8 +63,13 @@ object Sources {
   def upsert(existing: Option[DataFrame], incoming: DataFrame,
              idCol: String, versionCol: String): DataFrame = {
     val all = existing.fold(incoming)(_.unionByName(incoming, allowMissingColumns = true))
+    // version ties (coarse timestamps are common) need a deterministic
+    // tiebreak or the surviving row depends on task ordering — a stable
+    // content hash makes repeated runs of the same upsert idempotent,
+    // the semantics this sink exists to provide
+    val contentTieBreak = xxhash64(all.columns.map(col).toIndexedSeq: _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col(versionCol).desc)
+      .partitionBy(col(idCol)).orderBy(col(versionCol).desc, contentTieBreak)
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -120,36 +120,101 @@ object XlsxReader {
     out.toSeq
   }
 
+  /** Book order + real tab names from xl/workbook.xml: <sheet name=
+    * "Inventory" r:id="rId2"/> in tab order.
+    */
+  private def parseWorkbookXml(bytes: Array[Byte]): Seq[(String, String)] = {
+    val out = ArrayBuffer[(String, String)]()
+    val r = javax.xml.stream.XMLInputFactory.newInstance()
+      .createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet") {
+        val nm = Option(r.getAttributeValue(null, "name")).getOrElse("")
+        // r:id is namespaced; scan attributes for local name "id"
+        val rid = (0 until r.getAttributeCount)
+          .find(i => r.getAttributeLocalName(i) == "id")
+          .map(r.getAttributeValue).getOrElse("")
+        out += ((nm, rid))
+      }
+    }
+    out.toSeq
+  }
+
+  /** rId → part target from xl/_rels/workbook.xml.rels. */
+  private def parseRels(bytes: Array[Byte]): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    val r = javax.xml.stream.XMLInputFactory.newInstance()
+      .createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship") {
+        val id = Option(r.getAttributeValue(null, "Id")).getOrElse("")
+        val target = Option(r.getAttributeValue(null, "Target")).getOrElse("")
+        if (id.nonEmpty) out(id) = target
+      }
+    }
+    out.toMap
+  }
+
   /** Parse one workbook's bytes → cells of the `sheetNumber`-th sheet
     * (1-based, matching the reference's sheet_number) or all sheets.
+    *
+    * Sheet ORDER and NAMES follow xl/workbook.xml + its rels when
+    * present — part filenames (sheetN.xml) don't track tab order once
+    * sheets are deleted/reordered, and real tab names keep .xlsx and
+    * .xls (BOUNDSHEET) outputs consistent for the same workbook. Files
+    * without workbook.xml (minimal fixtures) fall back to numeric part
+    * order with synthetic names.
     */
   def parseWorkbook(bytes: Array[Byte], sheetNumber: Option[Int] = None): Seq[Cell] = {
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     var shared: IndexedSeq[String] = IndexedSeq.empty
+    var workbookXml: Option[Array[Byte]] = None
+    var relsXml: Option[Array[Byte]] = None
     val sheets = ArrayBuffer[(String, Array[Byte])]()
     var e = zin.getNextEntry
     while (e != null) {
       val name = e.getName
-      if (name == "xl/sharedStrings.xml" || name.matches("xl/worksheets/sheet\\d+\\.xml")) {
+      if (name == "xl/sharedStrings.xml" || name == "xl/workbook.xml" ||
+          name == "xl/_rels/workbook.xml.rels" ||
+          name.matches("xl/worksheets/sheet\\d+\\.xml")) {
         val buf = new java.io.ByteArrayOutputStream()
         zin.transferTo(buf)
-        if (name == "xl/sharedStrings.xml")
-          shared = parseSharedStrings(new java.io.ByteArrayInputStream(buf.toByteArray))
-        else sheets += ((name, buf.toByteArray))
+        name match {
+          case "xl/sharedStrings.xml" =>
+            shared = parseSharedStrings(new java.io.ByteArrayInputStream(buf.toByteArray))
+          case "xl/workbook.xml" => workbookXml = Some(buf.toByteArray)
+          case "xl/_rels/workbook.xml.rels" => relsXml = Some(buf.toByteArray)
+          case _ => sheets += ((name, buf.toByteArray))
+        }
       }
       e = zin.getNextEntry
     }
-    val ordered = sheets.sortBy { case (n, _) =>
-      "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0)
+    val byPart = sheets.toMap
+    val ordered: Seq[(String, Array[Byte])] = (workbookXml, relsXml) match {
+      case (Some(wb), Some(rl)) =>
+        val rels = parseRels(rl)
+        parseWorkbookXml(wb).flatMap { case (nm, rid) =>
+          rels.get(rid)
+            .map(t => "xl/" + t.stripPrefix("/xl/").stripPrefix("xl/"))
+            .flatMap(byPart.get)
+            .map(bs => (nm, bs))
+        }
+      case _ =>
+        sheets.sortBy { case (n, _) =>
+          "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0)
+        }.map { case (n, bs) =>
+          ("sheet" + "\\d+".r.findFirstIn(n).getOrElse("1"), bs)
+        }.toSeq
     }
     val picked = sheetNumber match {
       case Some(i) => ordered.slice(i - 1, i)
       case None => ordered
     }
-    picked.flatMap { case (n, bs) =>
-      val sheetName = "sheet" + "\\d+".r.findFirstIn(n).getOrElse("1")
+    picked.flatMap { case (sheetName, bs) =>
       parseSheet(new java.io.ByteArrayInputStream(bs), sheetName, shared)
-    }.toSeq
+    }
   }
 
   /** Distributed read: every .xlsx under `path` → one cell-grid frame.

@@ -63,10 +63,11 @@ class MultimodalSpec extends SparkSpec {
     val seen = sizes.value
     assert(seen.size() > 4)
     seen.forEach(s => assert(s >= 1 && s <= 16))
-    assert(out.map(_.getLong(0)).sorted.sameElements(1L to 200L))
+    // string ids (the doc_id convention is sha256 hex — longs would null)
+    assert(out.map(_.getString(0).toLong).sorted.sameElements(1L to 200L))
     // deterministic stub: same payload -> same vector
     val again = Multimodal.decodeBatched(many, "id", "bytes", batchSize = 16).collect()
-    assert(again.map(r => (r.getLong(0), r.getAs[Seq[Float]]("features"))).toMap ==
-      out.map(r => (r.getLong(0), r.getAs[Seq[Float]]("features"))).toMap)
+    assert(again.map(r => (r.getString(0), r.getAs[Seq[Float]]("features"))).toMap ==
+      out.map(r => (r.getString(0), r.getAs[Seq[Float]]("features"))).toMap)
   }
 }

@@ -76,6 +76,35 @@ class XlsxReaderSpec extends SparkSpec {
     assert(cells.find(c => c.row == 0 && c.col == 2).get.value == "42")
   }
 
+  test("workbook.xml drives sheet order and real tab names") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    // tab order: Inventory (part sheet3!) first, then Totals (sheet1)
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns:r="http://x/rels"><sheets>
+        |<sheet name="Inventory" sheetId="1" r:id="rId9"/>
+        |<sheet name="Totals" sheetId="2" r:id="rId4"/>
+        |</sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId9" Target="worksheets/sheet3.xml"/>
+        |<Relationship Id="rId4" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1"><v>100</v></c></row></sheetData></worksheet>""")
+    put("xl/worksheets/sheet3.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1"><v>7</v></c></row></sheetData></worksheet>""")
+    z.close()
+    val all = XlsxReader.parseWorkbook(bos.toByteArray)
+    assert(all.map(_.sheet).distinct == Seq("Inventory", "Totals"))
+    // sheet_number=1 follows BOOK order (Inventory = part sheet3)
+    val first = XlsxReader.parseWorkbook(bos.toByteArray, sheetNumber = Some(1))
+    assert(first.map(c => (c.sheet, c.value)) == Seq(("Inventory", "7")))
+  }
+
   test("rPh phonetic runs are excluded from shared strings and inlineStr") {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
