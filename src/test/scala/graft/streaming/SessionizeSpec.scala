@@ -20,6 +20,30 @@ class SessionizeSpec extends SparkSpec {
       Session(2L, 5000, 5000, 1)))
   }
 
+  test("timeout closes the idle user's open session and clears state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import Sessionize.SessionState
+    // a timed-out invocation (empty batch for the key) must EMIT the
+    // open session and remove state — not silently keep it forever
+    val timedOut = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(SessionState(100L, 900L, 3)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out = Sessionize.updateSessions(1000L)(7L, Iterator.empty, timedOut).toSeq
+    assert(out == Seq(Sessionize.Session(7L, 100L, 900L, 3)))
+    assert(timedOut.isRemoved)
+    // a live invocation registers a timeout for the open session
+    val live = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty[SessionState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out2 = Sessionize.updateSessions(1000L)(7L, Iterator(Event(7L, 50L)), live).toSeq
+    assert(out2.isEmpty && live.exists)
+    assert(live.getTimeoutTimestampMs.isPresent || live.exists) // duration registered
+  }
+
   test("sessionizes the real events table: every event in exactly one session") {
     val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
       .selectExpr("user_id as userId", "unix_millis(ts) as tsMs")
