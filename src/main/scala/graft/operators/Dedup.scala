@@ -160,6 +160,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** Incremental dedup: drop arriving docs whose content fingerprint is
+    * already in the seen-store, without rescanning the corpus — the
+    * production shape for continuously-ingested training data (the
+    * store is the small side: one 32-byte digest per retained doc).
+    * Returns the surviving new docs; append their fingerprints to the
+    * store afterwards. Also dedups WITHIN the batch (first by id wins).
+    */
+  def incremental(newDocs: DataFrame, textCol: String, idCol: String,
+                  seenFingerprints: DataFrame): DataFrame = {
+    val fp = sha2(col(textCol), 256)
+    val seen = seenFingerprints.select(col(seenFingerprints.columns.head).as("__fp"))
+    val inBatchFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    newDocs.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(inBatchFirst))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Streaming exact dedup: watermarked dropDuplicates on the content
+    * digest — state for a digest is reclaimed once the watermark passes
+    * it, so the dedup store does not grow unboundedly (the batch
+    * analogue is [[incremental]] with a persistent store).
+    */
+  def streamingDedup(stream: DataFrame, textCol: String, tsCol: String,
+                     watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("__fp", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** Connected components over verified near-dup pairs → dedup clusters:
     * iterative min-label propagation (each id adopts the smallest id
     * reachable through pairs) until fixpoint. Returns (id, cluster)

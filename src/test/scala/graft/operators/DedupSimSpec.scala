@@ -38,6 +38,33 @@ class DedupSimSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup drops seen and in-batch duplicate content, keeps the rest") {
+    val seen = Seq("x").toDF("fp")
+      .select(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.lit("old news"), 256).as("fp"))
+    val batch = Seq(
+      (10L, "old news"), // already in store -> dropped
+      (11L, "fresh a"), (12L, "fresh a"), // in-batch dup -> first id wins
+      (13L, "fresh b")).toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, "text", "doc_id", seen)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 13L))
+  }
+
+  test("streaming dedup drops duplicate content within the watermark window") {
+    // batch execution of the same plan (watermark is a no-op in batch,
+    // dropDuplicates semantics identical)
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "same"),
+      (2L, "2024-01-01 00:00:10", "same"),
+      (3L, "2024-01-01 00:00:20", "other"))
+      .toDF("id", "ts", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = Dedup.streamingDedup(df, "text", "ts", "10 minutes")
+    assert(out.count() == 2)
+    assert(out.select("text").as[String].collect().toSet == Set("same", "other"))
+  }
+
   test("clusters: min-label propagation finds connected components") {
     // components: {1,2,4} via 1-2, 2-4; {7,9}; singletons don't appear
     val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
