@@ -23,7 +23,12 @@ object Tables {
     // reads as a long (spark.sql.legacy.parquet.nanosAsLong). Normalize to
     // TimestampType (µs, floor) so every operator sees a real timestamp.
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // FLOOR division, not `div` (truncation): pre-epoch nanoseconds
+      // would truncate toward zero (-1500ns -> -1µs) while DuckDB's
+      // native ns timestamps floor (-2µs), shifting every oracle compare
+      // by one unit on pre-1970 data
+      case Some(_) => df.withColumn("ts", timestamp_micros(
+        expr("CASE WHEN ts >= 0 THEN ts div 1000 ELSE -((-ts + 999) div 1000) END")))
       case None => df
     }
   }

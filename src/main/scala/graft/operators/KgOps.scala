@@ -20,7 +20,11 @@ object KgOps {
         explode(col(nestedArrayCol)).as("child"))
       .withColumn("doc_id",
         sha2(concat_ws(":", lit(childDataset), col("parent_doc_id"),
-          to_json(col("child"))), 256))
+          // ignoreNullFields=false: Spark's default DROPS null struct
+          // fields while DuckDB's to_json emits "field":null — the
+          // content-hash ids would diverge on any null child field
+          to_json(col("child"),
+            java.util.Map.of("ignoreNullFields", "false"))), 256))
       .withColumn("dataset_identifier", lit(childDataset))
       .select(col("doc_id"), col("parent_doc_id"), col("dataset_identifier"), col("child.*"))
   }

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for hot-path operators (builder brief:
@@ -21,6 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeExpressions {
 
+  /** Per-thread digest: MessageDigest.getInstance per ROW would pay a
+    * JCA provider lookup + allocation inside the hot kernels these
+    * expressions exist to speed up. digest() resets internally, so the
+    * instance is reusable as-is.
+    */
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Tight-loop simhash: tokenize, distinct, md5 per token, ±1 bit
     * votes, sign → 64-char bit string. Mirrors Dedup.simhash64 exactly.
     */
@@ -32,11 +40,10 @@ object NativeExpressions {
     val m = TokenRx.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
     while (m.find()) tokens.add(m.group())
     val votes = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val it = tokens.iterator()
     while (it.hasNext) {
       val h = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.reset()
       var i = 0
       while (i < 64) {
         // hex digit i/4 of the digest; bit (i%4) of that digit — matches
@@ -59,13 +66,19 @@ object NativeExpressions {
   private val TokenRx = java.util.regex.Pattern.compile("[a-z0-9]+")
 
   /** Left-to-right IEEE double fold of the float-array dot product —
-    * identical to aggregate(zip_with(...)) and DuckDB list_reduce.
+    * identical to aggregate(zip_with(...)) and DuckDB list_reduce,
+    * INCLUDING null semantics: zip_with pads a length mismatch with
+    * nulls and a null element nulls the whole fold, so this returns
+    * null (boxed) for mismatched lengths or null elements rather than
+    * silently truncating to the common prefix.
     */
-  def dotCompute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotCompute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -79,7 +92,13 @@ object NativeExpressions {
     * token model), so oracles are unchanged.
     */
   def textStatsCompute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val s = text.toString
+    // FULL-STRING lowercase first (Locale.ROOT), matching the composed
+    // lower(text) + [a-z0-9]+ formulation exactly: per-char
+    // Character.toLowerCase uses simple mappings and diverges on
+    // characters whose full lowercase expands (U+0130 -> "i" + U+0307,
+    // where the combining mark splits a token). n_punct counts on the
+    // lowered string too — the counted chars .!?,;: are case-invariant.
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var nTok = 0; var nStop = 0; var nPunct = 0; var nAlnum = 0
     var i = 0
     val n = s.length
@@ -93,10 +112,9 @@ object NativeExpressions {
     }
     while (i < n) {
       val c = s.charAt(i)
-      val lc = Character.toLowerCase(c)
-      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
         nAlnum += 1
-        sb.append(lc)
+        sb.append(c)
       } else {
         flushToken()
         if (c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':') nPunct += 1
@@ -113,7 +131,8 @@ object NativeExpressions {
     s
   }
 
-  case class TextStats(child: Expression) extends UnaryExpression {
+  case class TextStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_tok", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("n_stop", org.apache.spark.sql.types.IntegerType),
@@ -138,18 +157,21 @@ object NativeExpressions {
     */
   def minhashCompute(shingles: ArrayData, k: Int): ArrayData = {
     val mins = new Array[String](k)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val n = shingles.numElements()
     var j = 0
     while (j < n) {
-      val s = shingles.getUTF8String(j).toString
-      var i = 0
-      while (i < k) {
-        val d = md.digest((i + ":" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.reset()
-        val hex = toHex(d)
-        if (mins(i) == null || hex.compareTo(mins(i)) < 0) mins(i) = hex
-        i += 1
+      // null elements skip, matching the HOF reference: md5(null) is
+      // null and array_min ignores nulls (was an NPE here)
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j).toString
+        var i = 0
+        while (i < k) {
+          val d = md.digest((i + ":" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = toHex(d)
+          if (mins(i) == null || hex.compareTo(mins(i)) < 0) mins(i) = hex
+          i += 1
+        }
       }
       j += 1
     }
@@ -169,7 +191,8 @@ object NativeExpressions {
     sb.toString
   }
 
-  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
     override def prettyName: String = "minhash_sig"
@@ -182,7 +205,8 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def prettyName: String = "simhash64"
     override protected def nullSafeEval(input: Any): Any =
@@ -194,14 +218,19 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
-  case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+  case class DotProductF(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "dot_product_f"
     override protected def nullSafeEval(a: Any, b: Any): Any =
       dotCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        (a, b) => s"graft.plans.NativeExpressions.dotCompute($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double ${ev.value}_r = graft.plans.NativeExpressions.dotCompute($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      """)
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
         : DotProductF = copy(left = newLeft, right = newRight)
   }

@@ -76,7 +76,7 @@ object CurationQueries {
   def contamination(s: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
-    val isBench = pmod(col("doc_id"), lit(20)) === 0
+    val isBench = (col("doc_id") % lit(20)) === 0
     val benchShingles = broadcast(
       docs.filter(isBench).select(explode(col("sh")).as("s")).distinct())
     docs.filter(!isBench)
@@ -112,7 +112,7 @@ object CurationQueries {
   def textRedact(s: SparkSession, dir: String): DataFrame = {
     val withPii = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
-      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+      lit(" from 10.0."), (col("doc_id") % lit(256)).cast("string"), lit(".7"))
     val redacted = regexp_replace(
       regexp_replace(withPii, EmailRx, "<EMAIL>"), IpRx, "<IP>")
     Tables(s, dir, "documents")

@@ -50,11 +50,17 @@ object KgPipeline {
       val tokenized = docs.select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[A-Za-z0-9]+"), lit(0)).as("__toks"))
         .cache()
-      Extractors.toKgValues(tokenized, "doc_id", Seq(
+      val built = Extractors.toKgValues(tokenized, "doc_id", Seq(
         ("op", Extractors.glossaryFromTokens(col("__toks"), OpGlossary), "extract_using_dictionary", "content"),
         ("speed", Extractors.glossaryFromTokens(col("__toks"), SpeedGlossary), "extract_using_dictionary", "content"),
         ("size", Extractors.glossaryFromTokens(col("__toks"), SizeGlossary), "extract_using_dictionary", "content")))
         .cache()
+      // materialize the KG eagerly so the intermediate token cache can
+      // be released immediately — it would otherwise pin executor
+      // storage for the session with no remaining reference
+      built.count()
+      tokenized.unpersist()
+      built
     })
 
   private def glossSql(g: Seq[String]) = g.map(x => s"'$x'").mkString("[", ", ", "]")

@@ -211,7 +211,7 @@ object Relational {
   def facetCube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")
-      .withColumn("user_bucket", pmod($"user_id", lit(10)).cast("string"))
+      .withColumn("user_bucket", ($"user_id" % lit(10)).cast("string"))
       .cube($"event_type", $"user_bucket")
       .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
       .select(

@@ -76,8 +76,10 @@ object TimeSeriesQueries {
     grouped
       .withColumn("n", size(col("pts")))
       .withColumn("slope", T.olsSlope(xs, ys))
+      // guarded y-range like ts_trend_dots: an all-equal-value series
+      // would make Spark emit Inf where the DuckDB oracle emits NULL
       .withColumn("scaled", col("slope") * (array_max(xs) - array_min(xs)) /
-        (array_max(ys) - array_min(ys)))
+        greatest(array_max(ys) - array_min(ys), lit(1e-12)))
       .withColumn("description", T.slopeDescription(col("scaled")))
       .select(col("user_id"), col("n"), col("slope"), col("scaled"), col("description"))
       .orderBy(col("user_id"))
@@ -101,11 +103,11 @@ object TimeSeriesQueries {
        |  FROM g),
        |fit AS (SELECT user_id, n,
        |    (n * ${fold(prod("xs", "ly"))} - ${fold("xs")} * ${fold("ly")})
-       |      / (n * ${fold(prod("xs", "xs"))} - ${fold("xs")} * ${fold("xs")}) AS slope,
+       |      / greatest(n * ${fold(prod("xs", "xs"))} - ${fold("xs")} * ${fold("xs")}, 1e-12) AS slope,
        |    list_max(xs) - list_min(xs) AS xrng, list_max(ly) - list_min(ly) AS yrng
        |  FROM xy)
        |SELECT user_id, n, slope, scaled, $caseDesc AS description
-       |FROM (SELECT user_id, n, slope, slope * xrng / yrng AS scaled FROM fit)
+       |FROM (SELECT user_id, n, slope, slope * xrng / greatest(yrng, 1e-12) AS scaled FROM fit)
        |ORDER BY user_id""".stripMargin
   }
 

@@ -101,7 +101,11 @@ object TimeSeriesOps {
     val sy = foldSum(ys)
     val sxy = foldSum(zip_with(xs, ys, (a, b) => a * b))
     val sxx = foldSum(zip_with(xs, xs, (a, b) => a * b))
-    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // guarded denominator (degenerate series: single point or all-equal
+    // x): Spark yields NaN/Inf on /0 while DuckDB yields NULL — the
+    // guard keeps both engines on the same finite value. Variance is
+    // non-negative, so the guard only fires at exactly zero.
+    (n * sxy - sx * sy) / greatest(n * sxx - sx * sx, lit(1e-12))
   }
 
   /** T14 label templating (ts_label_maker.py:12-44): format-string over
