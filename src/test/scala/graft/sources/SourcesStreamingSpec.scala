@@ -51,6 +51,38 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq("new", "keep", "add"))
   }
 
+  test("upsert version ties resolve deterministically across repeated runs") {
+    val existing = Seq(("d1", 1L, "alpha")).toDF("doc_id", "v", "x")
+    // same version, different content: the survivor must be the same on
+    // every run (stable content-hash tiebreak), not task-order luck
+    val incoming = Seq(("d1", 1L, "beta")).toDF("doc_id", "v", "x")
+    val winners = (1 to 5).map { _ =>
+      Sources.upsert(Some(existing), incoming, "doc_id", "v")
+        .select("x").as[String].collect().head
+    }
+    assert(winners.distinct.length == 1, s"nondeterministic tie: $winners")
+  }
+
+  test("streamingDedup drops duplicate content through a real streaming query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = mem.toDF().toDF("id", "ts", "text")
+    val q = graft.operators.Dedup.streamingDedup(src, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    mem.addData((1L, t0, "same"), (2L, t1, "same"), (3L, t1, "other"))
+    q.processAllAvailable()
+    mem.addData((4L, t1, "same")) // still within state: deduped
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sdedup_out").select("text").as[String].collect()
+    assert(out.sorted.toSeq == Seq("other", "same"))
+  }
+
   test("toCdr wraps rows with nested payload, hash doc_id, dataset tag") {
     val df = Seq(("r1", 5)).toDF("name", "n")
     val cdr = Sources.toCdr(df, "acme", "file:///data.csv")
