@@ -173,11 +173,13 @@ object Extractors {
 
   def htmlMetaContent(c: Column, name: String): Column = {
     // both attribute orders occur in real pages (content-before-name is
-    // common generator output)
+    // common generator output); the name is quoted — Dublin Core names
+    // like "DC.title" contain regex metacharacters
+    val q = java.util.regex.Pattern.quote(name)
     val nameFirst =
-      regexp_extract(c, s"""(?is)<meta[^>]*name=["']$name["'][^>]*content=["']([^"']*)""", 1)
+      regexp_extract(c, s"""(?is)<meta[^>]*name=["']$q["'][^>]*content=["']([^"']*)""", 1)
     val contentFirst =
-      regexp_extract(c, s"""(?is)<meta[^>]*content=["']([^"']*)["'][^>]*name=["']$name["']""", 1)
+      regexp_extract(c, s"""(?is)<meta[^>]*content=["']([^"']*)["'][^>]*name=["']$q["']""", 1)
     when(length(nameFirst) > 0, nameFirst).otherwise(contentFirst)
   }
 

@@ -28,9 +28,29 @@ object LandmarkRules {
     * extraction relies on OUR span group being group 1, so any '(' the
     * rule author wrote (alternations like '<(b|strong)>') must become
     * non-capturing or regexp_extract returns the wrong group.
+    * Class- and escape-aware scan: '(' inside a character class is a
+    * literal, '\\(' is escaped, and '\\\\(' (escaped backslash, then a
+    * real group) must still be rewritten — a lookbehind regex can't
+    * distinguish those.
     */
-  private[extract] def nonCapturing(rx: String): String =
-    rx.replaceAll("(?<!\\\\)\\((?![?])", "(?:")
+  private[extract] def nonCapturing(rx: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < rx.length) {
+      rx.charAt(i) match {
+        case '\\' if i + 1 < rx.length => // escape: copy both chars verbatim
+          sb.append(rx.charAt(i)).append(rx.charAt(i + 1)); i += 1
+        case '[' if !inClass => inClass = true; sb.append('[')
+        case ']' if inClass => inClass = false; sb.append(']')
+        case '(' if !inClass && !(i + 1 < rx.length && rx.charAt(i + 1) == '?') =>
+          sb.append("(?:")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Compile one rule into an extraction column over raw HTML. */
   def extract(raw: Column, rule: ItemRule): Column = {

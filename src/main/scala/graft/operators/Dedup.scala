@@ -164,34 +164,46 @@ object Dedup {
     * already in the seen-store, without rescanning the corpus — the
     * production shape for continuously-ingested training data (the
     * store is the small side: one 32-byte digest per retained doc).
-    * Returns the surviving new docs; append their fingerprints to the
-    * store afterwards. Also dedups WITHIN the batch (first by id wins).
+    * The key is [[TextFunctions.fingerprint]] — the SAME normalized
+    * content hash the rest of the pipeline uses (raw-byte sha256 would
+    * never match a store populated with pipeline fingerprints, and
+    * trivial punctuation variants would sail through). Returns the
+    * surviving docs WITH their `fingerprint` column so callers append
+    * to the store without re-hashing. Also dedups WITHIN the batch
+    * (first by id wins).
     */
   def incremental(newDocs: DataFrame, textCol: String, idCol: String,
                   seenFingerprints: DataFrame): DataFrame = {
-    val fp = sha2(col(textCol), 256)
-    val seen = seenFingerprints.select(col(seenFingerprints.columns.head).as("__fp"))
+    val seen = seenFingerprints
+      .select(col(seenFingerprints.columns.head).as("fingerprint"))
     val inBatchFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(col(idCol))
-    newDocs.withColumn("__fp", fp)
+      .partitionBy(col("fingerprint")).orderBy(col(idCol))
+    newDocs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(inBatchFirst))
       .filter(col("__rn") === 1).drop("__rn")
-      .join(seen, Seq("__fp"), "left_anti")
-      .drop("__fp")
+      .join(seen, Seq("fingerprint"), "left_anti")
   }
 
-  /** Streaming exact dedup: watermarked dropDuplicates on the content
-    * digest — state for a digest is reclaimed once the watermark passes
-    * it, so the dedup store does not grow unboundedly (the batch
-    * analogue is [[incremental]] with a persistent store).
+  /** Streaming exact dedup: watermarked dedup on the content digest.
+    * dropDuplicatesWithinWatermark is the variant that actually EVICTS
+    * state as the watermark advances — plain dropDuplicates on a
+    * non-event-time key keeps every digest forever (the watermark would
+    * only filter late input), growing state monotonically on a
+    * mostly-unique stream. The batch analogue is [[incremental]] with a
+    * persistent store.
     */
   def streamingDedup(stream: DataFrame, textCol: String, tsCol: String,
-                     watermarkDelay: String): DataFrame =
-    stream
+                     watermarkDelay: String): DataFrame = {
+    val marked = stream
       .withColumn("__fp", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("__fp")
-      .drop("__fp")
+    // the WithinWatermark variant is streaming-only; in batch the plain
+    // variant has identical output semantics (and no state to bound)
+    val deduped =
+      if (stream.isStreaming) marked.dropDuplicatesWithinWatermark("__fp")
+      else marked.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
 
   /** Connected components over verified near-dup pairs → dedup clusters:
     * iterative min-label propagation (each id adopts the smallest id

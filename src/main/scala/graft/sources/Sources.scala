@@ -66,8 +66,11 @@ object Sources {
     // version ties (coarse timestamps are common) need a deterministic
     // tiebreak or the surviving row depends on task ordering — a stable
     // content hash makes repeated runs of the same upsert idempotent,
-    // the semantics this sink exists to provide
-    val contentTieBreak = xxhash64(all.columns.map(col).toIndexedSeq: _*)
+    // the semantics this sink exists to provide. Hash the row's JSON,
+    // not the raw columns: xxhash64 rejects MapType columns and this
+    // sink must accept arbitrary doc schemas.
+    val contentTieBreak =
+      xxhash64(to_json(struct(all.columns.map(col).toIndexedSeq: _*)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(versionCol).desc, contentTieBreak)
     all.withColumn("__rn", row_number().over(w))

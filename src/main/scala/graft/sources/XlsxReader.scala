@@ -19,6 +19,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object XlsxReader {
 
+  /** Hardened StAX factory shared by every parser: DTDs and external
+    * entities disabled — a crafted workbook part with a billion-laughs
+    * DOCTYPE would otherwise OOM the executor (and external entities
+    * could reach out of the sandbox).
+    */
+  private def xmlReader(in: InputStream): javax.xml.stream.XMLStreamReader = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(in)
+  }
+
   final case class Cell(sheet: String, row: Int, col: Int, value: String)
 
   /** Column letters → 0-based index ("A"->0, "AA"->26). */
@@ -31,7 +43,7 @@ object XlsxReader {
 
   private def parseSharedStrings(in: InputStream): IndexedSeq[String] = {
     val out = ArrayBuffer[String]()
-    val r = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val r = xmlReader(in)
     var cur: StringBuilder = null
     var inT = false
     // <rPh> phonetic-hint runs carry their own <t> (furigana) that must
@@ -64,7 +76,7 @@ object XlsxReader {
   private def parseSheet(in: InputStream, sheetName: String,
                          shared: IndexedSeq[String]): Seq[Cell] = {
     val out = ArrayBuffer[Cell]()
-    val r = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val r = xmlReader(in)
     var cellRef: String = null
     var cellType: String = null
     var inV = false
@@ -125,8 +137,7 @@ object XlsxReader {
     */
   private def parseWorkbookXml(bytes: Array[Byte]): Seq[(String, String)] = {
     val out = ArrayBuffer[(String, String)]()
-    val r = javax.xml.stream.XMLInputFactory.newInstance()
-      .createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val r = xmlReader(new java.io.ByteArrayInputStream(bytes))
     while (r.hasNext) {
       if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
           r.getLocalName == "sheet") {
@@ -144,8 +155,7 @@ object XlsxReader {
   /** rId → part target from xl/_rels/workbook.xml.rels. */
   private def parseRels(bytes: Array[Byte]): Map[String, String] = {
     val out = scala.collection.mutable.Map[String, String]()
-    val r = javax.xml.stream.XMLInputFactory.newInstance()
-      .createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val r = xmlReader(new java.io.ByteArrayInputStream(bytes))
     while (r.hasNext) {
       if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
           r.getLocalName == "Relationship") {
@@ -195,12 +205,18 @@ object XlsxReader {
     val ordered: Seq[(String, Array[Byte])] = (workbookXml, relsXml) match {
       case (Some(wb), Some(rl)) =>
         val rels = parseRels(rl)
-        parseWorkbookXml(wb).flatMap { case (nm, rid) =>
-          rels.get(rid)
-            .map(t => "xl/" + t.stripPrefix("/xl/").stripPrefix("xl/"))
-            .flatMap(byPart.get)
-            .map(bs => (nm, bs))
+        // normalize the rel Target forms generators emit: leading "/",
+        // "./", with or without the "xl/" prefix
+        def resolve(t: String): Option[Array[Byte]] = {
+          val clean = t.stripPrefix("/").stripPrefix("./")
+            .stripPrefix("xl/")
+          byPart.get("xl/" + clean)
         }
+        val resolved = parseWorkbookXml(wb).flatMap { case (nm, rid) =>
+          rels.get(rid).flatMap(resolve).map(bs => (nm, bs))
+        }
+        // a resolution miss must FALL BACK, not silently drop sheets
+        if (resolved.size == sheets.size) resolved else Seq.empty
       case _ =>
         sheets.sortBy { case (n, _) =>
           "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0)
@@ -208,9 +224,16 @@ object XlsxReader {
           ("sheet" + "\\d+".r.findFirstIn(n).getOrElse("1"), bs)
         }.toSeq
     }
+    val effective =
+      if (ordered.nonEmpty) ordered
+      else sheets.sortBy { case (n, _) =>
+        "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0)
+      }.map { case (n, bs) =>
+        ("sheet" + "\\d+".r.findFirstIn(n).getOrElse("1"), bs)
+      }.toSeq
     val picked = sheetNumber match {
-      case Some(i) => ordered.slice(i - 1, i)
-      case None => ordered
+      case Some(i) => effective.slice(i - 1, i)
+      case None => effective
     }
     picked.flatMap { case (sheetName, bs) =>
       parseSheet(new java.io.ByteArrayInputStream(bs), sheetName, shared)

@@ -75,6 +75,20 @@ class ExtractorsSpec extends SparkSpec {
     assert(!strict.contains("Home") && !strict.contains("Terms"))
   }
 
+  test("E8 nonCapturing neutralizes rule groups; classes and escapes survive") {
+    import LandmarkRules.nonCapturing
+    assert(nonCapturing("<(b|strong)>") == "<(?:b|strong)>")
+    assert(nonCapturing("[(]x") == "[(]x") // literal ( inside a class
+    assert(nonCapturing("\\(z)") == "\\(z)") // escaped paren untouched
+    assert(nonCapturing("\\\\(y)") == "\\\\(?:y)") // escaped backslash THEN a real group
+    assert(nonCapturing("(?:a)(?=b)") == "(?:a)(?=b)") // already non-capturing
+    // extraction with a grouped begin regex returns the SPAN, not the tag
+    val rule = LandmarkRules.ItemRule("price-0-0", "<(b|strong)>price:", "</")
+    val out = Seq("<div><b>price:42</div>").toDF("raw")
+      .select(LandmarkRules.extract($"raw", rule)).as[String].collect().head
+    assert(out == "42")
+  }
+
   test("E8 landmark begin/end rule extracts the span; name maps to field") {
     val rule = Extractors.LandmarkRule("artist-1", "<h2>", "</h2>")
     assert(rule.field == "artist")

@@ -39,16 +39,17 @@ class DedupSimSpec extends SparkSpec {
   }
 
   test("incremental dedup drops seen and in-batch duplicate content, keeps the rest") {
+    // store populated with the pipeline's normalized fingerprints
     val seen = Seq("x").toDF("fp")
-      .select(org.apache.spark.sql.functions.sha2(
-        org.apache.spark.sql.functions.lit("old news"), 256).as("fp"))
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.lit("Old news.")).as("fp"))
     val batch = Seq(
-      (10L, "old news"), // already in store -> dropped
-      (11L, "fresh a"), (12L, "fresh a"), // in-batch dup -> first id wins
+      (10L, "old NEWS"), // normalizes to the seen fingerprint -> dropped
+      (11L, "fresh a"), (12L, "Fresh A!"), // in-batch near-identical -> first id wins
       (13L, "fresh b")).toDF("doc_id", "text")
     val out = Dedup.incremental(batch, "text", "doc_id", seen)
-      .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(out == Seq(11L, 13L))
+    assert(out.columns.contains("fingerprint")) // callers append these to the store
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
   }
 
   test("streaming dedup drops duplicate content within the watermark window") {

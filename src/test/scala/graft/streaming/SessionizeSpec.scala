@@ -41,7 +41,10 @@ class SessionizeSpec extends SparkSpec {
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
     val out2 = Sessionize.updateSessions(1000L)(7L, Iterator(Event(7L, 50L)), live).toSeq
     assert(out2.isEmpty && live.exists)
-    assert(live.getTimeoutTimestampMs.isPresent || live.exists) // duration registered
+    // the timeout must actually register (the function swallows
+    // UnsupportedOperationException for the batch path — a regression
+    // that stopped registering would otherwise be invisible)
+    assert(live.getTimeoutTimestampMs.isPresent)
   }
 
   test("sessionizes the real events table: every event in exactly one session") {
