@@ -43,8 +43,19 @@ object LandmarkRules {
           sb.append(rx.charAt(i)).append(rx.charAt(i + 1)); i += 1
         case '[' if !inClass => inClass = true; sb.append('[')
         case ']' if inClass => inClass = false; sb.append(']')
-        case '(' if !inClass && !(i + 1 < rx.length && rx.charAt(i + 1) == '?') =>
-          sb.append("(?:")
+        case '(' if !inClass =>
+          // '(?<name>' is a NAMED CAPTURING group (unlike the '(?<=' /
+          // '(?<!' lookbehinds) — it shifts numbering just like a bare
+          // '(' and must also become non-capturing
+          val isNamed = i + 2 < rx.length && rx.charAt(i + 1) == '?' &&
+            rx.charAt(i + 2) == '<' && i + 3 < rx.length &&
+            Character.isLetter(rx.charAt(i + 3))
+          if (isNamed) {
+            sb.append("(?:")
+            i = rx.indexOf('>', i + 3) // loop increment steps past '>'
+            if (i < 0) i = rx.length
+          } else if (i + 1 < rx.length && rx.charAt(i + 1) == '?') sb.append('(')
+          else sb.append("(?:")
         case c => sb.append(c)
       }
       i += 1

@@ -194,8 +194,10 @@ object Dedup {
     */
   def streamingDedup(stream: DataFrame, textCol: String, tsCol: String,
                      watermarkDelay: String): DataFrame = {
+    // same normalized fingerprint as [[incremental]] — the two are
+    // batch/streaming analogues and must retain the same documents
     val marked = stream
-      .withColumn("__fp", sha2(col(textCol), 256))
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
     // the WithinWatermark variant is streaming-only; in batch the plain
     // variant has identical output semantics (and no state to bound)

@@ -313,8 +313,14 @@ object XlsReader {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val stem = p.split('/').last.stripSuffix(".xls")
-        parseWorkbook(bytes, sheetNumber)
+        // per-file fault isolation, mirroring XlsxReader.read
+        try parseWorkbook(bytes, sheetNumber)
           .map(c => (s"$stem!${c.sheet}", c.row, c.col, c.value))
+        catch {
+          case e: Exception =>
+            System.err.println(s"[xls] skipping $p: ${e.getMessage}")
+            Seq.empty
+        }
       }
       .toDF("sheet", "row", "col", "value")
   }

@@ -212,18 +212,19 @@ object XlsxReader {
             .stripPrefix("xl/")
           byPart.get("xl/" + clean)
         }
-        val resolved = parseWorkbookXml(wb).flatMap { case (nm, rid) =>
+        val entries = parseWorkbookXml(wb)
+        val resolved = entries.flatMap { case (nm, rid) =>
           rels.get(rid).flatMap(resolve).map(bs => (nm, bs))
         }
-        // a resolution miss must FALL BACK, not silently drop sheets
-        if (resolved.size == sheets.size) resolved else Seq.empty
-      case _ =>
-        sheets.sortBy { case (n, _) =>
-          "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0)
-        }.map { case (n, bs) =>
-          ("sheet" + "\\d+".r.findFirstIn(n).getOrElse("1"), bs)
-        }.toSeq
+        // every WORKBOOK entry must resolve or we fall back — comparing
+        // against the zip part count would both discard a good mapping
+        // (orphan parts left by sheet deletion) and accept a dropped
+        // sheet (two entries sharing a part)
+        if (resolved.size == entries.size && entries.nonEmpty) resolved
+        else Seq.empty
+      case _ => Seq.empty
     }
+    // single shared fallback: numeric part order with synthetic names
     val effective =
       if (ordered.nonEmpty) ordered
       else sheets.sortBy { case (n, _) =>
@@ -253,8 +254,16 @@ object XlsxReader {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val stem = p.split('/').last.stripSuffix(".xlsx")
-        parseWorkbook(bytes, sheetNumber)
+        // per-file fault isolation: one malformed workbook (e.g. a
+        // DOCTYPE the hardened parser rejects) logs and skips instead
+        // of failing the whole multi-file job
+        try parseWorkbook(bytes, sheetNumber)
           .map(c => (s"$stem!${c.sheet}", c.row, c.col, c.value))
+        catch {
+          case e: Exception =>
+            System.err.println(s"[xlsx] skipping $p: ${e.getMessage}")
+            Seq.empty
+        }
       }
       .toDF("sheet", "row", "col", "value")
   }

@@ -82,6 +82,8 @@ class ExtractorsSpec extends SparkSpec {
     assert(nonCapturing("\\(z)") == "\\(z)") // escaped paren untouched
     assert(nonCapturing("\\\\(y)") == "\\\\(?:y)") // escaped backslash THEN a real group
     assert(nonCapturing("(?:a)(?=b)") == "(?:a)(?=b)") // already non-capturing
+    assert(nonCapturing("(?<tag>b|i)") == "(?:b|i)") // named groups CAPTURE
+    assert(nonCapturing("(?<=x)y(?<!z)") == "(?<=x)y(?<!z)") // lookbehinds don't
     // extraction with a grouped begin regex returns the SPAN, not the tag
     val rule = LandmarkRules.ItemRule("price-0-0", "<(b|strong)>price:", "</")
     val out = Seq("<div><b>price:42</div>").toDF("raw")

@@ -51,16 +51,26 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq("new", "keep", "add"))
   }
 
-  test("upsert version ties resolve deterministically across repeated runs") {
-    val existing = Seq(("d1", 1L, "alpha")).toDF("doc_id", "v", "x")
-    // same version, different content: the survivor must be the same on
-    // every run (stable content-hash tiebreak), not task-order luck
-    val incoming = Seq(("d1", 1L, "beta")).toDF("doc_id", "v", "x")
-    val winners = (1 to 5).map { _ =>
-      Sources.upsert(Some(existing), incoming, "doc_id", "v")
-        .select("x").as[String].collect().head
-    }
-    assert(winners.distinct.length == 1, s"nondeterministic tie: $winners")
+  test("upsert version ties resolve by the content-hash contract, not input order") {
+    import org.apache.spark.sql.functions.{struct, to_json, xxhash64}
+    // 10 tie groups, conflicting content at the same version: the
+    // winner of EACH group must be its hash-argmin — with the tiebreak
+    // removed, stable input order would pick 'a$i' for every group,
+    // which disagrees with the hash-argmin for ~half the groups
+    val existing = (1 to 10).map(i => (s"d$i", 1L, s"a$i")).toDF("doc_id", "v", "x")
+    val incoming = (1 to 10).map(i => (s"d$i", 1L, s"b$i")).toDF("doc_id", "v", "x")
+    val both = existing.unionByName(incoming)
+    val expected = both
+      .withColumn("__h", xxhash64(to_json(struct($"doc_id", $"v", $"x"))))
+      .orderBy($"doc_id", $"__h")
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.min_by($"x", $"__h").as("x"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = Sources.upsert(Some(existing), incoming, "doc_id", "v")
+      .select("doc_id", "x").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expected, "winner must be the per-group content-hash argmin")
+    assert(expected.values.exists(_.startsWith("b")),
+      "fixture too weak: at least one hash-argmin should differ from input order")
   }
 
   test("streamingDedup drops duplicate content through a real streaming query") {
