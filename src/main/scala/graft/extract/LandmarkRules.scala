@@ -33,7 +33,26 @@ object LandmarkRules {
     * real group) must still be rewritten — a lookbehind regex can't
     * distinguish those.
     */
+  /** True when the pattern uses backreferences (\1-style or \k<name>):
+    * rewriting ANY group would then break compilation or semantics, so
+    * such rules keep their groups (accepting the pre-existing
+    * group-shift behavior) rather than turning a working rule into a
+    * PatternSyntaxException.
+    */
+  private def hasBackref(rx: String): Boolean = {
+    var i = 0
+    while (i < rx.length - 1) {
+      if (rx.charAt(i) == '\\') {
+        val c = rx.charAt(i + 1)
+        if (c.isDigit || c == 'k') return true
+        i += 2
+      } else i += 1
+    }
+    false
+  }
+
   private[extract] def nonCapturing(rx: String): String = {
+    if (hasBackref(rx)) return rx
     val sb = new StringBuilder
     var i = 0
     var inClass = false

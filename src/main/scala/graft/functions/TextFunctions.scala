@@ -86,6 +86,18 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     sha2(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")), 256)
 
+  /** Dedup key: the normalized [[fingerprint]] when the text HAS
+    * latin-alphanumeric content, else a raw-byte digest. Without the
+    * guard, every document with no [a-z0-9] at all (CJK, Cyrillic,
+    * emoji-only) normalizes to "" and shares ONE fingerprint — exact
+    * dedup would silently collapse all non-Latin documents to a single
+    * survivor.
+    */
+  def dedupKey(c: Column): Column = {
+    val norm = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    when(length(norm) > 0, sha2(norm, 256)).otherwise(sha2(c.cast("binary"), 256))
+  }
+
   // ---- regex extractor battery (E4/E9/E10) -------------------------------
   val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Rx = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"

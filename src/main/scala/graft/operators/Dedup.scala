@@ -164,10 +164,12 @@ object Dedup {
     * already in the seen-store, without rescanning the corpus — the
     * production shape for continuously-ingested training data (the
     * store is the small side: one 32-byte digest per retained doc).
-    * The key is [[TextFunctions.fingerprint]] — the SAME normalized
-    * content hash the rest of the pipeline uses (raw-byte sha256 would
-    * never match a store populated with pipeline fingerprints, and
-    * trivial punctuation variants would sail through). Returns the
+    * The key is [[TextFunctions.dedupKey]] — the pipeline's normalized
+    * content hash (raw-byte sha256 would never match a store populated
+    * with pipeline fingerprints, and trivial punctuation variants would
+    * sail through), with a raw-digest fallback for documents carrying
+    * no latin-alphanumeric content at all (else every CJK doc would
+    * share one key). Returns the
     * surviving docs WITH their `fingerprint` column so callers append
     * to the store without re-hashing. Also dedups WITHIN the batch
     * (first by id wins).
@@ -178,7 +180,7 @@ object Dedup {
       .select(col(seenFingerprints.columns.head).as("fingerprint"))
     val inBatchFirst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fingerprint")).orderBy(col(idCol))
-    newDocs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+    newDocs.withColumn("fingerprint", TextFunctions.dedupKey(col(textCol)))
       .withColumn("__rn", row_number().over(inBatchFirst))
       .filter(col("__rn") === 1).drop("__rn")
       .join(seen, Seq("fingerprint"), "left_anti")
@@ -194,10 +196,10 @@ object Dedup {
     */
   def streamingDedup(stream: DataFrame, textCol: String, tsCol: String,
                      watermarkDelay: String): DataFrame = {
-    // same normalized fingerprint as [[incremental]] — the two are
+    // same normalized dedup key as [[incremental]] — the two are
     // batch/streaming analogues and must retain the same documents
     val marked = stream
-      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__fp", TextFunctions.dedupKey(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
     // the WithinWatermark variant is streaming-only; in batch the plain
     // variant has identical output semantics (and no state to bound)

@@ -306,6 +306,7 @@ object XlsReader {
     */
   def read(spark: SparkSession, path: String, sheetNumber: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    val skipped = spark.sparkContext.longAccumulator("xls_skipped_files")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xls")
       .load(path)
@@ -313,13 +314,9 @@ object XlsReader {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val stem = p.split('/').last.stripSuffix(".xls")
-        // per-file fault isolation, mirroring XlsxReader.read
-        try parseWorkbook(bytes, sheetNumber)
-          .map(c => (s"$stem!${c.sheet}", c.row, c.col, c.value))
-        catch {
-          case e: Exception =>
-            System.err.println(s"[xls] skipping $p: ${e.getMessage}")
-            Seq.empty
+        XlsxReader.isolateFile(p, "xls", skipped) {
+          parseWorkbook(bytes, sheetNumber)
+            .map(c => (s"$stem!${c.sheet}", c.row, c.col, c.value))
         }
       }
       .toDF("sheet", "row", "col", "value")

@@ -33,6 +33,21 @@ object XlsxReader {
 
   final case class Cell(sheet: String, row: Int, col: Int, value: String)
 
+  /** Per-file fault isolation shared by both workbook readers: a
+    * malformed file logs, increments a DRIVER-VISIBLE accumulator
+    * (named `<tag>_skipped_files` in the Spark UI/metrics — stderr on
+    * an executor alone would let whole workbooks vanish silently), and
+    * is skipped instead of failing the multi-file job.
+    */
+  private[sources] def isolateFile[T](path: String, tag: String,
+      skipped: org.apache.spark.util.LongAccumulator)(body: => Seq[T]): Seq[T] =
+    try body catch {
+      case e: Exception =>
+        skipped.add(1)
+        System.err.println(s"[$tag] skipping $path: ${e.getMessage}")
+        Seq.empty
+    }
+
   /** Column letters → 0-based index ("A"->0, "AA"->26). */
   def colIndex(ref: String): Int = {
     val letters = ref.takeWhile(_.isLetter)
@@ -212,15 +227,20 @@ object XlsxReader {
             .stripPrefix("xl/")
           byPart.get("xl/" + clean)
         }
-        val entries = parseWorkbookXml(wb)
-        val resolved = entries.flatMap { case (nm, rid) =>
+        // consider only WORKSHEET entries: chartsheets/macrosheets are
+        // listed in <sheets> too but their parts live outside
+        // xl/worksheets/ (we'd otherwise always fall back for any
+        // workbook containing a chart tab)
+        val wsEntries = parseWorkbookXml(wb).filter { case (_, rid) =>
+          rels.get(rid).exists(_.contains("worksheets/"))
+        }
+        val resolved = wsEntries.flatMap { case (nm, rid) =>
           rels.get(rid).flatMap(resolve).map(bs => (nm, bs))
         }
-        // every WORKBOOK entry must resolve or we fall back — comparing
-        // against the zip part count would both discard a good mapping
-        // (orphan parts left by sheet deletion) and accept a dropped
-        // sheet (two entries sharing a part)
-        if (resolved.size == entries.size && entries.nonEmpty) resolved
+        // every worksheet ENTRY must resolve or we fall back — the zip
+        // part count is the wrong denominator (orphan parts left by
+        // sheet deletion would discard a good mapping)
+        if (resolved.size == wsEntries.size && wsEntries.nonEmpty) resolved
         else Seq.empty
       case _ => Seq.empty
     }
@@ -247,6 +267,7 @@ object XlsxReader {
     */
   def read(spark: SparkSession, path: String, sheetNumber: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    val skipped = spark.sparkContext.longAccumulator("xlsx_skipped_files")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
       .load(path)
@@ -254,15 +275,9 @@ object XlsxReader {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val stem = p.split('/').last.stripSuffix(".xlsx")
-        // per-file fault isolation: one malformed workbook (e.g. a
-        // DOCTYPE the hardened parser rejects) logs and skips instead
-        // of failing the whole multi-file job
-        try parseWorkbook(bytes, sheetNumber)
-          .map(c => (s"$stem!${c.sheet}", c.row, c.col, c.value))
-        catch {
-          case e: Exception =>
-            System.err.println(s"[xlsx] skipping $p: ${e.getMessage}")
-            Seq.empty
+        isolateFile(p, "xlsx", skipped) {
+          parseWorkbook(bytes, sheetNumber)
+            .map(c => (s"$stem!${c.sheet}", c.row, c.col, c.value))
         }
       }
       .toDF("sheet", "row", "col", "value")

@@ -62,7 +62,6 @@ class SourcesStreamingSpec extends SparkSpec {
     val both = existing.unionByName(incoming)
     val expected = both
       .withColumn("__h", xxhash64(to_json(struct($"doc_id", $"v", $"x"))))
-      .orderBy($"doc_id", $"__h")
       .groupBy($"doc_id")
       .agg(org.apache.spark.sql.functions.min_by($"x", $"__h").as("x"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
