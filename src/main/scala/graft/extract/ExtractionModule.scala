@@ -29,18 +29,31 @@ trait ExtractionModule {
   * duplicated. Docs matching no module pass through untouched.
   */
 object Dispatcher {
-  def run(docs: DataFrame, modules: Seq[ExtractionModule]): DataFrame =
+  /** @param reliableCheckpoint use `checkpoint` (HDFS-backed, survives
+    *   executor loss) instead of `localCheckpoint` for the inter-stage
+    *   lineage barriers. localCheckpoint is the default for local/test
+    *   runs but truncates lineage WITHOUT fault tolerance: an executor
+    *   loss fails the job instead of recomputing, and the N−1 stage
+    *   materializations stay pinned in executor storage for the query
+    *   lifetime. On a real cluster call
+    *   `spark.sparkContext.setCheckpointDir(...)` and pass true.
+    */
+  def run(docs: DataFrame, modules: Seq[ExtractionModule],
+          reliableCheckpoint: Boolean = false): DataFrame =
     modules.zipWithIndex.foldLeft(docs) { case (d, (m, i)) =>
       // Lineage barrier between module stages: the fold references `d`
       // in BOTH branches (matched + passthrough), so without truncation
       // module k's plan embeds two copies of module k-1's — 2^N source
-      // scans for N modules. localCheckpoint materializes each stage
+      // scans for N modules. The checkpoint materializes each stage
       // once (the reference also processes stage-by-stage per doc);
       // lazy, so no job runs until the pipeline's own action, and the
       // last stage needs no barrier.
       val sel = coalesce(m.selector, lit(false))
       val staged = m.transform(d.filter(sel))
         .unionByName(d.filter(!sel), allowMissingColumns = true)
-      if (i < modules.size - 1) staged.localCheckpoint(false) else staged
+      if (i < modules.size - 1) {
+        if (reliableCheckpoint) staged.checkpoint(false)
+        else staged.localCheckpoint(false)
+      } else staged
     }
 }

@@ -133,17 +133,33 @@ object MappingRules {
   def synthesizeIdentity(base: String, orderBy: Seq[Column],
                          perFile: Seq[Column] = Seq(input_file_name()))
                         (df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(perFile: _*).orderBy(orderBy: _*)
     // The tag keys on ALL partition columns (row numbers restart per
     // full partition tuple — a head-only guard would mint duplicate
     // urls when a later column distinguishes partitions); it drops out
-    // only when the whole key is empty (single in-memory frame).
+    // when the whole key is empty (single in-memory frame) AND for the
+    // common single-file upload under the default partitioning, where
+    // the reference's running counter yields plain base#N ids
+    // (dig_tabular_import.py:358-366) — detected driver-side from the
+    // plan's file listing, no job (ADVICE r2: keep doc_id parity).
+    val singleFileDefault = perFile.length == 1 &&
+      perFile.head.toString == input_file_name().toString &&
+      df.inputFiles.length <= 1
+    // Materialize the partition key BEFORE the window: expressions like
+    // input_file_name() are only valid inside the file-scan task — in a
+    // post-shuffle projection they evaluate to "", silently collapsing
+    // the tag. Project it at the scan, window over the materialized
+    // column, derive the tag from the same column.
     val partKey = concat_ws("\u0001", perFile.map(_.cast("string")): _*)
-    val fileTag = when(partKey === "", lit(""))
-      .otherwise(concat(sha2(partKey, 256).substr(1, 8), lit("-")))
-    df.withColumn("url",
+    val keyed = df.withColumn("__part_key", partKey)
+    val w = Window.partitionBy(col("__part_key")).orderBy(orderBy: _*)
+    val fileTag =
+      if (singleFileDefault) lit("")
+      else when(col("__part_key") === "", lit(""))
+        .otherwise(concat(sha2(col("__part_key"), 256).substr(1, 8), lit("-")))
+    keyed.withColumn("url",
         concat(lit(base), lit("#"), fileTag, row_number().over(w).cast("string")))
       .withColumn("doc_id", sha2(col("url"), 256))
+      .drop("__part_key")
   }
 
   /** P1 heading-row promotion (dig_tabular_import.py:71-79): when the

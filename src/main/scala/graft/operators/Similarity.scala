@@ -130,12 +130,19 @@ object Similarity {
     * the literal length (removed signal, oracle divergence).
     */
   def probeDim(corpus: DataFrame): Int =
-    corpus.select(size(col("embedding"))).head().getInt(0)
+    corpus.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    // empty corpus → any dim works (every downstream frame is empty);
+    // 64 matches the testdata embedding width
 
-  def lshNearDupPairs(corpus: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
+  /** @param knownDim embedding dimensionality when the caller already
+    *   knows it (skips the probe job); <= 0 → probe one row.
+    */
+  def lshNearDupPairs(corpus: DataFrame, nPlanes: Int, bands: Int,
+                      knownDim: Int = -1): DataFrame = {
     require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
     val bitsPerBand = nPlanes / bands
-    val dim = probeDim(corpus)
+    val dim = if (knownDim > 0) knownDim else probeDim(corpus)
     // cache: sig feeds the banded self-join (both branches) AND the two
     // embedding join-backs — four otherwise-recomputed projections
     val sig = corpus.select(
@@ -161,8 +168,9 @@ object Similarity {
   /** Bucketed ANN: per-query candidate count + exact top-k within the
     * query's bucket (the scale path: score only same-bucket vectors).
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
-    val dim = probeDim(corpus)
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+              knownDim: Int = -1): DataFrame = {
+    val dim = if (knownDim > 0) knownDim else probeDim(corpus)
     val bucketed = corpus.select(
       col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val q = broadcast(queries.select(

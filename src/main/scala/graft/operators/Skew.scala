@@ -33,11 +33,22 @@ object Skew {
     * counts, not a second full count() job.
     */
   def hotKeys(df: DataFrame, key: String, threshold: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
     val grouped = df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).cache()
-    val total = grouped.agg(sum(col("cnt"))).head().getLong(0).toDouble
-    grouped
-      .withColumn("share", col("cnt") / lit(total))
-      .filter(col("share") >= threshold)
-      .orderBy(col("cnt").desc)
+    try {
+      val totalRow = grouped.agg(sum(col("cnt"))).head()
+      val total = if (totalRow.isNullAt(0)) 0.0 else totalRow.getLong(0).toDouble
+      val hot = grouped
+        .withColumn("share", col("cnt") / lit(total))
+        .filter(col("share") >= threshold)
+        .orderBy(col("cnt").desc)
+      // ≤ 1/threshold keys can each hold ≥ threshold share, so this
+      // collect is bounded by construction; materializing eagerly lets
+      // the cached per-key counts be released instead of pinning
+      // executor storage for the caller's lifetime (ADVICE r2).
+      val rows = if (total == 0.0) Array.empty[org.apache.spark.sql.Row] else hot.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), hot.schema)
+    } finally grouped.unpersist(false)
   }
 }

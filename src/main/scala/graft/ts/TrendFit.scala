@@ -128,7 +128,16 @@ object TrendFit {
         }
       }
     }
-    best
+    // Degenerate series (fewer distinct x quantiles than interior breaks —
+    // e.g. >6 points all at one timestamp) leave the candidate loops empty;
+    // fall back to a single straight-line fit instead of returning null.
+    if (best != null) best
+    else if (hi - lo < 1e-12) {
+      // all x coincide: the PWL basis is rank-deficient — emit a flat segment
+      val my = y.sum / y.length
+      val resid = y.map(v => (v - my) * (v - my)).sum
+      Fit(Array(lo, hi), resid, Array(Segment(lo, hi, 0.0, my, describeSlope(0.0))))
+    } else fitFixedBreaks(x, y, Array(lo, hi))
   }
 
   /** T7 stochastic break search — the reference's actual optimizer

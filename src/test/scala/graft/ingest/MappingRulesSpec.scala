@@ -108,4 +108,26 @@ class MappingRulesSpec extends SparkSpec {
     assert(plain.select("url").as[String].collect().toSet ==
       Set("u#1", "u#2", "u#3", "u#4"))
   }
+
+  test("P13 single-file upload keeps the reference's plain base#N ids") {
+    // ADVICE r2: the partition tag must not fire for the common
+    // single-file case (reference: running counter per uploaded file,
+    // dig_tabular_import.py:358-366)
+    val dir = java.nio.file.Files.createTempDirectory("ident").toFile
+    val f1 = new java.io.File(dir, "a.csv")
+    java.nio.file.Files.write(f1.toPath, "ord\n1\n2\n3\n".getBytes)
+    val one = spark.read.option("header", "true").csv(f1.toString)
+    val out = MappingRules.synthesizeIdentity("u", Seq($"ord"))(one)
+    assert(out.select("url").as[String].collect().toSet ==
+      Set("u#1", "u#2", "u#3"))
+    // two files: tag returns (per-file counters restart, so plain #N
+    // would collide) and urls stay unique
+    val f2 = new java.io.File(dir, "b.csv")
+    java.nio.file.Files.write(f2.toPath, "ord\n1\n2\n".getBytes)
+    val two = spark.read.option("header", "true").csv(dir.toString)
+    val urls = MappingRules.synthesizeIdentity("u", Seq($"ord"))(two)
+      .select("url").as[String].collect()
+    assert(urls.length == 5 && urls.distinct.length == 5)
+    assert(urls.forall(_.matches("u#[0-9a-f]{8}-\\d+")))
+  }
 }

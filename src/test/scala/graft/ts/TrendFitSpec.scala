@@ -74,6 +74,23 @@ class TrendFitSpec extends AnyFunSuite {
     assert(fit.ssr <= grid.ssr + 1e-9)
   }
 
+  test("degenerate series: all-equal x with n > 6 fits flat instead of crashing") {
+    // ADVICE r2: quantile .distinct can leave < nInterior candidates;
+    // the nInterior==2 pair loop then never runs and searchBreaks must
+    // fall back, not return null (which NPE'd fitSeries at cost()).
+    val x = Array.fill(10)(3.0)
+    val y = (1 to 10).map(_.toDouble).toArray
+    val segs = TrendFit.fitSeries(x, y)
+    assert(segs.length == 1)
+    assert(segs.head.slope == 0.0)
+    assert(math.abs(segs.head.intercept - 5.5) < 1e-9) // mean of y
+    // two distinct x values: still fewer candidates than 2 interior
+    // breaks -> straight-line fallback, no crash
+    val x2 = Array.fill(5)(0.0) ++ Array.fill(5)(1.0)
+    val segs2 = TrendFit.fitSeries(x2, (1 to 10).map(_.toDouble).toArray)
+    assert(segs2.nonEmpty)
+  }
+
   // Golden fixture for the full fitSeries pipeline (T6+T7+T8+T9+T11),
   // expectations derived by hand from the model definition:
   //   y = 4x on [0,5] (up to 20), y = 20-(x-5) on [5,20] (down to 5),
