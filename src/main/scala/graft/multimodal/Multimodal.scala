@@ -6,12 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns (builder brief): image/audio/video as opaque
   * `binary` columns with typed metadata structs.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape — is
-  * real; the codec itself is STUBBED deterministically (image/audio
-  * libraries are not in this container). On a real cluster the stub
-  * body is replaced by a JNI/javacv decode with the same signature;
-  * everything around it (the narrow mapPartitions batch shape, the
-  * metadata struct schema, size-aware repartitioning) is unchanged.
+  * Round 3: the image path is REAL — header-parse metadata
+  * ([[ImageCodec.sniff]], codegen'd) and full `javax.imageio` pixel
+  * decode/resize, all JDK-only. What remains stubbed (and says so):
+  * video frame extraction and audio decode, whose codecs genuinely
+  * are not in the JDK; their plumbing (schema, explode shape, batch
+  * signature) is the tested contract a javacv/JNI kernel drops into.
   */
 object Multimodal {
 
@@ -24,38 +24,48 @@ object Multimodal {
       payload.cast("binary").as("bytes"),
       lit(mime).as("mime"))
 
-  /** STUB image decode: derives deterministic metadata from the payload
-    * bytes (`???`-equivalent marked fake; real impl: image codec).
-    * Stays a per-row expression so the plan shape matches a codegen'd
-    * decode.
+  /** REAL image metadata: header-only parse (PNG IHDR / JPEG SOF / GIF
+    * / BMP) via the codegen'd [[ImageCodec.imageMeta]] expression —
+    * reads a few header bytes, never inflates pixels, so a metadata
+    * scan over a 100 TB media table does no decode work. Null
+    * format/width/height for non-image payloads; n_frames/sample_rate
+    * are the still-image constants (a video/audio prober fills them).
     */
-  def decodeImageStub(bytes: Column): Column = {
-    val n = octet_length(bytes)
+  def decodeImage(bytes: Column): Column = {
+    val m = ImageCodec.imageMeta(bytes)
     struct(
-      lit("fake/rgb8").as("format"),
-      (pmod(n, lit(640)) + 1).cast("int").as("width"),
-      (pmod(n, lit(480)) + 1).cast("int").as("height"),
-      lit(1).as("n_frames"),
-      lit(0).as("sample_rate"))
+      m.getField("format").as("format"),
+      m.getField("width").as("width"),
+      m.getField("height").as("height"),
+      when(m.isNotNull, lit(1)).as("n_frames"),
+      when(m.isNotNull, lit(0)).as("sample_rate"))
   }
 
-  /** STUB resize: real impl transforms pixels; the stub keeps the
-    * contract (FULL MetaSchema carried through with width/height
-    * updated, payload passed through — dropping fields would give
-    * chained/unioned media frames incompatible struct schemas).
+  /** REAL resize: decode → bilinear scale → re-encode PNG, through the
+    * batched plumbing (one codec context per batch). Non-image rows
+    * pass their payload through unchanged. Output schema: idCol,
+    * resized binary, full [[MetaSchema]]-shaped meta.
     */
-  def resizeStub(bytes: Column, meta: Column, w: Int, h: Int): Column =
-    struct(
-      bytes.as("bytes"),
-      meta.getField("format").as("format"),
-      lit(w).cast("int").as("width"),
-      lit(h).cast("int").as("height"),
-      meta.getField("n_frames").as("n_frames"),
-      meta.getField("sample_rate").as("sample_rate"))
+  def resizeImages(df: DataFrame, idCol: String, bytesCol: String,
+                   w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("string"), col(bytesCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            (id, ImageCodec.resizeTo(bytes, w, h).getOrElse(bytes))
+          }
+        }
+      }
+      .toDF(idCol, "resized")
+      .withColumn("meta", decodeImage(col("resized")))
+  }
 
   /** STUB frame sampling for video: pick every k-th "frame" (here: k-th
     * 1KiB chunk index) — demonstrates the explode shape a real frame
-    * sampler produces (one row per sampled frame).
+    * sampler produces (one row per sampled frame). Video codecs are
+    * not in the JDK; a javacv kernel replaces the chunk arithmetic.
     */
   def sampleFrames(bytes: Column, everyK: Int): Column = {
     val nFrames = greatest(floor(octet_length(bytes) / 1024).cast("int"), lit(1))
@@ -63,19 +73,17 @@ object Multimodal {
   }
 
   /** Batched decode plumbing — the Scala analogue of mapInPandas: rows
-    * stream through mapPartitions in bounded batches so a real codec
-    * can amortize model/library init per batch (not per row) while
-    * memory stays bounded by batchSize × payload, never the partition.
-    * The decode function itself is the pluggable part: it receives one
-    * batch of (id, bytes) and returns per-row feature vectors —
-    * STUBBED here as a deterministic byte-derived vector (no codec
-    * libs in this container); a javacv/JNI decode drops into the same
-    * signature with zero plan changes.
+    * stream through mapPartitions in bounded batches so the codec can
+    * amortize per-batch init while memory stays bounded by
+    * batchSize × payload, never the partition. The default kernel is
+    * the REAL image decode ([[imageFeatureBatch]]); any decoder with
+    * the same signature (audio, video, an embedding model) drops in
+    * with zero plan changes.
     */
   def decodeBatched(df: DataFrame, idCol: String, bytesCol: String,
                     batchSize: Int = 64,
                     decodeBatch: Seq[(String, Array[Byte])] => Seq[Array[Float]] =
-                      stubDecodeBatch): DataFrame = {
+                      imageFeatureBatch): DataFrame = {
     import df.sparkSession.implicits._
     // ids travel as strings: the pipeline's doc_id convention is sha256
     // hex — a long cast would null them and crash the tuple encoder
@@ -90,18 +98,26 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
-  /** STUB batch decode: deterministic 4-dim byte statistics per payload
-    * (real impl: decode + embed). Marked fake; the batch SHAPE is the
-    * tested contract.
+  /** REAL batch kernel: full ImageIO pixel decode per payload →
+    * [width, height, mean pixel value, 1.0]; non-image payloads fall
+    * back to deterministic byte statistics tagged 0.0 in the last slot
+    * (shape-compatible, so mixed media batches don't fork the plan).
     */
-  def stubDecodeBatch(batch: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
+  def imageFeatureBatch(batch: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
     batch.map { case (_, bytes) =>
-      val n = math.max(1, bytes.length)
-      var sum = 0L; var mx = 0; var i = 0
-      while (i < bytes.length) { val v = bytes(i) & 0xff; sum += v; if (v > mx) mx = v; i += 1 }
-      Array(n.toFloat, (sum.toDouble / n).toFloat, mx.toFloat,
-        (bytes.headOption.map(_ & 0xff).getOrElse(0)).toFloat)
+      ImageCodec.decodeStats(bytes) match {
+        case Some((w, h, avg)) => Array(w.toFloat, h.toFloat, avg.toFloat, 1f)
+        case None => byteStats(bytes) :+ 0f
+      }
     }
+
+  private def byteStats(bytes: Array[Byte]): Array[Float] = {
+    val n = math.max(1, if (bytes == null) 0 else bytes.length)
+    var sum = 0L; var mx = 0; var i = 0
+    val len = if (bytes == null) 0 else bytes.length
+    while (i < len) { val v = bytes(i) & 0xff; sum += v; if (v > mx) mx = v; i += 1 }
+    Array(n.toFloat, (sum.toDouble / n).toFloat, mx.toFloat)
+  }
 
   /** Size-aware layout: media tables must spread payload BYTES evenly so
     * a few huge blobs don't skew tasks (100 TB guidance: target

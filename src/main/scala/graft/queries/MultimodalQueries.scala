@@ -4,40 +4,97 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageCodec, Multimodal}
 
-/** Multimodal-column plumbing exercised on real tables: the documents
-  * payload treated as an opaque binary column, decoded by the stubbed
-  * codec into typed metadata, with frame-sampling counts (builder brief:
-  * the Spark-side schema/batch shape is real; the codec is a
-  * deterministic fake).
+/** Multimodal-column queries over REAL image decode (round 3; r2's
+  * deterministic fakes are gone). Each row synthesizes a real image
+  * with closed-form dimensions/color derived from the documents table
+  * (the extract_tables pattern: generate the payload in-query so the
+  * DuckDB oracle can state the expected answer without a codec), then
+  * the certified values come from actually decoding those bytes:
+  *
+  *  - media_meta: header-only metadata (PNG IHDR parse, codegen'd) —
+  *    the scan-scale path that never inflates pixels.
+  *  - media_decode: full `javax.imageio` pixel decode through the
+  *    batched mapPartitions plumbing — width/height/mean-pixel read
+  *    from the decoded raster. Formats rotate png/bmp/gif (the JDK's
+  *    lossless trio; JPEG dims are spec-covered, its lossy pixels have
+  *    no closed form).
   */
 object MultimodalQueries {
 
-  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-      .withColumn("bytes", col("text").cast("binary"))
-      .withColumn("meta", Multimodal.decodeImageStub(col("bytes")))
-    docs.select(
+  /** Synthesis UDF (test-harness side, not an operator): a real
+    * constant-gray image of the given dims/format.
+    */
+  private val synthImage =
+    udf((w: Int, h: Int, gray: Int, f: Int) => ImageCodec.encode(w, h, gray, f))
+
+  private def withSynth(s: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("text").cast("binary"))
+    Tables(s, dir, "documents").select(
       col("doc_id"),
-      octet_length(col("bytes")).as("n_bytes"),
+      n.as("n_bytes"),
+      (n % 24 + 8).cast("int").as("w"),
+      (n % 16 + 8).cast("int").as("h"),
+      (n % 256).cast("int").as("gray"),
+      (n % 3).cast("int").as("fmt_idx"))
+  }
+
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = withSynth(s, dir)
+      .withColumn("bytes", synthImage(col("w"), col("h"), col("gray"), lit(0)))
+      .withColumn("meta", Multimodal.decodeImage(col("bytes")))
+    media.select(
+      col("doc_id"),
+      col("n_bytes"),
+      col("meta.format").as("format"),
       col("meta.width").as("width"),
       col("meta.height").as("height"),
       size(Multimodal.sampleFrames(col("bytes"), 2)).as("n_sampled"))
       .orderBy(col("doc_id"))
   }
 
+  /** n_sampled has a closed form because the synthesized PNG is tiny:
+    * octet_length < 1024 ⇒ one chunk ⇒ exactly one sampled frame.
+    */
   val mediaMetaSql: String =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-      |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-      |  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
-      |  CAST(len(list_filter(range(greatest(octet_length(encode(text)) // 1024, 1)),
-      |    i -> i % 2 = 0)) AS INT) AS n_sampled
+      |  'png' AS format,
+      |  CAST(octet_length(encode(text)) % 24 + 8 AS INT) AS width,
+      |  CAST(octet_length(encode(text)) % 16 + 8 AS INT) AS height,
+      |  1 AS n_sampled
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = withSynth(s, dir)
+      .withColumn("bytes", synthImage(col("w"), col("h"), col("gray"), col("fmt_idx")))
+    val sniffed = media.select(
+      col("doc_id"), ImageCodec.imageMeta(col("bytes")).getField("format").as("format"))
+    val feats = Multimodal.decodeBatched(media, "doc_id", "bytes")
+    sniffed.join(feats, "doc_id")
+      .select(
+        col("doc_id"),
+        col("format"),
+        element_at(col("features"), 1).cast("int").as("dec_width"),
+        element_at(col("features"), 2).cast("int").as("dec_height"),
+        element_at(col("features"), 3).cast("int").as("avg_px"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaDecodeSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id,
+      |  CASE CAST(n % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+      |  CAST(n % 24 + 8 AS INT) AS dec_width,
+      |  CAST(n % 16 + 8 AS INT) AS dec_height,
+      |  CAST(n % 256 AS INT) AS avg_px
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_meta" -> (mediaMeta _))
+    "media_meta" -> (mediaMeta _),
+    "media_decode" -> (mediaDecode _))
 
   val oracles: Map[String, String] = Map(
-    "media_meta" -> mediaMetaSql)
+    "media_meta" -> mediaMetaSql,
+    "media_decode" -> mediaDecodeSql)
 }
