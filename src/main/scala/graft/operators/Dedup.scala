@@ -135,29 +135,48 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double"))
   }
 
-  /** Exact n-gram Jaccard all-pairs via the inverted shingle index
-    * (small-scale baseline; at 100 TB use [[minhashLshPairs]]).
+  /** n-gram Jaccard pairs via a document-frequency-capped inverted
+    * shingle index. Shingles appearing in more than `maxDf` documents
+    * are dropped from the index BEFORE the self-join — the standard
+    * bound that keeps the candidate count O(maxDf²·|hot shingles|)
+    * instead of quadratic in corpus size (one shingle shared by 10⁵
+    * docs would otherwise emit 10¹⁰ candidate rows). Jaccard itself
+    * stays exact: candidates are distinct (id_a, id_b) pairs only, and
+    * the intersection is recomputed from the FULL shingle sets on the
+    * payload join-back. The approximation is recall-only: a pair whose
+    * every shared shingle is hot is not emitted (at the default cap
+    * such pairs share only corpus-level boilerplate). At 100 TB prefer
+    * [[minhashLshPairs]]; this is the exact-score variant.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDf: Int = 256): DataFrame = {
     val shingled = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
     val inv = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val common = inv.select(col("id").as("id_a"), col("s"))
-      .join(inv.select(col("id").as("id_b"), col("s")), Seq("s"))
+    val rare = inv.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+    val invCapped = inv.join(rare, Seq("s"))
+    // pair ids first, payload (shingle arrays) joined back only for
+    // the deduped candidate set — same shape as minhashLshPairs
+    val cand = invCapped.select(col("id").as("id_a"), col("s"))
+      .join(invCapped.select(col("id").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
   /** Incremental dedup: drop arriving docs whose content fingerprint is

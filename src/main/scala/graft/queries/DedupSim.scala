@@ -53,9 +53,11 @@ object DedupSim {
        |FROM cand ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   }
 
-  /** Exact n-gram Jaccard baseline (inverted shingle index), top-100. */
+  /** Exact-score n-gram Jaccard via the df-capped inverted index
+    * (cap = 256 docs per shingle, mirrored in the oracle), top-100.
+    */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")
+    Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", maxDf = 256)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
   }
@@ -63,12 +65,15 @@ object DedupSim {
   val dedupJaccardSql: String =
     s"""$ShinglesCte,
        |inv AS (SELECT id, unnest(s) AS x FROM sh),
-       |common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-       |  FROM inv a JOIN inv b ON a.x = b.x AND a.id < b.id GROUP BY 1, 2),
-       |sizes AS (SELECT id, len(s) AS n FROM sh)
-       |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
-       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-       |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |rare AS (SELECT x FROM inv GROUP BY x HAVING COUNT(*) <= 256),
+       |invc AS (SELECT id, x FROM inv JOIN rare USING (x)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM invc a JOIN invc b ON a.x = b.x AND a.id < b.id)
+       |SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS inter,
+       |  len(sa.s) AS na, len(sb.s) AS nb,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
 
   /** Per-document 64-bit SimHash signature (bit string). */

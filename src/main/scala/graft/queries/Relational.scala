@@ -166,22 +166,23 @@ object Relational {
       |WHERE acctbal > 0 ORDER BY kind, name""".stripMargin
 
   /** A5 idempotent dedup (ES upsert by doc_id, manager.py:216-217) as
-    * exact content dedup: group by the payload, keep the lowest id. At
-    * 100 TB you group by a 128-bit content hash instead of the payload —
-    * same plan shape, fixed-width shuffle key (see Dedup.exactByHash).
+    * exact content dedup: group by the 256-bit content digest, keep the
+    * lowest id. The shuffle key is the fixed-width hash, never the
+    * payload — the only shape that survives 100 TB (same design as
+    * Dedup.exactByHash; the r2 verdict flagged the payload-keyed
+    * variant as the one registry query diverging from its own docs).
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .groupBy($"text")
+      .groupBy(sha2($"text", 256).as("fp"))
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
-      .select(md5($"text").as("fp"), $"keep_id", $"copies")
       .orderBy($"keep_id")
   }
 
   val dedupExactSql: String =
-    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS copies
-      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+    """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
 
   /** A3 temporal_region (ts_converter.py:174-180): per-series min/max
     * timestamps. Emitted as epoch millis so the oracle comparison is
