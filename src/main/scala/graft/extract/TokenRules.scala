@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   *   - `number`: digit runs, allowed-value lists, digit-length sets
   *   - `linebreak`, `contain_digit`, `length` (token-length set)
   * with `required` (optional tokens may be absent) and `output` (only
-  * flagged tokens join the extraction) flags. The ONLY remaining
-  * degrade-to-AnyToken is a bare `part_of_speech` constraint — POS
-  * needs a tagger, not a regex; every museum rule also carries a
-  * regex-able constraint, so none degrade in practice. Value-range
-  * minimum/maximum on numbers is likewise unenforced (documented).
+  * flagged tokens join the extraction) flags. Bare `part_of_speech`
+  * constraints compile through the POS-lite [[PosLexicon]] tagger
+  * (closed-class lexicons + open-class suffix heuristics) — a real
+  * constraint, heuristic rather than spaCy-parity (documented). The
+  * only unenforced field is value-range minimum/maximum on numbers
+  * (not regex-able; documented).
   *
   * Rules compile once (driver-side) to a single Java regex evaluated by
   * codegen'd `regexp_extract_all` — the per-document work is one regex
@@ -52,6 +53,18 @@ object TokenRules {
   final case class DigitWord() extends Matcher
   /** Word with an allowed token-length set (`length`). */
   final case class WordLen(lengths: Seq[Int]) extends Matcher
+  /** Bare `part_of_speech` constraint (mydig spacy-rule token schema;
+    * r2 verdict item #5). Compiled through [[PosLexicon]]: closed
+    * classes (determiners, prepositions, pronouns, conjunctions,
+    * auxiliaries) are finite lexicons — exact regex alternations;
+    * open classes (verb, adjective, adverb, proper noun) use suffix /
+    * capitalization heuristics; noun is the open-class complement
+    * (any word that is not a closed-class word, not a bare number).
+    * A heuristic tagger, not spaCy parity — but a real constraint:
+    * "the" no longer matches a NOUN slot, so bare-POS rules constrain
+    * instead of degrading to AnyToken.
+    */
+  final case class PosTok(classes: Seq[String]) extends Matcher
   /** Alternation over matchers (rule files list several tokens/shapes). */
   final case class OneOf(opts: Seq[Matcher]) extends Matcher
 
@@ -98,6 +111,7 @@ object TokenRules {
     case LineBreak() => "\\r?\\n"
     case DigitWord() => "(?=\\w*\\d)\\w+"
     case WordLen(ls) => ls.map(l => s"\\w{$l}").mkString("(?:", "|", ")")
+    case PosTok(cls) => cls.map(PosLexicon.regexFor).mkString("(?:", "|", ")")
     case OneOf(opts) => opts.map(matcherRegex).mkString("(?:", "|", ")")
   }
 
@@ -153,9 +167,12 @@ object TokenRules {
             }
             else if (containDigit) DigitWord()
             else if (lengths.nonEmpty) WordLen(lengths)
-            // part_of_speech alone is NOT regex-able (needs a tagger):
-            // the only remaining degrade, documented in the scaladoc
-            else AnyToken()
+            else {
+              // bare part_of_speech: POS-lite lexicon/suffix tagger
+              // (see PosLexicon) — no longer degrades to AnyToken
+              val pos = strings("part_of_speech")
+              if (pos.nonEmpty) PosTok(pos) else AnyToken()
+            }
         }
         toks += RuleToken(m,
           required = t.path("is_required").asText("true") == "true",
@@ -227,4 +244,124 @@ object TokenRules {
   val TickerRule: Rule = Rule("stock_ticker-1", Seq(
     RuleToken(Punct("$:"), output = false),
     RuleToken(Shape("XX"))))
+}
+
+/** POS-lite tagger for bare `part_of_speech` rule tokens (E3; r2
+  * verdict #5). English closed classes are small finite lexicons, so
+  * they compile to exact case-insensitive alternations; open classes
+  * use the standard suffix/capitalization heuristics. Everything stays
+  * a regex fragment, so POS-constrained rules ride the same single
+  * codegen'd `regexp_extract_all` scan as every other matcher — no
+  * per-token UDF, no model, no shuffle.
+  *
+  * Accepted class names (normalized: lowercase, space→underscore) are
+  * the mydig rule-editor names with their Universal-POS aliases:
+  * noun, proper_noun/propn, pronoun/pron, verb, auxiliary/aux,
+  * adjective/adj, adverb/adv, determiner/det,
+  * preposition/adposition/adp, conjunction/cconj/sconj, number/num,
+  * interjection/intj. Unknown names fall back to `\w+` (AnyToken
+  * semantics) rather than failing the rule load.
+  */
+object PosLexicon {
+
+  val Determiners: Seq[String] = Seq(
+    "the", "a", "an", "this", "that", "these", "those", "my", "your",
+    "his", "her", "its", "our", "their", "some", "any", "no", "every",
+    "each", "either", "neither", "both", "all", "few", "many", "much",
+    "several", "such", "what", "which", "whose", "another", "other")
+
+  val Prepositions: Seq[String] = Seq(
+    "in", "on", "at", "by", "for", "with", "about", "against",
+    "between", "into", "through", "during", "before", "after", "above",
+    "below", "to", "from", "up", "down", "of", "off", "over", "under",
+    "near", "since", "until", "within", "without", "among", "across",
+    "behind", "beyond", "around", "along", "toward", "towards", "upon",
+    "onto", "per", "via", "despite", "throughout", "beside", "besides",
+    "amid", "except")
+
+  val Pronouns: Seq[String] = Seq(
+    "i", "you", "he", "she", "it", "we", "they", "me", "him", "her",
+    "us", "them", "mine", "yours", "hers", "ours", "theirs", "myself",
+    "yourself", "himself", "herself", "itself", "ourselves",
+    "yourselves", "themselves", "who", "whom", "whose", "which", "what",
+    "anyone", "everyone", "someone", "nobody", "anybody", "everybody",
+    "somebody", "something", "anything", "everything", "nothing", "one")
+
+  val Conjunctions: Seq[String] = Seq(
+    "and", "or", "but", "nor", "so", "yet", "because", "although",
+    "though", "while", "if", "unless", "since", "whereas", "whether",
+    "once", "when", "whenever", "where", "wherever", "than", "that",
+    "after", "before", "until", "as")
+
+  val Auxiliaries: Seq[String] = Seq(
+    "am", "is", "are", "was", "were", "be", "been", "being", "have",
+    "has", "had", "having", "do", "does", "did", "will", "would",
+    "shall", "should", "may", "might", "must", "can", "could", "ought")
+
+  val ClosedAdverbs: Seq[String] = Seq(
+    "very", "not", "never", "always", "often", "sometimes", "soon",
+    "quite", "too", "also", "just", "still", "already", "again",
+    "here", "there", "now", "then", "well", "almost", "rather",
+    "perhaps", "maybe", "instead", "together", "away", "back", "even",
+    "ever", "far", "fast", "hard", "late", "early", "today",
+    "yesterday", "tomorrow")
+
+  val Interjections: Seq[String] = Seq(
+    "oh", "wow", "hey", "ouch", "oops", "hmm", "ah", "alas", "yay",
+    "ugh", "hello", "hi", "bye", "please", "thanks", "yes", "no",
+    "okay", "ok")
+
+  val SpelledNumbers: Seq[String] = Seq(
+    "zero", "one", "two", "three", "four", "five", "six", "seven",
+    "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+    "fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+    "twenty", "thirty", "forty", "fifty", "sixty", "seventy", "eighty",
+    "ninety", "hundred", "thousand", "million", "billion", "first",
+    "second", "third", "fourth", "fifth", "dozen", "half")
+
+  /** Every word the closed-class lexicons claim — the complement used
+    * by the open-class noun heuristic.
+    */
+  val AllClosed: Seq[String] =
+    (Determiners ++ Prepositions ++ Pronouns ++ Conjunctions ++
+      Auxiliaries ++ ClosedAdverbs ++ Interjections ++ SpelledNumbers).distinct
+
+  /** Case-insensitive whole-alternation over a lexicon. */
+  private def alt(words: Seq[String]): String =
+    words.mkString("(?i:", "|", ")")
+
+  private val VerbSuffix = "(?i:\\w{2,}(?:ing|ed|ize|ise|ify|ates|ate))"
+  private val AdjSuffix =
+    "(?i:\\w+(?:ous|ful|ive|able|ible|ic|ical|ish|ary|less|est))"
+  private val AdvSuffix = "(?i:\\w{3,}ly)"
+
+  /** Open-class noun: a letter-initial word that is not a closed-class
+    * word (bare digit runs are NUM, not NOUN). Deliberately permissive
+    * — nouns are the open-class default, exactly as in coarse taggers.
+    */
+  private def nounRegex: String =
+    s"(?!${alt(AllClosed)}(?!\\w))(?!\\d)\\w+"
+
+  /** One POS class name → regex fragment (whole-token boundaries are
+    * applied by the rule compiler, same as every matcher).
+    */
+  def regexFor(posClass: String): String = {
+    val norm = posClass.trim.toLowerCase.replace(' ', '_')
+    norm match {
+      case "determiner" | "det" => alt(Determiners)
+      case "preposition" | "adposition" | "adp" => alt(Prepositions)
+      case "pronoun" | "pron" => alt(Pronouns)
+      case "conjunction" | "cconj" | "sconj" | "conj" => alt(Conjunctions)
+      case "auxiliary" | "aux" | "auxiliary_verb" => alt(Auxiliaries)
+      case "interjection" | "intj" => alt(Interjections)
+      case "number" | "num" | "numeral" =>
+        s"(?:\\d+(?:\\.\\d+)?|${alt(SpelledNumbers)})"
+      case "adverb" | "adv" => s"(?:${alt(ClosedAdverbs)}|$AdvSuffix)"
+      case "verb" => s"(?:${alt(Auxiliaries)}|$VerbSuffix)"
+      case "adjective" | "adj" => AdjSuffix
+      case "proper_noun" | "propn" => "[A-Z][A-Za-z]+"
+      case "noun" => nounRegex
+      case _ => "\\w+" // unknown tag: AnyToken semantics, rule still loads
+    }
+  }
 }

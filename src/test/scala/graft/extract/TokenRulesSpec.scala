@@ -93,15 +93,70 @@ class TokenRulesSpec extends SparkSpec {
     val out = df.select(TokenRules.extract($"t", rules.head).as("x"))
       .as[Seq[String]].collect()
     assert(out(0).exists(v => v.contains("1669") && v.contains("Amsterdam")))
-    // POS-only token is the one remaining AnyToken degrade
+    // POS-only token compiles to a real PosTok constraint (r3)
     val posOnly = TokenRules.fromJson(
       """{"rules":[{"pattern":[{"type":"word","token":[],
         |"part_of_speech":["NOUN"],"is_required":"true","is_in_output":"true"}]}]}""".stripMargin,
       "pos")
-    assert(posOnly.head.tokens.head.matcher == AnyToken())
+    assert(posOnly.head.tokens.head.matcher == PosTok(Seq("NOUN")))
     assert(matcherRegex(DigitWord()).nonEmpty && "ab3c".matches(matcherRegex(DigitWord())))
     assert(!"abc".matches(matcherRegex(DigitWord())))
     assert("abcde".matches(matcherRegex(WordLen(Seq(3, 5)))) &&
       !"abcd".matches(matcherRegex(WordLen(Seq(3, 5)))))
+  }
+
+  test("POS-lite: closed classes are exact lexicons, noun is the open complement") {
+    val det = matcherRegex(PosTok(Seq("determiner")))
+    assert("the".matches(det) && "The".matches(det) && "museum".matches(det) == false)
+    val adp = matcherRegex(PosTok(Seq("preposition")))
+    assert("in".matches(adp) && "painting".matches(adp) == false)
+    val noun = matcherRegex(PosTok(Seq("NOUN")))
+    assert("museum".matches(noun) && "painting".matches(noun))
+    assert(!"the".matches(noun) && !"with".matches(noun) && !"1867".matches(noun))
+    val verb = matcherRegex(PosTok(Seq("verb")))
+    assert("painted".matches(verb) && "painting".matches(verb) && "was".matches(verb))
+    val adv = matcherRegex(PosTok(Seq("adverb")))
+    assert("quickly".matches(adv) && "very".matches(adv) && !"paint".matches(adv))
+    val propn = matcherRegex(PosTok(Seq("proper noun")))
+    assert("Rembrandt".matches(propn) && !"rembrandt".matches(propn))
+    // multi-class alternation (mydig rules list several tags)
+    val nv = matcherRegex(PosTok(Seq("noun", "num")))
+    assert("museum".matches(nv) && "42".matches(nv) && !"the".matches(nv))
+  }
+
+  test("POS-lite: a DET+NOUN sequence rule constrains instead of matching anything") {
+    val rule = Rule("np-1", Seq(
+      RuleToken(PosTok(Seq("determiner")), output = false),
+      RuleToken(PosTok(Seq("noun")))))
+    val df = Seq(
+      "she visited the museum yesterday", // "the museum" matches
+      "went to a gallery downtown", // "a gallery" matches
+      "in 1867 he painted daily" // no DET+NOUN pair: DET never fires
+    ).toDF("t")
+    val out = df.select(TokenRules.extract($"t", rule).as("x"))
+      .as[Seq[String]].collect()
+    assert(out(0).contains("museum"))
+    assert(out(1).contains("gallery"))
+    assert(out(2).isEmpty)
+  }
+
+  test("POS-lite: bare-POS rule from museum-style JSON end to end") {
+    val json =
+      """{"rules":[{"pattern":[
+        |  {"type":"word","token":[],"part_of_speech":["verb"],
+        |   "is_required":"true","is_in_output":"false"},
+        |  {"type":"word","token":[],"part_of_speech":["preposition"],
+        |   "is_required":"true","is_in_output":"false"},
+        |  {"type":"word","token":[],"part_of_speech":["proper noun"],
+        |   "is_required":"true","is_in_output":"true"}
+        |]}]}""".stripMargin
+    val rules = TokenRules.fromJson(json, "birthplace")
+    val df = Seq(
+      "Rembrandt was born in Leiden and painted in Amsterdam",
+      "no pos sequence here at all").toDF("t")
+    val out = df.select(TokenRules.extract($"t", rules.head).as("x"))
+      .as[Seq[String]].collect()
+    assert(out(0).exists(v => v == "Leiden" || v == "Amsterdam"))
+    assert(out(1).isEmpty)
   }
 }
