@@ -23,7 +23,22 @@ object Bench {
     graft.ts.TrendFit.fitSeries(
       (0 until 30).map(_.toDouble).toArray,
       (0 until 30).map(i => math.sin(i.toDouble)).toArray)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // KG construction is index-build work (the reference's ES indexing
+    // phase), not query-plane work: time it as its own `kg_build` entry
+    // so kg_search/kg_facets measure the query, not the one-time build
+    // it used to absorb (r2 verdict #6).
+    val tKg = System.nanoTime()
+    graft.queries.KgPipeline.kg(spark, sfDir)
+    val kgBuild = "kg_build" -> (System.nanoTime() - tKg) / 1e9
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid;
+    // the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write: materializes every output column (a bare count()
       // would let Catalyst prune the expressions under measurement)
@@ -33,9 +48,9 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results + kgBuild).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum + kgBuild._2
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,6 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageCodec {
 
+  // ImageIO's default ImageInputStream cache is DISK-backed: every
+  // read/write spills a temp file — at bench scale that's tens of
+  // thousands of file creations per executor. Payloads here are
+  // in-memory byte arrays; cache in memory. (Executor-wide, set once
+  // per JVM at class load.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Header-only metadata: (format, width, height); None when the
     * payload is not a recognized image. PNG: IHDR is always the first
     * chunk — width/height big-endian u32 at offsets 16/20. JPEG: walk

@@ -137,16 +137,18 @@ object Dedup {
 
   /** n-gram Jaccard pairs via a document-frequency-capped inverted
     * shingle index. Shingles appearing in more than `maxDf` documents
-    * are dropped from the index BEFORE the self-join — the standard
-    * bound that keeps the candidate count O(maxDf²·|hot shingles|)
-    * instead of quadratic in corpus size (one shingle shared by 10⁵
-    * docs would otherwise emit 10¹⁰ candidate rows). Jaccard itself
-    * stays exact: candidates are distinct (id_a, id_b) pairs only, and
-    * the intersection is recomputed from the FULL shingle sets on the
-    * payload join-back. The approximation is recall-only: a pair whose
-    * every shared shingle is hot is not emitted (at the default cap
-    * such pairs share only corpus-level boilerplate). At 100 TB prefer
-    * [[minhashLshPairs]]; this is the exact-score variant.
+    * (the hot vocabulary) are removed from the pair-generating
+    * self-join — the standard bound that keeps each shingle's pair
+    * contribution ≤ maxDf² instead of quadratic in corpus size (one
+    * shingle shared by 10⁵ docs would otherwise emit 10¹⁰ candidate
+    * rows). Scores stay exact: the rare-shingle co-occurrence count
+    * (one groupBy, no arrays) plus the overlap of the per-doc HOT
+    * shingle sets — arrays bounded by the hot-vocabulary size, not
+    * document length, so the join-back payload stays narrow. The
+    * approximation is recall-only: a pair whose every shared shingle
+    * is hot is not emitted (at the default cap such pairs share only
+    * corpus-level boilerplate). At 100 TB prefer [[minhashLshPairs]];
+    * this is the exact-score variant.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int = 256): DataFrame = {
@@ -156,27 +158,45 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .cache()
     val inv = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val rare = inv.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("s"))
-    val invCapped = inv.join(rare, Seq("s"))
-    // pair ids first, payload (shingle arrays) joined back only for
-    // the deduped candidate set — same shape as minhashLshPairs
-    val cand = invCapped.select(col("id").as("id_a"), col("s"))
-      .join(invCapped.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+    // ONE groupBy builds the posting list per shingle; its length IS
+    // the document frequency, so the cap is a filter on the grouped
+    // row — no separate df scan, no self-join. Sorted in the aggregate
+    // so the in-row pair expansion references a plain attribute (a
+    // lambda referencing an expression subtree re-evaluates it per
+    // element — the CollapseProject trap documented in NOTES.md).
+    val posting = inv.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val rarePost = posting.filter(size(col("ids")) <= maxDf)
+    // hot postings (df > maxDf) are not pair-expanded; their shingles
+    // ride per-doc as a SMALL set (bounded by the hot-vocabulary size)
+    val hotPerDoc = posting.filter(size(col("ids")) > maxDf)
+      .select(col("s"), explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(collect_set(col("s")).as("hot"))
+    // ordered pairs (id_a < id_b) expanded IN-ROW from each rare
+    // posting list: ≤ maxDf²/2 pairs per shingle by construction
+    val pairs = rarePost.select(explode(flatten(transform(col("ids"),
+        (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val commonRare = pairs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // exact intersection = rare co-occurrences + hot-set overlap (the
+    // hot arrays are tiny, so the join-back payload stays narrow)
+    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
+    commonRare
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .join(hotPerDoc.select(col("id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
+      .join(hotPerDoc.select(col("id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
+      .withColumn("inter",
+        (col("inter_rare") + size(array_intersect(
+          coalesce(col("hot_a"), array()),
+          coalesce(col("hot_b"), array())))).cast("int"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
   /** Incremental dedup: drop arriving docs whose content fingerprint is

@@ -63,6 +63,22 @@ object KgPipeline {
       built
     })
 
+  /** Q8 index routing made physical (type_index_mappings.json:1 — the
+    * reference routes each typed field to its own ES index): persist
+    * the KG long table hive-partitioned by `field`, so every typed
+    * field is its own partition directory. `QueryCompiler.search`'s
+    * per-constraint `field isin (...)` filter then becomes a partition
+    * filter at plan time — a single-constraint search over a 100 TB KG
+    * physically scans only that field's directories, not the table
+    * (asserted in PlanSpec).
+    */
+  def writeKgStore(kgDf: DataFrame, path: String): Unit =
+    kgDf.write.mode("overwrite").partitionBy("field").parquet(path)
+
+  /** Read the partitioned KG store back as the query-plane table. */
+  def kgFromStore(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   private def glossSql(g: Seq[String]) = g.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** Oracle CTE re-deriving the KG long table from raw text. */

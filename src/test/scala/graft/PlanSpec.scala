@@ -111,4 +111,44 @@ class PlanSpec extends SparkSpec {
     assert(bandLines.forall(l => !l.contains("sh#") && !l.contains("sh_a") && !l.contains("sh_b")),
       s"shingle arrays must not ride through the band join:\n${bandLines.mkString("\n")}")
   }
+
+  test("kg store: single-constraint search partition-prunes to the constrained field") {
+    // Q8 index routing at 100×: the KG persisted partitioned by `field`
+    // (one directory per typed field = the reference's per-type ES
+    // index); a one-constraint query must SCAN only that field's
+    // partitions, proven on the executed scan node's selected
+    // partition count — not just the filter string.
+    val store = java.nio.file.Files.createTempDirectory("kgstore").toString
+    KgPipeline.writeKgStore(KgPipeline.kg(spark, dir), store)
+    val kgStored = KgPipeline.kgFromStore(spark, store)
+    assert(kgStored.select("field").distinct().count() == 3) // op, speed, size
+
+    val spec = graft.query.QueryCompiler.QuerySpec(
+      constraints = Seq(graft.query.QueryCompiler.Constraint("op", "join")),
+      freeText = None, limit = 50)
+    val df = graft.query.QueryCompiler.search(
+      kgStored, Tables(spark, dir, "documents"), "doc_id", "text",
+      spec, KgPipeline.DemoCatalog)
+
+    // unwrap AQE (scans live under inputPlan before stage execution)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.inputPlan)
+      case other => other.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("kgstore")))
+    assert(scans.nonEmpty, "expected a file scan over the kg store")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "field")),
+      "field isin(...) must become a partition filter, not a data filter")
+    // the scan's own file index, under the scan's own partition filters:
+    // exactly ONE partition directory (field=op) may be selected
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.size == 1,
+      s"one-constraint search must scan exactly the field=op partition, scanned ${selected.size}")
+  }
 }
