@@ -181,6 +181,60 @@ object TrendFit {
     fitFixedBreaks(x, y, (lo +: pop(best).sorted.toSeq :+ hi).toArray)
   }
 
+  /** T7 `fitfast` parity (pwlf.py:321-413): the reference's SECOND
+    * optimizer — Latin-hypercube seeding + bounded local minimization
+    * (scipy `minimize` L-BFGS-B with numerical gradients) from each
+    * seed, best local optimum wins. Here: a seeded deterministic LHS
+    * (one stratum per seed per dimension, independently permuted) and
+    * Breeze [[breeze.optimize.LBFGSB]] over an
+    * [[breeze.optimize.ApproximateGradientFunction]] — the same
+    * finite-difference scheme scipy defaults to. Near-coincident
+    * breaks (rank-deficient PWL basis) get a large finite penalty so
+    * the line search backs off the cliff. Deterministic for a given
+    * seed, like [[searchBreaksDE]].
+    */
+  def searchBreaksFast(x: Array[Double], y: Array[Double], nSegments: Int,
+                       nSeeds: Int = 10, seed: Long = 42L): Fit = {
+    val lo = x.min; val hi = x.max
+    val nInterior = nSegments - 1
+    if (nInterior <= 0 || hi - lo < 1e-12)
+      return searchBreaks(x, y, nSegments) // shares the degenerate fallbacks
+    val rnd = new scala.util.Random(seed)
+    val minGap = (hi - lo) * 1e-6
+    def fitness(v: Array[Double]): Double = {
+      val all = (lo +: v.sorted.toSeq :+ hi).toArray
+      if (all.sliding(2).exists { case Array(a, b) => b - a < minGap }) 1e100
+      else fitFixedBreaks(x, y, all).ssr
+    }
+    // LHS: each seed takes one stratum per dimension; strata are
+    // independently permuted across dimensions (the LHS property), all
+    // from the fixed-seed generator
+    val perms = Array.fill(nInterior)(rnd.shuffle((0 until nSeeds).toVector))
+    val seeds = Array.tabulate(nSeeds) { s =>
+      Array.tabulate(nInterior) { d =>
+        lo + (hi - lo) * (perms(d)(s) + rnd.nextDouble()) / nSeeds
+      }
+    }
+    val margin = (hi - lo) * 1e-3
+    val lower = DenseVector.fill(nInterior)(lo + margin)
+    val upper = DenseVector.fill(nInterior)(hi - margin)
+    val solver = new breeze.optimize.LBFGSB(lower, upper, maxIter = 60, m = 5)
+    val approx = new breeze.optimize.ApproximateGradientFunction[Int, DenseVector[Double]](
+      v => fitness(v.toArray), (hi - lo) * 1e-7)
+    var bestV: Array[Double] = null
+    var bestF = Double.MaxValue
+    seeds.foreach { s0 =>
+      val clamped = DenseVector(s0.map(v => math.min(hi - margin, math.max(lo + margin, v))))
+      val res =
+        try solver.minimize(approx, clamped)
+        catch { case _: Exception => clamped } // line-search failure: keep the seed
+      val f = fitness(res.toArray)
+      if (f < bestF) { bestF = f; bestV = res.toArray }
+    }
+    if (bestV == null) searchBreaks(x, y, nSegments)
+    else fitFixedBreaks(x, y, (lo +: bestV.sorted.toSeq :+ hi).toArray)
+  }
+
   /** T8 model selection (linear_fit.py:13,149-175): grow segments from 3
     * while cost = SSR/n/range² + 0.02·segments decreases; cap at n/3.
     * T10: ≤6 points → connect-the-dots; 1 point → single_point.

@@ -74,6 +74,30 @@ class TrendFitSpec extends AnyFunSuite {
     assert(fit.ssr <= grid.ssr + 1e-9)
   }
 
+  test("T7 fitfast (LHS + L-BFGS-B) finds the knee, reproducibly, parity with DE") {
+    val x = (0 to 20).map(_.toDouble).toArray
+    val y = x.map(v => if (v <= 5) 4 * v else 20 - (v - 5))
+    val fit = TrendFit.searchBreaksFast(x, y, 2)
+    assert(fit.breaks.length == 3)
+    assert(math.abs(fit.breaks(1) - 5.0) < 0.2) // local polish reaches the knee
+    assert(fit.ssr < 1.0)
+    // fixed seed -> bit-identical reruns
+    val again = TrendFit.searchBreaksFast(x, y, 2)
+    assert(fit.breaks.sameElements(again.breaks) && fit.ssr == again.ssr)
+    // same optimum as the DE path and the deterministic grid on this fixture
+    val de = TrendFit.searchBreaksDE(x, y, 2)
+    assert(math.abs(fit.ssr - de.ssr) < 0.5, s"fitfast ssr ${fit.ssr} vs DE ${de.ssr}")
+    val grid = TrendFit.searchBreaks(x, y, 2)
+    assert(fit.ssr <= grid.ssr + 1e-9)
+    // two interior breaks on a 3-piece series: still converges
+    val y3 = x.map(v => if (v <= 6) 2 * v else if (v <= 13) 12.0 else 12 + 3 * (v - 13))
+    val fit3 = TrendFit.searchBreaksFast(x, y3, 3)
+    assert(fit3.ssr < 2.0, s"3-piece ssr ${fit3.ssr}")
+    // degenerate input shares searchBreaks' fallback
+    val flat = TrendFit.searchBreaksFast(Array.fill(8)(1.0), (1 to 8).map(_.toDouble).toArray, 3)
+    assert(flat.segments.length == 1 && flat.segments.head.slope == 0.0)
+  }
+
   test("degenerate series: all-equal x with n > 6 fits flat instead of crashing") {
     // ADVICE r2: quantile .distinct can leave < nInterior candidates;
     // the nInterior==2 pair loop then never runs and searchBreaks must
@@ -179,5 +203,64 @@ class TrendQueryGoldenSpec extends graft.SparkSpec {
         case _ => true
       })
     }
+  }
+
+  /** r2 verdict #10: ts_trend has no SQL oracle (Breeze PWL fit), so
+    * cross-check the two INDEPENDENT fitters the engine ships — the
+    * elbow-penalized PWL fit (linear_fit.py family, [[TrendFit.fitSeries]])
+    * and recursive p-value segmentation (recursive_p_value.py,
+    * [[TrendFit.recursiveSegments]]) — over the real sf0.01 events
+    * corpus. They optimize different objectives, so the check is
+    * tolerance-based consistency, not equality: every series fits, the
+    * net fitted change agrees in direction on a clear majority, and
+    * segment counts stay within a small band.
+    */
+  test("dual-fitter cross-check: PWL elbow fit vs p-value segmentation on sf0.01 events") {
+    import org.apache.spark.sql.functions._
+    val series = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("user_id"),
+        (col("ts").cast("long") / 1e6).as("ts_ms"), // ns-as-long source
+        col("value").cast("double"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("value")))).as("pts"))
+      .collect()
+      .map { r =>
+        val pts = r.getSeq[org.apache.spark.sql.Row](1)
+        val x0 = pts.head.getDouble(0)
+        (r.getLong(0),
+          pts.map(p => (p.getDouble(0) - x0) / 86400000.0).toArray,
+          pts.map(_.getDouble(1)).toArray)
+      }
+    assert(series.length >= 100, s"expected the sf0.01 series set, got ${series.length}")
+
+    var dirAgree = 0; var within = 0
+    series.foreach { case (_, x, y) =>
+      val pwl = TrendFit.fitSeries(x, y)
+      val rec = TrendFit.recursiveSegments(x, y)
+      assert(pwl.nonEmpty && rec.nonEmpty)
+      // net fitted change: PWL from its own segments; recursive from
+      // per-range OLS over its own splits
+      val pwlNet = pwl.map(s => s.slope * (s.endX - s.startX)).sum
+      val recNet = rec.map { case (lo, hi) =>
+        val xs = x.slice(lo, hi); val ys = y.slice(lo, hi)
+        val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+        val sxx = xs.map(v => (v - mx) * (v - mx)).sum
+        if (sxx == 0) 0.0
+        else xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / sxx * (xs.last - xs.head)
+      }.sum
+      val yRange = math.max(1e-12, y.max - y.min)
+      // strict disagreement only when BOTH fitters are confident
+      // (|net| ≥ 10% of range) and the signs oppose; near-flat series
+      // may straddle the threshold without meaning the fits conflict
+      if (!(math.abs(pwlNet) > 0.1 * yRange && math.abs(recNet) > 0.1 * yRange &&
+          pwlNet.sign != recNet.sign)) dirAgree += 1
+      if (math.abs(pwl.length - rec.length) <= 4) within += 1
+    }
+    val n = series.length.toDouble
+    info(f"direction agreement ${dirAgree / n}%.3f, segment-count within-4 ${within / n}%.3f over ${series.length} series")
+    assert(dirAgree / n >= 0.9,
+      s"fitters confidently disagree on direction for ${n - dirAgree} of $n series")
+    assert(within / n >= 0.7,
+      s"segment counts diverge by >4 for ${n - within} of $n series")
   }
 }
