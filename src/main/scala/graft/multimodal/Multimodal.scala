@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns (builder brief): image/audio/video as opaque
   * `binary` columns with typed metadata structs.
   *
-  * Round 3: the image path is REAL — header-parse metadata
-  * ([[ImageCodec.sniff]], codegen'd) and full `javax.imageio` pixel
-  * decode/resize, all JDK-only. What remains stubbed (and says so):
-  * video frame extraction and audio decode, whose codecs genuinely
-  * are not in the JDK; their plumbing (schema, explode shape, batch
-  * signature) is the tested contract a javacv/JNI kernel drops into.
+  * Round 3: the image AND audio paths are REAL — header-parse
+  * metadata ([[ImageCodec.sniff]] for PNG/JPEG/GIF/BMP,
+  * [[AudioCodec.sniff]] for RIFF/WAVE, both codegen'd expressions)
+  * plus full pixel decode/resize via `javax.imageio` and full PCM
+  * sample decode, all JDK-only. What remains stubbed (and says so):
+  * video frame extraction and COMPRESSED audio (MP3/AAC/Vorbis),
+  * whose codecs genuinely are not in the JDK; their plumbing (schema,
+  * explode shape, batch signature) is the tested contract a
+  * javacv/JNI kernel drops into.
   */
 object Multimodal {
 
@@ -107,6 +110,20 @@ object Multimodal {
     batch.map { case (_, bytes) =>
       ImageCodec.decodeStats(bytes) match {
         case Some((w, h, avg)) => Array(w.toFloat, h.toFloat, avg.toFloat, 1f)
+        case None => byteStats(bytes) :+ 0f
+      }
+    }
+
+  /** REAL audio batch kernel (round 3): full PCM sample decode per
+    * payload → [n_samples, peak, mean_abs, 1.0]; non-WAV payloads fall
+    * back to byte statistics tagged 0.0 (same contract as
+    * [[imageFeatureBatch]]).
+    */
+  def audioFeatureBatch(batch: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (_, bytes) =>
+      AudioCodec.decodeStats(bytes) match {
+        case Some((n, peak, meanAbs)) =>
+          Array(n.toFloat, peak.toFloat, meanAbs.toFloat, 1f)
         case None => byteStats(bytes) :+ 0f
       }
     }

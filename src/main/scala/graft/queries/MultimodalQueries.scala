@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{ImageCodec, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
 
 /** Multimodal-column queries over REAL image decode (round 3; r2's
   * deterministic fakes are gone). Each row synthesizes a real image
@@ -90,11 +90,57 @@ object MultimodalQueries {
       |  CAST(n % 256 AS INT) AS avg_px
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Synthesis UDF for the audio path: a real mono 16-bit PCM WAV
+    * square wave with closed-form peak/mean amplitude.
+    */
+  private val synthAudio =
+    udf((n: Int, rate: Int, amp: Int) => AudioCodec.encodePcm16(n, rate, amp, 25))
+
+  /** media_audio: REAL RIFF/WAVE metadata (header-only codegen'd
+    * sniff) + full PCM sample decode through the batched plumbing.
+    * The synthesized square wave alternates ±amp, so peak and
+    * mean-absolute amplitude are both exactly amp/32768 (a dyadic
+    * rational — bit-exact across engines).
+    */
+  def mediaAudio(s: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("text").cast("binary"))
+    val media = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      (n % 200 + 50).cast("int").as("ns"),
+      (lit(8000) + (n % 4) * 4000).cast("int").as("rate"),
+      ((n * 37) % 32768).cast("int").as("amp"))
+      .withColumn("bytes", synthAudio(col("ns"), col("rate"), col("amp")))
+    val meta = AudioCodec.audioMeta(col("bytes"))
+    val feats = Multimodal.decodeBatched(media, "doc_id", "bytes",
+      decodeBatch = Multimodal.audioFeatureBatch)
+    media.select(
+        col("doc_id"),
+        meta.getField("codec").as("codec"),
+        meta.getField("sample_rate").as("sample_rate"),
+        meta.getField("n_samples").cast("int").as("n_samples"))
+      .join(feats, "doc_id")
+      .select(col("doc_id"), col("codec"), col("sample_rate"), col("n_samples"),
+        element_at(col("features"), 2).cast("double").as("peak"),
+        element_at(col("features"), 3).cast("double").as("mean_abs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaAudioSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id, 'pcm' AS codec,
+      |  CAST(8000 + (n % 4) * 4000 AS INT) AS sample_rate,
+      |  CAST(n % 200 + 50 AS INT) AS n_samples,
+      |  CAST(n * 37 % 32768 AS DOUBLE) / 32768 AS peak,
+      |  CAST(n * 37 % 32768 AS DOUBLE) / 32768 AS mean_abs
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
-    "media_decode" -> (mediaDecode _))
+    "media_decode" -> (mediaDecode _),
+    "media_audio" -> (mediaAudio _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
-    "media_decode" -> mediaDecodeSql)
+    "media_decode" -> mediaDecodeSql,
+    "media_audio" -> mediaAudioSql)
 }
