@@ -65,14 +65,37 @@ object Multimodal {
       .withColumn("meta", decodeImage(col("resized")))
   }
 
-  /** STUB frame sampling for video: pick every k-th "frame" (here: k-th
-    * 1KiB chunk index) — demonstrates the explode shape a real frame
-    * sampler produces (one row per sampled frame). Video codecs are
-    * not in the JDK; a javacv kernel replaces the chunk arithmetic.
+  /** Generic frame sampling for payloads with no parseable container:
+    * pick every k-th 1KiB chunk index — the explode shape a frame
+    * sampler produces. For MJPEG-in-AVI the REAL sampler is
+    * [[sampleVideoFrames]]; inter-frame codecs (H.264…) are not in the
+    * JDK and keep this fallback shape.
     */
   def sampleFrames(bytes: Column, everyK: Int): Column = {
     val nFrames = greatest(floor(octet_length(bytes) / 1024).cast("int"), lit(1))
     filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(everyK)) === 0)
+  }
+
+  /** REAL video frame sampling (round 3, MJPEG-in-AVI via
+    * [[VideoCodec]]): one output row per sampled frame carrying the
+    * frame's raw JPEG bytes — (id, frame_idx, frame). Runs in
+    * mapPartitions so the container walk happens once per payload;
+    * each emitted frame then rides the image path ([[ImageCodec]])
+    * for real per-frame decode. Non-video payloads emit no rows.
+    */
+  def sampleVideoFrames(df: DataFrame, idCol: String, bytesCol: String,
+                        everyK: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("string"), col(bytesCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          VideoCodec.sampleFrames(bytes, everyK).zipWithIndex.map {
+            case (f, i) => (id, i * everyK, f)
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame")
   }
 
   /** Batched decode plumbing — the Scala analogue of mapInPandas: rows

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
 
 /** Multimodal-column queries over REAL image decode (round 3; r2's
   * deterministic fakes are gone). Each row synthesizes a real image
@@ -68,6 +68,7 @@ object MultimodalQueries {
   def mediaDecode(s: SparkSession, dir: String): DataFrame = {
     val media = withSynth(s, dir)
       .withColumn("bytes", synthImage(col("w"), col("h"), col("gray"), col("fmt_idx")))
+      .cache() // see mediaVideo: one synthesis, two branch reads
     val sniffed = media.select(
       col("doc_id"), ImageCodec.imageMeta(col("bytes")).getField("format").as("format"))
     val feats = Multimodal.decodeBatched(media, "doc_id", "bytes")
@@ -110,6 +111,7 @@ object MultimodalQueries {
       (lit(8000) + (n % 4) * 4000).cast("int").as("rate"),
       ((n * 37) % 32768).cast("int").as("amp"))
       .withColumn("bytes", synthAudio(col("ns"), col("rate"), col("amp")))
+      .cache() // see mediaVideo: one synthesis, two branch reads
     val meta = AudioCodec.audioMeta(col("bytes"))
     val feats = Multimodal.decodeBatched(media, "doc_id", "bytes",
       decodeBatch = Multimodal.audioFeatureBatch)
@@ -134,13 +136,74 @@ object MultimodalQueries {
       |  CAST(n * 37 % 32768 AS DOUBLE) / 32768 AS mean_abs
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Synthesis UDF for the video path: a real MJPEG AVI with
+    * closed-form container structure.
+    */
+  private val synthVideo = udf((w: Int, h: Int, nf: Int, fps: Int, gray: Int) =>
+    VideoCodec.encodeMjpegAvi(w, h, nf, fps, gray))
+
+  /** media_video: REAL MJPEG-AVI metadata (header-only codegen'd RIFF
+    * walk) + real frame extraction through [[Multimodal.sampleVideoFrames]]
+    * (every 2nd frame), each sampled frame's dimensions re-read from
+    * its own JPEG SOF header ([[ImageCodec.imageMeta]] — exact even
+    * though JPEG pixels are lossy). Container structure, sampled
+    * count, and per-frame dims all have closed forms for the oracle.
+    */
+  def mediaVideo(s: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("text").cast("binary"))
+    val media = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      (n % 24 + 8).cast("int").as("w"),
+      (n % 16 + 8).cast("int").as("h"),
+      (n % 6 + 2).cast("int").as("nf"),
+      (lit(10) + (n % 3) * 5).cast("int").as("fps"),
+      (n % 256).cast("int").as("gray"))
+      .withColumn("bytes",
+        synthVideo(col("w"), col("h"), col("nf"), col("fps"), col("gray")))
+      // synthesis stand-in for a stored media table: cache so the meta
+      // branch and the frame-sampling branch read the same payloads
+      // instead of re-encoding every AVI twice (a real table would be
+      // two cheap scans of parquet, not two UDF regenerations)
+      .cache()
+    val meta = VideoCodec.videoMeta(col("bytes"))
+    val sampled = Multimodal.sampleVideoFrames(media, "doc_id", "bytes", everyK = 2)
+      .withColumn("fm", ImageCodec.imageMeta(col("frame")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_sampled"),
+        min(col("fm.width")).cast("int").as("dec_width"),
+        min(col("fm.height")).cast("int").as("dec_height"))
+    media.select(
+        col("doc_id"),
+        meta.getField("codec").as("codec"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"),
+        meta.getField("n_frames").as("n_frames"),
+        meta.getField("fps").as("fps"))
+      .join(sampled, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaVideoSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id, 'mjpeg' AS codec,
+      |  CAST(n % 24 + 8 AS INT) AS width,
+      |  CAST(n % 16 + 8 AS INT) AS height,
+      |  CAST(n % 6 + 2 AS INT) AS n_frames,
+      |  CAST(10 + (n % 3) * 5 AS INT) AS fps,
+      |  CAST((n % 6 + 2 + 1) // 2 AS INT) AS n_sampled,
+      |  CAST(n % 24 + 8 AS INT) AS dec_width,
+      |  CAST(n % 16 + 8 AS INT) AS dec_height
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
-    "media_audio" -> (mediaAudio _))
+    "media_audio" -> (mediaAudio _),
+    "media_video" -> (mediaVideo _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
-    "media_audio" -> mediaAudioSql)
+    "media_audio" -> mediaAudioSql,
+    "media_video" -> mediaVideoSql)
 }
