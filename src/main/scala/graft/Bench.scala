@@ -23,6 +23,18 @@ object Bench {
     graft.ts.TrendFit.fitSeries(
       (0 until 30).map(_.toDouble).toArray,
       (0 until 30).map(i => math.sin(i.toDouble)).toArray)
+    // Shingle/tokenize kernel warm-up: codegen + JIT of the HOF chain
+    // (regexp tokenize -> zip_with shingles -> array_distinct) is a
+    // one-time JVM cost (~1.5s) otherwise billed to whichever shingle
+    // query the map ordering runs first (measured via dedup_jaccard).
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      (1 to 512).map(i => s"warm up the shingle kernel number $i of many")
+        .toDF("text")
+        .select(array_distinct(graft.functions.TextFunctions.shingles($"text")))
+        .write.format("noop").mode("overwrite").save()
+    }
     // KG construction is index-build work (the reference's ES indexing
     // phase), not query-plane work: time it as its own `kg_build` entry
     // so kg_search/kg_facets measure the query, not the one-time build
