@@ -91,6 +91,35 @@ object MultimodalQueries {
       |  CAST(n % 256 AS INT) AS avg_px
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** media_resize: the REAL resize kernel (decode → bilinear scale →
+    * PNG re-encode) certified end-to-end: bilinear interpolation of a
+    * constant image is the same constant, and the re-encode is
+    * lossless, so the resized payload must decode to exactly
+    * (16, 12, gray) — header dims AND pixel content both closed-form.
+    */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    val media = withSynth(s, dir)
+      .withColumn("bytes", synthImage(col("w"), col("h"), col("gray"), lit(0)))
+    val resized = Multimodal.resizeImages(media, "doc_id", "bytes", w = 16, h = 12)
+      .cache() // one resize pass, two branch reads (meta + pixel stats)
+    val feats = Multimodal.decodeBatched(resized, "doc_id", "resized")
+    resized.select(
+        col("doc_id"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .join(feats, "doc_id")
+      .select(col("doc_id").cast("bigint").as("doc_id"), // resize plumbing stringifies ids
+        col("format"), col("width"), col("height"),
+        element_at(col("features"), 3).cast("int").as("avg_px"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaResizeSql: String =
+    """SELECT doc_id, 'png' AS format, 16 AS width, 12 AS height,
+      |  CAST(octet_length(encode(text)) % 256 AS INT) AS avg_px
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Synthesis UDF for the audio path: a real mono 16-bit PCM WAV
     * square wave with closed-form peak/mean amplitude.
     */
@@ -198,12 +227,14 @@ object MultimodalQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
+    "media_resize" -> (mediaResize _),
     "media_audio" -> (mediaAudio _),
     "media_video" -> (mediaVideo _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
+    "media_resize" -> mediaResizeSql,
     "media_audio" -> mediaAudioSql,
     "media_video" -> mediaVideoSql)
 }
