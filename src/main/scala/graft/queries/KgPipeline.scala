@@ -167,15 +167,43 @@ object KgPipeline {
       |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+join($|[^a-z0-9])')
       |ORDER BY doc_id""".stripMargin
 
+  /** O1/Q6 BM25 free-text ranking (round 3 — the reference's ES
+    * default similarity, closing the documented scoring deviation):
+    * rank the corpus for "spark stream join". All stats in-plan; the
+    * oracle mirrors the exact same IEEE expression tree (literals
+    * written as `1.2 + 1.0`, never pre-folded, so both engines fold
+    * them identically); scores rounded to 4 decimals.
+    */
+  def kgBm25(s: SparkSession, dir: String): DataFrame =
+    QueryCompiler.bm25(Tables(s, dir, "documents"), "doc_id", "text",
+      "spark stream join", limit = 50)
+
+  val kgBm25Sql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+      |  WHERE tok IN ('spark', 'stream', 'join') GROUP BY doc_id, tok),
+      |dfs AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+      |SELECT doc_id,
+      |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |    (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))), 4) AS score,
+      |  COUNT(*) AS matched
+      |FROM tf JOIN dfs USING (tok) CROSS JOIN stats JOIN lens USING (doc_id)
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_facets" -> (kgFacets _),
     "kg_search" -> (kgSearch _),
     "kg_search_facets" -> (kgSearchFacets _),
-    "kg_phrase" -> (kgPhrase _))
+    "kg_phrase" -> (kgPhrase _),
+    "kg_bm25" -> (kgBm25 _))
 
   val oracles: Map[String, String] = Map(
     "kg_facets" -> kgFacetsSql,
     "kg_search" -> kgSearchSql,
     "kg_search_facets" -> kgSearchFacetsSql,
-    "kg_phrase" -> kgPhraseSql)
+    "kg_phrase" -> kgPhraseSql,
+    "kg_bm25" -> kgBm25Sql)
 }

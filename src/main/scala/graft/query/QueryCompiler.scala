@@ -210,4 +210,44 @@ object QueryCompiler {
   def highlight(textCol: Column, term: String, context: Int = 30): Column =
     regexp_extract(textCol,
       s"(?i)(.{0,$context}${java.util.regex.Pattern.quote(term)}.{0,$context})", 1)
+
+  /** O1/Q6 BM25 free-text relevance — the reference's actual scoring
+    * function (ES 5 default similarity; the weighted-match scorer in
+    * [[search]] was the documented deviation, closed round 3):
+    *
+    *   score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)     = ln( (N − df + 0.5)/(df + 0.5) + 1 )      (BM25+, ES form)
+    *
+    * Fully in-plan, no driver actions: corpus stats (N, avgdl) are a
+    * 1-row aggregate cross-joined in; per-term document frequencies
+    * are a ≤|q|-row broadcast. Scale shape: the only corpus-wide
+    * shuffle is the (doc, term) tf groupBy, keyed by id — everything
+    * else is broadcast. Scores are emitted rounded (4 decimals) so
+    * cross-engine float comparison is stable.
+    */
+  def bm25(docs: DataFrame, docIdCol: String, textCol: String, query: String,
+           k1: Double = 1.2, b: Double = 0.75, limit: Int = 50): DataFrame = {
+    val qTokens = "[a-z0-9]+".r
+      .findAllIn(query.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
+    val toks = docs.select(col(docIdCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(qTokens: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .join(lens, "doc_id")
+      .withColumn("s", idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"), count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
 }

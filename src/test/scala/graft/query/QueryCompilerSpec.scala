@@ -89,4 +89,26 @@ class QueryCompilerSpec extends SparkSpec {
       .as[String].collect()
     assert(frag(0).contains("lagos"))
   }
+
+  test("O1/Q6 BM25: hand-computed scores on a 3-doc corpus") {
+    // N=3, avgdl=8/3; q = spark|stream; df(spark)=1, df(stream)=2
+    // idf(spark)=ln(2.5/1.5+1); idf(stream)=ln(0.6+1)
+    // dl=3 norm: tf + 1.2*(0.25 + 0.75*3/(8/3)) = tf + 1.3125
+    val corpus = Seq(
+      (1L, "spark spark stream"),
+      (2L, "join the stream"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val out = QueryCompiler.bm25(corpus, "doc_id", "text", "spark stream")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc3 matches nothing
+    val idfSpark = math.log(2.5 / 1.5 + 1)
+    val idfStream = math.log(0.6 + 1)
+    val exp1 = idfSpark * (2 * 2.2 / (2 + 1.3125)) + idfStream * (1 * 2.2 / (1 + 1.3125))
+    val exp2 = idfStream * (1 * 2.2 / (1 + 1.3125))
+    assert(math.abs(out(0)._2 - exp1) < 1e-3, s"${out(0)._2} vs $exp1")
+    assert(math.abs(out(1)._2 - exp2) < 1e-3)
+    assert(out(0)._3 == 2 && out(1)._3 == 1) // matched term counts
+    // rarer term outranks at equal tf: idf(spark) > idf(stream)
+    assert(idfSpark > idfStream)
+  }
 }
