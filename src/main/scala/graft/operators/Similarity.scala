@@ -165,6 +165,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF ANN (builder brief's second scale path beside LSH): a coarse
+    * quantizer of `nCentroids` centroids partitions the corpus into
+    * inverted lists; each query probes its `nProbe` nearest centroids
+    * and scores EXACT cosine only within those lists — the candidate
+    * set shrinks by ~nProbe/nCentroids versus a full scan.
+    *
+    * Centroids here are deterministic seeds (the `nCentroids`
+    * lowest-id corpus vectors) rather than learned k-means means:
+    * reproducible across runs AND expressible in the DuckDB oracle —
+    * the list-assignment/probe/score pipeline is identical either
+    * way, so swapping in trained centroids (e.g. Spark ML KMeans) on
+    * a real deployment changes recall, not the plan. Scale shape: the
+    * centroid table broadcasts (nCentroids rows); assignment is a
+    * narrow argmax map over the corpus; the only shuffles are the
+    * assignment window and the final per-query top-k.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qe"), col("ce")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** Bucketed ANN: per-query candidate count + exact top-k within the
     * query's bucket (the scale path: score only same-bucket vectors).
     */

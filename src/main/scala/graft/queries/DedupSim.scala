@@ -154,17 +154,57 @@ object DedupSim {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF ANN (8 deterministic seed centroids, 2 probes): exact top-5
+    * within the probed inverted lists — the second scale path beside
+    * LSH bucketing.
+    */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+      nCentroids = 8, nProbe = 2)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simIvfSql: String =
+    s"""WITH $NormCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT cid, vec_id, embedding FROM (
+       |  SELECT c.cid, e.vec_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.ce")} / (sqrt(ne.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id JOIN nrm nc ON nc.vec_id = c.cid)
+       |  WHERE crank = 1),
+       |prb AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${sqlDot("q.embedding", "c.ce")} / (sqrt(nq.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM embeddings q CROSS JOIN cents c
+       |  JOIN nrm nq ON nq.vec_id = q.vec_id JOIN nrm nc ON nc.vec_id = c.cid
+       |  WHERE q.vec_id < 8) WHERE crank <= 2)
+       |SELECT qid, vec_id, cos, rank FROM (
+       |  SELECT p.qid, a.vec_id,
+       |    ${sqlDot("p.qe", "a.embedding")} / (sqrt(nq.n2) * sqrt(na.n2)) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |      ${sqlDot("p.qe", "a.embedding")} / (sqrt(nq.n2) * sqrt(na.n2)) DESC, a.vec_id) AS rank
+       |  FROM prb p JOIN asg a USING (cid)
+       |  JOIN nrm nq ON nq.vec_id = p.qid JOIN nrm na ON na.vec_id = a.vec_id
+       |  WHERE p.qid <> a.vec_id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk" -> (simTopK _),
-    "sim_lsh" -> (simLsh _))
+    "sim_lsh" -> (simLsh _),
+    "sim_ivf" -> (simIvf _))
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,
-    "sim_lsh" -> simLshSql)
+    "sim_lsh" -> simLshSql,
+    "sim_ivf" -> simIvfSql)
 }

@@ -117,4 +117,28 @@ class DedupSimSpec extends SparkSpec {
     val buckets = emb.select(Similarity.lshBucket($"embedding", 8)).as[String].collect()
     assert(buckets(0) == buckets(1) && buckets(0).matches("[01]{8}"))
   }
+
+  test("ivf: results are exact within probed lists and recall brute force well") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 2)
+      .select($"qid", $"vec_id", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.cosineTopK(emb, queries, k = 5)
+      .select($"qid", $"vec_id", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // every IVF hit's score matches the brute-force score for that pair
+    // exactly (IVF prunes candidates, never changes the metric)
+    val bruteAll = Similarity.cosineTopK(emb, queries, k = Int.MaxValue)
+      .select($"qid", $"vec_id", $"cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { case (q, v, c) => assert(bruteAll((q, v)) == c) }
+    // recall@5 vs brute force over the 8 queries: probing 2 of 8 lists
+    // must still find most true neighbors on this corpus
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val hit = ivf.count(t => bruteSet((t._1, t._2)))
+    assert(hit.toDouble / brute.length >= 0.5,
+      s"IVF recall@5 = ${hit.toDouble / brute.length}")
+  }
 }
