@@ -134,15 +134,62 @@ object CurationQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** CCNet-style unigram-LM quality signal: per-document cross-entropy
+    * under the corpus's own unigram model — mean over token positions
+    * of −ln p(token), p = corpus count / total tokens. Unusual/garbled
+    * documents score high, boilerplate scores low; CCNet buckets its
+    * corpus by exactly this statistic (with a wiki-trained 5-gram LM —
+    * the model is pluggable, the pipeline shape is this one).
+    *
+    * Scale shape: the classic LM-scoring topology — wordcount over the
+    * corpus (vocabulary-sized shuffle), token→logp join back, per-doc
+    * aggregation. Cross-engine exactness WITHOUT rounding: per-doc
+    * contributions are folded in token-POSITION order (sort_array of
+    * (pos, lp) structs + sequential `aggregate`), the same
+    * left-to-right IEEE order as the DuckDB oracle's ordered `list()`
+    * + `list_reduce` — the dot-product determinism trick applied to
+    * log-probs.
+    */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    val perDoc = toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", -log(col("cnt").cast("double") / col("total")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("cross_entropy",
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("lp")) / col("n_tokens"))
+    perDoc.select(col("doc_id"), col("n_tokens"), col("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPerplexitySql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |tks AS (SELECT doc_id, u.pos, u.tok FROM tk,
+      |  UNNEST(list_transform(range(len(t)), i -> struct_pack(pos := i, tok := t[i+1]))) AS s(u)),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tks GROUP BY tok),
+      |total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tks)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  list_reduce(list(-ln(CAST(cnt AS DOUBLE) / total) ORDER BY pos), (x, y) -> x + y)
+      |    / COUNT(*) AS cross_entropy
+      |FROM tks JOIN vocab USING (tok) CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (pipelineSplit _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
+    "text_perplexity" -> (textPerplexity _),
     "contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> pipelineSplitSql,
     "text_repetition" -> textRepetitionSql,
     "text_redact" -> textRedactSql,
+    "text_perplexity" -> textPerplexitySql,
     "contamination" -> contaminationSql)
 }
