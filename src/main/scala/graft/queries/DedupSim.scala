@@ -192,13 +192,53 @@ object DedupSim {
        |  WHERE p.qid <> a.vec_id)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Streaming near-dup candidates run in bounded mode over the corpus
+    * (same operator the streaming query uses — flatMapGroupsWithState
+    * over minhash band state): (pair, number of colliding bands).
+    * With the cap above corpus size the emitted pair SET equals the
+    * batch LSH candidate set, which the oracle re-derives; ids compare
+    * as strings in the operator, so the oracle normalizes pairs the
+    * same way.
+    */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.streaming.StreamingNearDup
+      .candidates(s, Tables(s, dir, "documents"), "doc_id", "text", maxPerBand = 100000)
+      .toDF()
+      .groupBy(col("idA").as("id_a"), col("idB").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val streamNearDupSql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val sigI = (i: Int) =>
+      s"list_min(list_transform(h, v -> (${graft.operators.Dedup.minhashA(i)} * v + " +
+        s"${graft.operators.Dedup.minhashB(i)}) % $p))"
+    val bandKey = (j: Int) =>
+      s"md5(CAST(${sigI(2 * j)} AS VARCHAR) || '|' || CAST(${sigI(2 * j + 1)} AS VARCHAR))"
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT id, $j AS band_id, ${bandKey(j)} AS key FROM hs")
+      .mkString("\n  UNION ALL ")
+    s"""$ShinglesCte,
+       |hs AS (SELECT id, list_transform(s,
+       |    x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS h FROM sh),
+       |bands AS (\n  $bandSelects)
+       |SELECT CAST(a.id AS VARCHAR) AS id_a, CAST(b.id AS VARCHAR) AS id_b,
+       |  COUNT(*) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.key = b.key
+       |  AND CAST(a.id AS VARCHAR) < CAST(b.id AS VARCHAR)
+       |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk" -> (simTopK _),
     "sim_lsh" -> (simLsh _),
-    "sim_ivf" -> (simIvf _))
+    "sim_ivf" -> (simIvf _),
+    "stream_neardup" -> (streamNearDup _))
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhashSql,
@@ -206,5 +246,6 @@ object DedupSim {
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,
     "sim_lsh" -> simLshSql,
-    "sim_ivf" -> simIvfSql)
+    "sim_ivf" -> simIvfSql,
+    "stream_neardup" -> streamNearDupSql)
 }
