@@ -52,7 +52,8 @@ object AudioCodec {
     var fmt = -1; var channels = 0; var rate = 0; var bits = 0
     var dataLen = -1L
     var i = 12
-    while (i + 8 <= bytes.length && (fmt < 0 || dataLen < 0)) {
+    var sane = true
+    while (sane && i + 8 <= bytes.length && (fmt < 0 || dataLen < 0)) {
       val tag = new String(bytes, i, 4, "US-ASCII")
       val len = le32(i + 4)
       if (tag == "fmt " && i + 8 + 16 <= bytes.length) {
@@ -63,8 +64,12 @@ object AudioCodec {
       } else if (tag == "data") {
         dataLen = math.min(len, (bytes.length - i - 8).toLong)
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + len.toInt + (len.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. A corrupt
+      // length (> remaining bytes, or with the high bit set) would walk
+      // the cursor past the end — or BACKWARDS after toInt truncation,
+      // looping forever — so treat it as a terminator.
+      if (len < 0 || len > bytes.length.toLong - i - 8) sane = false
+      else i += 8 + len.toInt + (len.toInt & 1)
     }
     if (fmt != 1 || channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return None
     val bytesPerFrame = channels * (bits / 8)
@@ -87,11 +92,13 @@ object AudioCodec {
       (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
     var i = 12
     var dataOff = -1; var dataLen = 0
-    while (i + 8 <= bytes.length && dataOff < 0) {
+    var sane = true
+    while (sane && i + 8 <= bytes.length && dataOff < 0) {
       val tag = new String(bytes, i, 4, "US-ASCII")
-      val len = le32(i + 4).toInt
-      if (tag == "data") { dataOff = i + 8; dataLen = math.min(len, bytes.length - i - 8) }
-      i += 8 + len + (len & 1)
+      val len = le32(i + 4)
+      if (tag == "data") { dataOff = i + 8; dataLen = math.min(len, (bytes.length - i - 8).toLong).toInt }
+      if (len < 0 || len > bytes.length.toLong - i - 8) sane = false
+      else i += 8 + len.toInt + (len.toInt & 1)
     }
     if (dataOff < 0) return None
     var peak = 0.0; var sumAbs = 0.0; var n = 0L

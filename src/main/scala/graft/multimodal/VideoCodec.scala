@@ -61,25 +61,32 @@ object VideoCodec {
     var handler = ""
     def walk(from: Int, to: Int): Unit = {
       var i = from
-      while (i + 8 <= to && i + 8 <= bytes.length) {
+      var sane = true
+      while (sane && i + 8 <= to && i + 8 <= bytes.length) {
         val t = tag(bytes, i)
-        val len = le32(bytes, i + 4).toInt
-        val body = i + 8
-        val bodyEnd = math.min(to, math.min(bytes.length, body + len))
-        t match {
-          case "LIST" => walk(body + 4, bodyEnd) // skip the list type fourcc
-          case "avih" if len >= 40 && body + 40 <= bytes.length =>
-            val usPerFrame = le32(bytes, body).toInt
-            fps = if (usPerFrame > 0) math.round(1e6 / usPerFrame).toInt else 0
-            nFrames = le32(bytes, body + 16).toInt
-            width = le32(bytes, body + 32).toInt
-            height = le32(bytes, body + 36).toInt
-          case "strh" if len >= 8 && body + 8 <= bytes.length =>
-            if (tag(bytes, body) == "vids" && handler.isEmpty)
-              handler = tag(bytes, body + 4)
-          case _ => ()
+        val lenL = le32(bytes, i + 4)
+        // corrupt length (high bit set / past end) would move the
+        // cursor backwards after toInt truncation — terminate instead
+        if (lenL < 0 || lenL > bytes.length.toLong - i - 8) sane = false
+        else {
+          val len = lenL.toInt
+          val body = i + 8
+          val bodyEnd = math.min(to, math.min(bytes.length, body + len))
+          t match {
+            case "LIST" => walk(body + 4, bodyEnd) // skip the list type fourcc
+            case "avih" if len >= 40 && body + 40 <= bytes.length =>
+              val usPerFrame = le32(bytes, body).toInt
+              fps = if (usPerFrame > 0) math.round(1e6 / usPerFrame).toInt else 0
+              nFrames = le32(bytes, body + 16).toInt
+              width = le32(bytes, body + 32).toInt
+              height = le32(bytes, body + 36).toInt
+            case "strh" if len >= 8 && body + 8 <= bytes.length =>
+              if (tag(bytes, body) == "vids" && handler.isEmpty)
+                handler = tag(bytes, body + 4)
+            case _ => ()
+          }
+          i = body + len + (len & 1)
         }
-        i = body + len + (len & 1)
       }
     }
     walk(12, bytes.length)
@@ -96,18 +103,23 @@ object VideoCodec {
     val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
       var i = from
-      while (i + 8 <= to && i + 8 <= bytes.length) {
+      var sane = true
+      while (sane && i + 8 <= to && i + 8 <= bytes.length) {
         val t = tag(bytes, i)
-        val len = le32(bytes, i + 4).toInt
-        val body = i + 8
-        val bodyEnd = math.min(to, math.min(bytes.length, body + len))
-        if (t == "LIST" && body + 4 <= bytes.length) {
-          val listType = tag(bytes, body)
-          walk(body + 4, bodyEnd, inMovi || listType == "movi")
-        } else if (inMovi && t.length == 4 && t.endsWith("dc") && bodyEnd > body) {
-          out += java.util.Arrays.copyOfRange(bytes, body, bodyEnd)
+        val lenL = le32(bytes, i + 4)
+        if (lenL < 0 || lenL > bytes.length.toLong - i - 8) sane = false
+        else {
+          val len = lenL.toInt
+          val body = i + 8
+          val bodyEnd = math.min(to, math.min(bytes.length, body + len))
+          if (t == "LIST" && body + 4 <= bytes.length) {
+            val listType = tag(bytes, body)
+            walk(body + 4, bodyEnd, inMovi || listType == "movi")
+          } else if (inMovi && t.endsWith("dc") && bodyEnd > body) {
+            out += java.util.Arrays.copyOfRange(bytes, body, bodyEnd)
+          }
+          i = body + len + (len & 1)
         }
-        i = body + len + (len & 1)
       }
     }
     walk(12, bytes.length, inMovi = false)

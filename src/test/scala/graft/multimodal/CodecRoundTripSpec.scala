@@ -58,6 +58,23 @@ class CodecRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("property: corrupt RIFF chunk lengths terminate the walk (no hang, no throw)") {
+    // flipping a chunk-length field to 0xFFFFFFFF used to drive the
+    // cursor BACKWARDS after toInt truncation — an infinite loop on
+    // hostile input. Every mutated payload must return (any result)
+    // promptly.
+    val wav = AudioCodec.encodePcm16(64, 8000, 500, 8)
+    val avi = VideoCodec.encodeMjpegAvi(8, 8, 3, 10, 50)
+    val gen = Gen.choose(4, math.min(wav.length, avi.length) - 5)
+    forAllN(gen, 60) { pos =>
+      val w = wav.clone; val a = avi.clone
+      (0 until 4).foreach { j => w(pos + j) = 0xff.toByte; a(pos + j) = 0xff.toByte }
+      AudioCodec.sniff(w); AudioCodec.decodeStats(w)
+      VideoCodec.sniff(a); VideoCodec.frames(a)
+      ImageCodec.sniff(w) // cross-feeding corrupted payloads is also safe
+    }
+  }
+
   test("property: the three sniffers are mutually exclusive on each other's output") {
     val gen = for {
       a <- Gen.choose(2, 24); b <- Gen.choose(2, 24); g <- Gen.choose(0, 255)
