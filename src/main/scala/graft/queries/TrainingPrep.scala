@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Training-data preparation operators (builder brief: "operations a
+  * large-scale training-data pipeline would need") beyond the cleaning/
+  * dedup/curation families already registered:
+  *
+  *  - line-level dedup (CCNet-style boilerplate line removal)
+  *  - exact-substring duplication coverage (Lee et al. 2022,
+  *    "Deduplicating Training Data Makes Language Models Better" —
+  *    the ExactSubstr signal, bucketed instead of suffix-array)
+  *  - sequence packing (docs -> fixed-token-budget training chunks)
+  *  - dataset mixing (per-source deterministic sampling rates)
+  *
+  * Every operator is shuffle-bounded: line/window frequency tables
+  * shuffle only the (short) line/window key, packing windows are
+  * PARTITIONED by a salt bucket (never a global sort), and mixing
+  * broadcasts the per-source rate table. All are oracle-checked.
+  */
+object TrainingPrep {
+
+  // ---- line-level dedup (CCNet) -------------------------------------------
+
+  /** CCNet-style line dedup: split documents into lines, drop every line
+    * whose corpus-wide occurrence count reaches `maxOcc` (boilerplate:
+    * headers, footers, nav text), re-emit the document from its kept
+    * lines in original order.
+    *
+    * The synthetic corpus has no newlines, so lines are derived
+    * deterministically: a shared header line, the document body in
+    * 12-token lines, and a per-source footer line — the oracle derives
+    * the same. Header (every doc) and footers (every doc of a source)
+    * cross the threshold and are dropped; body lines survive. The check
+    * hashes the reassembled text, so kept-line CONTENT and ORDER are both
+    * certified.
+    *
+    * Scale shape: the frequency table shuffles (line, count) — not
+    * documents; the join back is line-keyed; reassembly is a per-doc
+    * aggregation with map-side partials. At 100 TB you'd key the
+    * frequency table by a 64-bit line hash instead of the raw line; the
+    * raw line is kept here so the DuckDB oracle mirrors byte-for-byte.
+    */
+  def lineDedup(s: SparkSession, dir: String, maxOcc: Int = 5): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nChunks = floor((size(toks) + lit(11)).cast("double") / lit(12.0)).cast("int")
+    val body = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+    val lines = concat(
+      array(lit(LineDedupHeader)), body,
+      array(concat(lit("footer "), col("source"))))
+
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), lines.as("lines"))
+    val ex = base.select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    val keepable = ex.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < maxOcc)
+      .select(col("line"))
+    val agg = ex.join(keepable, "line")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("pos"), col("line")))).as("arr"))
+      .withColumn("kept_hash",
+        sha2(array_join(transform(col("arr"), x => x.getField("line")), "\n"), 256))
+    base.select(col("doc_id"), size(col("lines")).as("n_lines"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_hash"), sha2(lit(""), 256)).as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val LineDedupHeader = "standard corpus boilerplate header"
+
+  val lineDedupSql: String =
+    s"""WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+       |ln AS (SELECT doc_id,
+       |    (['$LineDedupHeader'] ||
+       |     list_transform(range((len(t)+11)//12), i -> array_to_string(t[i*12+1:i*12+12], ' ')) ||
+       |     ['footer ' || source]) AS lines FROM tk),
+       |ex AS (SELECT doc_id, u.pos, u.line FROM ln,
+       |  UNNEST(list_transform(range(len(lines)),
+       |    i -> struct_pack(pos := i, line := lines[i+1]))) AS s(u)),
+       |keepable AS (SELECT line FROM ex GROUP BY line HAVING COUNT(*) < 5),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |    sha256(string_agg(line, chr(10) ORDER BY pos)) AS kept_hash
+       |  FROM ex JOIN keepable USING (line) GROUP BY doc_id)
+       |SELECT l.doc_id, len(l.lines) AS n_lines,
+       |  coalesce(a.n_kept, 0) AS n_kept,
+       |  coalesce(a.kept_hash, sha256('')) AS kept_hash
+       |FROM ln l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- exact-substring duplication coverage (Lee et al. 2022) -------------
+
+  /** Per-document exact-substring duplication: the fraction of a
+    * document's `w`-token windows that also occur verbatim in ANOTHER
+    * document. The reference signal behind suffix-array training-data
+    * dedup (ExactSubstr) — here bucketed: window -> distinct-doc count
+    * (one shuffle on the window key), windows with df >= 2 flagged,
+    * per-doc coverage by a semi-join back. Top-50 most-duplicated docs.
+    *
+    * Scale shape: identical to the contamination/inverted-index family —
+    * no all-pairs step; the window frequency table is corpus-vocabulary
+    * sized and the semi-join shuffles (window, doc_id) only. At 100 TB
+    * the window key would be xxhash64(window) (64-bit fixed width); the
+    * raw string is kept so the oracle mirrors exactly.
+    */
+  def dedupSubstring(s: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.shinglesOf(TextFunctions.tokens(col("text")), w).as("w"))
+    val ex = base.select(col("doc_id"), explode(col("w")).as("s"))
+    val dup = ex.distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("s"))
+    val cnt = ex.join(dup, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dups"))
+    base.select(col("doc_id"), size(col("w")).as("total"))
+      .filter(col("total") > 0)
+      .join(cnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total"),
+        coalesce(col("dups"), lit(0L)).as("dups"))
+      .withColumn("coverage", col("dups").cast("double") / col("total").cast("double"))
+      .orderBy(col("coverage").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val dedupSubstringSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+      |win AS (SELECT doc_id, unnest(list_transform(range(greatest(len(t)-4, 0)),
+      |    i -> t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5])) AS s FROM tk),
+      |dup AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY s)
+      |  WHERE df >= 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS dups FROM win JOIN dup USING (s) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS total FROM win GROUP BY doc_id)
+      |SELECT t.doc_id, t.total, coalesce(c.dups, 0) AS dups,
+      |  CAST(coalesce(c.dups, 0) AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+      |FROM tot t LEFT JOIN cnt c USING (doc_id)
+      |ORDER BY coverage DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Greedy sequence packing: concatenate documents in deterministic
+    * order and cut fixed token-budget training chunks (`seqLen`), the
+    * standard pre-training batch-prep step. A document's chunk is the
+    * window its FIRST token lands in (greedy concat-then-split).
+    *
+    * Scale shape: packing is per-BUCKET (doc_id mod nBuckets), so the
+    * running-sum window is PARTITIONED — there is no global sort and no
+    * single-partition window (the round-1 scale-killer shape). Each
+    * bucket packs independently; on a cluster, buckets are the unit of
+    * parallelism and a bucket's chunk sequence is reproducible in
+    * isolation. Emits per-chunk document and token counts.
+    */
+  def packSequences(s: SparkSession, dir: String,
+      seqLen: Int = 256, nBuckets: Int = 8): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nBuckets)).as("bucket"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk", expr(s"(cum - n_tok) div $seqLen"))
+      .groupBy(col("bucket"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("bucket"), col("chunk"))
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 8 AS bucket,
+      |    len(regexp_extract_all(lower(text),'[a-z0-9]+')) AS n_tok FROM documents),
+      |c AS (SELECT bucket, doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
+      |SELECT bucket, (cum - n_tok) // 256 AS chunk,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY bucket, chunk""".stripMargin
+
+  // ---- dataset mixing ------------------------------------------------------
+
+  /** Deterministic dataset mixing: cap each source's expected
+    * contribution at `target` documents by sampling with rate
+    * min(1, target/n_source), decided per-document by a
+    * content-independent hash of the id (never rand() — reproducible
+    * across engines, runs, partitionings). Emits the per-source mixing
+    * report (population, kept, rate) a pipeline audits before training.
+    *
+    * Scale shape: one count aggregation builds the rate table (one row
+    * per source — broadcast), the keep decision is a narrow map. Rates
+    * use only IEEE-exact ops (division, multiply, compare) so the oracle
+    * matches bit-for-bit; a temperature-weighted variant would swap the
+    * rate formula (pow is NOT cross-engine exact — documented boundary).
+    */
+  def mixSources(s: SparkSession, dir: String, target: Double = 12.0): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate", least(lit(1.0), lit(target) / col("n_docs").cast("double")))
+    val bucket = pmod(
+      conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)), 16, 10).cast("long"),
+      lit(1000000))
+    val kept = docs.join(broadcast(rates), "source")
+      .filter(bucket.cast("double") < col("rate") * lit(1000000.0))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rate"))
+      .orderBy(col("source"))
+  }
+
+  val mixSourcesSql: String =
+    """WITH r AS (SELECT source, COUNT(*) AS n_docs,
+      |    least(CAST(1.0 AS DOUBLE), CAST(12.0 AS DOUBLE) / COUNT(*)) AS rate
+      |  FROM documents GROUP BY source),
+      |k AS (SELECT d.source, COUNT(*) AS n_kept
+      |  FROM documents d JOIN r USING (source)
+      |  WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 1000000 AS DOUBLE) < rate * 1000000
+      |  GROUP BY d.source)
+      |SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept, r.rate
+      |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> ((s: SparkSession, dir: String) => lineDedup(s, dir)),
+    "dedup_substring" -> ((s: SparkSession, dir: String) => dedupSubstring(s, dir)),
+    "pipeline_pack" -> ((s: SparkSession, dir: String) => packSequences(s, dir)),
+    "pipeline_mix" -> ((s: SparkSession, dir: String) => mixSources(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_lines" -> lineDedupSql,
+    "dedup_substring" -> dedupSubstringSql,
+    "pipeline_pack" -> packSequencesSql,
+    "pipeline_mix" -> mixSourcesSql)
+}
