@@ -164,4 +164,27 @@ object TextFunctions {
     val zipped = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
     filter(zipped, x => x.isNotNull)
   }
+
+  /** Per-row mode of a string array as struct(cnt, gram): the most
+    * frequent element and its count, ties to the lexicographically
+    * smallest element. One sort + one linear fold per row (max run
+    * length in the sorted array) — a narrow map, no explode/shuffle,
+    * so per-document "top n-gram" stats stay embarrassingly parallel
+    * at 100 TB. Empty input → (0, "").
+    */
+  def modeOf(arr: Column): Column = bindOnce(array_sort(arr)) { sorted =>
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("cnt"), lit("").as("gram")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(
+          x.as("prev"), newRun.as("run"),
+          when(newRun > acc.getField("cnt"), newRun).otherwise(acc.getField("cnt")).as("cnt"),
+          // strict > keeps the FIRST max run; ascending sort makes that
+          // the lexicographically smallest mode — the oracle tiebreak
+          when(newRun > acc.getField("cnt"), x).otherwise(acc.getField("gram")).as("gram"))
+      },
+      acc => struct(acc.getField("cnt").as("cnt"), acc.getField("gram").as("gram")))
+  }
 }

@@ -181,18 +181,65 @@ object Similarity {
     * narrow argmax map over the corpus; the only shuffles are the
     * assignment window and the final per-query top-k.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val cents = broadcast(corpus.orderBy(col("vec_id")).limit(nCentroids)
+  /** Deterministic coarse-quantizer seeds: the `n` lowest-id corpus
+    * vectors (see [[ivfTopK]]'s centroid note). Broadcast — n rows.
+    */
+  def seedCentroids(corpus: DataFrame, n: Int): DataFrame =
+    broadcast(corpus.orderBy(col("vec_id")).limit(n)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+
+  /** Nearest-centroid assignment: (cid, vec_id, embedding), argmax
+    * cosine with ties to the lowest cid. Narrow map over the corpus
+    * against the broadcast centroid table; the per-vector argmax
+    * window shuffles on vec_id (or collapses to a per-partition
+    * max-struct when the corpus is already id-partitioned).
+    */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
-    val assigned = corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(cents)
       .withColumn("csim", cosine(col("embedding"), col("ce")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("cid"), col("vec_id"), col("embedding"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    * then WITHIN each cluster drop every vector that has a
+    * lower-id cluster-mate with cosine >= `tau` (the paper keeps one
+    * representative per semantic-duplicate group; lowest id is our
+    * deterministic choice). Emits the dropped rows with their
+    * keeper = the argmax-cosine lower-id mate (ties to lowest id).
+    *
+    * Scale shape: the all-pairs comparison is confined to clusters,
+    * so cost is sum(|cluster|^2) — bounded by choosing nCentroids
+    * proportional to corpus size (the paper uses ~sqrt(N) k-means
+    * cells at 100M+ scale, keeping cluster size ~constant); the
+    * centroid table stays a broadcast and the pair join shuffles on
+    * cid. Swapping seed centroids for trained k-means means changes
+    * recall only, exactly as in [[ivfTopK]].
+    */
+  def semanticDedup(corpus: DataFrame, tau: Double,
+                    nCentroids: Int = 8): DataFrame = {
+    val assigned = ivfAssign(corpus, seedCentroids(corpus, nCentroids))
+    val a = assigned.select(col("cid"), col("vec_id").as("keeper"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("keeper"))
+    a.join(b, "cid")
+      .filter(col("keeper") < col("vec_id"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= tau)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("cid"), col("keeper"), col("cos"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cents = seedCentroids(corpus, nCentroids)
+    val assigned = ivfAssign(corpus, cents)
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))

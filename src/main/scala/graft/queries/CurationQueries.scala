@@ -179,8 +179,62 @@ object CurationQueries {
       |FROM tks JOIN vocab USING (tok) CROSS JOIN total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style top-n-gram repetition panel (Rae et al. 2021, §A1.1):
+    * for n in 2..4, the most frequent token n-gram per document and the
+    * fraction of the document's characters its (overlapping)
+    * occurrences cover — the "fraction of characters in the most
+    * common n-gram" filter family. Character base = the space-joined
+    * token stream, so the score is tokenizer-stable; overlapping
+    * occurrences are counted as-is (the standard approximation — the
+    * score is a monotone repetition signal, not an exact cover).
+    *
+    * Scale shape: one narrow map per document ([[TextFunctions.modeOf]]
+    * is a per-row sort + linear fold — NO n-gram explode/shuffle,
+    * unlike the naive groupBy(doc, gram) formulation whose shuffle
+    * volume is the corpus re-keyed by every n-gram occurrence).
+    */
+  def textGopher(s: SparkSession, dir: String): DataFrame = {
+    val entries = TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { t =>
+      TextFunctions.bindOnce(length(array_join(t, " "))) { dn =>
+        val perN = (2 to 4).map { n =>
+          TextFunctions.bindOnce(TextFunctions.modeOf(TextFunctions.shinglesOf(t, n))) { m =>
+            struct(lit(n).as("n"), m.getField("gram").as("gram"),
+              m.getField("cnt").as("cnt"),
+              ((m.getField("cnt") * length(m.getField("gram"))).cast("double")
+                / dn.cast("double")).as("frac"))
+          }
+        }
+        filter(array(perN: _*), e => e.getField("cnt") > 0)
+      }
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(entries).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.gram").as("gram"),
+        col("e.cnt").as("cnt"), col("e.frac").as("frac"))
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  val textGopherSql: String = {
+    val shingleN = (n: Int) =>
+      s"list_transform(range(greatest(len(t)-${n - 1},0)), i -> " +
+        (1 to n).map(k => s"t[i+$k]").mkString(" || ' ' || ") + ")"
+    val arms = (2 to 4).map(n =>
+      s"SELECT doc_id, t, $n AS n, ${shingleN(n)} AS sh FROM tk")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+       |g AS (SELECT doc_id, n, length(array_to_string(t, ' ')) AS dn, unnest(sh) AS gram
+       |  FROM (\n  $arms)),
+       |c AS (SELECT doc_id, n, gram, dn, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3, 4),
+       |r AS (SELECT doc_id, n, gram, cnt, dn,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rk FROM c)
+       |SELECT doc_id, n, gram, cnt,
+       |  CAST(cnt * length(gram) AS DOUBLE) / CAST(dn AS DOUBLE) AS frac
+       |FROM r WHERE rk = 1 ORDER BY doc_id, n""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (pipelineSplit _),
+    "text_gopher" -> (textGopher _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
     "text_perplexity" -> (textPerplexity _),
@@ -188,6 +242,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> pipelineSplitSql,
+    "text_gopher" -> textGopherSql,
     "text_repetition" -> textRepetitionSql,
     "text_redact" -> textRedactSql,
     "text_perplexity" -> textPerplexitySql,

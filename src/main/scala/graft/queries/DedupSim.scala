@@ -192,6 +192,39 @@ object DedupSim {
        |  WHERE p.qid <> a.vec_id)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** SemDeDup semantic dedup (arXiv:2303.09540): coarse-cluster the
+    * embedding corpus (8 deterministic seed centroids, as sim_ivf),
+    * then within each cluster drop every vector with a lower-id
+    * cluster-mate at cosine >= 0.35, reporting the keeper. The
+    * synthetic corpus has no true near-dups (all-pairs max cos ~0.51),
+    * so tau sits at the tail of the cosine distribution to exercise
+    * the operator; a real deployment uses ~0.95 on text embeddings.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    Similarity.semanticDedup(Tables(s, dir, "embeddings"), tau = 0.35, nCentroids = 8)
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH $NormCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT cid, vec_id, embedding FROM (
+       |  SELECT c.cid, e.vec_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.ce")} / (sqrt(ne.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id JOIN nrm nc ON nc.vec_id = c.cid)
+       |  WHERE crank = 1)
+       |SELECT vec_id, cid, keeper, cos FROM (
+       |  SELECT b.vec_id, b.cid, a.vec_id AS keeper,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |      ${sqlDot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) DESC, a.vec_id) AS rank
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
+       |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.35)
+       |WHERE rank = 1 ORDER BY vec_id""".stripMargin
+
   /** Streaming near-dup candidates run in bounded mode over the corpus
     * (same operator the streaming query uses — flatMapGroupsWithState
     * over minhash band state): (pair, number of colliding bands).
@@ -238,6 +271,7 @@ object DedupSim {
     "sim_topk" -> (simTopK _),
     "sim_lsh" -> (simLsh _),
     "sim_ivf" -> (simIvf _),
+    "dedup_semantic" -> (dedupSemantic _),
     "stream_neardup" -> (streamNearDup _))
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +281,6 @@ object DedupSim {
     "sim_topk" -> simTopKSql,
     "sim_lsh" -> simLshSql,
     "sim_ivf" -> simIvfSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "stream_neardup" -> streamNearDupSql)
 }

@@ -141,4 +141,32 @@ class DedupSimSpec extends SparkSpec {
     assert(hit.toDouble / brute.length >= 0.5,
       s"IVF recall@5 = ${hit.toDouble / brute.length}")
   }
+
+  test("semanticDedup drops near-identical cluster-mates, keeps the lowest id") {
+    // 0/1/4 colinear (pairwise cos = 1), 2 near-orthogonal, 3 opposite
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(3.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, tau = 0.99, nCentroids = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // 1 and 4 are dropped against keeper 0; 2 and 3 survive
+    assert(out.toSeq.map(t => (t._1, t._2)) == Seq((1L, 0L), (4L, 0L)))
+    assert(out.forall(t => math.abs(t._3 - 1.0) < 1e-12))
+  }
+
+  test("semanticDedup never pairs across clusters") {
+    // two tight clusters; centroids (2 lowest ids) land one per cluster
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.01f)), (3L, Array(0.01f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, tau = 0.9, nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 2 dropped in cluster 0 (keeper 0), 3 dropped in cluster 1 (keeper 1);
+    // cross-cluster cos ~0 never considered even if tau were 0
+    assert(out.toSet == Set((2L, 0L, 0L), (3L, 1L, 1L)))
+  }
 }

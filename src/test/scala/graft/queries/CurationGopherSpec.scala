@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class CurationGopherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mode(xs: Seq[String]): (Int, String) = {
+    val r = Seq(xs).toDF("a")
+      .select(TextFunctions.modeOf(col("a")).as("m"))
+      .select(col("m.cnt"), col("m.gram")).head()
+    (r.getInt(0), r.getString(1))
+  }
+
+  test("modeOf: most frequent element, ties to lexicographically smallest") {
+    assert(mode(Seq("b", "a", "b", "c", "a", "b")) == (3, "b"))
+    assert(mode(Seq("b", "a")) == (1, "a")) // tie -> smallest
+    assert(mode(Seq("z")) == (1, "z"))
+    assert(mode(Seq.empty) == (0, ""))
+  }
+
+  test("textGopher: repeated bigram dominates and fraction is exact") {
+    val docs = Seq((1L, "spam ham spam ham spam ham"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gopher_docs")
+    val entries = TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { t =>
+      TextFunctions.bindOnce(length(array_join(t, " "))) { dn =>
+        val perN = (2 to 4).map { n =>
+          TextFunctions.bindOnce(TextFunctions.modeOf(TextFunctions.shinglesOf(t, n))) { m =>
+            struct(lit(n).as("n"), m.getField("gram").as("gram"), m.getField("cnt").as("cnt"),
+              ((m.getField("cnt") * length(m.getField("gram"))).cast("double")
+                / dn.cast("double")).as("frac"))
+          }
+        }
+        filter(array(perN: _*), e => e.getField("cnt") > 0)
+      }
+    }
+    val out = docs.select(col("doc_id"), explode(entries).as("e"))
+      .select(col("doc_id"), col("e.n"), col("e.gram"), col("e.cnt"), col("e.frac"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getString(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    // doc 1: "spam ham" occurs 3x of 5 bigrams; text = 26 chars
+    assert(out((1L, 2)) == (("ham spam", 2, 2.0 * 8 / 26)) ||
+      out((1L, 2)) == (("spam ham", 3, 3.0 * 8 / 26)))
+    assert(out((1L, 2))._2 == 3 && out((1L, 2))._1 == "spam ham")
+    // doc 2: all distinct -> cnt 1, smallest bigram
+    assert(out((2L, 2)) == (("a b", 1, 3.0 / 9)))
+    assert(out((2L, 4)) == (("a b c d", 1, 7.0 / 9)))
+    // doc 1 trigram: "spam ham spam" x2 of 4 (overlapping count)
+    assert(out((1L, 3))._2 == 2)
+  }
+
+  test("textGopher over the corpus matches a groupBy-explode reference") {
+    val df = CurationQueries.textGopher(spark, "/root/testdata/sf0.001")
+    // reference formulation: explode + groupBy + window (the shuffle
+    // shape textGopher's per-row fold avoids)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val refRows = (2 to 4).map { n =>
+      docs.select(col("doc_id"),
+          length(array_join(TextFunctions.tokens(col("text")), " ")).as("dn"),
+          explode(TextFunctions.shinglesOf(TextFunctions.tokens(col("text")), n)).as("gram"))
+        .groupBy(col("doc_id"), col("dn"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("cnt").desc, col("gram"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), lit(n).as("n"), col("gram"), col("cnt").cast("int").as("cnt"),
+          ((col("cnt") * length(col("gram"))).cast("double") / col("dn").cast("double")).as("frac"))
+    }.reduce(_ unionAll _)
+    val exp = refRows.orderBy(col("doc_id"), col("n")).collect().toSeq
+    val got = df.collect().toSeq
+    assert(got == exp)
+  }
+}
