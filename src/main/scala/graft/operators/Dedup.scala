@@ -156,37 +156,46 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
-    val inv = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val inv = shingled.select(
+      struct(col("id"), size(col("sh")).as("n")).as("d"), explode(col("sh")).as("s"))
     // ONE groupBy builds the posting list per shingle; its length IS
     // the document frequency, so the cap is a filter on the grouped
     // row — no separate df scan, no self-join. Sorted in the aggregate
     // so the in-row pair expansion references a plain attribute (a
     // lambda referencing an expression subtree re-evaluates it per
     // element — the CollapseProject trap documented in NOTES.md).
+    // Each posting entry carries (id, |sh|): the per-doc shingle count
+    // rides into the pair expansion, so the candidate stream never
+    // joins back to a corpus-sized size table (two fewer shuffles of
+    // the pair stream — the expensive side at scale).
+    // cache: consumed by both the rare (pair-expansion) and hot
+    // (per-doc set) branches — without the barrier each branch re-runs
+    // the scan+shingle+groupBy. Vocabulary-sized, i.e. strictly
+    // smaller than the corpus-sized shingle cache it replaces.
     val posting = inv.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(col("d"))).as("ids"))
+      .cache()
     val rarePost = posting.filter(size(col("ids")) <= maxDf)
     // hot postings (df > maxDf) are not pair-expanded; their shingles
     // ride per-doc as a SMALL set (bounded by the hot-vocabulary size)
     val hotPerDoc = posting.filter(size(col("ids")) > maxDf)
-      .select(col("s"), explode(col("ids")).as("id"))
-      .groupBy(col("id")).agg(collect_set(col("s")).as("hot"))
+      .select(col("s"), explode(col("ids")).as("d"))
+      .groupBy(col("d.id").as("id")).agg(collect_set(col("s")).as("hot"))
     // ordered pairs (id_a < id_b) expanded IN-ROW from each rare
     // posting list: ≤ maxDf²/2 pairs per shingle by construction
     val pairs = rarePost.select(explode(flatten(transform(col("ids"),
         (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+          y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            x.getField("n").as("na"), y.getField("n").as("nb")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.na").as("na"), col("p.nb").as("nb"))
+    // na/nb are functionally dependent on the ids — grouping on all
+    // four keeps cardinality identical while avoiding first() aggs
     val commonRare = pairs
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter_rare"))
     // exact intersection = rare co-occurrences + hot-set overlap (the
     // hot arrays are tiny, so the join-back payload stays narrow)
-    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
     commonRare
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
       .join(hotPerDoc.select(col("id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
       .join(hotPerDoc.select(col("id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
       .withColumn("inter",

@@ -235,6 +235,78 @@ object NativeExpressions {
         : DotProductF = copy(left = newLeft, right = newRight)
   }
 
+  /** Gopher top-n-gram panel in one pass: tokenize once, then for each
+    * n in [minN, maxN] count token n-grams (HashMap) and keep the most
+    * frequent with ties to the lexicographically smallest (ASCII-safe:
+    * grams are [a-z0-9 ], where UTF-16 compareTo ≡ UTF8/DuckDB byte
+    * order). frac = cnt·len(gram) / len(space-joined tokens), the same
+    * int-product-then-one-divide the oracle computes — IEEE-identical.
+    * Equivalent to modeOf(shinglesOf(tokens(text), n)) per n, but the
+    * tokenizer runs once and nothing is interpreted per element
+    * (aggregate/array_sort HOFs are CodegenFallback).
+    */
+  def topNgramsCompute(text: UTF8String, minN: Int, maxN: Int): ArrayData = {
+    val toks = new java.util.ArrayList[String]()
+    var totalChars = 0
+    val m = TokenRx.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) { val t = m.group(); toks.add(t); totalChars += t.length }
+    val ntok = toks.size()
+    val dn = if (ntok == 0) 0 else totalChars + (ntok - 1)
+    val rows = new java.util.ArrayList[Any]()
+    var n = minN
+    while (n <= maxN) {
+      if (ntok >= n) {
+        val counts = new java.util.HashMap[String, Integer]()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= ntok) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) { if (k > 0) sb.append(' '); sb.append(toks.get(i + k)); k += 1 }
+          val g = sb.toString
+          val prev = counts.get(g)
+          counts.put(g, if (prev == null) 1 else prev + 1)
+          i += 1
+        }
+        var bestG: String = null
+        var bestC = 0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.intValue()
+          if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+            bestG = e.getKey; bestC = c
+          }
+        }
+        val frac = (bestC * bestG.length).toDouble / dn.toDouble
+        rows.add(org.apache.spark.sql.catalyst.InternalRow(
+          n, UTF8String.fromString(bestG), bestC, frac))
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
+  case class TopNgrams(child: Expression, minN: Int, maxN: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("gram", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("frac", DoubleType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "top_ngrams"
+    override protected def nullSafeEval(input: Any): Any =
+      topNgramsCompute(input.asInstanceOf[UTF8String], minN, maxN)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.NativeExpressions.topNgramsCompute($c, $minN, $maxN)")
+    override protected def withNewChildInternal(newChild: Expression): TopNgrams =
+      copy(child = newChild)
+  }
+
   /** Column-API entry points (Spark 4 classic Column↔Expression bridge). */
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
@@ -243,4 +315,6 @@ object NativeExpressions {
   def dotF(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProductF(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def topNgrams(c: Column, minN: Int, maxN: Int): Column =
+    GraftColumnBridge.column(TopNgrams(GraftColumnBridge.expression(c), minN, maxN))
 }

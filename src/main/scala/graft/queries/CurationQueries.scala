@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -193,8 +193,21 @@ object CurationQueries {
     * unlike the naive groupBy(doc, gram) formulation whose shuffle
     * volume is the corpus re-keyed by every n-gram occurrence).
     */
-  def textGopher(s: SparkSession, dir: String): DataFrame = {
-    val entries = TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { t =>
+  def textGopher(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.plans.NativeExpressions.topNgrams(col("text"), 2, 4)).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.gram").as("gram"),
+        col("e.cnt").as("cnt"), col("e.frac").as("frac"))
+      .orderBy(col("doc_id"), col("n"))
+
+  /** Composed-HOF reference formulation of [[textGopher]]'s per-row
+    * kernel (modeOf over shinglesOf per n) — kept for the parity spec;
+    * the query uses the native TopNgrams expression (HOF aggregate/
+    * array_sort are CodegenFallback — interpreted per element).
+    */
+  def gopherEntriesHof: Column = {
+    TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { t =>
       TextFunctions.bindOnce(length(array_join(t, " "))) { dn =>
         val perN = (2 to 4).map { n =>
           TextFunctions.bindOnce(TextFunctions.modeOf(TextFunctions.shinglesOf(t, n))) { m =>
@@ -207,11 +220,6 @@ object CurationQueries {
         filter(array(perN: _*), e => e.getField("cnt") > 0)
       }
     }
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(entries).as("e"))
-      .select(col("doc_id"), col("e.n").as("n"), col("e.gram").as("gram"),
-        col("e.cnt").as("cnt"), col("e.frac").as("frac"))
-      .orderBy(col("doc_id"), col("n"))
   }
 
   val textGopherSql: String = {

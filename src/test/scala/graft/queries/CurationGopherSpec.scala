@@ -25,20 +25,8 @@ class CurationGopherSpec extends SparkSpec {
   test("textGopher: repeated bigram dominates and fraction is exact") {
     val docs = Seq((1L, "spam ham spam ham spam ham"), (2L, "a b c d e"))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("gopher_docs")
-    val entries = TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { t =>
-      TextFunctions.bindOnce(length(array_join(t, " "))) { dn =>
-        val perN = (2 to 4).map { n =>
-          TextFunctions.bindOnce(TextFunctions.modeOf(TextFunctions.shinglesOf(t, n))) { m =>
-            struct(lit(n).as("n"), m.getField("gram").as("gram"), m.getField("cnt").as("cnt"),
-              ((m.getField("cnt") * length(m.getField("gram"))).cast("double")
-                / dn.cast("double")).as("frac"))
-          }
-        }
-        filter(array(perN: _*), e => e.getField("cnt") > 0)
-      }
-    }
-    val out = docs.select(col("doc_id"), explode(entries).as("e"))
+    val out = docs.select(col("doc_id"),
+        explode(graft.plans.NativeExpressions.topNgrams(col("text"), 2, 4)).as("e"))
       .select(col("doc_id"), col("e.n"), col("e.gram"), col("e.cnt"), col("e.frac"))
       .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getString(2), r.getInt(3), r.getDouble(4))))
       .toMap
@@ -51,6 +39,18 @@ class CurationGopherSpec extends SparkSpec {
     assert(out((2L, 4)) == (("a b c d", 1, 7.0 / 9)))
     // doc 1 trigram: "spam ham spam" x2 of 4 (overlapping count)
     assert(out((1L, 3))._2 == 2)
+  }
+
+  test("native TopNgrams == composed modeOf/shinglesOf HOF over the corpus") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val native = docs.select(col("doc_id"),
+        explode(graft.plans.NativeExpressions.topNgrams(col("text"), 2, 4)).as("e"))
+      .select(col("doc_id"), col("e.n"), col("e.gram"), col("e.cnt"), col("e.frac"))
+      .orderBy(col("doc_id"), col("e.n")).collect().toSeq
+    val hof = docs.select(col("doc_id"), explode(CurationQueries.gopherEntriesHof).as("e"))
+      .select(col("doc_id"), col("e.n"), col("e.gram"), col("e.cnt"), col("e.frac"))
+      .orderBy(col("doc_id"), col("e.n")).collect().toSeq
+    assert(native == hof) // includes bit-equality of the frac doubles
   }
 
   test("textGopher over the corpus matches a groupBy-explode reference") {
