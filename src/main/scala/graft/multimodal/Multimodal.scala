@@ -50,17 +50,16 @@ object Multimodal {
     * resized binary, full [[MetaSchema]]-shaped meta.
     */
   def resizeImages(df: DataFrame, idCol: String, bytesCol: String,
-                   w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+                   w: Int, h: Int): DataFrame = {
     import df.sparkSession.implicits._
+    // plain per-row map: the resize kernel has no per-batch setup to
+    // amortize (decodeBatched's batch boundary exists as the pluggable
+    // codec contract; adding one here would be dead machinery)
     df.select(col(idCol).cast("string"), col(bytesCol).cast("binary"))
       .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) =>
-            (id, ImageCodec.resizeTo(bytes, w, h).getOrElse(bytes))
-          }
-        }
-      }
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageCodec.resizeTo(bytes, w, h).getOrElse(bytes))
+      })
       .toDF(idCol, "resized")
       .withColumn("meta", decodeImage(col("resized")))
   }

@@ -188,6 +188,9 @@ object Dedup {
           y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
             x.getField("n").as("na"), y.getField("n").as("nb")))))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.na").as("na"), col("p.nb").as("nb"))
+      // a duplicated doc id appears twice in a sorted posting list and
+      // would pair with itself — the strict < the old self-join had
+      .filter(col("id_a") =!= col("id_b"))
     // na/nb are functionally dependent on the ids — grouping on all
     // four keeps cardinality identical while avoiding first() aggs
     val commonRare = pairs

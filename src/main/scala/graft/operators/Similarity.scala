@@ -223,7 +223,11 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, tau: Double,
                     nCentroids: Int = 8): DataFrame = {
-    val assigned = ivfAssign(corpus, seedCentroids(corpus, nCentroids))
+    // cache: both sides of the within-cluster self-join read the
+    // assignment — without the barrier the corpus × centroids scoring
+    // and the per-vector argmax window run twice (the minhashLshPairs
+    // self-join trap)
+    val assigned = ivfAssign(corpus, seedCentroids(corpus, nCentroids)).cache()
     val a = assigned.select(col("cid"), col("vec_id").as("keeper"), col("embedding").as("ea"))
     val b = assigned.select(col("cid"), col("vec_id"), col("embedding").as("eb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("keeper"))

@@ -151,8 +151,13 @@ object CurationQueries {
     * log-probs.
     */
   def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    // cache: the token table is consumed three times (vocabulary
+    // groupBy, total count, per-doc join) — without the barrier the
+    // corpus-wide tokenize+explode runs three times. Materializing the
+    // token table is the standard LM-scoring topology at any scale.
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .cache()
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).cast("double").as("total"))
     val perDoc = toks.join(vocab, "tok")

@@ -47,9 +47,16 @@ object StreamingNearDup {
           val (a, b) = if (s < d.id) (s, d.id) else (d.id, s)
           out += Candidate(a, b, band)
         }
+        // seenSet gains the id even when the retained set is full:
+        // a second copy of an overflow doc in the SAME batch must not
+        // re-emit its pairs. Cross-batch redelivery of an overflow doc
+        // is still at-least-once (persisting every seen id would make
+        // state unbounded, defeating the cap) — documented contract:
+        // downstream takes DISTINCT pairs, as the bounded-mode oracle
+        // query does.
+        seenSet += d.id
         if (retained.size < maxPerBand) {
           retained :+= d.id
-          seenSet += d.id
         }
       }
     }
@@ -71,9 +78,16 @@ object StreamingNearDup {
     import docs.sparkSession.implicits._
     val keys = TextFunctions.bindOnce(
         Dedup.shingleHashes(array_distinct(TextFunctions.shingles(col(textCol))))) { hs =>
-      TextFunctions.bindOnce(Dedup.minhashSigAffine(hs, nHashes)) { sig =>
-        Dedup.bandKeys(sig, bands, nHashes / bands)
-      }
+      // Empty-shingle guard, mirroring the batch path's size(sh) > 0
+      // filter: a doc with <3 tokens has no shingles, minhash of an
+      // empty set is all-null, and concat_ws skips nulls — every short
+      // doc would land on the same md5("") band keys and pair with
+      // every other short doc. The empty array here means posexplode
+      // emits no rows for the doc (same effect as the batch filter).
+      when(size(hs) > 0,
+        TextFunctions.bindOnce(Dedup.minhashSigAffine(hs, nHashes)) { sig =>
+          Dedup.bandKeys(sig, bands, nHashes / bands)
+        }).otherwise(array().cast("array<string>"))
     }
     docs.select(col(idCol).cast("string").as("id"),
         posexplode(keys).as(Seq("band_id", "key")))

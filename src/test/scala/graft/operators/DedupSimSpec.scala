@@ -38,6 +38,13 @@ class DedupSimSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram jaccard never emits self-pairs for duplicated doc ids") {
+    val dup = docs.unionAll(docs.filter($"doc_id" === 1L)) // id 1 twice
+    val out = Dedup.ngramJaccardPairs(dup, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.forall { case (a, b) => a != b }, s"self-pair in ${out.toSeq}")
+  }
+
   test("incremental dedup drops seen and in-batch duplicate content, keeps the rest") {
     // store populated with the pipeline's normalized fingerprints
     val seen = Seq("x").toDF("fp")

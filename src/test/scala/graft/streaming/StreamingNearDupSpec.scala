@@ -31,6 +31,29 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getString(0) == "a")
   }
 
+  test("short docs (<3 tokens, no shingles) never become candidates") {
+    // unguarded, every empty shingle set minhashes to all-null and
+    // concat_ws collapses to the same md5("") band keys — these three
+    // unrelated shorts would all pair with each other
+    val docs = Seq(("s1", "hi"), ("s2", "ok"), ("s3", "yes now"),
+      ("a", docA), ("b", docB)).toDF("id", "text")
+    val cands = StreamingNearDup.candidates(spark, docs, "id", "text")
+      .collect().map(c => (c.idA, c.idB)).distinct
+    assert(cands.toSeq == Seq(("a", "b")), s"got ${cands.toSeq}")
+  }
+
+  test("overflow arrival duplicated in one batch emits its pairs once") {
+    // cap 1: 'a' fills the band state; 'b' overflows (pairs but is not
+    // retained); the second copy of 'b' in the same batch must not
+    // re-emit the same pairs
+    val docs = Seq(("a", docA), ("b", docB), ("b", docB)).toDF("id", "text")
+    val cands = StreamingNearDup.candidates(spark, docs, "id", "text", maxPerBand = 1)
+      .collect().map(c => (c.idA, c.idB, c.band))
+    assert(cands.length == cands.distinct.length,
+      s"duplicate in-batch overflow re-emitted: ${cands.toSeq}")
+    assert(cands.map(c => (c._1, c._2)).distinct.toSeq == Seq(("a", "b")))
+  }
+
   test("streaming: cross-batch candidate emitted once, state caps retention") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
