@@ -112,6 +112,27 @@ class PlanSpec extends SparkSpec {
       s"shingle arrays must not ride through the band join:\n${bandLines.mkString("\n")}")
   }
 
+  test("dedup_semantic: centroid table broadcasts; pair join shuffles assignments, not raw corpus") {
+    val p = plan(graft.operators.Similarity.semanticDedup(
+      Tables(spark, dir, "embeddings"), tau = 0.35, nCentroids = 8))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the nCentroids-row centroid table must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "corpus x centroids must be a broadcast product, never a cartesian shuffle")
+  }
+
+  test("text_gopher: single narrow generate over a 2-column scan, no shuffle before the output sort") {
+    val df = graft.queries.CurationQueries.textGopher(spark, dir)
+    val p = plan(df)
+    assert(p.contains("top_ngrams"), "the native TopNgrams kernel must be in the plan")
+    // exactly one exchange: the final rangepartitioning for ORDER BY —
+    // the per-row kernel must not introduce an aggregation shuffle
+    val exchanges = "(?m)Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the output-sort exchange, plan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text)")
+  }
+
   test("kg store: single-constraint search partition-prunes to the constrained field") {
     // Q8 index routing at 100×: the KG persisted partitioned by `field`
     // (one directory per typed field = the reference's per-type ES
