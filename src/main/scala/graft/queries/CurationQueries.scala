@@ -248,8 +248,59 @@ object CurationQueries {
        |FROM r WHERE rk = 1 ORDER BY doc_id, n""".stripMargin
   }
 
+  /** Per-source corpus report: doc count, token totals, and EXACT
+    * token-count percentiles (p50/p90/p99, type-1 "lower" quantile:
+    * the smallest value whose cumulative count reaches ceil(p·n)).
+    *
+    * Scale shape — the exact-percentile topology that survives 100 TB:
+    * one groupBy builds the (source, token_count) HISTOGRAM (bounded
+    * by the value domain, not the corpus), then a cumulative scan over
+    * that small histogram selects the percentile values. Never
+    * collect_list of the corpus, never a corpus-wide
+    * window partitioned by a handful of sources; integer outputs keep
+    * the oracle hash-exact (interpolating quantiles diverge in IEEE
+    * terms across engines).
+    */
+  def pipelineStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val histo = Tables(s, dir, "documents")
+      .select(col("source"),
+        graft.plans.NativeExpressions.textStats(col("text")).getField("n_tok").as("nt"))
+      .groupBy(col("source"), col("nt")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("nt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val cum = histo
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def pct(p: Double) = min(when(col("cum") >= ceil(lit(p) * col("n")), col("nt")))
+    cum.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        sum(col("nt") * col("c")).as("total_tokens"),
+        pct(0.5).cast("long").as("p50_tokens"), pct(0.9).cast("long").as("p90_tokens"),
+        pct(0.99).cast("long").as("p99_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val pipelineStatsSql: String =
+    """WITH h AS (SELECT source, len(regexp_extract_all(lower(text),'[a-z0-9]+')) AS nt,
+      |    COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT source, nt, c,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY nt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM h)
+      |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt * c) AS BIGINT) AS total_tokens,
+      |  CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN nt END) AS BIGINT) AS p50_tokens,
+      |  CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN nt END) AS BIGINT) AS p90_tokens,
+      |  CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN nt END) AS BIGINT) AS p99_tokens
+      |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (pipelineSplit _),
+    "pipeline_stats" -> (pipelineStats _),
     "text_gopher" -> (textGopher _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -258,6 +309,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> pipelineSplitSql,
+    "pipeline_stats" -> pipelineStatsSql,
     "text_gopher" -> textGopherSql,
     "text_repetition" -> textRepetitionSql,
     "text_redact" -> textRedactSql,

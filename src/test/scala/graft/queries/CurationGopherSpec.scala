@@ -53,6 +53,23 @@ class CurationGopherSpec extends SparkSpec {
     assert(native == hof) // includes bit-equality of the frac doubles
   }
 
+  test("pipelineStats: exact type-1 percentiles match a sort-based reference") {
+    val df = CurationQueries.pipelineStats(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // reference: collect per-source sorted token counts, pick by rank
+    val counts = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"),
+        graft.plans.NativeExpressions.textStats(col("text")).getField("n_tok").as("nt"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2.toLong).sorted) }
+    counts.foreach { case (src, sorted) =>
+      def pick(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+      val (nDocs, total, p50, p90, p99) = df(src)
+      assert(nDocs == sorted.length && total == sorted.sum)
+      assert((p50, p90, p99) == ((pick(0.5), pick(0.9), pick(0.99))), s"source $src")
+    }
+  }
+
   test("textGopher over the corpus matches a groupBy-explode reference") {
     val df = CurationQueries.textGopher(spark, "/root/testdata/sf0.001")
     // reference formulation: explode + groupBy + window (the shuffle
