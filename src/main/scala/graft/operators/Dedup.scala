@@ -191,11 +191,14 @@ object Dedup {
       // a duplicated doc id appears twice in a sorted posting list and
       // would pair with itself — the strict < the old self-join had
       .filter(col("id_a") =!= col("id_b"))
-    // na/nb are functionally dependent on the ids — grouping on all
-    // four keeps cardinality identical while avoiding first() aggs
+    // na/nb ride as max() aggregates rather than grouping keys: for the
+    // unique-id contract they are constant within a pair group (same
+    // result either way), but a duplicated doc id with divergent texts
+    // would otherwise SPLIT a pair into per-(na,nb) fragments with
+    // partial inter_rare counts — one row per pair is kept regardless
     val commonRare = pairs
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter_rare"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter_rare"), max(col("na")).as("na"), max(col("nb")).as("nb"))
     // exact intersection = rare co-occurrences + hot-set overlap (the
     // hot arrays are tiny, so the join-back payload stays narrow)
     commonRare

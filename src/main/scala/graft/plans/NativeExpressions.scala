@@ -278,7 +278,9 @@ object NativeExpressions {
             bestG = e.getKey; bestC = c
           }
         }
-        val frac = (bestC * bestG.length).toDouble / dn.toDouble
+        // Long product: cnt × gram length can exceed Int for a ~GB-scale
+        // single-token document; the oracle's product is BIGINT
+        val frac = (bestC.toLong * bestG.length).toDouble / dn.toDouble
         rows.add(org.apache.spark.sql.catalyst.InternalRow(
           n, UTF8String.fromString(bestG), bestC, frac))
       }

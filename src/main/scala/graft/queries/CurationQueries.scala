@@ -221,7 +221,9 @@ object CurationQueries {
           TextFunctions.bindOnce(TextFunctions.modeOf(TextFunctions.shinglesOf(t, n))) { m =>
             struct(lit(n).as("n"), m.getField("gram").as("gram"),
               m.getField("cnt").as("cnt"),
-              ((m.getField("cnt") * length(m.getField("gram"))).cast("double")
+              // long product before the divide, matching the native
+              // kernel and the oracle's BIGINT cnt*length
+              ((m.getField("cnt").cast("long") * length(m.getField("gram"))).cast("double")
                 / dn.cast("double")).as("frac"))
           }
         }
@@ -267,7 +269,11 @@ object CurationQueries {
       .select(col("source"),
         graft.plans.NativeExpressions.textStats(col("text")).getField("n_tok").as("nt"))
       .groupBy(col("source"), col("nt")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("source")).orderBy(col("nt"))
+    // asc_nulls_last: Spark's default window order is NULLS FIRST but
+    // DuckDB's is NULLS LAST — a NULL-text document (null nt bucket)
+    // would inflate every non-null cum in Spark only, shifting the
+    // selected percentile values across engines
+    val w = Window.partitionBy(col("source")).orderBy(col("nt").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("source"))
     val cum = histo

@@ -45,6 +45,16 @@ class DedupSimSpec extends SparkSpec {
     assert(out.forall { case (a, b) => a != b }, s"self-pair in ${out.toSeq}")
   }
 
+  test("ngram jaccard emits one row per pair even when a duplicated id has divergent text") {
+    val dup = docs.unionAll(Seq(
+      (1L, "totally divergent text for the duplicated identifier case here now"))
+      .toDF("doc_id", "text"))
+    val out = Dedup.ngramJaccardPairs(dup, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.length == out.distinct.length,
+      s"pair fragmented into multiple rows: ${out.toSeq.sorted}")
+  }
+
   test("incremental dedup drops seen and in-batch duplicate content, keeps the rest") {
     // store populated with the pipeline's normalized fingerprints
     val seen = Seq("x").toDF("fp")
