@@ -252,7 +252,42 @@ object TimeSeriesQueries {
        |ORDER BY user_id, seg""".stripMargin
   }
 
+  /** ST7 sessionization certified through the SAME
+    * flatMapGroupsWithState state function the streaming query uses,
+    * run in bounded mode over the events table (the stream_neardup
+    * certification pattern): sessions split at inactivity gaps > 12h.
+    * The oracle re-derives sessions with the classic lag/gap-flag/
+    * running-sum SQL — boundaries depend only on the timestamp
+    * multiset, so the state function's arrival-order processing and
+    * the window formulation agree deterministically.
+    */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select(col("user_id").as("userId"), col("ts_ms").as("tsMs"))
+      .as[graft.streaming.Sessionize.Event]
+    graft.streaming.Sessionize.sessionsOf(s, ev, gapMs = 43200000L)
+      .toDF()
+      .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+        col("endMs").as("end_ms"), col("nEvents").as("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  val streamSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms FROM events),
+      |g AS (SELECT user_id, ts_ms,
+      |    CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+      |      > 43200000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (SELECT user_id, ts_ms, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sessions" -> (streamSessions _),
     "ts_impute" -> (tsImpute _),
     "ts_anomaly" -> (tsAnomaly _),
     "ts_slope" -> (tsSlope _),
@@ -262,6 +297,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "stream_sessions" -> streamSessionsSql,
     "ts_impute" -> tsImputeSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_slope" -> tsSlopeSql,
