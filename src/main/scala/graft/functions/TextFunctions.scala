@@ -38,6 +38,23 @@ object TextFunctions {
   /** Whitespace+BPE-ish token count (builder brief: token counting). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** GPT-2-style BPE PRE-tokenizer pieces (builder brief: "a BPE-ish
+    * regex"): contractions, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, residual whitespace —
+    * the standard byte-level-BPE splitting regex MINUS the trailing
+    * `\s+(?!\S)` lookahead (RE2 has no lookahead, and the oracle's
+    * regexp engine is RE2; the simplification only shifts how runs of
+    * trailing whitespace group, not word/number/punct pieces).
+    * Case-preserving, like the real pretokenizer. Piece count is the
+    * standard proxy for BPE token count (each piece expands to >= 1
+    * merges-table tokens; ~1 for common words).
+    */
+  val BpePieceRx: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpePieces(c: Column): Column =
+    regexp_extract_all(c, lit(BpePieceRx), lit(0))
+
   /** Count of alphanumeric characters (for avg token length). */
   def alnumChars(c: Column): Column =
     length(regexp_replace(lower(c), "[^a-z0-9]", ""))

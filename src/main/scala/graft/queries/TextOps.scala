@@ -42,6 +42,45 @@ object TextOps {
        |  COUNT(*) AS docs
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** BPE-pretokenizer piece statistics (builder brief: token counting
+    * via "a BPE-ish regex" beside the whitespace counter above): per
+    * language, total pieces, pieces net of pure-whitespace runs (the
+    * count a byte-level BPE would expand to tokens), and the largest
+    * single-document piece count — the sequence-budget planning stats.
+    * Narrow map + one aggregation; case-preserving like the real
+    * GPT-2 pretokenizer.
+    */
+  def textBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pieces = graft.functions.TextFunctions.bpePieces($"text")
+    val nonWs = graft.functions.TextFunctions.bindOnce(pieces) { p =>
+      struct(size(p).as("all"),
+        size(filter(p, x => !x.rlike("^\\s+$"))).as("content"))
+    }
+    Tables(s, dir, "documents")
+      .select($"lang", nonWs.as("pc"))
+      .groupBy($"lang")
+      .agg(sum($"pc.all".cast("long")).as("pieces"),
+        sum($"pc.content".cast("long")).as("content_pieces"),
+        max($"pc.content".cast("long")).as("max_doc_pieces"),
+        count(lit(1)).as("docs"))
+      .orderBy($"lang")
+  }
+
+  val textBpeSql: String = {
+    // SQL-escape the apostrophe in the contraction arm
+    val rx = graft.functions.TextFunctions.BpePieceRx.replace("'", "''")
+    s"""WITH p AS (SELECT lang, regexp_extract_all(text, '$rx') AS ps FROM documents),
+       |c AS (SELECT lang, len(ps) AS all_p,
+       |    len(list_filter(ps, x -> NOT regexp_matches(x, '^\\s+$$'))) AS content_p
+       |  FROM p)
+       |SELECT lang, CAST(SUM(all_p) AS BIGINT) AS pieces,
+       |  CAST(SUM(content_p) AS BIGINT) AS content_pieces,
+       |  CAST(MAX(content_p) AS BIGINT) AS max_doc_pieces,
+       |  COUNT(*) AS docs
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Per-document quality scoring; emits the lowest-quality k docs
     * (integer counts; the composite double is computed identically in
     * both engines).
@@ -241,6 +280,7 @@ object TextOps {
     "pipeline_clean" -> (pipelineClean _),
     "text_bigrams" -> (textBigrams _),
     "text_tokens" -> (textTokens _),
+    "text_bpe" -> (textBpe _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -253,6 +293,7 @@ object TextOps {
     "pipeline_clean" -> pipelineCleanSql,
     "text_bigrams" -> textBigramsSql,
     "text_tokens" -> textTokensSql,
+    "text_bpe" -> textBpeSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,

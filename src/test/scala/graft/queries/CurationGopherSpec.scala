@@ -53,6 +53,23 @@ class CurationGopherSpec extends SparkSpec {
     assert(native == hof) // includes bit-equality of the frac doubles
   }
 
+  test("bpePieces: GPT-2-style pretokenizer splits on the documented arms") {
+    def pieces(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextFunctions.bpePieces(col("t"))).as[Seq[String]].head()
+    // contractions split; space prefixes attach to the following piece
+    assert(pieces("it's John's fault") ==
+      Seq("it", "'s", " John", "'s", " fault"))
+    // digits and punctuation are separate space-prefixed runs; a
+    // multi-space run is consumed whole by the greedy whitespace arm
+    // (the documented divergence from GPT-2's \s+(?!\S) lookahead,
+    // which would leave the last space to prefix "beats")
+    assert(pieces("v2.0  beats v1") ==
+      Seq("v", "2", ".", "0", "  ", "beats", " v", "1"))
+    // case preserved (unlike the lowercasing whitespace counter)
+    assert(pieces("Hello WORLD") == Seq("Hello", " WORLD"))
+    assert(pieces("") == Seq.empty)
+  }
+
   test("pipelineStats: exact type-1 percentiles match a sort-based reference") {
     val df = CurationQueries.pipelineStats(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
