@@ -32,7 +32,14 @@ object GraftExtensions {
     (FunctionIdentifier("text_stats"),
       info("text_stats",
         "text_stats(text) - struct(n_tok, n_stop, n_punct, n_alnum) in one pass"),
-      (args: Seq[Expression]) => NativeExpressions.TextStats(args.head)))
+      (args: Seq[Expression]) => NativeExpressions.TextStats(args.head)),
+    (FunctionIdentifier("top_ngrams"),
+      info("top_ngrams",
+        "top_ngrams(text, minN, maxN) - per-n most frequent token n-gram as " +
+          "array of struct(n, gram, cnt, frac); ties to the smallest gram"),
+      (args: Seq[Expression]) => NativeExpressions.TopNgrams(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
 
   /** Install into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -29,6 +29,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) == 16) // n_alnum
   }
 
+  test("top_ngrams is callable from SQL") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT explode(top_ngrams('spam ham spam ham spam ham', 2, 3)) AS e")
+      .select("e.n", "e.gram", "e.cnt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(rows.contains((2, "spam ham", 3)))
+    assert(rows.exists(_._1 == 3))
+  }
+
   test("registration is idempotent and survives re-registration") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
