@@ -48,9 +48,17 @@ object TextFunctions {
     * Case-preserving, like the real pretokenizer. Piece count is the
     * standard proxy for BPE token count (each piece expands to >= 1
     * merges-table tokens; ~1 for common words).
+    *
+    * The whitespace class is the EXPLICIT [\t\n\f\r ] everywhere, not
+    * \s: Java's \s includes vertical tab U+000B but RE2's does not, so
+    * a \s-based pattern would route U+000B into different arms across
+    * engines (whitespace in Spark, punctuation in the oracle) and
+    * break the hash match. With the explicit class both engines put
+    * U+000B in the punctuation arm.
     */
+  val BpeWsClass: String = "\\t\\n\\f\\r "
   val BpePieceRx: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$BpeWsClass\\p{L}\\p{N}]+|[$BpeWsClass]+"
 
   def bpePieces(c: Column): Column =
     regexp_extract_all(c, lit(BpePieceRx), lit(0))

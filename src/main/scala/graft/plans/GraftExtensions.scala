@@ -15,6 +15,26 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Resolve a parameter that must be a literal integer (k, minN, maxN)
+    * at function-resolution time, with a clear error instead of the
+    * opaque "Cannot evaluate expression" an AttributeReference.eval
+    * throws — these parameters shape the expression, they cannot vary
+    * per row.
+    */
+  private def litInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be a literal integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: java.lang.Integer => n.intValue()
+      case n: java.lang.Long => n.intValue()
+      case n: java.lang.Short => n.intValue()
+      case n: java.lang.Byte => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be a literal integer, got ${String.valueOf(other)}")
+    }
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-char simhash bit string of the text"),
@@ -28,7 +48,7 @@ object GraftExtensions {
           "scheme, parity-tested vs Dedup.minhashSigHof; the dedup pipeline now uses " +
           "the affine universal-hash scheme, Dedup.minhashSig)"),
       (args: Seq[Expression]) => NativeExpressions.MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())),
+        litInt("minhash_sig", "k", args(1)))),
     (FunctionIdentifier("text_stats"),
       info("text_stats",
         "text_stats(text) - struct(n_tok, n_stop, n_punct, n_alnum) in one pass"),
@@ -38,8 +58,8 @@ object GraftExtensions {
         "top_ngrams(text, minN, maxN) - per-n most frequent token n-gram as " +
           "array of struct(n, gram, cnt, frac); ties to the smallest gram"),
       (args: Seq[Expression]) => NativeExpressions.TopNgrams(args.head,
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+        litInt("top_ngrams", "minN", args(1)),
+        litInt("top_ngrams", "maxN", args(2)))))
 
   /** Install into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -53,9 +53,12 @@ object TextOps {
   def textBpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pieces = graft.functions.TextFunctions.bpePieces($"text")
+    // explicit whitespace class, same reason as BpePieceRx (Java \s
+    // includes U+000B, RE2's does not)
+    val wsOnly = s"^[${graft.functions.TextFunctions.BpeWsClass}]+$$"
     val nonWs = graft.functions.TextFunctions.bindOnce(pieces) { p =>
       struct(size(p).as("all"),
-        size(filter(p, x => !x.rlike("^\\s+$"))).as("content"))
+        size(filter(p, x => !x.rlike(wsOnly))).as("content"))
     }
     Tables(s, dir, "documents")
       .select($"lang", nonWs.as("pc"))
@@ -70,9 +73,10 @@ object TextOps {
   val textBpeSql: String = {
     // SQL-escape the apostrophe in the contraction arm
     val rx = graft.functions.TextFunctions.BpePieceRx.replace("'", "''")
+    val ws = graft.functions.TextFunctions.BpeWsClass
     s"""WITH p AS (SELECT lang, regexp_extract_all(text, '$rx') AS ps FROM documents),
        |c AS (SELECT lang, len(ps) AS all_p,
-       |    len(list_filter(ps, x -> NOT regexp_matches(x, '^\\s+$$'))) AS content_p
+       |    len(list_filter(ps, x -> NOT regexp_matches(x, '^[$ws]+$$'))) AS content_p
        |  FROM p)
        |SELECT lang, CAST(SUM(all_p) AS BIGINT) AS pieces,
        |  CAST(SUM(content_p) AS BIGINT) AS content_pieces,

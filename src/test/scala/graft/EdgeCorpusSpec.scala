@@ -14,10 +14,20 @@ import org.apache.spark.sql.functions._
 class EdgeCorpusSpec extends SparkSpec {
   import spark.implicits._
 
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    }
+    super.afterAll()
+  }
+
   /** Clone the sf0.001 schemas with given per-table row filters. */
   private def writeCorpus(suffix: String, keepRows: Boolean): String = {
     val src = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory(s"edge_$suffix").toString
+    tmpDirs += out
     Tables.names.foreach { n =>
       val df = spark.read.parquet(s"$src/$n.parquet")
       val base = if (keepRows) df.limit(2) else df.limit(0)
@@ -26,12 +36,15 @@ class EdgeCorpusSpec extends SparkSpec {
     out
   }
 
-  test("every registered query runs on an EMPTY corpus without throwing") {
-    val dir = writeCorpus("empty", keepRows = false)
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+  /** Run every registry query against `dir`, harvesting crashes. */
+  private def crashes(dir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
     }
+
+  test("every registered query runs on an EMPTY corpus without throwing") {
+    val failures = crashes(writeCorpus("empty", keepRows = false))
     assert(failures.isEmpty, s"queries crashed on empty corpus:\n${failures.mkString("\n")}")
   }
 
@@ -57,10 +70,7 @@ class EdgeCorpusSpec extends SparkSpec {
     val ev = spark.read.parquet(s"$src/events.parquet")
     ev.limit(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
 
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, dir).collect(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
-    }
+    val failures = crashes(dir)
     assert(failures.isEmpty, s"queries crashed on edge corpus:\n${failures.mkString("\n")}")
   }
 }

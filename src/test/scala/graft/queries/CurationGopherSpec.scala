@@ -68,6 +68,10 @@ class CurationGopherSpec extends SparkSpec {
     // case preserved (unlike the lowercasing whitespace counter)
     assert(pieces("Hello WORLD") == Seq("Hello", " WORLD"))
     assert(pieces("") == Seq.empty)
+    // vertical tab U+000B is NOT in the explicit whitespace class (Java
+    // \s contains it, RE2's does not — the pattern avoids \s so both
+    // engines route it to the punctuation arm)
+    assert(pieces("a\u000bb") == Seq("a", "\u000b", "b"))
   }
 
   test("pipelineStats: exact type-1 percentiles match a sort-based reference") {
