@@ -63,6 +63,28 @@ object TextFunctions {
   def bpePieces(c: Column): Column =
     regexp_extract_all(c, lit(BpePieceRx), lit(0))
 
+  /** URL canonicalization for URL-level dedup (the standard web-corpus
+    * first pass): lowercase scheme and host, strip a leading `www.`,
+    * default ports, the fragment, tracking parameters
+    * (utm_… / fbclid / gclid), and a trailing slash; the surviving query
+    * parameters are SORTED so parameter order doesn't split dup
+    * groups. Path case is preserved (paths are case-sensitive). Pure
+    * string expressions in the Java∩RE2 regex subset, so the DuckDB
+    * oracle mirrors byte-for-byte.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    val q = array_join(array_sort(filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      x => x =!= "" && !x.rlike("^(utm_[A-Za-z0-9_]+|fbclid|gclid)="))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
   /** Count of alphanumeric characters (for avg token length). */
   def alnumChars(c: Column): Column =
     length(regexp_replace(lower(c), "[^a-z0-9]", ""))

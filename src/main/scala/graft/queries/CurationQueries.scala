@@ -304,8 +304,50 @@ object CurationQueries {
       |  CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN nt END) AS BIGINT) AS p99_tokens
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** URL-level dedup via [[TextFunctions.canonicalizeUrl]]: messy URL
+    * variants (scheme/host case, www, tracking params, param order,
+    * fragment, trailing slash — synthesized deterministically per doc,
+    * the extract_hostname pattern) collapse onto one canonical form.
+    * Exact groupBy on the canonical string — the cheap first dedup
+    * pass of any web corpus, upstream of content hashing. Narrow map
+    * + one digest-keyed shuffle.
+    */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val v1 = concat(lit("HTTPS://WWW."), col("source"), lit(".Example.org/Doc/"), id,
+      lit("/?utm_source=feed&b=2&a=1#frag"))
+    val v2 = concat(lit("https://"), col("source"), lit(".example.org/Doc/"), id,
+      lit("?a=1&b=2"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(array(v1, v2)).as("url"))
+      .select(TextFunctions.canonicalizeUrl(col("url")).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"))
+      .orderBy(col("canonical"))
+  }
+
+  val dedupUrlSql: String = {
+    val canon = (u: String) =>
+      s"lower(regexp_extract($u, '^([A-Za-z]+)://', 1)) || '://' || " +
+        s"regexp_replace(regexp_replace(lower(regexp_extract($u, '^[A-Za-z]+://([^/?#]+)', 1)), " +
+        s"'^www\\.', ''), ':(80|443)$$', '') || " +
+        s"regexp_replace(regexp_extract($u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$$', '') || " +
+        s"CASE WHEN q = '' THEN '' ELSE '?' || q END"
+    val qexpr =
+      "array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
+        "x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]+|fbclid|gclid)='))), '&')"
+    s"""WITH u AS (SELECT doc_id, unnest([
+       |    'HTTPS://WWW.' || source || '.Example.org/Doc/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag',
+       |    'https://' || source || '.example.org/Doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2']) AS url
+       |  FROM documents),
+       |cq AS (SELECT url, $qexpr AS q FROM u)
+       |SELECT ${canon("url")} AS canonical, COUNT(*) AS n_variants
+       |FROM cq GROUP BY 1 ORDER BY canonical""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (pipelineSplit _),
+    "dedup_url" -> (dedupUrl _),
     "pipeline_stats" -> (pipelineStats _),
     "text_gopher" -> (textGopher _),
     "text_repetition" -> (textRepetition _),
@@ -315,6 +357,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> pipelineSplitSql,
+    "dedup_url" -> dedupUrlSql,
     "pipeline_stats" -> pipelineStatsSql,
     "text_gopher" -> textGopherSql,
     "text_repetition" -> textRepetitionSql,

@@ -74,6 +74,20 @@ class CurationGopherSpec extends SparkSpec {
     assert(pieces("a\u000bb") == Seq("a", "\u000b", "b"))
   }
 
+  test("canonicalizeUrl: case, www, ports, tracking params, order, fragment, slash") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(TextFunctions.canonicalizeUrl(col("u"))).as[String].head()
+    assert(canon("HTTPS://WWW.Ex.Org:443/Doc/1/?utm_source=x&b=2&a=1#f") ==
+      "https://ex.org/Doc/1?a=1&b=2")
+    assert(canon("http://ex.org:80/p?fbclid=z&z=9&gclid=q") == "http://ex.org/p?z=9")
+    // path case preserved; no query -> no '?'
+    assert(canon("https://EX.org/CaseSensitive") == "https://ex.org/CaseSensitive")
+    // www stripped only as a prefix label
+    assert(canon("https://wwwx.org/a") == "https://wwwx.org/a")
+    // non-default port kept
+    assert(canon("https://ex.org:8443/a") == "https://ex.org:8443/a")
+  }
+
   test("pipelineStats: exact type-1 percentiles match a sort-based reference") {
     val df = CurationQueries.pipelineStats(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
