@@ -261,6 +261,90 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Squared L2 between two float-array columns — the same sequential
+    * IEEE fold as [[dot]] (bit-identical to DuckDB's `list_reduce`).
+    */
+  def sqL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization codebook (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding space is
+    * split into `m` contiguous subspaces of dim/m dims; each subspace
+    * gets `k` centroids. Centroids are deterministic seeds — the
+    * subvectors of the `k` lowest-id corpus vectors (the
+    * [[seedCentroids]] convention: reproducible AND oracle-expressible;
+    * swapping in per-subspace k-means means changes recall, not the
+    * plan). Emits (m, cid, csub), broadcast — m*k rows.
+    */
+  def pqCodebook(corpus: DataFrame, m: Int, k: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    broadcast(corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"),
+        posexplode(array((0 until m).map(i => slice(col("embedding"), i * sub + 1, sub)): _*))
+          .as(Seq("m", "csub"))))
+  }
+
+  /** PQ encoding: per vector, the argmin-L2 centroid per subspace —
+    * (vec_id, codes: array<struct<m,cid>> sorted by m). THIS is the
+    * 100 TB artifact: m small ints per vector instead of dim floats
+    * (64-dim float ≈ 256 B → 4 codes ≈ 4 B, a 64× smaller scan), built
+    * once like any index. Shape: subspace explode (bounded ×m), a
+    * broadcast join against the m*k-row codebook, one bounded argmin
+    * window keyed (vec_id, m), one groupBy to assemble the code array.
+    */
+  def pqCodes(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val subs = corpus.select(col("vec_id"),
+      posexplode(array((0 until m).map(i => slice(col("embedding"), i * sub + 1, sub)): _*))
+        .as(Seq("m", "sub")))
+    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d").asc, col("cid"))
+    subs.join(codebook, "m")
+      .withColumn("d", sqL2(col("sub"), col("csub")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("codes"))
+  }
+
+  /** PQ ADC (asymmetric distance computation) top-k: each query
+    * precomputes its m×k distance table to every sub-centroid; a corpus
+    * vector's approximate distance is then m TABLE LOOKUPS summed in
+    * subspace order — the query plane never touches raw embeddings,
+    * only the compressed code column. The per-query tables ship as a
+    * broadcast map keyed "m:cid"; scoring is a narrow fold over the
+    * codes array; the only shuffle is the per-query top-k window
+    * (replaceable by per-partition top-k + merge for small k).
+    * Distances fold in ascending m — the DuckDB oracle's
+    * `list(d ORDER BY m)` reduce — so adist is bit-identical.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             nCentroids: Int = 8, knownDim: Int = -1): DataFrame = {
+    val dim = if (knownDim > 0) knownDim else probeDim(corpus)
+    val sub = dim / m
+    val cb = pqCodebook(corpus, m, nCentroids, dim)
+    val codes = pqCodes(corpus, cb, m, dim)
+    val qsubs = queries.select(col("vec_id").as("qid"),
+      posexplode(array((0 until m).map(i => slice(col("embedding"), i * sub + 1, sub)): _*))
+        .as(Seq("m", "qsub")))
+    val qmaps = broadcast(qsubs.join(cb, "m")
+      .withColumn("d", sqL2(col("qsub"), col("csub")))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(":", col("m"), col("cid")), col("d")))).as("dtab")))
+    val adist = aggregate(col("codes"), lit(0.0), (acc, e) =>
+      acc + element_at(col("dtab"), concat_ws(":", e.getField("m"), e.getField("cid"))))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    codes.crossJoin(qmaps)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rank"))
+  }
+
   /** Bucketed ANN: per-query candidate count + exact top-k within the
     * query's bucket (the scale path: score only same-bucket vectors).
     */

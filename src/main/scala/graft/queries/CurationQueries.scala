@@ -345,9 +345,174 @@ object CurationQueries {
        |FROM cq GROUP BY 1 ORDER BY canonical""".stripMargin
   }
 
+  /** The full Gopher quality-filter rule panel (Rae et al. 2021,
+    * Table A1): per document — word count bounds, mean word length
+    * bounds, symbol-to-word ratio ('#' and '...'), bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and the
+    * 8-stopword presence rule — plus the combined keep decision.
+    * The corpus text is single-line, so deterministic line structure
+    * (bullets / trailing ellipses / hashtags) is synthesized per
+    * doc_id (the text_redact convention) to exercise the line rules;
+    * the oracle re-derives the same.
+    *
+    * Words split on the EXPLICIT [\t\n\f\r ] class (never \s — Java
+    * and RE2 disagree on U+000B, the text_bpe lesson). Every ratio is
+    * one double division of exact integer counts, so values — and the
+    * boundary comparisons of the keep flag — are bit-identical across
+    * engines. Scale shape: one narrow codegen'd map over documents,
+    * no shuffle but the final sort.
+    */
+  def filterGopher(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.bindOnce
+    // Gopher's rule is ">= 2 of a required-stopword list"; the list here
+    // is the corpus-adapted [[TextFunctions.Stopwords]] (the paper's
+    // 8-word English list barely intersects this synthetic corpus — it
+    // would mark every doc False and test nothing)
+    val stop = TextFunctions.Stopwords
+    val text = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit("\n- bullet item\n- second item")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("\nto be continued...\nmore #tags #here..."))
+        .otherwise(lit("")))
+    val panel = bindOnce(text) { t =>
+      bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>
+        bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
+          bindOnce(TextFunctions.tokens(t)) { toks =>
+            val nWords = size(words)
+            val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w))
+            val meanLen = when(nWords > 0, sumLen.cast("double") / nWords.cast("double"))
+            val nHash = length(t) - length(regexp_replace(t, "#", ""))
+            val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3))
+              .cast("int")
+            val nLines = size(lines)
+            val nBullet = size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+            val nEllEnd = size(filter(lines, l => l.endsWith("...")))
+            val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+            val nStop = size(filter(array(stop.map(lit): _*), sw => array_contains(toks, sw)))
+            val symbolRatio = when(nWords > 0, (nHash + nEll).cast("double") / nWords.cast("double"))
+            val bulletFrac = when(nLines > 0, nBullet.cast("double") / nLines.cast("double"))
+            val ellFrac = when(nLines > 0, nEllEnd.cast("double") / nLines.cast("double"))
+            val alphaFrac = when(nWords > 0, nAlpha.cast("double") / nWords.cast("double"))
+            val keep = coalesce(
+              nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+                symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
+                alphaFrac >= 0.8 && nStop >= 2,
+              lit(false))
+            struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+              symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+              ellFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+              nStop.as("n_stop"), keep.as("keep"))
+          }
+        }
+      }
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), panel.as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  val filterGopherSql: String = {
+    val text = "text || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet item' || chr(10) || " +
+      "'- second item' ELSE '' END || CASE WHEN doc_id % 11 = 0 THEN chr(10) || " +
+      "'to be continued...' || chr(10) || 'more #tags #here...' ELSE '' END"
+    """WITH d AS (SELECT doc_id, <T> AS t FROM documents),
+      |p AS (SELECT doc_id,
+      |    list_filter(string_split_regex(t, '[\t\n\f\r ]+'), x -> x <> '') AS words,
+      |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+      |    length(t) - length(replace(t, '#', '')) AS n_hash,
+      |    (length(t) - length(replace(t, '...', ''))) // 3 AS n_ell,
+      |    regexp_extract_all(lower(t), '[a-z0-9]+') AS toks
+      |  FROM d),
+      |m AS (SELECT doc_id,
+      |    len(words) AS n_words,
+      |    CASE WHEN len(words) > 0 THEN
+      |      CAST(list_reduce(list_transform(words, w -> length(w)), (a, b) -> a + b) AS DOUBLE)
+      |        / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+      |    CASE WHEN len(words) > 0 THEN
+      |      CAST(n_hash + n_ell AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS symbol_ratio,
+      |    CASE WHEN len(lines) > 0 THEN
+      |      CAST(len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+      |        / CAST(len(lines) AS DOUBLE) END AS bullet_frac,
+      |    CASE WHEN len(lines) > 0 THEN
+      |      CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+      |        / CAST(len(lines) AS DOUBLE) END AS ellipsis_frac,
+      |    CASE WHEN len(words) > 0 THEN
+      |      CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      |        / CAST(len(words) AS DOUBLE) END AS alpha_frac,
+      |    len(list_filter(['the','a','of','and','in','to','is'],
+      |      sw -> list_contains(toks, sw))) AS n_stop
+      |  FROM p)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+      |  alpha_frac, n_stop,
+      |  COALESCE(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+      |    AND alpha_frac >= 0.8 AND n_stop >= 2, FALSE) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin.replace("<T>", text)
+  }
+
+  /** UT1-style URL blocklist filtering (the first gate of a web-corpus
+    * pipeline, e.g. RefinedWeb §3.1): a blocklist entry blocks a host
+    * AND every subdomain of it. URLs are synthesized deterministically
+    * per doc (the dedup_url convention) with a rotating subdomain so
+    * both match modes are exercised: one entry blocks a whole
+    * registered domain, the other one exact subdomain host.
+    *
+    * Scale shape — the real UT1 list is ~4M domains, so never a LIKE
+    * scan: each host expands to its (bounded, ≤ label-count) domain
+    * suffixes, which EQUI-join against the broadcast blocklist; one
+    * per-doc aggregation folds hits back. explode_outer keeps
+    * unparseable hosts in the kept counts.
+    */
+  def filterUrl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocklist = Seq("src3.example.org", "m1.src7.example.org")
+    val url = concat(lit("https://m"), (col("doc_id") % 3).cast("string"), lit("."),
+      col("source"), lit(".example.org/p/"), col("doc_id").cast("string"))
+    val host = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+    // guard: a <2-label host would send sequence() a negative stop
+    // (descending range -> slice(start=0) error); emit no suffixes
+    val suffixes = TextFunctions.bindOnce(split(host, "\\.")) { labels =>
+      when(size(labels) >= 2,
+        transform(sequence(lit(0), size(labels) - 2), i =>
+          array_join(slice(labels, i + 1, size(labels)), ".")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val bl = broadcast(blocklist.toDF("domain"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), explode_outer(suffixes).as("domain"))
+      .join(bl.withColumn("hit", lit(1)), Seq("domain"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg((count(col("hit")) > 0).as("blocked"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val filterUrlSql: String =
+    """WITH u AS (SELECT doc_id, source,
+      |    'https://m' || CAST(doc_id % 3 AS VARCHAR) || '.' || source ||
+      |      '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (SELECT doc_id, source,
+      |    string_split(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), '.') AS labels
+      |  FROM u),
+      |sfx AS (SELECT doc_id, source, array_to_string(labels[i+1:], '.') AS domain
+      |  FROM h, UNNEST(range(len(labels) - 1)) AS t(i)),
+      |bl AS (SELECT unnest(['src3.example.org', 'm1.src7.example.org']) AS domain),
+      |flg AS (SELECT s.doc_id, s.source, COUNT(b.domain) > 0 AS blocked
+      |  FROM sfx s LEFT JOIN bl b ON s.domain = b.domain
+      |  GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+      |  CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+      |FROM flg GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (pipelineSplit _),
     "dedup_url" -> (dedupUrl _),
+    "filter_gopher" -> (filterGopher _),
+    "filter_url" -> (filterUrl _),
     "pipeline_stats" -> (pipelineStats _),
     "text_gopher" -> (textGopher _),
     "text_repetition" -> (textRepetition _),
@@ -358,6 +523,8 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> pipelineSplitSql,
     "dedup_url" -> dedupUrlSql,
+    "filter_gopher" -> filterGopherSql,
+    "filter_url" -> filterUrlSql,
     "pipeline_stats" -> pipelineStatsSql,
     "text_gopher" -> textGopherSql,
     "text_repetition" -> textRepetitionSql,

@@ -225,6 +225,49 @@ object DedupSim {
        |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.35)
        |WHERE rank = 1 ORDER BY vec_id""".stripMargin
 
+  /** Sequential-fold squared L2 in DuckDB — bit-identical to
+    * [[graft.operators.Similarity.sqL2]]'s zip_with/aggregate fold.
+    */
+  private def sqlSqL2(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> " +
+      s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * " +
+      s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** PQ ADC top-5 (4 subspaces × 8 sub-centroids over the 64-dim
+    * corpus): approximate distances from the compressed code table
+    * only — the memory-bound ANN path (codes are ~64× smaller than
+    * raw embeddings; see [[Similarity.pqTopK]]).
+    */
+  def simPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+      m = 4, nCentroids = 8)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simPqSql: String =
+    s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+       |ms AS (SELECT unnest(range(4)) AS m),
+       |cb AS (SELECT cid, m, ce[m*16+1 : m*16+16] AS csub FROM seeds CROSS JOIN ms),
+       |subs AS (SELECT vec_id, m, embedding[m*16+1 : m*16+16] AS sub
+       |  FROM embeddings CROSS JOIN ms),
+       |codes AS (SELECT vec_id, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSqL2("s.sub", "c.csub")} ASC, c.cid) AS rk
+       |    FROM subs s JOIN cb c USING (m)) WHERE rk = 1),
+       |qtab AS (SELECT s.vec_id AS qid, s.m, c.cid, ${sqlSqL2("s.sub", "c.csub")} AS d
+       |  FROM subs s JOIN cb c USING (m) WHERE s.vec_id < 8),
+       |adc AS (SELECT t.qid, co.vec_id,
+       |    list_reduce(list(t.d ORDER BY t.m), (x, y) -> x + y) AS adist
+       |  FROM codes co JOIN qtab t ON t.m = co.m AND t.cid = co.code
+       |  WHERE t.qid <> co.vec_id
+       |  GROUP BY t.qid, co.vec_id)
+       |SELECT qid, vec_id, adist, rank FROM (
+       |  SELECT qid, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM adc)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Streaming near-dup candidates run in bounded mode over the corpus
     * (same operator the streaming query uses — flatMapGroupsWithState
     * over minhash band state): (pair, number of colliding bands).
@@ -271,6 +314,7 @@ object DedupSim {
     "sim_topk" -> (simTopK _),
     "sim_lsh" -> (simLsh _),
     "sim_ivf" -> (simIvf _),
+    "sim_pq" -> (simPq _),
     "dedup_semantic" -> (dedupSemantic _),
     "stream_neardup" -> (streamNearDup _))
 
@@ -281,6 +325,7 @@ object DedupSim {
     "sim_topk" -> simTopKSql,
     "sim_lsh" -> simLshSql,
     "sim_ivf" -> simIvfSql,
+    "sim_pq" -> simPqSql,
     "dedup_semantic" -> dedupSemanticSql,
     "stream_neardup" -> streamNearDupSql)
 }

@@ -121,6 +121,38 @@ class PlanSpec extends SparkSpec {
       "corpus x centroids must be a broadcast product, never a cartesian shuffle")
   }
 
+  test("filter_url: blocklist equi-joins as a broadcast, never a LIKE scan or cartesian") {
+    val p = plan(graft.queries.CurationQueries.filterUrl(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      "the blocklist must broadcast-equi-join against exploded host suffixes")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no corpus-wide shuffle join for a broadcastable blocklist")
+  }
+
+  test("filter_gopher: whole rule panel is one narrow map over a 2-column scan") {
+    val p = plan(graft.queries.CurationQueries.filterGopher(spark, dir))
+    val exchanges = "(?m)Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the output-sort exchange, plan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text)")
+  }
+
+  test("sim_pq: codebook and query tables broadcast; scoring side reads codes, not embeddings") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(graft.operators.Similarity.pqTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), k = 5))
+    assert(p.contains("BroadcastExchange"),
+      "the m*k codebook and per-query distance tables must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "corpus x queries must be a broadcast product, never a cartesian shuffle")
+    // the ADC scoring join must not resurrect the raw embedding column:
+    // after pqCodes aggregates, only (vec_id, codes) rides forward
+    val adcLines = p.linesIterator.filter(_.contains("dtab")).toSeq
+    assert(adcLines.nonEmpty, "expected the broadcast distance-table join in the plan")
+    assert(adcLines.forall(!_.contains("embedding#")),
+      s"raw embeddings must not ride through ADC scoring:\n${adcLines.mkString("\n")}")
+  }
+
   test("text_gopher: single narrow generate over a 2-column scan, no shuffle before the output sort") {
     val df = graft.queries.CurationQueries.textGopher(spark, dir)
     val p = plan(df)
