@@ -345,6 +345,85 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("adist"), col("rank"))
   }
 
+  /** IVFADC top-k (Jégou, Douze, Schmid 2011 §IV — the full FAISS-style
+    * `IVFx,PQy` index): coarse quantizer restricts candidates to the
+    * query's `nProbe` nearest cells, and within a cell distances are
+    * computed by ADC over product-quantized RESIDUALS (x − coarse
+    * centroid). Combines [[ivfTopK]]'s pruning (scan 1/nCells of the
+    * corpus) with [[pqTopK]]'s compression (m code bytes per vector):
+    * at 100 TB the scan reads only the (cid, codes) columns of the
+    * probed cells — never a raw embedding.
+    *
+    * One product quantizer is shared across cells (the paper's choice:
+    * residual distributions are near-identical across cells, and
+    * per-cell codebooks would multiply the broadcast by nCells).
+    * Because residuals depend on the assigned cell, each query builds
+    * one ADC table PER PROBED CELL from its own residual q − c(cell)
+    * — queries × nProbe × m × k entries, still a broadcast.
+    *
+    * Determinism: coarse seeds are the [[seedCentroids]] convention;
+    * PQ seeds are the residuals of the `pqK` lowest-id vectors; every
+    * distance is a sequential IEEE fold, so the DuckDB oracle matches
+    * bit-for-bit. Swapping seeds for trained k-means changes recall
+    * only — the plan is identical.
+    */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+                nCells: Int = 8, pqK: Int = 8, nProbe: Int = 2,
+                knownDim: Int = -1): DataFrame = {
+    val dim = if (knownDim > 0) knownDim else probeDim(corpus)
+    val sub = dim / m
+    val cents = seedCentroids(corpus, nCells)
+    // residual per assigned vector: x − c(cell), computed once as doubles
+    // cache: codebook seeds, code assembly, and the candidate join all
+    // read this frame (the semanticDedup barrier rationale)
+    val resid = ivfAssign(corpus, cents).join(cents, "cid")
+      .select(col("cid"), col("vec_id"),
+        zip_with(col("embedding"), col("ce"),
+          (x, c) => x.cast("double") - c.cast("double")).as("resid"))
+      .cache()
+    val rsubs = (rcol: String) =>
+      posexplode(array((0 until m).map(i => slice(col(rcol), i * sub + 1, sub)): _*))
+        .as(Seq("m", "sv"))
+    val cb = broadcast(resid.orderBy(col("vec_id")).limit(pqK)
+      .select(col("vec_id").as("pcid"), rsubs("resid"))
+      .withColumnRenamed("sv", "csub"))
+    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d").asc, col("pcid"))
+    val codes = resid.select(col("cid"), col("vec_id"), rsubs("resid"))
+      .join(cb, "m")
+      .withColumn("d", sqL2(col("sv"), col("csub")))
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .groupBy(col("cid"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("pcid")))).as("codes"))
+    // probe: per query, the nProbe nearest coarse cells (as ivfTopK)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qe"), col("ce")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qe"), col("ce"),
+          (x, c) => x.cast("double") - c.cast("double")).as("qresid"))
+    // per-(query, probed-cell) ADC table over the query's cell residual
+    val qmaps = broadcast(probes
+      .select(col("qid"), col("cid"), rsubs("qresid"))
+      .join(cb, "m")
+      .withColumn("d", sqL2(col("sv"), col("csub")))
+      .groupBy(col("qid"), col("cid"))
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(":", col("m"), col("pcid")), col("d")))).as("dtab")))
+    val adist = aggregate(col("codes"), lit(0.0), (acc, e) =>
+      acc + element_at(col("dtab"), concat_ws(":", e.getField("m"), e.getField("pcid"))))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    codes.join(qmaps, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rank"))
+  }
+
   /** Bucketed ANN: per-query candidate count + exact top-k within the
     * query's bucket (the scale path: score only same-bucket vectors).
     */

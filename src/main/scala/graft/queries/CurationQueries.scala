@@ -450,6 +450,169 @@ object CurationQueries {
       |FROM m ORDER BY doc_id""".stripMargin.replace("<T>", text)
   }
 
+  /** The C4 heuristic cleaning panel (Raffel et al. 2020 §2.2 — the
+    * other canonical web-corpus rule set beside Gopher): line-level —
+    * retain only lines that end in a terminal punctuation mark, have
+    * ≥ 5 words, and don't mention "javascript"; page-level — drop
+    * pages with < 3 sentences, any "lorem ipsum", any curly brace, or
+    * any blocklisted word. The corpus text is single-line, so line
+    * structure is synthesized per doc_id (the filter_gopher
+    * convention; different mod classes so the two panels don't test
+    * the same rows), and the badword rule matches whole TOKENS through
+    * the document tokenizer — never substrings.
+    *
+    * Counts are exact ints and flags exact bools, so the keep decision
+    * is bit-identical across engines. Scale shape: one narrow
+    * codegen'd map over documents, no shuffle but the final sort —
+    * the same shape C4 itself ran over 20 TB of Common Crawl.
+    */
+  def filterC4(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.bindOnce
+    val text = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit("\nShort line")).otherwise(lit("")),
+      // three full sentences: the corpus text itself has NO punctuation,
+      // so this is what makes the ≥3-sentence page gate reachable
+      when(col("doc_id") % 5 === 0,
+        lit("\nThis appended sentence clearly contains more than five words." +
+          "\nAnother appended sentence also contains well over five words." +
+          "\nA third full sentence closes out this appended paragraph nicely."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit("\nEnable javascript to view this page."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit("\nfunction f() { return 1; }"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 19 === 0, lit("\nThis line mentions badword1 today."))
+        .otherwise(lit("")))
+    val lineWords = (l: Column) =>
+      size(filter(split(l, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= ""))
+    val lineKept = (l: Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        lineWords(l) >= 5 && !lower(l).contains("javascript")
+    val panel = bindOnce(text) { t =>
+      bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
+        bindOnce(TextFunctions.tokens(t)) { toks =>
+          val nLines = size(lines)
+          val nKept = size(filter(lines, lineKept))
+          val nSent = length(t) - length(translate(t, ".!?", ""))
+          val hasLorem = lower(t).contains("lorem ipsum")
+          val hasBrace = t.contains("{")
+          val hasBad = array_contains(toks, "badword1") || array_contains(toks, "badword2")
+          val keep = nSent >= 3 && !hasLorem && !hasBrace && !hasBad && nKept >= 1
+          struct(nLines.as("n_lines"), nKept.as("n_kept"), nSent.as("n_sentences"),
+            hasLorem.as("has_lorem"), hasBrace.as("has_brace"), hasBad.as("has_badword"),
+            keep.as("keep"))
+        }
+      }
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), panel.as("c"))
+      .select(col("doc_id"), col("c.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  val filterC4Sql: String = {
+    val text = "text" +
+      " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Short line' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || " +
+      "'This appended sentence clearly contains more than five words.' || chr(10) || " +
+      "'Another appended sentence also contains well over five words.' || chr(10) || " +
+      "'A third full sentence closes out this appended paragraph nicely.' ELSE '' END" +
+      " || CASE WHEN doc_id % 9 = 0 THEN chr(10) || " +
+      "'Enable javascript to view this page.' ELSE '' END" +
+      " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END" +
+      " || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END" +
+      " || CASE WHEN doc_id % 19 = 0 THEN chr(10) || " +
+      "'This line mentions badword1 today.' ELSE '' END"
+    """WITH d AS (SELECT doc_id, <T> AS t FROM documents),
+      |p AS (SELECT doc_id, t,
+      |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+      |    regexp_extract_all(lower(t), '[a-z0-9]+') AS toks
+      |  FROM d),
+      |m AS (SELECT doc_id,
+      |    len(lines) AS n_lines,
+      |    len(list_filter(lines, l ->
+      |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+      |      AND len(list_filter(string_split_regex(l, '[\t\n\f\r ]+'), w -> w <> '')) >= 5
+      |      AND NOT contains(lower(l), 'javascript'))) AS n_kept,
+      |    length(t) - length(translate(t, '.!?', '')) AS n_sentences,
+      |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+      |    contains(t, '{') AS has_brace,
+      |    list_contains(toks, 'badword1') OR list_contains(toks, 'badword2') AS has_badword
+      |  FROM p)
+      |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace, has_badword,
+      |  n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_badword
+      |    AND n_kept >= 1 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin.replace("<T>", text)
+  }
+
+  /** md5 hex digest (driver-side) — matches DuckDB's md5() exactly. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic stand-in weights for the classifier gate: one double
+    * in [-1, 1] per hash bucket, derived from md5 like the LSH
+    * hyperplanes (first hex digit / 7.5 − 1) so the DuckDB oracle can
+    * restate them in closed form. Swapping in TRAINED weights changes
+    * the scores, not the plan.
+    */
+  private[queries] val ClassifierWeights: Array[Double] =
+    (0 until 64).map(j =>
+      "0123456789abcdef".indexOf(md5hex("w:" + j).charAt(0)) / 7.5 - 1.0).toArray
+
+  /** fastText-style quality-classifier gate (Joulin et al. 2016; the
+    * classifier-filtering stage of the GPT-3 / LLaMA / CCNet data
+    * pipelines): a linear bag-of-words model over HASHED token features
+    * — bucket = md5(token) mod 64 (the hashing trick), score = mean
+    * bucket weight over the document's tokens, keep = score ≥ 0.
+    * Weights here are deterministic md5-derived stand-ins (see
+    * [[ClassifierWeights]]); a production model drops in its trained
+    * vector without touching the plan. The sigmoid is monotone, so
+    * thresholding the raw linear score is the same decision and stays
+    * engine-exact (exp() is NOT bit-portable across libm
+    * implementations — the text_perplexity lesson applied).
+    *
+    * Scale shape: one narrow codegen'd map over documents — the
+    * 64-weight table is a plan-time literal array, the score a single
+    * sequential fold in token order (bit-identical to the oracle's
+    * list_reduce), no shuffle but the final sort. This is the shape
+    * that classifier-filtered 45 TB of Common Crawl for GPT-3.
+    */
+  def filterClassifier(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.bindOnce
+    val weights = array(ClassifierWeights.map(lit): _*)
+    val panel = bindOnce(TextFunctions.tokens(col("text"))) { toks =>
+      val z = aggregate(toks, lit(0.0), (acc, t) =>
+        acc + element_at(weights,
+          (conv(substr(md5(t), lit(1), lit(8)), 16, 10).cast("long") % 64).cast("int") + 1))
+      val n = size(toks)
+      val score = when(n > 0, z / n.cast("double"))
+      struct(n.as("n_tokens"), score.as("score"),
+        coalesce(score >= 0, lit(false)).as("keep"))
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), panel.as("c"))
+      .select(col("doc_id"), col("c.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  val filterClassifierSql: String = {
+    val bucket = "CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64"
+    val w = s"(strpos('0123456789abcdef', substr(md5('w:' || CAST($bucket AS VARCHAR)), 1, 1)) - 1)" +
+      " / 7.5 - 1.0"
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n_tokens,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      list_reduce(list_transform(toks, t -> $w), (x, y) -> x + y)
+       |        / CAST(len(toks) AS DOUBLE) END AS score
+       |  FROM tk)
+       |SELECT doc_id, n_tokens, score, COALESCE(score >= 0, FALSE) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** UT1-style URL blocklist filtering (the first gate of a web-corpus
     * pipeline, e.g. RefinedWeb §3.1): a blocklist entry blocks a host
     * AND every subdomain of it. URLs are synthesized deterministically
@@ -512,6 +675,8 @@ object CurationQueries {
     "pipeline_split" -> (pipelineSplit _),
     "dedup_url" -> (dedupUrl _),
     "filter_gopher" -> (filterGopher _),
+    "filter_c4" -> (filterC4 _),
+    "filter_classifier" -> (filterClassifier _),
     "filter_url" -> (filterUrl _),
     "pipeline_stats" -> (pipelineStats _),
     "text_gopher" -> (textGopher _),
@@ -524,6 +689,8 @@ object CurationQueries {
     "pipeline_split" -> pipelineSplitSql,
     "dedup_url" -> dedupUrlSql,
     "filter_gopher" -> filterGopherSql,
+    "filter_c4" -> filterC4Sql,
+    "filter_classifier" -> filterClassifierSql,
     "filter_url" -> filterUrlSql,
     "pipeline_stats" -> pipelineStatsSql,
     "text_gopher" -> textGopherSql,

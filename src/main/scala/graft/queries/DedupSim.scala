@@ -268,6 +268,65 @@ object DedupSim {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM adc)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** IVFADC top-5 (Jégou 2011 §IV, the FAISS `IVF8,PQ4` shape): coarse
+    * cells prune candidates (2 probes of 8 cells), product-quantized
+    * RESIDUALS give the compressed scoring path — see
+    * [[Similarity.ivfpqTopK]]. Candidate sets differ from sim_pq
+    * (cell-pruned) and distances differ from sim_ivf (ADC approx):
+    * the three queries certify the three index geometries separately.
+    */
+  def simIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+      m = 4, nCells = 8, pqK = 8, nProbe = 2)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Residual of `v` against centroid `c` — the zip_with double fold. */
+  private def sqlResid(v: String, c: String): String =
+    s"list_transform(range(len($v)), i -> CAST($v[i+1] AS DOUBLE) - CAST($c[i+1] AS DOUBLE))"
+
+  val simIvfpqSql: String =
+    s"""WITH $NormCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT cid, vec_id, embedding FROM (
+       |  SELECT c.cid, e.vec_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.ce")} / (sqrt(ne.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id JOIN nrm nc ON nc.vec_id = c.cid)
+       |  WHERE crank = 1),
+       |res AS (SELECT a.cid, a.vec_id, ${sqlResid("a.embedding", "c.ce")} AS resid
+       |  FROM asg a JOIN cents c ON c.cid = a.cid),
+       |ms AS (SELECT unnest(range(4)) AS m),
+       |cb AS (SELECT p.vec_id AS pcid, m, p.resid[m*16+1 : m*16+16] AS csub
+       |  FROM (SELECT vec_id, resid FROM res ORDER BY vec_id LIMIT 8) p CROSS JOIN ms),
+       |subs AS (SELECT cid, vec_id, m, resid[m*16+1 : m*16+16] AS sv FROM res CROSS JOIN ms),
+       |codes AS (SELECT cid, vec_id, m, pcid AS code FROM (
+       |    SELECT s.cid, s.vec_id, s.m, c.pcid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSqL2("s.sv", "c.csub")} ASC, c.pcid) AS rk
+       |    FROM subs s JOIN cb c USING (m)) WHERE rk = 1),
+       |prb AS (SELECT qid, cid, qresid FROM (
+       |  SELECT q.vec_id AS qid, c.cid, ${sqlResid("q.embedding", "c.ce")} AS qresid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${sqlDot("q.embedding", "c.ce")} / (sqrt(nq.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM embeddings q CROSS JOIN cents c
+       |  JOIN nrm nq ON nq.vec_id = q.vec_id JOIN nrm nc ON nc.vec_id = c.cid
+       |  WHERE q.vec_id < 8) WHERE crank <= 2),
+       |qsubs AS (SELECT qid, cid, m, qresid[m*16+1 : m*16+16] AS sv FROM prb CROSS JOIN ms),
+       |qtab AS (SELECT q.qid, q.cid, c.m, c.pcid, ${sqlSqL2("q.sv", "c.csub")} AS d
+       |  FROM qsubs q JOIN cb c USING (m)),
+       |adc AS (SELECT t.qid, co.vec_id,
+       |    list_reduce(list(t.d ORDER BY t.m), (x, y) -> x + y) AS adist
+       |  FROM codes co JOIN qtab t ON t.cid = co.cid AND t.m = co.m AND t.pcid = co.code
+       |  WHERE t.qid <> co.vec_id
+       |  GROUP BY t.qid, co.vec_id)
+       |SELECT qid, vec_id, adist, rank FROM (
+       |  SELECT qid, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM adc)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Streaming near-dup candidates run in bounded mode over the corpus
     * (same operator the streaming query uses — flatMapGroupsWithState
     * over minhash band state): (pair, number of colliding bands).
@@ -315,6 +374,7 @@ object DedupSim {
     "sim_lsh" -> (simLsh _),
     "sim_ivf" -> (simIvf _),
     "sim_pq" -> (simPq _),
+    "sim_ivfpq" -> (simIvfpq _),
     "dedup_semantic" -> (dedupSemantic _),
     "stream_neardup" -> (streamNearDup _))
 
@@ -326,6 +386,7 @@ object DedupSim {
     "sim_lsh" -> simLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_pq" -> simPqSql,
+    "sim_ivfpq" -> simIvfpqSql,
     "dedup_semantic" -> dedupSemanticSql,
     "stream_neardup" -> streamNearDupSql)
 }

@@ -153,6 +153,28 @@ class PlanSpec extends SparkSpec {
       s"raw embeddings must not ride through ADC scoring:\n${adcLines.mkString("\n")}")
   }
 
+  test("filter_c4: whole rule panel is one narrow map over a 2-column scan") {
+    val p = plan(graft.queries.CurationQueries.filterC4(spark, dir))
+    val exchanges = "(?m)Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the output-sort exchange, plan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text)")
+  }
+
+  test("sim_ivfpq: centroids/codebook/ADC tables broadcast; scoring reads codes, not embeddings") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(graft.operators.Similarity.ivfpqTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), k = 5))
+    assert(p.contains("BroadcastExchange"),
+      "centroid table, PQ codebook, and per-(query,cell) ADC tables must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "corpus x centroids must be a broadcast product, never a cartesian shuffle")
+    val adcLines = p.linesIterator.filter(_.contains("dtab")).toSeq
+    assert(adcLines.nonEmpty, "expected the broadcast distance-table join in the plan")
+    assert(adcLines.forall(!_.contains("embedding#")),
+      s"raw embeddings must not ride through ADC scoring:\n${adcLines.mkString("\n")}")
+  }
+
   test("text_gopher: single narrow generate over a 2-column scan, no shuffle before the output sort") {
     val df = graft.queries.CurationQueries.textGopher(spark, dir)
     val p = plan(df)

@@ -133,6 +133,146 @@ class CurationFilterSpec extends SparkSpec {
     assert(got == expected) // includes bit-equality of adist doubles
   }
 
+  test("filterC4 matches a plain-Scala rule-panel reference and every rule fires") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = docs.map { case (id, raw) =>
+      val t = raw +
+        (if (id % 4 == 0) "\nShort line" else "") +
+        (if (id % 5 == 0) "\nThis appended sentence clearly contains more than five words." +
+          "\nAnother appended sentence also contains well over five words." +
+          "\nA third full sentence closes out this appended paragraph nicely." else "") +
+        (if (id % 9 == 0) "\nEnable javascript to view this page." else "") +
+        (if (id % 13 == 0) "\nlorem ipsum dolor sit amet." else "") +
+        (if (id % 17 == 0) "\nfunction f() { return 1; }" else "") +
+        (if (id % 19 == 0) "\nThis line mentions badword1 today." else "")
+      val lines = t.split("\n").map(_.trim).filter(_.nonEmpty)
+      val nKept = lines.count { l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+          l.split("[\t\n\f\r ]+").count(_.nonEmpty) >= 5 &&
+          !l.toLowerCase.contains("javascript")
+      }
+      val nSent = t.count(c => c == '.' || c == '!' || c == '?')
+      val hasLorem = t.toLowerCase.contains("lorem ipsum")
+      val hasBrace = t.contains("{")
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSet
+      val hasBad = toks.contains("badword1") || toks.contains("badword2")
+      val keep = nSent >= 3 && !hasLorem && !hasBrace && !hasBad && nKept >= 1
+      id -> ((lines.length, nKept, nSent, hasLorem, hasBrace, hasBad, keep))
+    }
+    val got = CurationQueries.filterC4(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val actual = (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))
+      assert(actual == expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // panel discriminates: each page-level flag fires somewhere, and the
+    // line rules actually drop lines (n_kept < n_lines somewhere)
+    assert(got.exists(_.getBoolean(4)) && got.exists(_.getBoolean(5)) &&
+      got.exists(_.getBoolean(6)))
+    assert(got.map(_.getBoolean(7)).toSet == Set(true, false))
+    assert(got.exists(r => r.getInt(2) < r.getInt(1)))
+  }
+
+  test("filterClassifier matches a plain-Scala hashed-linear reference, scores bit-exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = (0 until 64).map(j =>
+      "0123456789abcdef".indexOf(md5hex("w:" + j).charAt(0)) / 7.5 - 1.0).toArray
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = docs.map { case (id, t) =>
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      val z = toks.foldLeft(0.0)((acc, tk) =>
+        acc + w((java.lang.Long.parseLong(md5hex(tk).take(8), 16) % 64).toInt))
+      val score = if (toks.nonEmpty) Some(z / toks.size.toDouble) else None
+      id -> ((toks.size, score, score.exists(_ >= 0)))
+    }
+    val got = CurationQueries.filterClassifier(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val score = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert((r.getInt(1), score, r.getBoolean(3)) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+    // the gate discriminates on this corpus
+    assert(got.map(_.getBoolean(3)).toSet == Set(true, false))
+  }
+
+  test("ivfpqTopK matches a plain-Scala IVFADC reference, distances bit-exact") {
+    val m = 4
+    val nCells = 8
+    val pqK = 8
+    val nProbe = 2
+    val embs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = embs.head._2.length
+    val sub = dim / m
+    def dotf(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc = acc + a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotf(a, b) / (math.sqrt(dotf(a, a)) * math.sqrt(dotf(b, b)))
+    def sqL2d(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc = acc + d * d; i += 1 }
+      acc
+    }
+    val cents = embs.sortBy(_._1).take(nCells)
+    def assignCell(e: Array[Float]): Long =
+      cents.map { case (cid, ce) => (cos(e, ce), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.head._2
+    val resid = embs.map { case (id, e) =>
+      val ce = cents.find(_._1 == assignCell(e)).get._2
+      id -> (assignCell(e), e.indices.map(i => e(i).toDouble - ce(i).toDouble).toArray)
+    }.toMap
+    val cb = (for {
+      (pcid, (_, r)) <- resid.toSeq.sortBy(_._1).take(pqK)
+      mi <- 0 until m
+    } yield ((mi, pcid), r.slice(mi * sub, mi * sub + sub))).toMap
+    val pcids = resid.toSeq.sortBy(_._1).take(pqK).map(_._1)
+    val codes = resid.map { case (id, (_, r)) =>
+      id -> (0 until m).map { mi =>
+        val s = r.slice(mi * sub, mi * sub + sub)
+        pcids.map(c => (sqL2d(s, cb((mi, c))), c)).min._2
+      }
+    }
+    val expected = embs.filter(_._1 < 8).flatMap { case (qid, qe) =>
+      val probed = cents.map { case (cid, ce) => (cos(qe, ce), cid, ce) }
+        .sortBy { case (c, cid, _) => (-c, cid) }.take(nProbe)
+      val scored = probed.flatMap { case (_, cid, ce) =>
+        val qresid = qe.indices.map(i => qe(i).toDouble - ce(i).toDouble).toArray
+        val dtab = (for {
+          mi <- 0 until m; c <- pcids
+        } yield ((mi, c), sqL2d(qresid.slice(mi * sub, mi * sub + sub), cb((mi, c))))).toMap
+        resid.toSeq.filter { case (vid, (vcid, _)) => vcid == cid && vid != qid }
+          .map { case (vid, _) =>
+            val adist = (0 until m).foldLeft(0.0)((acc, mi) =>
+              acc + dtab((mi, codes(vid)(mi))))
+            (vid, adist)
+          }
+      }
+      scored.sortBy { case (vid, d) => (d, vid) }.take(5).zipWithIndex
+        .map { case ((vid, d), i) => (qid, vid, d, i + 1) }
+    }.toSeq
+    val got = graft.operators.Similarity.ivfpqTopK(
+      graft.Tables(spark, dir, "embeddings"),
+      graft.Tables(spark, dir, "embeddings").filter(col("vec_id") < 8),
+      k = 5, m = m, nCells = nCells, pqK = pqK, nProbe = nProbe)
+      .orderBy(col("qid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected) // includes bit-equality of adist doubles
+  }
+
   test("pqCodes: every code is the argmin-L2 sub-centroid and codes stay in-range") {
     val emb = graft.Tables(spark, dir, "embeddings")
     val cb = graft.operators.Similarity.pqCodebook(emb, m = 4, k = 8, dim = 64)
