@@ -493,16 +493,20 @@ object CurationQueries {
     val panel = bindOnce(text) { t =>
       bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
         bindOnce(TextFunctions.tokens(t)) { toks =>
-          val nLines = size(lines)
-          val nKept = size(filter(lines, lineKept))
-          val nSent = length(t) - length(translate(t, ".!?", ""))
-          val hasLorem = lower(t).contains("lorem ipsum")
-          val hasBrace = t.contains("{")
-          val hasBad = array_contains(toks, "badword1") || array_contains(toks, "badword2")
-          val keep = nSent >= 3 && !hasLorem && !hasBrace && !hasBad && nKept >= 1
-          struct(nLines.as("n_lines"), nKept.as("n_kept"), nSent.as("n_sentences"),
-            hasLorem.as("has_lorem"), hasBrace.as("has_brace"), hasBad.as("has_badword"),
-            keep.as("keep"))
+          // bind the kept-line count: output and keep both reference
+          // it, and an unbound reference re-runs the nested per-line
+          // word-split filter
+          bindOnce(size(filter(lines, lineKept)).cast("int")) { nKept =>
+            val nLines = size(lines)
+            val nSent = length(t) - length(translate(t, ".!?", ""))
+            val hasLorem = lower(t).contains("lorem ipsum")
+            val hasBrace = t.contains("{")
+            val hasBad = array_contains(toks, "badword1") || array_contains(toks, "badword2")
+            val keep = nSent >= 3 && !hasLorem && !hasBrace && !hasBad && nKept >= 1
+            struct(nLines.as("n_lines"), nKept.as("n_kept"), nSent.as("n_sentences"),
+              hasLorem.as("has_lorem"), hasBrace.as("has_brace"), hasBad.as("has_badword"),
+              keep.as("keep"))
+          }
         }
       }
     }
@@ -547,6 +551,95 @@ object CurationQueries {
       |FROM m ORDER BY doc_id""".stripMargin.replace("<T>", text)
   }
 
+  /** Flesch readability panel (Flesch 1948; Kincaid et al. 1975 for the
+    * grade formula) — the classic text-difficulty signal used as a
+    * quality feature in corpus curation: reading ease
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) and the
+    * FK grade 0.39·(w/s) + 11.8·(syl/w) − 15.59. Syllables use the
+    * standard vowel-group heuristic (runs of [aeiouy], min 1 per word);
+    * sentence count falls back to 1 when the text has no terminal
+    * punctuation (this corpus has none — readability tools treat
+    * unpunctuated text as one sentence).
+    *
+    * All inputs are exact integer counts and the score expressions are
+    * the same fixed arithmetic tree in both engines, so the doubles —
+    * and the CASE band cut on them — are bit-identical. Scale shape:
+    * one narrow map, no shuffle but the final sort.
+    *
+    * Syllable counting avoids a regex-extract PER WORD (measured 2.5s
+    * at sf0.1): vowel runs can't span whitespace, so the corpus-wide
+    * run count is two whole-text regexp_replace length diffs —
+    * replacing each run with one char keeps exactly one char per run,
+    * removing runs keeps zero, and non-vowel chars cancel — plus one
+    * cheap first-match rlike per word for the min-1-per-word floor.
+    */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.bindOnce
+    val panel = bindOnce(col("text")) { t =>
+      bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>
+        bindOnce(lower(t)) { lt =>
+          // bind the syllable count and the ease score: each is
+          // referenced several times below (spw feeds ease AND grade;
+          // ease feeds output AND four band comparisons) and an unbound
+          // reference re-evaluates its whole subtree — including the
+          // two regexp_replace passes — at every use
+          val nRuns = length(regexp_replace(lt, "[aeiouy]+", "#")) -
+            length(regexp_replace(lt, "[aeiouy]+", ""))
+          val nNoVowel = size(filter(words, w => !lower(w).rlike("[aeiouy]")))
+          bindOnce((nRuns + nNoVowel).cast("long")) { nSyl =>
+            val nWords = size(words)
+            val nSent = greatest(length(t) - length(translate(t, ".!?", "")), lit(1))
+            val wps = nWords.cast("double") / nSent.cast("double")
+            val spw = nSyl.cast("double") / nWords.cast("double")
+            bindOnce(when(nWords > 0,
+              lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)) { ease =>
+              val grade = when(nWords > 0, lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+              val band = when(ease.isNull, lit(null).cast("string"))
+                .when(ease >= 90.0, lit("very_easy"))
+                .when(ease >= 60.0, lit("standard"))
+                .when(ease >= 30.0, lit("difficult"))
+                .otherwise(lit("very_confusing"))
+              struct(nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"),
+                ease.as("flesch_ease"), grade.as("fk_grade"), band.as("band"))
+            }
+          }
+        }
+      }
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), panel.as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textReadabilitySql: String =
+    """WITH p AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[\t\n\f\r ]+'), w -> w <> '') AS words,
+      |    greatest(length(text) - length(translate(text, '.!?', '')), 1) AS n_sentences,
+      |    length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+      |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS n_runs
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    len(words) AS n_words, n_sentences,
+      |    n_runs + len(list_filter(words, w ->
+      |      NOT regexp_matches(lower(w), '[aeiouy]'))) AS n_syllables
+      |  FROM p),
+      |sc AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    CASE WHEN n_words > 0 THEN
+      |      206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END AS flesch_ease,
+      |    CASE WHEN n_words > 0 THEN
+      |      0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |        + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 END AS fk_grade
+      |  FROM m)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch_ease, fk_grade,
+      |  CASE WHEN flesch_ease IS NULL THEN NULL
+      |    WHEN flesch_ease >= 90.0 THEN 'very_easy'
+      |    WHEN flesch_ease >= 60.0 THEN 'standard'
+      |    WHEN flesch_ease >= 30.0 THEN 'difficult'
+      |    ELSE 'very_confusing' END AS band
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** md5 hex digest (driver-side) — matches DuckDB's md5() exactly. */
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -588,9 +681,12 @@ object CurationQueries {
         acc + element_at(weights,
           (conv(substr(md5(t), lit(1), lit(8)), 16, 10).cast("long") % 64).cast("int") + 1))
       val n = size(toks)
-      val score = when(n > 0, z / n.cast("double"))
-      struct(n.as("n_tokens"), score.as("score"),
-        coalesce(score >= 0, lit(false)).as("keep"))
+      // bind the score: output and keep both reference it, and an
+      // unbound reference re-runs the whole md5-per-token fold
+      bindOnce(when(n > 0, z / n.cast("double"))) { score =>
+        struct(n.as("n_tokens"), score.as("score"),
+          coalesce(score >= 0, lit(false)).as("keep"))
+      }
     }
     Tables(s, dir, "documents")
       .select(col("doc_id"), panel.as("c"))
@@ -678,6 +774,7 @@ object CurationQueries {
     "filter_c4" -> (filterC4 _),
     "filter_classifier" -> (filterClassifier _),
     "filter_url" -> (filterUrl _),
+    "text_readability" -> (textReadability _),
     "pipeline_stats" -> (pipelineStats _),
     "text_gopher" -> (textGopher _),
     "text_repetition" -> (textRepetition _),
@@ -692,6 +789,7 @@ object CurationQueries {
     "filter_c4" -> filterC4Sql,
     "filter_classifier" -> filterClassifierSql,
     "filter_url" -> filterUrlSql,
+    "text_readability" -> textReadabilitySql,
     "pipeline_stats" -> pipelineStatsSql,
     "text_gopher" -> textGopherSql,
     "text_repetition" -> textRepetitionSql,

@@ -176,6 +176,42 @@ class CurationFilterSpec extends SparkSpec {
     assert(got.exists(r => r.getInt(2) < r.getInt(1)))
   }
 
+  test("textReadability matches a plain-Scala Flesch reference, scores bit-exact") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = docs.map { case (id, t) =>
+      val words = t.split("[\t\n\f\r ]+").filter(_.nonEmpty)
+      val nW = words.length
+      val nS = math.max(t.count(c => c == '.' || c == '!' || c == '?'), 1)
+      val nSyl = words.foldLeft(0L)((a, w) =>
+        a + math.max("[aeiouy]+".r.findAllIn(w.toLowerCase).length, 1))
+      // (the operator computes this as whole-text vowel-run counting +
+      // a no-vowel-word floor — algebraically identical to the per-word
+      // max(runs, 1) sum this reference uses)
+      val (ease, grade) =
+        if (nW > 0) {
+          val wps = nW.toDouble / nS.toDouble
+          val spw = nSyl.toDouble / nW.toDouble
+          (Some(206.835 - 1.015 * wps - 84.6 * spw), Some(0.39 * wps + 11.8 * spw - 15.59))
+        } else (None, None)
+      val band = ease.map(e =>
+        if (e >= 90.0) "very_easy" else if (e >= 60.0) "standard"
+        else if (e >= 30.0) "difficult" else "very_confusing")
+      id -> ((nW, nS, nSyl, ease, grade, band))
+    }
+    val got = CurationQueries.textReadability(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val actual = (r.getInt(1), r.getInt(2), r.getLong(3), optD(4), optD(5),
+        Option(r.getString(6)))
+      assert(actual == expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // the panel discriminates: at least two bands occur on this corpus
+    assert(got.map(_.getString(6)).distinct.length >= 2)
+  }
+
   test("filterClassifier matches a plain-Scala hashed-linear reference, scores bit-exact") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
