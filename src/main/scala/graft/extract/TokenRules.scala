@@ -14,15 +14,17 @@ import org.apache.spark.sql.functions._
   *   - `punct`: a punctuation class
   *   - `prefix`/`suffix`: word affix constraints
   *   - `capitalization`: title/upper/lower/mixed word classes
-  *   - `number`: digit runs, allowed-value lists, digit-length sets
+  *   - `number`: digit runs, allowed-value lists, digit-length sets,
+  *     integer value ranges (minimum/maximum → exact digit-class regex)
   *   - `linebreak`, `contain_digit`, `length` (token-length set)
   * with `required` (optional tokens may be absent) and `output` (only
   * flagged tokens join the extraction) flags. Bare `part_of_speech`
   * constraints compile through the POS-lite [[PosLexicon]] tagger
   * (closed-class lexicons + open-class suffix heuristics) — a real
-  * constraint, heuristic rather than spaCy-parity (documented). The
-  * only unenforced field is value-range minimum/maximum on numbers
-  * (not regex-able; documented).
+  * constraint, heuristic rather than spaCy-parity (documented). Number
+  * value ranges compile to exact digit-class alternations
+  * ([[rangeRegex]]); the only remaining fallback is NON-integer range
+  * bounds (documented).
   *
   * Rules compile once (driver-side) to a single Java regex evaluated by
   * codegen'd `regexp_extract_all` — the per-document work is one regex
@@ -42,11 +44,17 @@ object TokenRules {
     * degrade to AnyToken.
     */
   final case class Capitalized(kind: String) extends Matcher
-  /** `number` token type: any digit run, a specific allowed list, or a
-    * digit-length set. (The reference's value-range minimum/maximum is
-    * not regex-able and is documented as unenforced.)
+  /** `number` token type: any digit run, a specific allowed list, a
+    * digit-length set, or an integer value range (minimum/maximum —
+    * compiled to an exact digit-class alternation, see [[rangeRegex]];
+    * leading zeros allowed, matching numeric comparison semantics).
+    * Precedence when several constraints appear: numbers list, then
+    * range, then lengths. Non-integer bounds fall back to the
+    * unconstrained digit run (documented subset).
     */
-  final case class NumberTok(numbers: Seq[String], lengths: Seq[Int]) extends Matcher
+  final case class NumberTok(numbers: Seq[String], lengths: Seq[Int],
+                             min: Option[Long] = None,
+                             max: Option[Long] = None) extends Matcher
   /** `linebreak` token type. */
   final case class LineBreak() extends Matcher
   /** Word constrained to contain a digit (`contain_digit`). */
@@ -80,6 +88,57 @@ object TokenRules {
 
   private def q(s: String) = java.util.regex.Pattern.quote(s)
 
+  /** Exact regex for decimal integers in [lo, hi] (hi None = unbounded)
+    * — the reference's number minimum/maximum constraint, which a
+    * numeric comparator would enforce post-parse, enforced IN the
+    * single-regex scan instead. Classic digit-class construction: equal
+    * -length ranges split on the first differing digit into a low
+    * branch, full middle classes, and a high branch; across lengths,
+    * intermediate digit counts are whole `[1-9]\d{n}` classes. `0*`
+    * allows leading zeros (numeric, not lexical, semantics).
+    */
+  def rangeRegex(lo: Long, hi: Option[Long]): String = {
+    require(lo >= 0 && hi.forall(_ >= lo), s"bad number range [$lo, $hi]")
+    def cls(a: Char, b: Char) = if (a == b) a.toString else s"[$a-$b]"
+    def dAll(n: Int) = if (n <= 0) "" else if (n == 1) "\\d" else s"\\d{$n}"
+    // all patterns for numbers of exactly this digit count in [a, b]
+    def sameLen(a: String, b: String): Seq[String] =
+      if (a == b) Seq(a)
+      else if (a.length == 1) Seq(cls(a.head, b.head))
+      else if (a.head == b.head) sameLen(a.tail, b.tail).map(a.head.toString + _)
+      else {
+        val loPart =
+          if (a.tail.forall(_ == '0')) Seq(s"${a.head}${dAll(a.length - 1)}")
+          else sameLen(a.tail, "9" * (a.length - 1)).map(a.head.toString + _)
+        val mid =
+          if (b.head - a.head >= 2)
+            Seq(s"${cls((a.head + 1).toChar, (b.head - 1).toChar)}${dAll(a.length - 1)}")
+          else Nil
+        val hiPart =
+          if (b.tail.forall(_ == '9')) Seq(s"${b.head}${dAll(b.length - 1)}")
+          else sameLen("0" * (b.length - 1), b.tail).map(b.head.toString + _)
+        loPart ++ mid ++ hiPart
+      }
+    val zero = if (lo == 0L) Seq("0") else Nil
+    val lo1 = math.max(lo, 1L)
+    val loS = lo1.toString
+    val alts = zero ++ (hi match {
+      case None =>
+        sameLen(loS, "9" * loS.length) :+ s"[1-9]\\d{${loS.length},}"
+      case Some(h) if h == 0L => Nil // lo == hi == 0: `zero` covers it
+      case Some(h) =>
+        val hiS = h.toString
+        if (loS.length == hiS.length) sameLen(loS, hiS)
+        else {
+          val between = (loS.length + 1) until hiS.length
+          sameLen(loS, "9" * loS.length) ++
+            between.map(l => s"[1-9]${dAll(l - 1)}") ++
+            sameLen("1" + "0" * (hiS.length - 1), hiS)
+        }
+    })
+    alts.mkString("0*(?:", "|", ")")
+  }
+
   /** One token matcher → regex fragment (token boundary handled by the
     * separator joining).
     */
@@ -104,10 +163,13 @@ object TokenRules {
     case Capitalized("lower") => "[a-z]+"
     case Capitalized(_) => // mixed: both cases present
       "(?=[A-Za-z]*[A-Z])(?=[A-Za-z]*[a-z])[A-Za-z]+"
-    case NumberTok(ns, _) if ns.nonEmpty => ns.map(q).mkString("(?:", "|", ")")
-    case NumberTok(_, ls) if ls.nonEmpty =>
+    case NumberTok(ns, _, _, _) if ns.nonEmpty => ns.map(q).mkString("(?:", "|", ")")
+    case NumberTok(_, _, mn, mx)
+        if (mn.isDefined || mx.isDefined) && mx.forall(_ >= mn.getOrElse(0L)) =>
+      rangeRegex(mn.getOrElse(0L), mx)
+    case NumberTok(_, ls, _, _) if ls.nonEmpty =>
       ls.map(l => s"\\d{$l}").mkString("(?:", "|", ")")
-    case NumberTok(_, _) => "\\d+"
+    case NumberTok(_, _, _, _) => "\\d+"
     case LineBreak() => "\\r?\\n"
     case DigitWord() => "(?=\\w*\\d)\\w+"
     case WordLen(ls) => ls.map(l => s"\\w{$l}").mkString("(?:", "|", ")")
@@ -145,9 +207,17 @@ object TokenRules {
             if (ts.isEmpty) Punct(".,;:!?()[]")
             else Punct(ts.mkString)
           case "number" =>
-            // value-range minimum/maximum is not regex-able; numbers
-            // list and digit-length set are (documented subset)
-            NumberTok(strings("numbers"), lengths)
+            // numbers list > value range (minimum/maximum, compiled to
+            // an exact digit-class alternation) > digit-length set
+            def bound(field: String): Option[Long] = {
+              val n = t.path(field)
+              if (n.isMissingNode) None
+              else if (n.isNumber && n.asText.forall(c => c.isDigit || c == '-'))
+                Some(n.asLong)
+              else n.asText("").toLongOption
+            }
+            NumberTok(strings("numbers"), lengths,
+              bound("minimum").filter(_ >= 0), bound("maximum").filter(_ >= 0))
           case "linebreak" => LineBreak()
           case _ => // word/token
             val ts = strings("token")

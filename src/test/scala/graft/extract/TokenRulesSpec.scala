@@ -60,6 +60,43 @@ class TokenRulesSpec extends SparkSpec {
     assert(out2(1) == Seq("1867"))
   }
 
+  test("rangeRegex: exhaustive agreement with numeric comparison over probe windows") {
+    val ranges = Seq[(Long, Option[Long])](
+      (0L, Some(0L)), (0L, Some(9L)), (0L, Some(100L)), (1L, Some(1L)),
+      (5L, Some(17L)), (10L, Some(99L)), (100L, Some(250L)), (37L, Some(2048L)),
+      (1900L, Some(2100L)), (999L, Some(1000L)), (123L, Some(45678L)),
+      (0L, None), (42L, None), (1000L, None))
+    for ((lo, hi) <- ranges) {
+      val rx = TokenRules.rangeRegex(lo, hi).r
+      val probeHi = hi.getOrElse(lo + 200L) + 120L
+      for (n <- math.max(0L, lo - 120L) to probeHi) {
+        val expected = n >= lo && hi.forall(n <= _)
+        assert(rx.matches(n.toString) == expected, s"[$lo,$hi] n=$n")
+        // leading zeros compare numerically
+        assert(rx.matches("00" + n) == expected, s"[$lo,$hi] n=00$n")
+      }
+    }
+  }
+
+  test("number minimum/maximum from rule JSON constrains the match") {
+    val json =
+      """{"rules":[{"pattern":[
+        |  {"type":"word","token":["died"],"is_required":"true","is_in_output":"false"},
+        |  {"type":"number","minimum":"1600","maximum":"1700",
+        |   "is_required":"true","is_in_output":"true"}
+        |]}]}""".stripMargin
+    val rule = TokenRules.fromJson(json, "death").head
+    assert(rule.tokens(1).matcher ==
+      NumberTok(Nil, Nil, Some(1600L), Some(1700L)))
+    val df = Seq("died 1669 in Amsterdam", "died 1750 later", "died 800 early")
+      .toDF("t")
+    val out = df.select(TokenRules.extract($"t", rule).as("x"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("1669"))
+    assert(out(1).isEmpty) // above maximum
+    assert(out(2).isEmpty) // below minimum
+  }
+
   test("capitalization matchers: title/upper/lower/mixed word classes") {
     // "Died <TitleWord>" style rule: capitalized surname after a marker
     val rule = Rule("surname-1", Seq(
