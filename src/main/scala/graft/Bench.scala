@@ -46,10 +46,13 @@ object Bench {
     // the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // name-sorted: Map iteration order reshuffles whenever a query is
+    // added, which moves JIT/codegen warm-up costs to different queries
+    // each round and makes per-query times incomparable across rounds
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write: materializes every output column (a bare count()
@@ -60,9 +63,9 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results + kgBuild).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ kgBuild).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.sum + kgBuild._2
+    val total = results.map(_._2).sum + kgBuild._2
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
