@@ -485,12 +485,23 @@ object CurationQueries {
         .otherwise(lit("")),
       when(col("doc_id") % 19 === 0, lit("\nThis line mentions badword1 today."))
         .otherwise(lit("")))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), c4Panel(text).as("c"))
+      .select(col("doc_id"), col("c.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The C4 rule panel as a reusable column expression — stateless, so
+    * it drops into a streaming plan unchanged (StreamCurationSpec).
+    */
+  def c4Panel(text: Column): Column = {
+    import TextFunctions.bindOnce
     val lineWords = (l: Column) =>
       size(filter(split(l, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= ""))
     val lineKept = (l: Column) =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
         lineWords(l) >= 5 && !lower(l).contains("javascript")
-    val panel = bindOnce(text) { t =>
+    bindOnce(text) { t =>
       bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
         bindOnce(TextFunctions.tokens(t)) { toks =>
           // bind the kept-line count: output and keep both reference
@@ -510,10 +521,6 @@ object CurationQueries {
         }
       }
     }
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), panel.as("c"))
-      .select(col("doc_id"), col("c.*"))
-      .orderBy(col("doc_id"))
   }
 
   val filterC4Sql: String = {
@@ -575,7 +582,18 @@ object CurationQueries {
     */
   def textReadability(s: SparkSession, dir: String): DataFrame = {
     import TextFunctions.bindOnce
-    val panel = bindOnce(col("text")) { t =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), readabilityPanel(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The Flesch panel as a reusable column expression — stateless, so
+    * it drops into a streaming plan unchanged (StreamCurationSpec).
+    */
+  def readabilityPanel(text: Column): Column = {
+    import TextFunctions.bindOnce
+    bindOnce(text) { t =>
       bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>
         bindOnce(lower(t)) { lt =>
           // bind the syllable count and the ease score: each is
@@ -606,10 +624,6 @@ object CurationQueries {
         }
       }
     }
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), panel.as("r"))
-      .select(col("doc_id"), col("r.*"))
-      .orderBy(col("doc_id"))
   }
 
   val textReadabilitySql: String =
@@ -673,10 +687,19 @@ object CurationQueries {
     * list_reduce), no shuffle but the final sort. This is the shape
     * that classifier-filtered 45 TB of Common Crawl for GPT-3.
     */
-  def filterClassifier(s: SparkSession, dir: String): DataFrame = {
+  def filterClassifier(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), classifierPanel(col("text")).as("c"))
+      .select(col("doc_id"), col("c.*"))
+      .orderBy(col("doc_id"))
+
+  /** The classifier gate as a reusable column expression — stateless,
+    * so it drops into a streaming plan unchanged (StreamCurationSpec).
+    */
+  def classifierPanel(text: Column): Column = {
     import TextFunctions.bindOnce
     val weights = array(ClassifierWeights.map(lit): _*)
-    val panel = bindOnce(TextFunctions.tokens(col("text"))) { toks =>
+    bindOnce(TextFunctions.tokens(text)) { toks =>
       val z = aggregate(toks, lit(0.0), (acc, t) =>
         acc + element_at(weights,
           (conv(substr(md5(t), lit(1), lit(8)), 16, 10).cast("long") % 64).cast("int") + 1))
@@ -688,10 +711,6 @@ object CurationQueries {
           coalesce(score >= 0, lit(false)).as("keep"))
       }
     }
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), panel.as("c"))
-      .select(col("doc_id"), col("c.*"))
-      .orderBy(col("doc_id"))
   }
 
   val filterClassifierSql: String = {
