@@ -205,6 +205,67 @@ object Similarity {
       .select(col("cid"), col("vec_id"), col("embedding"))
   }
 
+  /** Driver-side bounded fetch of the `n` lowest-id corpus vectors —
+    * the seed-centroid convention as VALUES (n rows, one job; the
+    * literal-codebook analogue of [[probeDim]]). At 100 TB this is the
+    * "train the quantizer on a sample" step every IVF/PQ deployment
+    * runs before indexing.
+    */
+  def collectSeeds(corpus: DataFrame, n: Int): Seq[(Long, Array[Float])] =
+    corpus.orderBy(col("vec_id")).limit(n)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** [[ivfAssign]] as a NARROW map: the centroid table folds in as
+    * plan-time literals (the lshBucket hyperplane convention), the
+    * per-row argmax is an in-row fold over the candidate array — no
+    * corpus × centroids row blowup, no per-vector window, NO SHUFFLE.
+    * At 100 TB [[ivfAssign]]'s argmax window repartitions the whole
+    * corpus; this is a scan. Semantics identical (argmax cosine, ties
+    * to the lowest cid — the fold keeps the earlier entry of the
+    * cid-ascending candidate array on ties; parity-spec'd).
+    * Rows whose cosine is NaN against every centroid (zero-norm
+    * vectors) are dropped rather than mis-assigned.
+    */
+  def ivfAssignLit(corpus: DataFrame,
+                   seeds: Seq[(Long, Array[Float])]): DataFrame = {
+    require(seeds.nonEmpty, "ivfAssignLit needs at least one seed centroid")
+    val emb = col("embedding")
+    val cands = array(seeds.sortBy(_._1).map { case (cid, ce) =>
+      struct(cosine(emb, lit(ce)).as("csim"), lit(cid).as("cid"))
+    }: _*)
+    val best = aggregate(cands,
+      struct(lit(Double.NegativeInfinity).as("csim"), lit(-1L).as("cid")),
+      (acc, x) => when(x.getField("csim") > acc.getField("csim"), x).otherwise(acc))
+    corpus
+      .select(best.getField("cid").as("cid"), col("vec_id"), emb)
+      .filter(col("cid") >= 0)
+  }
+
+  /** PQ encoding as a NARROW map (the [[ivfAssignLit]] treatment for
+    * [[pqCodes]]): sub-codebooks fold in as literals, each subspace's
+    * argmin is an in-row fold — versus pqCodes' m-way explode,
+    * broadcast join, per-(vector,subspace) window and re-assembly
+    * groupBy, which shuffles the corpus twice to build codes. Emits
+    * the same m-ascending array<struct<m,`cidField`>> (ties to the
+    * lowest centroid id; parity-spec'd against pqCodes).
+    */
+  def pqEncodeLit(vec: Column, seeds: Seq[(Long, Array[Double])], m: Int,
+                  sub: Int, cidField: String): Column =
+    array((0 until m).map { mi =>
+      val cands = graft.functions.TextFunctions.bindOnce(
+        slice(vec, mi * sub + 1, sub)) { sv =>
+        array(seeds.sortBy(_._1).map { case (pcid, r) =>
+          struct(sqL2(sv, lit(r.slice(mi * sub, mi * sub + sub))).as("d"),
+            lit(pcid).as("pcid"))
+        }: _*)
+      }
+      val best = aggregate(cands,
+        struct(lit(Double.PositiveInfinity).as("d"), lit(-1L).as("pcid")),
+        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
+      struct(lit(mi).as("m"), best.getField("pcid").as(cidField))
+    }: _*)
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with a coarse quantizer,
     * then WITHIN each cluster drop every vector that has a
@@ -223,11 +284,14 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, tau: Double,
                     nCentroids: Int = 8): DataFrame = {
+    val seeds = collectSeeds(corpus, nCentroids)
     // cache: both sides of the within-cluster self-join read the
-    // assignment — without the barrier the corpus × centroids scoring
-    // and the per-vector argmax window run twice (the minhashLshPairs
-    // self-join trap)
-    val assigned = ivfAssign(corpus, seedCentroids(corpus, nCentroids)).cache()
+    // assignment — without the barrier the narrow assignment map (and
+    // the corpus scan under it) runs twice (the minhashLshPairs
+    // self-join trap). Literal-codebook assignment: no shuffle to
+    // build the clustering (empty corpus → empty frame-path fallback).
+    val assigned = (if (seeds.isEmpty) ivfAssign(corpus, seedCentroids(corpus, nCentroids))
+                    else ivfAssignLit(corpus, seeds)).cache()
     val a = assigned.select(col("cid"), col("vec_id").as("keeper"), col("embedding").as("ea"))
     val b = assigned.select(col("cid"), col("vec_id"), col("embedding").as("eb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("keeper"))
@@ -243,7 +307,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     val cents = seedCentroids(corpus, nCentroids)
-    val assigned = ivfAssign(corpus, cents)
+    // corpus-side assignment is the narrow literal map (no shuffle);
+    // the probe side stays the tiny queries × centroids frame join
+    val seeds = collectSeeds(corpus, nCentroids)
+    val assigned =
+      if (seeds.isEmpty) ivfAssign(corpus, cents) else ivfAssignLit(corpus, seeds)
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -325,7 +393,16 @@ object Similarity {
     val dim = if (knownDim > 0) knownDim else probeDim(corpus)
     val sub = dim / m
     val cb = pqCodebook(corpus, m, nCentroids, dim)
-    val codes = pqCodes(corpus, cb, m, dim)
+    // corpus encoding is the narrow literal map (pqCodes' explode +
+    // broadcast join + window + groupBy shuffles the corpus twice to
+    // build what is a per-row argmin — parity-spec'd equal); the tiny
+    // query-side ADC tables still come from the cb frame
+    val seeds = collectSeeds(corpus, nCentroids)
+      .map { case (cid, ce) => (cid, ce.map(_.toDouble)) }
+    val codes =
+      if (seeds.isEmpty) pqCodes(corpus, cb, m, dim)
+      else corpus.select(col("vec_id"),
+        pqEncodeLit(col("embedding"), seeds, m, sub, "cid").as("codes"))
     val qsubs = queries.select(col("vec_id").as("qid"),
       posexplode(array((0 until m).map(i => slice(col("embedding"), i * sub + 1, sub)): _*))
         .as(Seq("m", "qsub")))
@@ -372,29 +449,39 @@ object Similarity {
                 knownDim: Int = -1): DataFrame = {
     val dim = if (knownDim > 0) knownDim else probeDim(corpus)
     val sub = dim / m
+    def empty = corpus.limit(0).select(col("vec_id").as("qid"), col("vec_id"),
+      lit(0.0).as("adist"), lit(1).as("rank"))
     val cents = seedCentroids(corpus, nCells)
-    // residual per assigned vector: x − c(cell), computed once as doubles
-    // cache: codebook seeds, code assembly, and the candidate join all
-    // read this frame (the semanticDedup barrier rationale)
-    val resid = ivfAssign(corpus, cents).join(cents, "cid")
+    val seeds = collectSeeds(corpus, nCells)
+    if (seeds.isEmpty) return empty
+    // residual per assigned vector: x − c(cell) — assignment AND the
+    // centroid lookup are literal-folded, so residuals are one narrow
+    // map over the corpus (no crossJoin, no argmax window shuffle).
+    // cache: the two bounded PQ-seed jobs below and the code scan all
+    // read this frame (the semanticDedup barrier rationale).
+    val ceMap = map_from_entries(array(seeds.sortBy(_._1).map { case (cid, ce) =>
+      struct(lit(cid), lit(ce))
+    }: _*))
+    val resid = ivfAssignLit(corpus, seeds)
       .select(col("cid"), col("vec_id"),
-        zip_with(col("embedding"), col("ce"),
+        zip_with(col("embedding"), element_at(ceMap, col("cid")),
           (x, c) => x.cast("double") - c.cast("double")).as("resid"))
       .cache()
+    // PQ seeds = residuals of the pqK lowest-id vectors, fetched
+    // driver-side through the SAME Spark arithmetic (bounded job)
+    val pqSeeds = resid.orderBy(col("vec_id")).limit(pqK)
+      .select(col("vec_id"), col("resid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    if (pqSeeds.isEmpty) return empty
+    val codes = resid.select(col("cid"), col("vec_id"),
+      pqEncodeLit(col("resid"), pqSeeds, m, sub, "pcid").as("codes"))
+    // the tiny query-side ADC tables still come from a cb frame
     val rsubs = (rcol: String) =>
       posexplode(array((0 until m).map(i => slice(col(rcol), i * sub + 1, sub)): _*))
         .as(Seq("m", "sv"))
     val cb = broadcast(resid.orderBy(col("vec_id")).limit(pqK)
       .select(col("vec_id").as("pcid"), rsubs("resid"))
       .withColumnRenamed("sv", "csub"))
-    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d").asc, col("pcid"))
-    val codes = resid.select(col("cid"), col("vec_id"), rsubs("resid"))
-      .join(cb, "m")
-      .withColumn("d", sqL2(col("sv"), col("csub")))
-      .withColumn("rk", row_number().over(wCode))
-      .filter(col("rk") === 1)
-      .groupBy(col("cid"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("pcid")))).as("codes"))
     // probe: per query, the nProbe nearest coarse cells (as ivfTopK)
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))

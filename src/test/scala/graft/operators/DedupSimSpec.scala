@@ -186,4 +186,36 @@ class DedupSimSpec extends SparkSpec {
     // cross-cluster cos ~0 never considered even if tau were 0
     assert(out.toSet == Set((2L, 0L, 0L), (3L, 1L, 1L)))
   }
+
+  test("ivfAssignLit (narrow literal map) equals ivfAssign (frame windows) on real vectors") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = Similarity.collectSeeds(emb, 8)
+    val viaFrames = Similarity.ivfAssign(emb, Similarity.seedCentroids(emb, 8))
+      .select("cid", "vec_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    val viaLit = Similarity.ivfAssignLit(emb, seeds)
+      .select("cid", "vec_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(viaLit.size == viaFrames.size)
+    assert(viaLit == viaFrames)
+  }
+
+  test("pqEncodeLit (narrow literal map) equals pqCodes (explode+window) on real vectors") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val m = 4
+    val dim = 64
+    val cb = Similarity.pqCodebook(emb, m, 8, dim)
+    val viaFrames = Similarity.pqCodes(emb, cb, m, dim).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getInt(0), e.getLong(1))))).toMap
+    val seeds = Similarity.collectSeeds(emb, 8)
+      .map { case (cid, ce) => (cid, ce.map(_.toDouble)) }
+    val viaLit = emb.select(col("vec_id"),
+      Similarity.pqEncodeLit(col("embedding"), seeds, m, dim / m, "cid").as("codes"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getInt(0), e.getLong(1))))).toMap
+    assert(viaLit.size == viaFrames.size)
+    assert(viaLit == viaFrames)
+  }
 }
