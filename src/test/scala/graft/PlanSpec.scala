@@ -175,6 +175,24 @@ class PlanSpec extends SparkSpec {
       s"raw embeddings must not ride through ADC scoring:\n${adcLines.mkString("\n")}")
   }
 
+  test("IVF/PQ index builds are shuffle-free: every remaining exchange is query- or pair-side") {
+    // Budgets pin the literal-codebook design: corpus-side assignment
+    // and PQ encoding are narrow maps, so the ONLY shuffle exchanges
+    // left sit on bounded data — the probe/ADC-table side (queries ×
+    // centroids), the per-query top-k window, the within-cluster pair
+    // window, and the output sort. A regression that reintroduces a
+    // corpus-wide window or groupBy in the index build raises the count.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange (hash|range|SinglePartition)".r.findAllIn(plan(df)).length
+    assert(shuffles(graft.operators.Similarity.ivfTopK(emb, q, k = 5)) <= 1)
+    assert(shuffles(graft.operators.Similarity.pqTopK(emb, q, k = 5)) <= 2)
+    assert(shuffles(graft.operators.Similarity.ivfpqTopK(emb, q, k = 5)) <= 2)
+    assert(shuffles(graft.operators.Similarity.semanticDedup(emb, tau = 0.35)) <= 1)
+  }
+
   test("text_gopher: single narrow generate over a 2-column scan, no shuffle before the output sort") {
     val df = graft.queries.CurationQueries.textGopher(spark, dir)
     val p = plan(df)
