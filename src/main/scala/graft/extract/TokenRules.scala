@@ -48,8 +48,12 @@ object TokenRules {
     * digit-length set, or an integer value range (minimum/maximum —
     * compiled to an exact digit-class alternation, see [[rangeRegex]];
     * leading zeros allowed, matching numeric comparison semantics).
-    * Precedence when several constraints appear: numbers list, then
-    * range, then lengths. Non-integer bounds fall back to the
+    * Precedence when several constraints appear: a numbers list wins;
+    * a range INTERSECTS a digit-length set ([[rangeRegexWithLengths]]
+    * — leading zeros count toward the length, the numeric value
+    * toward the range); lengths alone compile as before. An
+    * unsatisfiable range (maximum < minimum) compiles to
+    * [[NeverMatch]]. Non-integer bounds fall back to the
     * unconstrained digit run (documented subset).
     */
   final case class NumberTok(numbers: Seq[String], lengths: Seq[Int],
@@ -97,28 +101,41 @@ object TokenRules {
     * intermediate digit counts are whole `[1-9]\d{n}` classes. `0*`
     * allows leading zeros (numeric, not lexical, semantics).
     */
+  private def cls(a: Char, b: Char) = if (a == b) a.toString else s"[$a-$b]"
+  private def dAll(n: Int) = if (n <= 0) "" else if (n == 1) "\\d" else s"\\d{$n}"
+
+  /** All patterns for decimal strings of exactly `a.length` digits in
+    * [a, b] (a, b equal-length digit strings, a <= b): equal-length
+    * ranges split on the first differing digit into a low branch, full
+    * middle classes, and a high branch.
+    */
+  private def sameLen(a: String, b: String): Seq[String] =
+    if (a == b) Seq(a)
+    else if (a.length == 1) Seq(cls(a.head, b.head))
+    else if (a.head == b.head) sameLen(a.tail, b.tail).map(a.head.toString + _)
+    else {
+      val loPart =
+        if (a.tail.forall(_ == '0')) Seq(s"${a.head}${dAll(a.length - 1)}")
+        else sameLen(a.tail, "9" * (a.length - 1)).map(a.head.toString + _)
+      val mid =
+        if (b.head - a.head >= 2)
+          Seq(s"${cls((a.head + 1).toChar, (b.head - 1).toChar)}${dAll(a.length - 1)}")
+        else Nil
+      val hiPart =
+        if (b.tail.forall(_ == '9')) Seq(s"${b.head}${dAll(b.length - 1)}")
+        else sameLen("0" * (b.length - 1), b.tail).map(b.head.toString + _)
+      loPart ++ mid ++ hiPart
+    }
+
+  /** A fragment that can never match — the compilation of an
+    * UNSATISFIABLE constraint (e.g. minimum > maximum). Falling back to
+    * `\d+` instead would silently widen a contradictory rule to
+    * match-everything.
+    */
+  val NeverMatch = "(?!)"
+
   def rangeRegex(lo: Long, hi: Option[Long]): String = {
     require(lo >= 0 && hi.forall(_ >= lo), s"bad number range [$lo, $hi]")
-    def cls(a: Char, b: Char) = if (a == b) a.toString else s"[$a-$b]"
-    def dAll(n: Int) = if (n <= 0) "" else if (n == 1) "\\d" else s"\\d{$n}"
-    // all patterns for numbers of exactly this digit count in [a, b]
-    def sameLen(a: String, b: String): Seq[String] =
-      if (a == b) Seq(a)
-      else if (a.length == 1) Seq(cls(a.head, b.head))
-      else if (a.head == b.head) sameLen(a.tail, b.tail).map(a.head.toString + _)
-      else {
-        val loPart =
-          if (a.tail.forall(_ == '0')) Seq(s"${a.head}${dAll(a.length - 1)}")
-          else sameLen(a.tail, "9" * (a.length - 1)).map(a.head.toString + _)
-        val mid =
-          if (b.head - a.head >= 2)
-            Seq(s"${cls((a.head + 1).toChar, (b.head - 1).toChar)}${dAll(a.length - 1)}")
-          else Nil
-        val hiPart =
-          if (b.tail.forall(_ == '9')) Seq(s"${b.head}${dAll(b.length - 1)}")
-          else sameLen("0" * (b.length - 1), b.tail).map(b.head.toString + _)
-        loPart ++ mid ++ hiPart
-      }
     val zero = if (lo == 0L) Seq("0") else Nil
     val lo1 = math.max(lo, 1L)
     val loS = lo1.toString
@@ -137,6 +154,41 @@ object TokenRules {
         }
     })
     alts.mkString("0*(?:", "|", ")")
+  }
+
+  /** Range ∩ digit-length-set intersection: exactly `l` digits
+    * (leading zeros count toward the length, numeric value toward the
+    * range — "0500" satisfies length 4 AND minimum 500). For each
+    * allowed length l and value digit-count d ≤ l, the value range
+    * clips against [10^(d−1), 10^d−1] and compiles via [[sameLen]]
+    * behind an exact 0-pad. Empty intersection → [[NeverMatch]].
+    */
+  def rangeRegexWithLengths(lo: Long, hi: Option[Long], lengths: Seq[Int]): String = {
+    def pow10(n: Int): Long = (1 to n).foldLeft(1L)((a, _) => a * 10) // exact, n <= 18
+    val alts = lengths.distinct.sorted.flatMap { l =>
+      val exact = (1 to math.min(l, 18)).flatMap { d =>
+        val dLo = if (d == 1) 0L else pow10(d - 1)
+        val dHi = pow10(d) - 1
+        val lo2 = math.max(lo, dLo)
+        val hi2 = math.min(hi.getOrElse(Long.MaxValue), dHi)
+        if (lo2 > hi2) None
+        else {
+          val pad = if (l - d == 0) "" else if (l - d == 1) "0" else s"0{${l - d}}"
+          Some(pad + sameLen(lo2.toString, hi2.toString).mkString("(?:", "|", ")"))
+        }
+      }
+      // value digit-counts beyond Long's 18 exact decades: every such
+      // value exceeds any realistic bound — included only for an
+      // unbounded maximum with a bound below 10^18
+      val huge = (19 to l).flatMap { d =>
+        if (hi.isEmpty && lo <= pow10(18)) {
+          val pad = if (l - d == 0) "" else if (l - d == 1) "0" else s"0{${l - d}}"
+          Some(s"$pad[1-9]${dAll(d - 1)}")
+        } else None
+      }
+      exact ++ huge
+    }
+    if (alts.isEmpty) NeverMatch else alts.mkString("(?:", "|", ")")
   }
 
   /** One token matcher → regex fragment (token boundary handled by the
@@ -164,9 +216,14 @@ object TokenRules {
     case Capitalized(_) => // mixed: both cases present
       "(?=[A-Za-z]*[A-Z])(?=[A-Za-z]*[a-z])[A-Za-z]+"
     case NumberTok(ns, _, _, _) if ns.nonEmpty => ns.map(q).mkString("(?:", "|", ")")
-    case NumberTok(_, _, mn, mx)
-        if (mn.isDefined || mx.isDefined) && mx.forall(_ >= mn.getOrElse(0L)) =>
-      rangeRegex(mn.getOrElse(0L), mx)
+    case NumberTok(_, ls, mn, mx) if mn.isDefined || mx.isDefined =>
+      // digit runs are non-negative: a negative minimum clips to 0, a
+      // maximum below the minimum (incl. any negative maximum) is
+      // UNSATISFIABLE and must match nothing, not everything
+      val lo = math.max(mn.getOrElse(0L), 0L)
+      if (mx.exists(_ < lo)) NeverMatch
+      else if (ls.nonEmpty) rangeRegexWithLengths(lo, mx, ls)
+      else rangeRegex(lo, mx)
     case NumberTok(_, ls, _, _) if ls.nonEmpty =>
       ls.map(l => s"\\d{$l}").mkString("(?:", "|", ")")
     case NumberTok(_, _, _, _) => "\\d+"
@@ -216,8 +273,10 @@ object TokenRules {
                 Some(n.asLong)
               else n.asText("").toLongOption
             }
-            NumberTok(strings("numbers"), lengths,
-              bound("minimum").filter(_ >= 0), bound("maximum").filter(_ >= 0))
+            // bounds kept RAW — matcherRegex clips a negative minimum
+            // to 0 and compiles max < min (incl. negative max) to a
+            // never-matching fragment
+            NumberTok(strings("numbers"), lengths, bound("minimum"), bound("maximum"))
           case "linebreak" => LineBreak()
           case _ => // word/token
             val ts = strings("token")

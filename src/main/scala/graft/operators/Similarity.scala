@@ -216,6 +216,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
 
+  /** The collected seeds as a broadcast (cid, ce) LOCAL relation — the
+    * probe-side centroid table without re-scanning the corpus for the
+    * same n rows [[collectSeeds]] already fetched.
+    */
+  def seedFrame(spark: org.apache.spark.sql.SparkSession,
+                seeds: Seq[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    broadcast(seeds.toDF("cid", "ce"))
+  }
+
   /** [[ivfAssign]] as a NARROW map: the centroid table folds in as
     * plan-time literals (the lshBucket hyperplane convention), the
     * per-row argmax is an in-row fold over the candidate array — no
@@ -224,15 +234,22 @@ object Similarity {
     * corpus; this is a scan. Semantics identical (argmax cosine, ties
     * to the lowest cid — the fold keeps the earlier entry of the
     * cid-ascending candidate array on ties; parity-spec'd).
-    * Rows whose cosine is NaN against every centroid (zero-norm
-    * vectors) are dropped rather than mis-assigned.
+    * Zero-norm vectors (either side) are handled BEFORE the division:
+    * under Spark 4's ANSI mode a /0 is a runtime ERROR (not NaN), so
+    * the cosine is computed only when the norm product is positive and
+    * demoted to −∞ otherwise (likewise NaN from NaN-element data —
+    * Spark's NaN ordering would otherwise let it win the argmax). A
+    * row at −∞ against every centroid is dropped, not mis-assigned.
     */
   def ivfAssignLit(corpus: DataFrame,
                    seeds: Seq[(Long, Array[Float])]): DataFrame = {
     require(seeds.nonEmpty, "ivfAssignLit needs at least one seed centroid")
     val emb = col("embedding")
     val cands = array(seeds.sortBy(_._1).map { case (cid, ce) =>
-      struct(cosine(emb, lit(ce)).as("csim"), lit(cid).as("cid"))
+      val denom = sqrt(normSq(emb)) * sqrt(normSq(lit(ce)))
+      val cs = when(denom > 0, dot(emb, lit(ce)) / denom)
+      val safe = when(cs.isNull || isnan(cs), lit(Double.NegativeInfinity)).otherwise(cs)
+      struct(safe.as("csim"), lit(cid).as("cid"))
     }: _*)
     val best = aggregate(cands,
       struct(lit(Double.NegativeInfinity).as("csim"), lit(-1L).as("cid")),
@@ -306,10 +323,12 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val cents = seedCentroids(corpus, nCentroids)
     // corpus-side assignment is the narrow literal map (no shuffle);
-    // the probe side stays the tiny queries × centroids frame join
+    // the probe side joins the tiny queries against the SAME collected
+    // seeds as a local relation (no second corpus top-n scan)
     val seeds = collectSeeds(corpus, nCentroids)
+    val cents = if (seeds.isEmpty) seedCentroids(corpus, nCentroids)
+      else seedFrame(corpus.sparkSession, seeds)
     val assigned =
       if (seeds.isEmpty) ivfAssign(corpus, cents) else ivfAssignLit(corpus, seeds)
     val wProbe = Window.partitionBy(col("qid"))
@@ -392,17 +411,25 @@ object Similarity {
              nCentroids: Int = 8, knownDim: Int = -1): DataFrame = {
     val dim = if (knownDim > 0) knownDim else probeDim(corpus)
     val sub = dim / m
-    val cb = pqCodebook(corpus, m, nCentroids, dim)
     // corpus encoding is the narrow literal map (pqCodes' explode +
     // broadcast join + window + groupBy shuffles the corpus twice to
     // build what is a per-row argmin — parity-spec'd equal); the tiny
-    // query-side ADC tables still come from the cb frame
+    // query-side ADC tables join the SAME collected seeds as a local
+    // codebook relation (no second corpus top-n scan)
     val seeds = collectSeeds(corpus, nCentroids)
-      .map { case (cid, ce) => (cid, ce.map(_.toDouble)) }
+    val cb = if (seeds.isEmpty) pqCodebook(corpus, m, nCentroids, dim)
+      else {
+        import corpus.sparkSession.implicits._
+        broadcast(seeds.flatMap { case (cid, ce) =>
+          (0 until m).map(mi => (cid, mi, ce.slice(mi * sub, mi * sub + sub)))
+        }.toDF("cid", "m", "csub"))
+      }
     val codes =
       if (seeds.isEmpty) pqCodes(corpus, cb, m, dim)
       else corpus.select(col("vec_id"),
-        pqEncodeLit(col("embedding"), seeds, m, sub, "cid").as("codes"))
+        pqEncodeLit(col("embedding"),
+          seeds.map { case (cid, ce) => (cid, ce.map(_.toDouble)) },
+          m, sub, "cid").as("codes"))
     val qsubs = queries.select(col("vec_id").as("qid"),
       posexplode(array((0 until m).map(i => slice(col("embedding"), i * sub + 1, sub)): _*))
         .as(Seq("m", "qsub")))
@@ -451,14 +478,12 @@ object Similarity {
     val sub = dim / m
     def empty = corpus.limit(0).select(col("vec_id").as("qid"), col("vec_id"),
       lit(0.0).as("adist"), lit(1).as("rank"))
-    val cents = seedCentroids(corpus, nCells)
     val seeds = collectSeeds(corpus, nCells)
     if (seeds.isEmpty) return empty
+    val cents = seedFrame(corpus.sparkSession, seeds)
     // residual per assigned vector: x − c(cell) — assignment AND the
     // centroid lookup are literal-folded, so residuals are one narrow
-    // map over the corpus (no crossJoin, no argmax window shuffle).
-    // cache: the two bounded PQ-seed jobs below and the code scan all
-    // read this frame (the semanticDedup barrier rationale).
+    // map over the corpus (no crossJoin, no argmax window shuffle)
     val ceMap = map_from_entries(array(seeds.sortBy(_._1).map { case (cid, ce) =>
       struct(lit(cid), lit(ce))
     }: _*))
@@ -466,22 +491,27 @@ object Similarity {
       .select(col("cid"), col("vec_id"),
         zip_with(col("embedding"), element_at(ceMap, col("cid")),
           (x, c) => x.cast("double") - c.cast("double")).as("resid"))
-      .cache()
     // PQ seeds = residuals of the pqK lowest-id vectors, fetched
-    // driver-side through the SAME Spark arithmetic (bounded job)
+    // driver-side through the SAME Spark arithmetic (one bounded job;
+    // no cache barrier needed — the only other resid reader is the
+    // single lazy code scan)
     val pqSeeds = resid.orderBy(col("vec_id")).limit(pqK)
       .select(col("vec_id"), col("resid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     if (pqSeeds.isEmpty) return empty
     val codes = resid.select(col("cid"), col("vec_id"),
       pqEncodeLit(col("resid"), pqSeeds, m, sub, "pcid").as("codes"))
-    // the tiny query-side ADC tables still come from a cb frame
+    // the tiny query-side ADC tables join the collected PQ seeds as a
+    // local codebook relation (no corpus re-scan)
     val rsubs = (rcol: String) =>
       posexplode(array((0 until m).map(i => slice(col(rcol), i * sub + 1, sub)): _*))
         .as(Seq("m", "sv"))
-    val cb = broadcast(resid.orderBy(col("vec_id")).limit(pqK)
-      .select(col("vec_id").as("pcid"), rsubs("resid"))
-      .withColumnRenamed("sv", "csub"))
+    val cb = {
+      import corpus.sparkSession.implicits._
+      broadcast(pqSeeds.flatMap { case (pcid, r) =>
+        (0 until m).map(mi => (pcid, mi, r.slice(mi * sub, mi * sub + sub)))
+      }.toDF("pcid", "m", "csub"))
+    }
     // probe: per query, the nProbe nearest coarse cells (as ivfTopK)
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))

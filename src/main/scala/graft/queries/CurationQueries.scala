@@ -467,7 +467,6 @@ object CurationQueries {
     * the same shape C4 itself ran over 20 TB of Common Crawl.
     */
   def filterC4(s: SparkSession, dir: String): DataFrame = {
-    import TextFunctions.bindOnce
     val text = concat(col("text"),
       when(col("doc_id") % 4 === 0, lit("\nShort line")).otherwise(lit("")),
       // three full sentences: the corpus text itself has NO punctuation,
@@ -580,13 +579,11 @@ object CurationQueries {
     * removing runs keeps zero, and non-vowel chars cancel — plus one
     * cheap first-match rlike per word for the min-1-per-word floor.
     */
-  def textReadability(s: SparkSession, dir: String): DataFrame = {
-    import TextFunctions.bindOnce
+  def textReadability(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), readabilityPanel(col("text")).as("r"))
       .select(col("doc_id"), col("r.*"))
       .orderBy(col("doc_id"))
-  }
 
   /** The Flesch panel as a reusable column expression — stateless, so
     * it drops into a streaming plan unchanged (StreamCurationSpec).

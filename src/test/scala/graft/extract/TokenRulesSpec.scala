@@ -78,6 +78,35 @@ class TokenRulesSpec extends SparkSpec {
     }
   }
 
+  test("range + length-set intersection; unsatisfiable and negative bounds") {
+    // length 4 AND minimum 500: exactly-4-digit strings with value >= 500
+    // (leading zeros count toward the length, the value toward the range)
+    val both = TokenRules.matcherRegex(
+      NumberTok(Nil, Seq(4), Some(500L), None)).r
+    assert(both.matches("0500") && both.matches("1700") && both.matches("9999"))
+    assert(!both.matches("500")) // 3 digits: violates the length set
+    assert(!both.matches("0499") && !both.matches("00042")) // below min / 5 digits
+    // exhaustive window: every 4-digit string agrees with the conjunction
+    for (n <- 0 to 10999) {
+      val s = n.toString.reverse.padTo(4, '0').reverse.mkString
+      val expected = s.length == 4 && s.forall(_.isDigit) && s.toLong >= 500
+      assert(both.matches(s) == expected, s"s=$s")
+    }
+    // maximum < minimum is unsatisfiable: match NOTHING, never everything
+    val contradictory = TokenRules.matcherRegex(
+      NumberTok(Nil, Nil, Some(1700L), Some(1600L))).r
+    assert((0 to 2000).forall(n => !contradictory.matches(n.toString)))
+    // negative maximum: also unsatisfiable for non-negative digit runs
+    val negMax = TokenRules.matcherRegex(
+      NumberTok(Nil, Nil, None, Some(-3L))).r
+    assert((0 to 100).forall(n => !negMax.matches(n.toString)))
+    // negative minimum clips to 0: plain [0, max]
+    val negMin = TokenRules.matcherRegex(
+      NumberTok(Nil, Nil, Some(-5L), Some(10L))).r
+    assert((0 to 10).forall(n => negMin.matches(n.toString)))
+    assert(!negMin.matches("11"))
+  }
+
   test("number minimum/maximum from rule JSON constrains the match") {
     val json =
       """{"rules":[{"pattern":[

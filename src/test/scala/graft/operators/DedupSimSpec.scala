@@ -200,6 +200,19 @@ class DedupSimSpec extends SparkSpec {
     assert(viaLit == viaFrames)
   }
 
+  test("ivfAssignLit drops zero-norm vectors instead of letting NaN win the argmax") {
+    // Spark NaN ordering (NaN sorts greatest) would otherwise assign a
+    // zero-norm vector to the lowest-cid centroid with csim = NaN
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (7L, Array(0f, 0f))) // zero-norm: cosine NaN against everything
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.collectSeeds(vecs.filter($"vec_id" < 2), 2)
+    val out = Similarity.ivfAssignLit(vecs, seeds)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L)) // 7 dropped, others exact
+  }
+
   test("pqEncodeLit (narrow literal map) equals pqCodes (explode+window) on real vectors") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val m = 4
