@@ -363,17 +363,27 @@ object CurationQueries {
     * no shuffle but the final sort.
     */
   def filterGopher(s: SparkSession, dir: String): DataFrame = {
+    val text = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit("\n- bullet item\n- second item")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("\nto be continued...\nmore #tags #here..."))
+        .otherwise(lit("")))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), gopherPanel(text).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The Gopher rule panel as a reusable column expression — stateless,
+    * so it composes into streams and the funnel report unchanged.
+    */
+  def gopherPanel(text: Column): Column = {
     import TextFunctions.bindOnce
     // Gopher's rule is ">= 2 of a required-stopword list"; the list here
     // is the corpus-adapted [[TextFunctions.Stopwords]] (the paper's
     // 8-word English list barely intersects this synthetic corpus — it
     // would mark every doc False and test nothing)
     val stop = TextFunctions.Stopwords
-    val text = concat(col("text"),
-      when(col("doc_id") % 7 === 0, lit("\n- bullet item\n- second item")).otherwise(lit("")),
-      when(col("doc_id") % 11 === 0, lit("\nto be continued...\nmore #tags #here..."))
-        .otherwise(lit("")))
-    val panel = bindOnce(text) { t =>
+    bindOnce(text) { t =>
       bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>
         bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
           bindOnce(TextFunctions.tokens(t)) { toks =>
@@ -405,10 +415,6 @@ object CurationQueries {
         }
       }
     }
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), panel.as("g"))
-      .select(col("doc_id"), col("g.*"))
-      .orderBy(col("doc_id"))
   }
 
   val filterGopherSql: String = {
@@ -466,8 +472,11 @@ object CurationQueries {
     * codegen'd map over documents, no shuffle but the final sort —
     * the same shape C4 itself ran over 20 TB of Common Crawl.
     */
-  def filterC4(s: SparkSession, dir: String): DataFrame = {
-    val text = concat(col("text"),
+  /** The deterministic line/sentence enrichment the C4 panel (and the
+    * funnel report) run on — the corpus text is single-line and
+    * punctuation-free, so rule structure is synthesized per doc_id.
+    */
+  private[queries] def c4DemoText: Column = concat(col("text"),
       when(col("doc_id") % 4 === 0, lit("\nShort line")).otherwise(lit("")),
       // three full sentences: the corpus text itself has NO punctuation,
       // so this is what makes the ≥3-sentence page gate reachable
@@ -484,11 +493,12 @@ object CurationQueries {
         .otherwise(lit("")),
       when(col("doc_id") % 19 === 0, lit("\nThis line mentions badword1 today."))
         .otherwise(lit("")))
+
+  def filterC4(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), c4Panel(text).as("c"))
+      .select(col("doc_id"), c4Panel(c4DemoText).as("c"))
       .select(col("doc_id"), col("c.*"))
       .orderBy(col("doc_id"))
-  }
 
   /** The C4 rule panel as a reusable column expression — stateless, so
     * it drops into a streaming plan unchanged (StreamCurationSpec).
@@ -522,19 +532,24 @@ object CurationQueries {
     }
   }
 
+  /** [[c4DemoText]] restated in DuckDB SQL — shared by the C4 and
+    * funnel oracles.
+    */
+  private val C4DemoTextSql: String = "text" +
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Short line' ELSE '' END" +
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || " +
+    "'This appended sentence clearly contains more than five words.' || chr(10) || " +
+    "'Another appended sentence also contains well over five words.' || chr(10) || " +
+    "'A third full sentence closes out this appended paragraph nicely.' ELSE '' END" +
+    " || CASE WHEN doc_id % 9 = 0 THEN chr(10) || " +
+    "'Enable javascript to view this page.' ELSE '' END" +
+    " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END" +
+    " || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END" +
+    " || CASE WHEN doc_id % 19 = 0 THEN chr(10) || " +
+    "'This line mentions badword1 today.' ELSE '' END"
+
   val filterC4Sql: String = {
-    val text = "text" +
-      " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Short line' ELSE '' END" +
-      " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || " +
-      "'This appended sentence clearly contains more than five words.' || chr(10) || " +
-      "'Another appended sentence also contains well over five words.' || chr(10) || " +
-      "'A third full sentence closes out this appended paragraph nicely.' ELSE '' END" +
-      " || CASE WHEN doc_id % 9 = 0 THEN chr(10) || " +
-      "'Enable javascript to view this page.' ELSE '' END" +
-      " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END" +
-      " || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END" +
-      " || CASE WHEN doc_id % 19 = 0 THEN chr(10) || " +
-      "'This line mentions badword1 today.' ELSE '' END"
+    val text = C4DemoTextSql
     """WITH d AS (SELECT doc_id, <T> AS t FROM documents),
       |p AS (SELECT doc_id, t,
       |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
@@ -650,6 +665,91 @@ object CurationQueries {
       |    WHEN flesch_ease >= 30.0 THEN 'difficult'
       |    ELSE 'very_confusing' END AS band
       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** The curation funnel report — the per-source summary every corpus
+    * run produces before training: how many documents survive exact
+    * text dedup and each quality gate (Gopher panel, C4 rules,
+    * classifier), the intersection of all three, and the unique-text
+    * count among full survivors. One scan computes the per-doc digest
+    * + three keep flags (the same certified panel expressions, over
+    * the shared [[c4DemoText]] enrichment so every gate discriminates
+    * on this corpus); one groupBy(source) aggregates. The two distinct
+    * counts are exact (Spark expands them to the standard two-phase
+    * plan) — at 100 TB swap in approx_count_distinct if ±2% is
+    * acceptable, the rest of the plan is unchanged.
+    */
+  def pipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+    val t = c4DemoText
+    Tables(s, dir, "documents")
+      .select(col("source"), sha2(col("text"), 256).as("h"),
+        gopherPanel(t).getField("keep").as("kg"),
+        c4Panel(t).getField("keep").as("kc"),
+        classifierPanel(t).getField("keep").as("kf"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique_text"),
+        sum(when(col("kg"), 1L).otherwise(0L)).as("n_keep_gopher"),
+        sum(when(col("kc"), 1L).otherwise(0L)).as("n_keep_c4"),
+        sum(when(col("kf"), 1L).otherwise(0L)).as("n_keep_classifier"),
+        sum(when(col("kg") && col("kc") && col("kf"), 1L).otherwise(0L)).as("n_keep_all"),
+        countDistinct(when(col("kg") && col("kc") && col("kf"), col("h")))
+          .as("n_final_unique"))
+      .orderBy(col("source"))
+  }
+
+  val pipelineFunnelSql: String = {
+    val bucket = "CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 64"
+    val w = s"(strpos('0123456789abcdef', substr(md5('w:' || CAST($bucket AS VARCHAR)), 1, 1)) - 1)" +
+      " / 7.5 - 1.0"
+    s"""WITH d AS (SELECT doc_id, source, sha256(text) AS h, $C4DemoTextSql AS t FROM documents),
+       |p AS (SELECT doc_id, source, h, t,
+       |    list_filter(string_split_regex(t, '[\\t\\n\\f\\r ]+'), x -> x <> '') AS words,
+       |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+       |    length(t) - length(replace(t, '#', '')) AS n_hash,
+       |    (length(t) - length(replace(t, '...', ''))) // 3 AS n_ell,
+       |    regexp_extract_all(lower(t), '[a-z0-9]+') AS toks
+       |  FROM d),
+       |flags AS (SELECT doc_id, source, h,
+       |    COALESCE(len(words) BETWEEN 50 AND 100000
+       |      AND CASE WHEN len(words) > 0 THEN
+       |        CAST(list_reduce(list_transform(words, w -> length(w)), (a, b) -> a + b) AS DOUBLE)
+       |          / CAST(len(words) AS DOUBLE) END BETWEEN 3.0 AND 10.0
+       |      AND CASE WHEN len(words) > 0 THEN
+       |        CAST(n_hash + n_ell AS DOUBLE) / CAST(len(words) AS DOUBLE) END <= 0.1
+       |      AND CASE WHEN len(lines) > 0 THEN
+       |        CAST(len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+       |          / CAST(len(lines) AS DOUBLE) END <= 0.9
+       |      AND CASE WHEN len(lines) > 0 THEN
+       |        CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+       |          / CAST(len(lines) AS DOUBLE) END <= 0.3
+       |      AND CASE WHEN len(words) > 0 THEN
+       |        CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |          / CAST(len(words) AS DOUBLE) END >= 0.8
+       |      AND len(list_filter(['the','a','of','and','in','to','is'],
+       |        sw -> list_contains(toks, sw))) >= 2, FALSE) AS kg,
+       |    length(t) - length(translate(t, '.!?', '')) >= 3
+       |      AND NOT contains(lower(t), 'lorem ipsum')
+       |      AND NOT contains(t, '{')
+       |      AND NOT (list_contains(toks, 'badword1') OR list_contains(toks, 'badword2'))
+       |      AND len(list_filter(lines, l ->
+       |        (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+       |        AND len(list_filter(string_split_regex(l, '[\\t\\n\\f\\r ]+'), x -> x <> '')) >= 5
+       |        AND NOT contains(lower(l), 'javascript'))) >= 1 AS kc,
+       |    COALESCE(CASE WHEN len(toks) > 0 THEN
+       |      list_reduce(list_transform(toks, tk -> $w), (x, y) -> x + y)
+       |        / CAST(len(toks) AS DOUBLE) END >= 0, FALSE) AS kf
+       |  FROM p)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_text,
+       |  CAST(SUM(CASE WHEN kg THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_gopher,
+       |  CAST(SUM(CASE WHEN kc THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_c4,
+       |  CAST(SUM(CASE WHEN kf THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_classifier,
+       |  CAST(SUM(CASE WHEN kg AND kc AND kf THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_all,
+       |  CAST(COUNT(DISTINCT CASE WHEN kg AND kc AND kf THEN h END) AS BIGINT) AS n_final_unique
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** md5 hex digest (driver-side) — matches DuckDB's md5() exactly. */
   private def md5hex(s: String): String =
@@ -791,6 +891,7 @@ object CurationQueries {
     "filter_classifier" -> (filterClassifier _),
     "filter_url" -> (filterUrl _),
     "text_readability" -> (textReadability _),
+    "pipeline_funnel" -> (pipelineFunnel _),
     "pipeline_stats" -> (pipelineStats _),
     "text_gopher" -> (textGopher _),
     "text_repetition" -> (textRepetition _),
@@ -806,6 +907,7 @@ object CurationQueries {
     "filter_classifier" -> filterClassifierSql,
     "filter_url" -> filterUrlSql,
     "text_readability" -> textReadabilitySql,
+    "pipeline_funnel" -> pipelineFunnelSql,
     "pipeline_stats" -> pipelineStatsSql,
     "text_gopher" -> textGopherSql,
     "text_repetition" -> textRepetitionSql,

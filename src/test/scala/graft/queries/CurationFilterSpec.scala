@@ -309,6 +309,33 @@ class CurationFilterSpec extends SparkSpec {
     assert(got == expected) // includes bit-equality of adist doubles
   }
 
+  test("pipelineFunnel: cross-checks filter_c4 keeps, invariants hold, gates discriminate") {
+    val funnel = CurationQueries.pipelineFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // per-source totals must sum to the corpus
+    assert(funnel.values.map(_._1).sum ==
+      graft.Tables(spark, dir, "documents").count())
+    // n_keep_c4 per source must equal the certified filter_c4 keeps
+    val srcOf = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val c4Keeps = CurationQueries.filterC4(spark, dir)
+      .select(col("doc_id"), col("keep")).collect()
+      .filter(_.getBoolean(1)).map(r => srcOf(r.getLong(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    funnel.foreach { case (src, f) =>
+      assert(f._4 == c4Keeps.getOrElse(src, 0L), s"n_keep_c4 for $src")
+      // invariants: intersection bounded by each gate; uniques bounded
+      assert(f._6 <= math.min(f._3, math.min(f._4, f._5)))
+      assert(f._7 <= f._6 && f._7 <= f._2 && f._2 <= f._1)
+    }
+    // every gate discriminates somewhere on this corpus
+    assert(funnel.values.exists(f => f._3 > 0 && f._3 < f._1)) // gopher
+    assert(funnel.values.exists(f => f._4 > 0 && f._4 < f._1)) // c4
+    assert(funnel.values.exists(f => f._5 > 0 && f._5 < f._1)) // classifier
+  }
+
   test("pqCodes: every code is the argmin-L2 sub-centroid and codes stay in-range") {
     val emb = graft.Tables(spark, dir, "embeddings")
     val cb = graft.operators.Similarity.pqCodebook(emb, m = 4, k = 8, dim = 64)
