@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the time-series enrichment join Spark lacks
+  * natively (builder brief: "an operator the reference/Spark lacks,
+  * e.g. as-of join"): every left row is matched to the SINGLE right
+  * row with the greatest `ts` ≤ the left row's `ts` within the same
+  * key group (inclusive, the DuckDB/kdb ASOF convention).
+  *
+  * Composition, not a custom exec (preference tier (a)): tag the two
+  * sides, union by name, and take `last(payload, ignoreNulls)` over a
+  * per-key window ordered by (ts, tag) with right rows sorting BEFORE
+  * left rows at equal ts — the running "latest right value seen".
+  * That is exactly ONE shuffle on the key — the minimum any as-of
+  * join needs — with no range self-join blowup and no per-row
+  * subquery; at 100 TB both sides co-partition on the key and the
+  * window is a linear scan per group. (A custom SortMergeAsOfExec
+  * could fuse the union sort, but it would not remove the shuffle —
+  * measured plans keep the whole merge in one stage already.)
+  *
+  * Contract: `right` must be unique per (key, ts) — deduplicate first
+  * (e.g. keep the max payload id per key+ts) or matches at duplicated
+  * timestamps are nondeterministic.
+  */
+object AsOf {
+
+  /** @param key     equi-join key columns present on both sides
+    * @param ts      ordering column name present on both sides
+    * @param payload right-side columns carried onto matched left rows
+    *                (emitted as `asof_<name>`, null when no right row
+    *                precedes the left row)
+    */
+  def joinBackward(left: DataFrame, right: DataFrame, key: Seq[String],
+                   ts: String, payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.withColumn("__tag", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(ts).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col("__tag") === 1)
+      .drop("__tag" +: payload: _*)
+  }
+}

@@ -286,7 +286,43 @@ object TimeSeriesQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
 
+  /** Backward as-of join over the event stream ([[graft.operators.AsOf]]):
+    * every event is enriched with the most recent MARKER event (the
+    * deterministic event_id % 10 == 0 subset, deduplicated to the max
+    * marker id per (user, ts) — the operator's uniqueness contract) at
+    * or before its timestamp for the same user, plus the lag in ms.
+    * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    * as-of implementation, so semantics (inclusive match, per-key,
+    * latest-wins) are cross-checked engine-to-engine, not
+    * self-mirrored.
+    */
+  def tsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+    val markers = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("m_id"))
+      .select(col("user_id"), col("ts"), col("m_id"), col("ts").as("m_ts"))
+    graft.operators.AsOf.joinBackward(
+      ev.select(col("user_id"), col("ts"), col("event_id")),
+      markers, key = Seq("user_id"), ts = "ts", payload = Seq("m_id", "m_ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("asof_m_id").as("marker_id"),
+        (unix_millis(col("ts")) - unix_millis(col("asof_m_ts"))).as("lag_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsAsofSql: String =
+    """WITH mk AS (SELECT user_id, ts, MAX(event_id) AS m_id
+      |  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, m.m_id AS marker_id,
+      |  epoch_ms(e.ts) - epoch_ms(m.ts) AS lag_ms
+      |FROM events e ASOF LEFT JOIN mk m
+      |  ON e.user_id = m.user_id AND e.ts >= m.ts
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_asof" -> (tsAsof _),
     "stream_sessions" -> (streamSessions _),
     "ts_impute" -> (tsImpute _),
     "ts_anomaly" -> (tsAnomaly _),
@@ -297,6 +333,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_asof" -> tsAsofSql,
     "stream_sessions" -> streamSessionsSql,
     "ts_impute" -> tsImputeSql,
     "ts_anomaly" -> tsAnomalySql,
