@@ -35,6 +35,14 @@ object AsOf {
     */
   def joinBackward(left: DataFrame, right: DataFrame, key: Seq[String],
                    ts: String, payload: Seq[String]): DataFrame = {
+    // a payload column that ALSO exists on the left would make every
+    // left row "match" its own value through last(ignoreNulls) —
+    // silent corruption, so fail loudly instead
+    val clash = payload.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"payload columns ${clash.mkString(",")} exist on the left side — alias them on the right")
+    require(!left.columns.contains("__tag") && !right.columns.contains("__tag"),
+      "__tag is reserved by AsOf.joinBackward")
     val l = left.withColumn("__tag", lit(1))
     val r = right.withColumn("__tag", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)

@@ -378,43 +378,51 @@ object CurationQueries {
     */
   def gopherPanel(text: Column): Column = {
     import TextFunctions.bindOnce
+    bindOnce(text) { t =>
+      bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>
+        bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
+          bindOnce(TextFunctions.tokens(t)) { toks =>
+            gopherCore(t, words, lines, toks)
+          }
+        }
+      }
+    }
+  }
+
+  /** Gopher rules over PRE-BOUND (t, words, lines, toks) — the funnel
+    * shares one binding of those across all three gates.
+    */
+  private def gopherCore(t: Column, words: Column, lines: Column,
+                         toks: Column): Column = {
     // Gopher's rule is ">= 2 of a required-stopword list"; the list here
     // is the corpus-adapted [[TextFunctions.Stopwords]] (the paper's
     // 8-word English list barely intersects this synthetic corpus — it
     // would mark every doc False and test nothing)
     val stop = TextFunctions.Stopwords
-    bindOnce(text) { t =>
-      bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>
-        bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
-          bindOnce(TextFunctions.tokens(t)) { toks =>
-            val nWords = size(words)
-            val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w))
-            val meanLen = when(nWords > 0, sumLen.cast("double") / nWords.cast("double"))
-            val nHash = length(t) - length(regexp_replace(t, "#", ""))
-            val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3))
-              .cast("int")
-            val nLines = size(lines)
-            val nBullet = size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
-            val nEllEnd = size(filter(lines, l => l.endsWith("...")))
-            val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
-            val nStop = size(filter(array(stop.map(lit): _*), sw => array_contains(toks, sw)))
-            val symbolRatio = when(nWords > 0, (nHash + nEll).cast("double") / nWords.cast("double"))
-            val bulletFrac = when(nLines > 0, nBullet.cast("double") / nLines.cast("double"))
-            val ellFrac = when(nLines > 0, nEllEnd.cast("double") / nLines.cast("double"))
-            val alphaFrac = when(nWords > 0, nAlpha.cast("double") / nWords.cast("double"))
-            val keep = coalesce(
-              nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-                symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
-                alphaFrac >= 0.8 && nStop >= 2,
-              lit(false))
-            struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
-              symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
-              ellFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
-              nStop.as("n_stop"), keep.as("keep"))
-          }
-        }
-      }
-    }
+    val nWords = size(words)
+    val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val meanLen = when(nWords > 0, sumLen.cast("double") / nWords.cast("double"))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3))
+      .cast("int")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+    val nEllEnd = size(filter(lines, l => l.endsWith("...")))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val nStop = size(filter(array(stop.map(lit): _*), sw => array_contains(toks, sw)))
+    val symbolRatio = when(nWords > 0, (nHash + nEll).cast("double") / nWords.cast("double"))
+    val bulletFrac = when(nLines > 0, nBullet.cast("double") / nLines.cast("double"))
+    val ellFrac = when(nLines > 0, nEllEnd.cast("double") / nLines.cast("double"))
+    val alphaFrac = when(nWords > 0, nAlpha.cast("double") / nWords.cast("double"))
+    val keep = coalesce(
+      nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
+        alphaFrac >= 0.8 && nStop >= 2,
+      lit(false))
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"), keep.as("keep"))
   }
 
   val filterGopherSql: String = {
@@ -505,30 +513,35 @@ object CurationQueries {
     */
   def c4Panel(text: Column): Column = {
     import TextFunctions.bindOnce
+    bindOnce(text) { t =>
+      bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
+        bindOnce(TextFunctions.tokens(t)) { toks =>
+          c4Core(t, lines, toks)
+        }
+      }
+    }
+  }
+
+  /** C4 rules over PRE-BOUND (t, lines, toks) — see [[gopherCore]]. */
+  private def c4Core(t: Column, lines: Column, toks: Column): Column = {
+    import TextFunctions.bindOnce
     val lineWords = (l: Column) =>
       size(filter(split(l, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= ""))
     val lineKept = (l: Column) =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
         lineWords(l) >= 5 && !lower(l).contains("javascript")
-    bindOnce(text) { t =>
-      bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
-        bindOnce(TextFunctions.tokens(t)) { toks =>
-          // bind the kept-line count: output and keep both reference
-          // it, and an unbound reference re-runs the nested per-line
-          // word-split filter
-          bindOnce(size(filter(lines, lineKept)).cast("int")) { nKept =>
-            val nLines = size(lines)
-            val nSent = length(t) - length(translate(t, ".!?", ""))
-            val hasLorem = lower(t).contains("lorem ipsum")
-            val hasBrace = t.contains("{")
-            val hasBad = array_contains(toks, "badword1") || array_contains(toks, "badword2")
-            val keep = nSent >= 3 && !hasLorem && !hasBrace && !hasBad && nKept >= 1
-            struct(nLines.as("n_lines"), nKept.as("n_kept"), nSent.as("n_sentences"),
-              hasLorem.as("has_lorem"), hasBrace.as("has_brace"), hasBad.as("has_badword"),
-              keep.as("keep"))
-          }
-        }
-      }
+    // bind the kept-line count: output and keep both reference it, and
+    // an unbound reference re-runs the nested per-line word-split filter
+    bindOnce(size(filter(lines, lineKept)).cast("int")) { nKept =>
+      val nLines = size(lines)
+      val nSent = length(t) - length(translate(t, ".!?", ""))
+      val hasLorem = lower(t).contains("lorem ipsum")
+      val hasBrace = t.contains("{")
+      val hasBad = array_contains(toks, "badword1") || array_contains(toks, "badword2")
+      val keep = nSent >= 3 && !hasLorem && !hasBrace && !hasBad && nKept >= 1
+      struct(nLines.as("n_lines"), nKept.as("n_kept"), nSent.as("n_sentences"),
+        hasLorem.as("has_lorem"), hasBrace.as("has_brace"), hasBad.as("has_badword"),
+        keep.as("keep"))
     }
   }
 
@@ -679,12 +692,26 @@ object CurationQueries {
     * acceptable, the rest of the plan is unchanged.
     */
   def pipelineFunnel(s: SparkSession, dir: String): DataFrame = {
-    val t = c4DemoText
+    import TextFunctions.bindOnce
+    // one shared binding of (t, words, lines, toks) feeds ALL three
+    // gates — the panels tokenize/split independently when used alone,
+    // which would triple the per-row regex work in this single scan
+    val flags = bindOnce(c4DemoText) { t =>
+      bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>
+        bindOnce(filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")) { lines =>
+          bindOnce(TextFunctions.tokens(t)) { toks =>
+            struct(
+              gopherCore(t, words, lines, toks).getField("keep").as("kg"),
+              c4Core(t, lines, toks).getField("keep").as("kc"),
+              classifierCore(toks).getField("keep").as("kf"))
+          }
+        }
+      }
+    }
     Tables(s, dir, "documents")
-      .select(col("source"), sha2(col("text"), 256).as("h"),
-        gopherPanel(t).getField("keep").as("kg"),
-        c4Panel(t).getField("keep").as("kc"),
-        classifierPanel(t).getField("keep").as("kf"))
+      .select(col("source"), sha2(col("text"), 256).as("h"), flags.as("f"))
+      .select(col("source"), col("h"),
+        col("f.kg").as("kg"), col("f.kc").as("kc"), col("f.kf").as("kf"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -793,20 +820,22 @@ object CurationQueries {
   /** The classifier gate as a reusable column expression — stateless,
     * so it drops into a streaming plan unchanged (StreamCurationSpec).
     */
-  def classifierPanel(text: Column): Column = {
+  def classifierPanel(text: Column): Column =
+    TextFunctions.bindOnce(TextFunctions.tokens(text))(classifierCore)
+
+  /** Classifier gate over PRE-BOUND tokens — see [[gopherCore]]. */
+  private def classifierCore(toks: Column): Column = {
     import TextFunctions.bindOnce
     val weights = array(ClassifierWeights.map(lit): _*)
-    bindOnce(TextFunctions.tokens(text)) { toks =>
-      val z = aggregate(toks, lit(0.0), (acc, t) =>
-        acc + element_at(weights,
-          (conv(substr(md5(t), lit(1), lit(8)), 16, 10).cast("long") % 64).cast("int") + 1))
-      val n = size(toks)
-      // bind the score: output and keep both reference it, and an
-      // unbound reference re-runs the whole md5-per-token fold
-      bindOnce(when(n > 0, z / n.cast("double"))) { score =>
-        struct(n.as("n_tokens"), score.as("score"),
-          coalesce(score >= 0, lit(false)).as("keep"))
-      }
+    val z = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(weights,
+        (conv(substr(md5(t), lit(1), lit(8)), 16, 10).cast("long") % 64).cast("int") + 1))
+    val n = size(toks)
+    // bind the score: output and keep both reference it, and an
+    // unbound reference re-runs the whole md5-per-token fold
+    bindOnce(when(n > 0, z / n.cast("double"))) { score =>
+      struct(n.as("n_tokens"), score.as("score"),
+        coalesce(score >= 0, lit(false)).as("keep"))
     }
   }
 

@@ -193,6 +193,36 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(graft.operators.Similarity.semanticDedup(emb, tau = 0.35)) <= 1)
   }
 
+  test("as-of join: exactly one keyed shuffle in the operator; query adds only marker dedup") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables(spark, dir, "events")
+    val mk = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id").as("m_id"))
+    val op = plan(graft.operators.AsOf.joinBackward(
+      ev.select(col("user_id"), col("ts"), col("event_id")), mk,
+      key = Seq("user_id"), ts = "ts", payload = Seq("m_id")))
+    assert("Exchange hashpartitioning".r.findAllIn(op).length == 1,
+      s"the as-of operator is ONE shuffle on the key, plan:\n$op")
+    assert(!op.contains("CartesianProduct") && !op.contains("SortMergeJoin"),
+      "the union+window formulation must not plan a join at all")
+    // the registry query adds one aggregate for the marker-uniqueness
+    // contract (dedup per (user, ts)) + the output sort — nothing else
+    val q = plan(graft.queries.TimeSeriesQueries.tsAsof(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(q).length <= 2, s"plan:\n$q")
+  }
+
+  test("pipeline_funnel: flags computed in a project below the aggregate; bounded exchanges") {
+    val p = plan(graft.queries.CurationQueries.pipelineFunnel(spark, dir))
+    // multi-distinct expands through two hash exchanges (source+gid,
+    // then source) + the output sort — anything more means the panel
+    // flags leaked into a per-aggregate re-evaluation
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"plan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>") ||
+      p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>"),
+      "scan must prune to (doc_id, text, source)")
+  }
+
   test("text_gopher: single narrow generate over a 2-column scan, no shuffle before the output sort") {
     val df = graft.queries.CurationQueries.textGopher(spark, dir)
     val p = plan(df)

@@ -324,8 +324,58 @@ class CurationFilterSpec extends SparkSpec {
       .select(col("doc_id"), col("keep")).collect()
       .filter(_.getBoolean(1)).map(r => srcOf(r.getLong(0)))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // gopher + classifier keeps recomputed independently (plain Scala)
+    // over the SAME enrichment — a drifted copy of either rule body in
+    // the funnel would break these counts
+    def enrich(id: Long, raw: String): String = raw +
+      (if (id % 4 == 0) "\nShort line" else "") +
+      (if (id % 5 == 0) "\nThis appended sentence clearly contains more than five words." +
+        "\nAnother appended sentence also contains well over five words." +
+        "\nA third full sentence closes out this appended paragraph nicely." else "") +
+      (if (id % 9 == 0) "\nEnable javascript to view this page." else "") +
+      (if (id % 13 == 0) "\nlorem ipsum dolor sit amet." else "") +
+      (if (id % 17 == 0) "\nfunction f() { return 1; }" else "") +
+      (if (id % 19 == 0) "\nThis line mentions badword1 today." else "")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wTab = (0 until 64).map(j =>
+      "0123456789abcdef".indexOf(md5hex("w:" + j).charAt(0)) / 7.5 - 1.0).toArray
+    val stop = graft.functions.TextFunctions.Stopwords
+    val docRows = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expGopher = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val expCls = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docRows.foreach { case (id, src, raw) =>
+      val t = enrich(id, raw)
+      val words = t.split("[\t\n\f\r ]+").filter(_.nonEmpty)
+      val n = words.length
+      val lines = t.split("\n").map(_.trim).filter(_.nonEmpty)
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      val meanLen = if (n > 0) words.map(_.length.toLong).sum.toDouble / n else -1
+      val nHash = t.count(_ == '#')
+      val nEll = (t.length - t.replace("...", "").length) / 3
+      val symbolRatio = if (n > 0) (nHash + nEll).toDouble / n else 2
+      val bulletFrac = if (lines.nonEmpty)
+        lines.count(l => l.startsWith("-") || l.startsWith("*")).toDouble / lines.length else 2
+      val ellFrac = if (lines.nonEmpty)
+        lines.count(_.endsWith("...")).toDouble / lines.length else 2
+      val alphaFrac = if (n > 0)
+        words.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / n
+        else -1
+      val nStop = stop.count(toks.toSet.contains)
+      if (n >= 50 && n <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
+        alphaFrac >= 0.8 && nStop >= 2) expGopher(src) += 1
+      val z = toks.foldLeft(0.0)((acc, tk) =>
+        acc + wTab((java.lang.Long.parseLong(md5hex(tk).take(8), 16) % 64).toInt))
+      if (toks.nonEmpty && z / toks.size >= 0) expCls(src) += 1
+    }
     funnel.foreach { case (src, f) =>
+      assert(f._3 == expGopher(src), s"n_keep_gopher for $src")
       assert(f._4 == c4Keeps.getOrElse(src, 0L), s"n_keep_c4 for $src")
+      assert(f._5 == expCls(src), s"n_keep_classifier for $src")
       // invariants: intersection bounded by each gate; uniques bounded
       assert(f._6 <= math.min(f._3, math.min(f._4, f._5)))
       assert(f._7 <= f._6 && f._7 <= f._2 && f._2 <= f._1)

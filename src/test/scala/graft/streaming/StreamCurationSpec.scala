@@ -38,11 +38,13 @@ class StreamCurationSpec extends SparkSpec {
       .select(col("value").as("text"),
         CurationQueries.c4Panel(col("value")).as("c4"),
         CurationQueries.classifierPanel(col("value")).as("cls"),
-        CurationQueries.readabilityPanel(col("value")).as("rd"))
+        CurationQueries.readabilityPanel(col("value")).as("rd"),
+        CurationQueries.gopherPanel(col("value")).as("gp"))
       .select(col("text"), col("c4.keep").as("c4_keep"),
         col("c4.has_brace").as("has_brace"), col("c4.has_lorem").as("has_lorem"),
         col("cls.score").as("cls_score"), col("cls.keep").as("cls_keep"),
-        col("rd.flesch_ease").as("flesch_ease"), col("rd.band").as("band"))
+        col("rd.flesch_ease").as("flesch_ease"), col("rd.band").as("band"),
+        col("gp.n_words").as("gp_words"), col("gp.keep").as("gp_keep"))
 
     val q = paneled(spark.readStream.text(inDir))
       .writeStream.format("parquet")
@@ -51,14 +53,13 @@ class StreamCurationSpec extends SparkSpec {
       .start()
     q.awaitTermination(60000)
 
-    val streamed = spark.read.parquet(outDir).collect()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
-        r.getDouble(4), r.getBoolean(5), r.getDouble(6), r.getString(7)))
+        r.getDouble(4), r.getBoolean(5), r.getDouble(6), r.getString(7),
+        r.getInt(8), r.getBoolean(9)))
       .sortBy(_._1)
-    val batch = paneled(docs.toDF("value")).collect()
-      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
-        r.getDouble(4), r.getBoolean(5), r.getDouble(6), r.getString(7)))
-      .sortBy(_._1)
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(paneled(docs.toDF("value")))
     assert(streamed.length == 3)
     assert(streamed.toSeq == batch.toSeq) // streaming plane ≡ batch plane
     // the gates discriminate on these rows
