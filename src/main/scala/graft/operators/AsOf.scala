@@ -55,4 +55,31 @@ object AsOf {
     withAsof.filter(col("__tag") === 1)
       .drop("__tag" +: payload: _*)
   }
+
+  /** Forward as-of join: each left row matched to the single right row
+    * with the SMALLEST ts ≥ its own within the key group (inclusive) —
+    * the mirror of [[joinBackward]], same one-shuffle shape: the window
+    * frame looks forward (current row → unbounded following) and right
+    * rows sort AFTER left rows at equal ts (tag descending) so an
+    * equal-timestamp right row is still in the frame.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, key: Seq[String],
+                  ts: String, payload: Seq[String]): DataFrame = {
+    val clash = payload.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"payload columns ${clash.mkString(",")} exist on the left side — alias them on the right")
+    require(!left.columns.contains("__tag") && !right.columns.contains("__tag"),
+      "__tag is reserved by AsOf.joinForward")
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.withColumn("__tag", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(ts).asc, col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withAsof = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", first(col(c), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col("__tag") === 1)
+      .drop("__tag" +: payload: _*)
+  }
 }

@@ -321,8 +321,40 @@ object TimeSeriesQueries {
       |  ON e.user_id = m.user_id AND e.ts >= m.ts
       |ORDER BY event_id""".stripMargin
 
+  /** Forward as-of: every event enriched with the NEXT marker at or
+    * after its timestamp ([[graft.operators.AsOf.joinForward]]) —
+    * "time until the next checkpoint", the mirror statistic of
+    * ts_asof's lag. DuckDB's native ASOF with a `<=` comparison is
+    * again the independent cross-engine oracle.
+    */
+  def tsAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+    val markers = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("m_id"))
+      .select(col("user_id"), col("ts"), col("m_id"), col("ts").as("m_ts"))
+    graft.operators.AsOf.joinForward(
+      ev.select(col("user_id"), col("ts"), col("event_id")),
+      markers, key = Seq("user_id"), ts = "ts", payload = Seq("m_id", "m_ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("asof_m_id").as("marker_id"),
+        (unix_millis(col("asof_m_ts")) - unix_millis(col("ts"))).as("wait_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsAsofFwdSql: String =
+    """WITH mk AS (SELECT user_id, ts, MAX(event_id) AS m_id
+      |  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, m.m_id AS marker_id,
+      |  epoch_ms(m.ts) - epoch_ms(e.ts) AS wait_ms
+      |FROM events e ASOF LEFT JOIN mk m
+      |  ON e.user_id = m.user_id AND e.ts <= m.ts
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof" -> (tsAsof _),
+    "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_sessions" -> (streamSessions _),
     "ts_impute" -> (tsImpute _),
     "ts_anomaly" -> (tsAnomaly _),
@@ -334,6 +366,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_asof" -> tsAsofSql,
+    "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_sessions" -> streamSessionsSql,
     "ts_impute" -> tsImputeSql,
     "ts_anomaly" -> tsAnomalySql,
