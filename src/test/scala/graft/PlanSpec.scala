@@ -205,7 +205,12 @@ class PlanSpec extends SparkSpec {
       s"the as-of operator is ONE shuffle on the key, plan:\n$op")
     assert(!op.contains("CartesianProduct") && !op.contains("SortMergeJoin"),
       "the union+window formulation must not plan a join at all")
-    // the registry query adds one aggregate for the marker-uniqueness
+    val fwd = plan(graft.operators.AsOf.joinForward(
+      ev.select(col("user_id"), col("ts"), col("event_id")), mk,
+      key = Seq("user_id"), ts = "ts", payload = Seq("m_id")))
+    assert("Exchange hashpartitioning".r.findAllIn(fwd).length == 1,
+      s"the forward as-of operator is ONE shuffle on the key, plan:\n$fwd")
+    // the registry queries add one aggregate for the marker-uniqueness
     // contract (dedup per (user, ts)) + the output sort — nothing else
     val q = plan(graft.queries.TimeSeriesQueries.tsAsof(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(q).length <= 2, s"plan:\n$q")
