@@ -53,20 +53,47 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }).toSeq.sortBy(_._1)
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write: materializes every output column (a bare count()
-      // would let Catalyst prune the expressions under measurement)
-      // without the per-row InternalRow->Row decode that .rdd.count()
-      // added to the measurement — harness overhead, not query work.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = (results :+ kgBuild).map { case (k, v) => s"\"" + k + "\":" + v }
+    // min-of-k per query: a single-pass timing cannot distinguish a code
+    // regression from one noisy neighbor in a shared sandbox (a 1.9s query
+    // can read 23s under CPU contention). The min over k runs is robust to
+    // transient contention while still charging real per-query cost.
+    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt.max(1)
+    val results: Seq[(String, Either[String, Double])] =
+      selected.map { case (name, fn) =>
+        // noop write: materializes every output column (a bare count()
+        // would let Catalyst prune the expressions under measurement)
+        // without the per-row InternalRow->Row decode that .rdd.count()
+        // added to the measurement — harness overhead, not query work.
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // A query that throws must surface as an error entry, never as a
+        // (tiny) timing — a broken query silently reading as "fast" would
+        // corrupt the round-over-round signal.
+        try name -> Right((1 to k).map(_ => once()).min)
+        catch { case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage))
+            .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(120)
+          name -> Left(msg)
+        }
+      }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val errs = results.collect { case (n, Left(m)) => s""""$n":"$m"""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + kgBuild._2
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (n, Right(t)) => n -> t } :+ kgBuild
+    val total = ok.map(_._2).sum
+    val qs = ok.map { case (q, v) => "\"" + q + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // The headline total appears FIRST (head-capped artifact) and is
+    // repeated LAST as value_tail (tail-capped artifact), so a fixed-size
+    // log excerpt from either end always carries it; per-query times are
+    // 3-decimal to keep the line short.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","k":$k,"n_queries":${ok.size},"n_errs":${results.count(_._2.isLeft)},"errs":$errs,"queries":$qs,"sf":"$sfDir","value_tail":${fmt(total)}}""")
     spark.stop()
   }
 }
