@@ -164,29 +164,25 @@ object TokenRules {
     * behind an exact 0-pad. Empty intersection → [[NeverMatch]].
     */
   def rangeRegexWithLengths(lo: Long, hi: Option[Long], lengths: Seq[Int]): String = {
-    def pow10(n: Int): Long = (1 to n).foldLeft(1L)((a, _) => a * 10) // exact, n <= 18
+    // BigInt decade clipping: [[sameLen]] is pure string recursion, so
+    // it compiles ranges of ANY digit count — clamping decades at
+    // Long's 10^18 (the earlier formulation) silently under-matched
+    // 19+-digit values whose decade intersects the range (e.g. length
+    // 19 with maximum >= 10^18, or minimum > 10^18 with unbounded max)
+    val loB = BigInt(lo)
+    val hiB = hi.map(BigInt(_))
     val alts = lengths.distinct.sorted.flatMap { l =>
-      val exact = (1 to math.min(l, 18)).flatMap { d =>
-        val dLo = if (d == 1) 0L else pow10(d - 1)
-        val dHi = pow10(d) - 1
-        val lo2 = math.max(lo, dLo)
-        val hi2 = math.min(hi.getOrElse(Long.MaxValue), dHi)
+      (1 to l).flatMap { d =>
+        val dLo = if (d == 1) BigInt(0) else BigInt(10).pow(d - 1)
+        val dHi = BigInt(10).pow(d) - 1
+        val lo2 = loB.max(dLo)
+        val hi2 = hiB.getOrElse(dHi).min(dHi)
         if (lo2 > hi2) None
         else {
           val pad = if (l - d == 0) "" else if (l - d == 1) "0" else s"0{${l - d}}"
           Some(pad + sameLen(lo2.toString, hi2.toString).mkString("(?:", "|", ")"))
         }
       }
-      // value digit-counts beyond Long's 18 exact decades: every such
-      // value exceeds any realistic bound — included only for an
-      // unbounded maximum with a bound below 10^18
-      val huge = (19 to l).flatMap { d =>
-        if (hi.isEmpty && lo <= pow10(18)) {
-          val pad = if (l - d == 0) "" else if (l - d == 1) "0" else s"0{${l - d}}"
-          Some(s"$pad[1-9]${dAll(d - 1)}")
-        } else None
-      }
-      exact ++ huge
     }
     if (alts.isEmpty) NeverMatch else alts.mkString("(?:", "|", ")")
   }

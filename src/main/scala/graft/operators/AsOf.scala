@@ -44,7 +44,11 @@ object AsOf {
     require(!left.columns.contains("__tag") && !right.columns.contains("__tag"),
       "__tag is reserved by AsOf.joinBackward")
     val l = left.withColumn("__tag", lit(1))
-    val r = right.withColumn("__tag", lit(0))
+    // project right to its contract columns: any other right column
+    // would otherwise ride through unionByName as an all-null output
+    // column nobody asked for
+    val r = right.select((key :+ ts) ++ payload map col: _*)
+      .withColumn("__tag", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col(ts).asc, col("__tag").asc)
@@ -58,10 +62,16 @@ object AsOf {
 
   /** Forward as-of join: each left row matched to the single right row
     * with the SMALLEST ts ≥ its own within the key group (inclusive) —
-    * the mirror of [[joinBackward]], same one-shuffle shape: the window
-    * frame looks forward (current row → unbounded following) and right
-    * rows sort AFTER left rows at equal ts (tag descending) so an
-    * equal-timestamp right row is still in the frame.
+    * the mirror of [[joinBackward]], same one-shuffle shape.
+    *
+    * Formulated as a running `last` over ts DESCENDING with an
+    * `unboundedPreceding → currentRow` frame (right rows sorting
+    * before left rows at equal ts, so an equal-timestamp right row is
+    * in the frame). A running frame streams through WindowExec with
+    * O(1) state per group; the naive mirror — `first(...)` over
+    * `currentRow → unboundedFollowing` — buffers each group's tail in
+    * memory, which degrades to one task holding the whole partition
+    * on a degenerate hot key.
     */
   def joinForward(left: DataFrame, right: DataFrame, key: Seq[String],
                   ts: String, payload: Seq[String]): DataFrame = {
@@ -71,13 +81,16 @@ object AsOf {
     require(!left.columns.contains("__tag") && !right.columns.contains("__tag"),
       "__tag is reserved by AsOf.joinForward")
     val l = left.withColumn("__tag", lit(1))
-    val r = right.withColumn("__tag", lit(0))
+    val r = right.select((key :+ ts) ++ payload map col: _*)
+      .withColumn("__tag", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // ts DESC scan: the running "latest right seen" is the right row
+    // with the smallest ts ≥ the current left row's ts
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col(ts).asc, col("__tag").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAsof = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", first(col(c), ignoreNulls = true).over(w))
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
     }
     withAsof.filter(col("__tag") === 1)
       .drop("__tag" +: payload: _*)

@@ -188,13 +188,14 @@ object Similarity {
     broadcast(corpus.orderBy(col("vec_id")).limit(n)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")))
 
-  /** Nearest-centroid assignment: (cid, vec_id, embedding), argmax
-    * cosine with ties to the lowest cid. Narrow map over the corpus
-    * against the broadcast centroid table; the per-vector argmax
-    * window shuffles on vec_id (or collapses to a per-partition
-    * max-struct when the corpus is already id-partitioned).
+  /** Nearest-centroid assignment via crossJoin + per-vector argmax
+    * window — KEPT ONLY as the independent reference formulation for
+    * the literal≡frame parity spec. NOT public API: the argmax window
+    * repartitions the whole corpus on vec_id, which at 100 TB is a
+    * full-corpus shuffle [[ivfAssignLit]] avoids entirely. All
+    * production callers go through the literal-codebook narrow map.
     */
-  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     corpus.select(col("vec_id"), col("embedding"))
@@ -235,10 +236,11 @@ object Similarity {
     * to the lowest cid — the fold keeps the earlier entry of the
     * cid-ascending candidate array on ties; parity-spec'd).
     * Zero-norm vectors (either side) are handled BEFORE the division:
-    * under Spark 4's ANSI mode a /0 is a runtime ERROR (not NaN), so
-    * the cosine is computed only when the norm product is positive and
-    * demoted to −∞ otherwise (likewise NaN from NaN-element data —
-    * Spark's NaN ordering would otherwise let it win the argmax). A
+    * double division follows IEEE 754 even under ANSI mode (only
+    * integral /0 errors), so 0/0 would yield NaN — and Spark orders
+    * NaN GREATER than any number, letting it win the argmax. The
+    * guard computes the cosine only when the norm product is positive
+    * and demotes NaN/null (zero-norm or NaN-element data) to −∞. A
     * row at −∞ against every centroid is dropped, not mis-assigned.
     */
   def ivfAssignLit(corpus: DataFrame,
@@ -307,8 +309,13 @@ object Similarity {
     // the corpus scan under it) runs twice (the minhashLshPairs
     // self-join trap). Literal-codebook assignment: no shuffle to
     // build the clustering (empty corpus → empty frame-path fallback).
-    val assigned = (if (seeds.isEmpty) ivfAssign(corpus, seedCentroids(corpus, nCentroids))
-                    else ivfAssignLit(corpus, seeds)).cache()
+    // seeds.isEmpty ⇔ the corpus itself is empty — emit the empty
+    // assignment schema directly instead of routing through the
+    // window-variant ivfAssign (parity-spec-only formulation)
+    val assigned = (if (seeds.isEmpty)
+        corpus.select(lit(-1L).as("cid"), col("vec_id"), col("embedding"))
+          .filter(lit(false))
+      else ivfAssignLit(corpus, seeds)).cache()
     val a = assigned.select(col("cid"), col("vec_id").as("keeper"), col("embedding").as("ea"))
     val b = assigned.select(col("cid"), col("vec_id"), col("embedding").as("eb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("keeper"))

@@ -61,16 +61,18 @@ object Extended {
     // Scale shape: a global rank 101..150 does NOT need a global sort.
     // orderBy(...).limit(150) plans as TakeOrderedAndProject — each
     // partition keeps its local top-150, the driver merges 150-row
-    // heaps — then row numbers are assigned on the 150-row result
-    // (window over a bounded set; the partition key is a constant but
-    // non-foldable expression — EliminateWindowPartitions folds lit()
-    // away and WindowExec would warn/single-partition the input again).
+    // heaps — then row numbers are assigned on the 150-row result.
+    // The explicit repartition(1) bounds the global window's input by
+    // construction (150 rows), instead of the earlier non-foldable
+    // pmod(col,1) partition-key trick that relied on
+    // EliminateWindowPartitions NOT folding it — version-fragile.
     val keys = Seq(col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
-    val w = Window.partitionBy(pmod(col("l_orderkey"), lit(1))).orderBy(keys: _*)
+    val w = Window.orderBy(keys: _*)
     Tables(s, dir, "lineitem")
       .orderBy(keys: _*)
       .limit(150)
+      .repartition(1)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn").between(101, 150))
       .select(col("rn"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))

@@ -68,11 +68,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.queries.Extended.ruleRowslice(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
       "rank 101..150 must be per-partition top-k + merge, not a single-partition sort")
-    // the bounded 150-row window is partitioned (constant key) — the
-    // full-table WindowExec-without-partition shape must not appear
-    assert(!"(?s)Window.*windowspecdefinition\\(\\s*l_orderkey".r
-      .findFirstIn(p).exists(_.contains("windowspecdefinition(l_orderkey")) ||
-      p.contains("pmod"), "window must carry a partition key")
+    // the global window's input must be the bounded 150-row limit via
+    // an explicit repartition(1) (Exchange SinglePartition AFTER the
+    // TakeOrdered), never the full table funneled to one partition
+    val ex = p.indexOf("Exchange SinglePartition")
+    assert(ex >= 0 && ex < p.indexOf("TakeOrderedAndProject"),
+      "the single-partition exchange must sit above the bounded TakeOrdered (parents print first), not under it on the base scan")
   }
 
   test("extract_tables: scan reads only the columns the synthesized page needs") {

@@ -107,6 +107,32 @@ class TokenRulesSpec extends SparkSpec {
     assert(!negMin.matches("11"))
   }
 
+  test("length >= 19 digits: decades beyond Long's 10^18 still compile exactly") {
+    // length 19 with maximum >= 10^18: in-range 19-digit values MUST
+    // match (the former Long-clamped formulation matched nothing here)
+    val max19 = 5000000000000000000L // 5e18, a 19-digit Long
+    val r19 = TokenRules.rangeRegexWithLengths(0L, Some(max19), Seq(19)).r
+    assert(r19.matches("1000000000000000000")) // 10^18, padded to 19 via 0-pad
+    assert(r19.matches("4999999999999999999"))
+    assert(r19.matches("5000000000000000000"))
+    assert(!r19.matches("5000000000000000001")) // above max
+    assert(!r19.matches("100000000000000000"))  // 18 digits: length violated
+    // minimum > 10^18, unbounded maximum: 19- and 20-digit values in range
+    val min19 = 2000000000000000000L // 2e18
+    val r1920 = TokenRules.rangeRegexWithLengths(min19, None, Seq(19, 20)).r
+    assert(r1920.matches("2000000000000000000"))
+    assert(r1920.matches("9999999999999999999"))  // 19 nines > Long.MaxValue
+    assert(r1920.matches("10000000000000000000")) // any 20-digit value
+    assert(r1920.matches("99999999999999999999"))
+    assert(!r1920.matches("1999999999999999999")) // below min
+    assert(!r1920.matches("999999999999999999"))  // 18 digits
+    // whole decade below an 18-digit-bounded range at length 20: only
+    // 0-padded in-range values match
+    val rPad = TokenRules.rangeRegexWithLengths(10L, Some(12L), Seq(20)).r
+    assert(rPad.matches("0" * 18 + "11"))
+    assert(!rPad.matches("0" * 18 + "13"))
+  }
+
   test("number minimum/maximum from rule JSON constrains the match") {
     val json =
       """{"rules":[{"pattern":[

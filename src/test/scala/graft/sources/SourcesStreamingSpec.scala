@@ -108,7 +108,7 @@ class SourcesStreamingSpec extends SparkSpec {
     val q = StreamPipeline.fileStream(spark, in, data.schema,
       df => StreamPipeline.withDeadLetter(df, StreamPipeline.validDocId(col("doc_id"))),
       out, cp)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
     val res = spark.read.parquet(out)
     assert(res.count() == 3)
     assert(res.filter(col("__dead")).count() == 1) // empty doc_id dead-lettered
@@ -116,7 +116,7 @@ class SourcesStreamingSpec extends SparkSpec {
     val q2 = StreamPipeline.fileStream(spark, in, data.schema,
       df => StreamPipeline.withDeadLetter(df, StreamPipeline.validDocId(col("doc_id"))),
       out, cp)
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000), "stream did not finish within 60s")
     assert(spark.read.parquet(out).count() == 3)
   }
 

@@ -51,7 +51,7 @@ class StreamCurationSpec extends SparkSpec {
       .option("path", outDir).option("checkpointLocation", ckDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
 
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
@@ -73,7 +73,7 @@ class StreamCurationSpec extends SparkSpec {
       .option("path", outDir).option("checkpointLocation", ckDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000), "stream did not finish within 60s")
     assert(spark.read.parquet(outDir).count() == 3)
   }
 }

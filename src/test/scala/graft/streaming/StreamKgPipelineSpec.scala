@@ -33,7 +33,7 @@ class StreamKgPipelineSpec extends SparkSpec {
         ("speed", Extractors.glossary(col("text"), Seq("fast", "slow")), "dict", "content")))
 
     val q = StreamPipeline.fileStream(spark, in, docs.schema, extract, out, cp)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
 
     val kg = spark.read.parquet(out)
     assert(kg.count() == 5) // docs 1-2: op+speed; doc 3: op only

@@ -45,7 +45,7 @@ class StreamMediaSpec extends SparkSpec {
       .option("checkpointLocation", ckDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
 
     val out = spark.read.parquet(outDir)
       .select(col("name"), col("img.format"), col("img.width"), col("img.height"),
@@ -69,7 +69,7 @@ class StreamMediaSpec extends SparkSpec {
       .option("path", outDir).option("checkpointLocation", ckDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000), "stream did not finish within 60s")
     assert(spark.read.parquet(outDir).count() == 3)
   }
 }
