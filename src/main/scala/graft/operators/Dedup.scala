@@ -177,10 +177,14 @@ object Dedup {
       .cache()
     val rarePost = posting.filter(size(col("ids")) <= maxDf)
     // hot postings (df > maxDf) are not pair-expanded; their shingles
-    // ride per-doc as a SMALL set (bounded by the hot-vocabulary size)
+    // ride per-doc as a SMALL set (bounded by the hot-vocabulary size),
+    // sorted ONCE here so the overlap below is a native two-pointer
+    // count instead of array_intersect's per-pair hash-set + array
+    // allocation
     val hotPerDoc = posting.filter(size(col("ids")) > maxDf)
       .select(col("s"), explode(col("ids")).as("d"))
-      .groupBy(col("d.id").as("id")).agg(collect_set(col("s")).as("hot"))
+      .groupBy(col("d.id").as("id"))
+      .agg(sort_array(collect_set(col("s"))).as("hot"))
     // ordered pairs (id_a < id_b) expanded IN-ROW from each rare
     // posting list: ≤ maxDf²/2 pairs per shingle by construction
     val pairs = rarePost.select(explode(flatten(transform(col("ids"),
@@ -205,9 +209,9 @@ object Dedup {
       .join(hotPerDoc.select(col("id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
       .join(hotPerDoc.select(col("id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
       .withColumn("inter",
-        (col("inter_rare") + size(array_intersect(
+        (col("inter_rare") + graft.plans.NativeExpressions.sortedIntersectCount(
           coalesce(col("hot_a"), array()),
-          coalesce(col("hot_b"), array())))).cast("int"))
+          coalesce(col("hot_b"), array()))).cast("int"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))

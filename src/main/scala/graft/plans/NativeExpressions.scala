@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for hot-path operators (builder brief:
@@ -234,6 +234,48 @@ object NativeExpressions {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
         : DotProductF = copy(left = newLeft, right = newRight)
   }
+
+  /** Two-pointer intersection count over two ASC-sorted DISTINCT
+    * string arrays (sort_array(collect_set(...)) output; null-free by
+    * construction — collect_set drops nulls). Counts without
+    * materializing the intersection array `size(array_intersect(...))`
+    * allocates, and UTF8String.compareTo is byte-wise — the same
+    * binary order sort_array produces — so the count is identical.
+    */
+  def sortedIntersectCompute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.NativeExpressions.sortedIntersectCompute($a, $b);")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+        : SortedIntersectCount = copy(left = newLeft, right = newRight)
+  }
+
+  /** Intersection count of two sorted distinct string-array columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Gopher top-n-gram panel in one pass: tokenize once, then for each
     * n in [minN, maxN] count token n-grams (HashMap) and keep the most

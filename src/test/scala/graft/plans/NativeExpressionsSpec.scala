@@ -47,6 +47,31 @@ class NativeExpressionsSpec extends SparkSpec {
         col("st.n_punct") =!= $"p" || col("st.n_alnum") =!= $"a").count() == 0)
   }
 
+  test("native sorted-intersect count matches size(array_intersect) on sorted distinct arrays") {
+    // real shingle sets (sorted, distinct — the hotPerDoc shape) crossed
+    // against a handful of others, plus edge shapes: empty/empty,
+    // empty/non-empty, identical, disjoint, and a null input
+    val sh = sort_array(array_distinct(graft.functions.TextFunctions.shingles($"text")))
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60).select($"doc_id", sh.as("sa"))
+    val pairs = docs.crossJoin(
+      docs.select($"sa".as("sb"), $"doc_id".as("id2")).limit(6))
+    val both = pairs.select(
+      size(array_intersect($"sa", $"sb")).as("ref"),
+      NativeExpressions.sortedIntersectCount($"sa", $"sb").as("native"))
+    assert(both.filter($"ref" =!= $"native").count() == 0)
+    assert(both.filter($"native" > 0).count() > 0, "fixture must exercise non-trivial overlap")
+    val edges = Seq(
+      (Some(Seq[String]()), Some(Seq[String]())),
+      (Some(Seq[String]()), Some(Seq("a", "b"))),
+      (Some(Seq("a", "b", "c")), Some(Seq("a", "b", "c"))),
+      (Some(Seq("a", "c")), Some(Seq("b", "d"))),
+      (None, Some(Seq("a")))).toDF("sa", "sb")
+    val got = edges.select(NativeExpressions.sortedIntersectCount($"sa", $"sb").as("n")).collect()
+    assert(got(0).getInt(0) == 0 && got(1).getInt(0) == 0 &&
+      got(2).getInt(0) == 3 && got(3).getInt(0) == 0 && got(4).isNullAt(0))
+  }
+
   test("native expressions survive codegen (no fallback errors) and null inputs") {
     val df = Seq(Some("hash join scan"), None).toDF("t")
     val out = df.select(NativeExpressions.simhash64($"t").as("s")).collect()
