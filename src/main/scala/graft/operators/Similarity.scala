@@ -568,4 +568,315 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("bucket"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  // ─── Trained quantizers (round-4: Lloyd's k-means codebooks) ─────
+  // Driver-side Lloyd iterations on a bounded sample — the "train the
+  // quantizer on a sample" step every IVF/PQ deployment runs before
+  // indexing (Jégou 2011 §V trains on learning sets ~100k vectors; at
+  // 100 TB the sample stays driver-sized while the codebook ships to
+  // every executor as plan-time literals through the SAME plumbing the
+  // seeded variants use — the plan is identical, only recall changes).
+  // Every step is deterministic AND oracle-expressible: seeds are the
+  // k lowest-id sample vectors, assignment ties break to the lowest
+  // cid, and each centroid-position mean folds members left-to-right
+  // in vec_id order — the exact arithmetic DuckDB spells as
+  // list_reduce(list(v ORDER BY vec_id), (x,y) -> x+y) / COUNT(*), so
+  // trained-codebook queries hash-match the oracle bit-for-bit.
+
+  /** Left-to-right IEEE dot product of two double arrays (the driver
+    * twin of [[dot]]/DuckDB `list_reduce` — same fold order).
+    */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Left-to-right squared-L2 fold — the driver twin of [[sqL2]]. */
+  private def sqL2D(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Argmax-cosine assignment, ties to the lowest cid (`cents` must be
+    * cid-ascending; strict > keeps the earlier entry) — the driver twin
+    * of [[ivfAssignLitD]]'s fold and the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY csim DESC, cid)`.
+    */
+  private def assignCosineD(x: Array[Double],
+                            cents: Seq[(Long, Array[Double])]): Long = {
+    val nx = math.sqrt(dotD(x, x))
+    var best = -1L
+    var bestSim = Double.NegativeInfinity
+    cents.foreach { case (cid, ce) =>
+      val denom = nx * math.sqrt(dotD(ce, ce))
+      val cs = if (denom > 0) dotD(x, ce) / denom else Double.NegativeInfinity
+      val safe = if (cs.isNaN) Double.NegativeInfinity else cs
+      if (safe > bestSim) { bestSim = safe; best = cid }
+    }
+    best
+  }
+
+  private def assignL2D(x: Array[Double],
+                        cents: Seq[(Long, Array[Double])]): Long = {
+    var best = -1L
+    var bestD = Double.PositiveInfinity
+    cents.foreach { case (cid, ce) =>
+      val d = sqL2D(x, ce)
+      if (d < bestD) { bestD = d; best = cid }
+    }
+    best
+  }
+
+  /** One mean update: each centroid becomes the element-wise mean of
+    * its members, folded in vec_id order (pts must be id-ascending);
+    * an empty cluster keeps its previous centroid.
+    */
+  private def meanUpdate(pts: Seq[(Long, Array[Double])], assign: Seq[Long],
+                         cents: Seq[(Long, Array[Double])]): Seq[(Long, Array[Double])] =
+    cents.map { case (cid, old) =>
+      val members = pts.zip(assign).collect { case ((_, v), a) if a == cid => v }
+      if (members.isEmpty) (cid, old)
+      else {
+        val d = old.length
+        val acc = new Array[Double](d)
+        members.foreach { v =>
+          var i = 0; while (i < d) { acc(i) += v(i); i += 1 }
+        }
+        var i = 0
+        while (i < d) { acc(i) /= members.size; i += 1 }
+        (cid, acc)
+      }
+    }
+
+  private def lloyd(sample: Seq[(Long, Array[Double])], k: Int, iters: Int,
+                    assignFn: (Array[Double], Seq[(Long, Array[Double])]) => Long)
+      : Seq[(Long, Array[Double])] = {
+    val pts = sample.sortBy(_._1)
+    var cents = pts.take(k).map { case (id, v) => (id, v.clone()) }
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val assign = pts.map { case (_, v) => assignFn(v, cents) }
+      cents = meanUpdate(pts, assign, cents)
+      it += 1
+    }
+    cents
+  }
+
+  /** Spherical (cosine-assignment) k-means for the IVF coarse
+    * quantizer: cluster ids are the seed vec_ids (stable across
+    * iterations — the tie-break convention survives training).
+    */
+  def kmeansCosine(sample: Seq[(Long, Array[Float])], k: Int,
+                   iters: Int): Seq[(Long, Array[Double])] =
+    lloyd(sample.map { case (id, v) => (id, v.map(_.toDouble)) },
+      k, iters, assignCosineD)
+
+  /** L2 k-means over pre-sliced (sub)vectors — the PQ per-subspace
+    * trainer.
+    */
+  def kmeansL2(sample: Seq[(Long, Array[Double])], k: Int,
+               iters: Int): Seq[(Long, Array[Double])] =
+    lloyd(sample, k, iters, assignL2D)
+
+  /** Sequential-fold dot of a float-array column against a literal
+    * double codebook row — zip_with casts the float side, products and
+    * fold in doubles: bit-identical to the oracle's CAST-both `sqlDot`.
+    */
+  private def dotFD(a: Column, b: Array[Double]): Column =
+    aggregate(zip_with(a, lit(b), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Same fold between two array COLUMNS (float × double). */
+  private def dotColFD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** [[ivfAssignLit]] for a TRAINED (double) codebook: same shuffle-free
+    * narrow argmax map; centroid norms are driver-computed plan-time
+    * literals (the same left-to-right fold the oracle's
+    * sqrt(list_reduce(...)) spells, so the division parity holds).
+    */
+  def ivfAssignLitD(corpus: DataFrame,
+                    cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "ivfAssignLitD needs at least one centroid")
+    val emb = col("embedding")
+    val cands = array(cents.sortBy(_._1).map { case (cid, ce) =>
+      val denom = sqrt(normSq(emb)) * lit(math.sqrt(dotD(ce, ce)))
+      val cs = when(denom > 0, dotFD(emb, ce) / denom)
+      val safe = when(cs.isNull || isnan(cs), lit(Double.NegativeInfinity)).otherwise(cs)
+      struct(safe.as("csim"), lit(cid).as("cid"))
+    }: _*)
+    val best = aggregate(cands,
+      struct(lit(Double.NegativeInfinity).as("csim"), lit(-1L).as("cid")),
+      (acc, x) => when(x.getField("csim") > acc.getField("csim"), x).otherwise(acc))
+    corpus
+      .select(best.getField("cid").as("cid"), col("vec_id"), emb)
+      .filter(col("cid") >= 0)
+  }
+
+  /** [[ivfTopK]] with a TRAINED coarse quantizer: k-means on the
+    * `sampleN` lowest-id vectors (bounded driver sample), codebook into
+    * the literal assignment map — the plan is [[ivfTopK]]'s exactly.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nCentroids: Int = 8, nProbe: Int = 2,
+                     sampleN: Int = 256, iters: Int = 1): DataFrame = {
+    def empty = corpus.limit(0).select(col("vec_id").as("qid"), col("vec_id"),
+      lit(0.0).as("cos"), lit(1).as("rank"))
+    val sample = collectSeeds(corpus, sampleN)
+    if (sample.isEmpty) return empty
+    val cents = kmeansCosine(sample, nCentroids, iters)
+    val assigned = ivfAssignLitD(corpus, cents)
+    import corpus.sparkSession.implicits._
+    val centsDf = broadcast(
+      cents.map { case (cid, ce) => (cid, ce, math.sqrt(dotD(ce, ce))) }
+        .toDF("cid", "ce", "cn"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(centsDf)
+      .withColumn("csim",
+        dotColFD(col("qe"), col("ce")) / (sqrt(normSq(col("qe"))) * col("cn")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Reassemble per-subspace codebooks into full-length rows: cluster
+    * ids are the SAME k lowest-id sample vectors in every subspace (the
+    * seed convention is id-based, not value-based), so row j of each
+    * subspace concatenates into one codebook vector [[pqEncodeLit]]
+    * slices back apart.
+    */
+  private def trainPqCodebook(sample: Seq[(Long, Array[Double])], m: Int,
+                              sub: Int, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    val perSub = (0 until m).map { mi =>
+      kmeansL2(sample.map { case (id, v) =>
+        (id, v.slice(mi * sub, mi * sub + sub)) }, k, iters)
+    }
+    perSub.head.indices.map { j =>
+      (perSub.head(j)._1, perSub.flatMap(s => s(j)._2).toArray)
+    }
+  }
+
+  /** [[pqTopK]] with TRAINED per-subspace codebooks (L2 k-means on the
+    * sample's subvectors). Encoding stays the narrow literal map.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+                    nCentroids: Int = 8, sampleN: Int = 256, iters: Int = 1,
+                    knownDim: Int = -1): DataFrame = {
+    def empty = corpus.limit(0).select(col("vec_id").as("qid"), col("vec_id"),
+      lit(0.0).as("adist"), lit(1).as("rank"))
+    val sample = collectSeeds(corpus, sampleN)
+    if (sample.isEmpty) return empty
+    val dim = if (knownDim > 0) knownDim else probeDim(corpus)
+    val sub = dim / m
+    val cb = trainPqCodebook(
+      sample.map { case (id, v) => (id, v.map(_.toDouble)) }, m, sub, nCentroids, iters)
+    val codes = corpus.select(col("vec_id"),
+      pqEncodeLit(col("embedding"), cb, m, sub, "cid").as("codes"))
+    import corpus.sparkSession.implicits._
+    val cbDf = broadcast(cb.flatMap { case (cid, ce) =>
+      (0 until m).map(mi => (cid, mi, ce.slice(mi * sub, mi * sub + sub)))
+    }.toDF("cid", "m", "csub"))
+    val qsubs = queries.select(col("vec_id").as("qid"),
+      posexplode(array((0 until m).map(i => slice(col("embedding"), i * sub + 1, sub)): _*))
+        .as(Seq("m", "qsub")))
+    val qmaps = broadcast(qsubs.join(cbDf, "m")
+      .withColumn("d", sqL2(col("qsub"), col("csub")))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(":", col("m"), col("cid")), col("d")))).as("dtab")))
+    val adist = aggregate(col("codes"), lit(0.0), (acc, e) =>
+      acc + element_at(col("dtab"), concat_ws(":", e.getField("m"), e.getField("cid"))))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    codes.crossJoin(qmaps)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rank"))
+  }
+
+  /** [[ivfpqTopK]] with BOTH quantizers trained: spherical k-means for
+    * the coarse cells, then L2 k-means per subspace over the SAMPLE's
+    * residuals (computed driver-side with the same assignment/subtract
+    * arithmetic the distributed plan uses). Plan shape unchanged: raw
+    * embeddings still never ride through scoring.
+    */
+  def ivfpqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                       m: Int = 4, nCells: Int = 8, pqK: Int = 8,
+                       nProbe: Int = 2, sampleN: Int = 256, iters: Int = 1,
+                       knownDim: Int = -1): DataFrame = {
+    def empty = corpus.limit(0).select(col("vec_id").as("qid"), col("vec_id"),
+      lit(0.0).as("adist"), lit(1).as("rank"))
+    val sample = collectSeeds(corpus, sampleN)
+    if (sample.isEmpty) return empty
+    val dim = if (knownDim > 0) knownDim else probeDim(corpus)
+    val sub = dim / m
+    val cents = kmeansCosine(sample, nCells, iters)
+    val centById = cents.toMap
+    val sampleResid = sample.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val ce = centById(assignCosineD(vd, cents))
+      (id, vd.indices.map(i => vd(i) - ce(i)).toArray)
+    }
+    val pqCb = trainPqCodebook(sampleResid, m, sub, pqK, iters)
+    val ceMap = map_from_entries(array(cents.sortBy(_._1).map { case (cid, ce) =>
+      struct(lit(cid), lit(ce))
+    }: _*))
+    val resid = ivfAssignLitD(corpus, cents)
+      .select(col("cid"), col("vec_id"),
+        zip_with(col("embedding"), element_at(ceMap, col("cid")),
+          (x, c) => x.cast("double") - c).as("resid"))
+    val codes = resid.select(col("cid"), col("vec_id"),
+      pqEncodeLit(col("resid"), pqCb, m, sub, "pcid").as("codes"))
+    import corpus.sparkSession.implicits._
+    val centsDf = broadcast(
+      cents.map { case (cid, ce) => (cid, ce, math.sqrt(dotD(ce, ce))) }
+        .toDF("cid", "ce", "cn"))
+    val cbDf = broadcast(pqCb.flatMap { case (pcid, r) =>
+      (0 until m).map(mi => (pcid, mi, r.slice(mi * sub, mi * sub + sub)))
+    }.toDF("pcid", "m", "csub"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(centsDf)
+      .withColumn("csim",
+        dotColFD(col("qe"), col("ce")) / (sqrt(normSq(col("qe"))) * col("cn")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qe"), col("ce"), (x, c) => x.cast("double") - c).as("qresid"))
+    val qmaps = broadcast(probes
+      .select(col("qid"), col("cid"),
+        posexplode(array((0 until m).map(i => slice(col("qresid"), i * sub + 1, sub)): _*))
+          .as(Seq("m", "sv")))
+      .join(cbDf, "m")
+      .withColumn("d", sqL2(col("sv"), col("csub")))
+      .groupBy(col("qid"), col("cid"))
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(":", col("m"), col("pcid")), col("d")))).as("dtab")))
+    val adist = aggregate(col("codes"), lit(0.0), (acc, e) =>
+      acc + element_at(col("dtab"), concat_ws(":", e.getField("m"), e.getField("pcid"))))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    codes.join(qmaps, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rank"))
+  }
 }

@@ -327,6 +327,187 @@ object DedupSim {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM adc)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ── Trained-quantizer variants (round 4) ───────────────────────────
+  // One Lloyd round on the 256 lowest-id vectors, expressed BOTH as the
+  // driver-side fold (Similarity.kmeans*) and in the oracle SQL itself:
+  // per-centroid-position means are list_reduce(list(v ORDER BY vec_id))
+  // sequential folds divided by COUNT(*) — the exact arithmetic the
+  // driver runs, so the trained codebooks (and every score computed
+  // from them) hash-match bit-for-bit without baking values into SQL.
+
+  /** Shared training CTEs: sample, seed, assign, mean-update → `cents`
+    * (cid, ce double-list, cn = sqrt of the self-dot fold).
+    */
+  private val TrainedCentsCtes: String =
+    s"""smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+       |seeds AS (SELECT vec_id AS cid, embedding AS ce FROM smp ORDER BY vec_id LIMIT 8),
+       |sasg AS (SELECT cid, vec_id, embedding FROM (
+       |  SELECT c.cid, s.vec_id, s.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |      ${sqlDot("s.embedding", "c.ce")} / (sqrt(ns.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM smp s CROSS JOIN seeds c
+       |  JOIN nrm ns ON ns.vec_id = s.vec_id JOIN nrm nc ON nc.vec_id = c.cid)
+       |  WHERE crank = 1),
+       |upd AS (SELECT cid, p,
+       |    list_reduce(list(CAST(embedding[p+1] AS DOUBLE) ORDER BY vec_id), (x,y) -> x+y)
+       |      / COUNT(*) AS cv
+       |  FROM sasg CROSS JOIN range(64) t(p) GROUP BY cid, p),
+       |tc AS (SELECT s.cid,
+       |    COALESCE(u.ce, list_transform(s.ce, v -> CAST(v AS DOUBLE))) AS ce
+       |  FROM seeds s LEFT JOIN
+       |    (SELECT cid, list(cv ORDER BY p) AS ce FROM upd GROUP BY cid) u USING (cid)),
+       |cents AS (SELECT cid, ce, sqrt(${sqlDot("ce", "ce")}) AS cn FROM tc)""".stripMargin
+
+  /** IVF ANN with a TRAINED coarse quantizer (1 Lloyd round on the 256
+    * lowest-id vectors): same plan as sim_ivf, trained codebook as
+    * plan-time literals.
+    */
+  def simIvfT(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8), k = 5,
+      nCentroids = 8, nProbe = 2, sampleN = 256, iters = 1)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simIvfTSql: String =
+    s"""WITH $NormCte,
+       |$TrainedCentsCtes,
+       |asg AS (SELECT cid, vec_id, embedding FROM (
+       |  SELECT c.cid, e.vec_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.ce")} / (sqrt(ne.n2) * c.cn) DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id) WHERE crank = 1),
+       |prb AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${sqlDot("q.embedding", "c.ce")} / (sqrt(nq.n2) * c.cn) DESC, c.cid) AS crank
+       |  FROM embeddings q CROSS JOIN cents c
+       |  JOIN nrm nq ON nq.vec_id = q.vec_id
+       |  WHERE q.vec_id < 8) WHERE crank <= 2)
+       |SELECT qid, vec_id, cos, rank FROM (
+       |  SELECT p.qid, a.vec_id,
+       |    ${sqlDot("p.qe", "a.embedding")} / (sqrt(nq.n2) * sqrt(na.n2)) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |      ${sqlDot("p.qe", "a.embedding")} / (sqrt(nq.n2) * sqrt(na.n2)) DESC, a.vec_id) AS rank
+       |  FROM prb p JOIN asg a USING (cid)
+       |  JOIN nrm nq ON nq.vec_id = p.qid JOIN nrm na ON na.vec_id = a.vec_id
+       |  WHERE p.qid <> a.vec_id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** PQ ADC with TRAINED per-subspace codebooks (1 L2-Lloyd round per
+    * subspace on the sample's subvectors).
+    */
+  def simPqT(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 8), k = 5,
+      m = 4, nCentroids = 8, sampleN = 256, iters = 1)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simPqTSql: String =
+    s"""WITH smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+       |ms AS (SELECT unnest(range(4)) AS m),
+       |sseeds AS (SELECT vec_id AS cid, embedding FROM smp ORDER BY vec_id LIMIT 8),
+       |scb AS (SELECT cid, m, embedding[m*16+1 : m*16+16] AS csub FROM sseeds CROSS JOIN ms),
+       |ssubs AS (SELECT vec_id, m, embedding[m*16+1 : m*16+16] AS sv FROM smp CROSS JOIN ms),
+       |psasg AS (SELECT m, cid, vec_id, sv FROM (
+       |    SELECT s.m, c.cid, s.vec_id, s.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSqL2("s.sv", "c.csub")} ASC, c.cid) AS rk
+       |    FROM ssubs s JOIN scb c USING (m)) WHERE rk = 1),
+       |pupd AS (SELECT m, cid, p,
+       |    list_reduce(list(CAST(sv[p+1] AS DOUBLE) ORDER BY vec_id), (x,y) -> x+y)
+       |      / COUNT(*) AS cv
+       |  FROM psasg CROSS JOIN range(16) t(p) GROUP BY m, cid, p),
+       |cb AS (SELECT s.cid, s.m,
+       |    COALESCE(u.csub, list_transform(s.csub, v -> CAST(v AS DOUBLE))) AS csub
+       |  FROM scb s LEFT JOIN
+       |    (SELECT m, cid, list(cv ORDER BY p) AS csub FROM pupd GROUP BY m, cid) u
+       |    ON u.m = s.m AND u.cid = s.cid),
+       |subs AS (SELECT vec_id, m, embedding[m*16+1 : m*16+16] AS sub
+       |  FROM embeddings CROSS JOIN ms),
+       |codes AS (SELECT vec_id, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSqL2("s.sub", "c.csub")} ASC, c.cid) AS rk
+       |    FROM subs s JOIN cb c USING (m)) WHERE rk = 1),
+       |qtab AS (SELECT s.vec_id AS qid, s.m, c.cid, ${sqlSqL2("s.sub", "c.csub")} AS d
+       |  FROM subs s JOIN cb c USING (m) WHERE s.vec_id < 8),
+       |adc AS (SELECT t.qid, co.vec_id,
+       |    list_reduce(list(t.d ORDER BY t.m), (x, y) -> x + y) AS adist
+       |  FROM codes co JOIN qtab t ON t.m = co.m AND t.cid = co.code
+       |  WHERE t.qid <> co.vec_id
+       |  GROUP BY t.qid, co.vec_id)
+       |SELECT qid, vec_id, adist, rank FROM (
+       |  SELECT qid, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM adc)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** IVFADC with BOTH quantizers trained: spherical k-means coarse
+    * cells + per-subspace L2 k-means over the sample's residuals.
+    */
+  def simIvfpqT(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.ivfpqTopKTrained(emb, emb.filter(col("vec_id") < 8), k = 5,
+      m = 4, nCells = 8, pqK = 8, nProbe = 2, sampleN = 256, iters = 1)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simIvfpqTSql: String =
+    s"""WITH $NormCte,
+       |$TrainedCentsCtes,
+       |asg AS (SELECT cid, vec_id, embedding FROM (
+       |  SELECT c.cid, e.vec_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.ce")} / (sqrt(ne.n2) * c.cn) DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id) WHERE crank = 1),
+       |res AS (SELECT a.cid, a.vec_id, ${sqlResid("a.embedding", "c.ce")} AS resid
+       |  FROM asg a JOIN cents c ON c.cid = a.cid),
+       |sres AS (SELECT r.vec_id, r.resid FROM res r JOIN smp s2 ON s2.vec_id = r.vec_id),
+       |ms AS (SELECT unnest(range(4)) AS m),
+       |pseeds AS (SELECT vec_id AS pcid, resid FROM sres ORDER BY vec_id LIMIT 8),
+       |pscb AS (SELECT pcid, m, resid[m*16+1 : m*16+16] AS csub FROM pseeds CROSS JOIN ms),
+       |pssubs AS (SELECT vec_id, m, resid[m*16+1 : m*16+16] AS sv FROM sres CROSS JOIN ms),
+       |psasg AS (SELECT m, pcid, vec_id, sv FROM (
+       |    SELECT s.m, c.pcid, s.vec_id, s.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSqL2("s.sv", "c.csub")} ASC, c.pcid) AS rk
+       |    FROM pssubs s JOIN pscb c USING (m)) WHERE rk = 1),
+       |pupd AS (SELECT m, pcid, p,
+       |    list_reduce(list(sv[p+1] ORDER BY vec_id), (x,y) -> x+y) / COUNT(*) AS cv
+       |  FROM psasg CROSS JOIN range(16) t(p) GROUP BY m, pcid, p),
+       |cb AS (SELECT s.pcid, s.m, COALESCE(u.csub, s.csub) AS csub
+       |  FROM pscb s LEFT JOIN
+       |    (SELECT m, pcid, list(cv ORDER BY p) AS csub FROM pupd GROUP BY m, pcid) u
+       |    ON u.m = s.m AND u.pcid = s.pcid),
+       |subs AS (SELECT cid, vec_id, m, resid[m*16+1 : m*16+16] AS sv FROM res CROSS JOIN ms),
+       |codes AS (SELECT cid, vec_id, m, pcid AS code FROM (
+       |    SELECT s.cid, s.vec_id, s.m, c.pcid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSqL2("s.sv", "c.csub")} ASC, c.pcid) AS rk
+       |    FROM subs s JOIN cb c USING (m)) WHERE rk = 1),
+       |prb AS (SELECT qid, cid, qresid FROM (
+       |  SELECT q.vec_id AS qid, c.cid, ${sqlResid("q.embedding", "c.ce")} AS qresid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${sqlDot("q.embedding", "c.ce")} / (sqrt(nq.n2) * c.cn) DESC, c.cid) AS crank
+       |  FROM embeddings q CROSS JOIN cents c
+       |  JOIN nrm nq ON nq.vec_id = q.vec_id
+       |  WHERE q.vec_id < 8) WHERE crank <= 2),
+       |qsubs AS (SELECT qid, cid, m, qresid[m*16+1 : m*16+16] AS sv FROM prb CROSS JOIN ms),
+       |qtab AS (SELECT q.qid, q.cid, c.m, c.pcid, ${sqlSqL2("q.sv", "c.csub")} AS d
+       |  FROM qsubs q JOIN cb c USING (m)),
+       |adc AS (SELECT t.qid, co.vec_id,
+       |    list_reduce(list(t.d ORDER BY t.m), (x, y) -> x + y) AS adist
+       |  FROM codes co JOIN qtab t ON t.cid = co.cid AND t.m = co.m AND t.pcid = co.code
+       |  WHERE t.qid <> co.vec_id
+       |  GROUP BY t.qid, co.vec_id)
+       |SELECT qid, vec_id, adist, rank FROM (
+       |  SELECT qid, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM adc)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Streaming near-dup candidates run in bounded mode over the corpus
     * (same operator the streaming query uses — flatMapGroupsWithState
     * over minhash band state): (pair, number of colliding bands).
@@ -375,6 +556,9 @@ object DedupSim {
     "sim_ivf" -> (simIvf _),
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (simIvfpq _),
+    "sim_ivf_t" -> (simIvfT _),
+    "sim_pq_t" -> (simPqT _),
+    "sim_ivfpq_t" -> (simIvfpqT _),
     "dedup_semantic" -> (dedupSemantic _),
     "stream_neardup" -> (streamNearDup _))
 
@@ -387,6 +571,9 @@ object DedupSim {
     "sim_ivf" -> simIvfSql,
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfpqSql,
+    "sim_ivf_t" -> simIvfTSql,
+    "sim_pq_t" -> simPqTSql,
+    "sim_ivfpq_t" -> simIvfpqTSql,
     "dedup_semantic" -> dedupSemanticSql,
     "stream_neardup" -> streamNearDupSql)
 }

@@ -231,4 +231,51 @@ class DedupSimSpec extends SparkSpec {
     assert(viaLit.size == viaFrames.size)
     assert(viaLit == viaFrames)
   }
+
+  /** Clustered fixture where the seed convention is WORST-case: the 4
+    * lowest ids (= the seeds) all sit in cluster 0 with only tiny
+    * jitter between them, so seeded cells are noise-driven mixtures of
+    * all clusters. Training exists to fix exactly this.
+    */
+  private def clusteredEmbeddings = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val cluster = if (i < 4) 0 else i % 4
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat * 0.08f)
+      v(cluster * 4) += 1f
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("trained IVF recall >= seeded recall on a clustered corpus (and beats it strictly here)") {
+    val emb = clusteredEmbeddings.cache()
+    val queries = emb.filter($"vec_id" >= 112) // 2 queries per cluster
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Similarity.cosineTopK(emb, queries, k = 5)
+        .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = ann.select($"qid", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val seeded = recall(Similarity.ivfTopK(emb, queries, k = 5,
+      nCentroids = 4, nProbe = 1))
+    val trained = recall(Similarity.ivfTopKTrained(emb, queries, k = 5,
+      nCentroids = 4, nProbe = 1, sampleN = 120, iters = 5))
+    assert(trained >= seeded, s"trained recall $trained < seeded $seeded")
+    assert(trained > seeded,
+      s"fixture must demonstrate a strict win (trained=$trained seeded=$seeded)")
+    assert(trained >= 0.9, s"k-means should recover the 4 clean clusters, got $trained")
+  }
+
+  test("trained centroids differ from the seeds and training is deterministic") {
+    val emb = clusteredEmbeddings
+    val sample = Similarity.collectSeeds(emb, 120)
+    val seeds = sample.take(4).map { case (id, v) => (id, v.map(_.toDouble).toSeq) }
+    val t1 = Similarity.kmeansCosine(sample, 4, 3).map { case (id, v) => (id, v.toSeq) }
+    val t2 = Similarity.kmeansCosine(sample, 4, 3).map { case (id, v) => (id, v.toSeq) }
+    assert(t1 == t2, "same sample + iters must give bit-identical codebooks")
+    assert(t1.map(_._1) == seeds.map(_._1), "cluster ids stay the seed vec_ids")
+    assert(t1 != seeds, "one Lloyd round must move the centroids")
+  }
 }
