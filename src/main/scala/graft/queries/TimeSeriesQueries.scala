@@ -321,6 +321,34 @@ object TimeSeriesQueries {
       |  ON e.user_id = m.user_id AND e.ts >= m.ts
       |ORDER BY event_id""".stripMargin
 
+  /** STREAMING as-of join run in bounded mode over the same corpus as
+    * ts_asof ([[graft.streaming.StreamingAsOf]] — flatMapGroupsWithState
+    * with watermark-pruned marker state on the stream plane): identical
+    * output contract, certified against DuckDB's NATIVE ASOF JOIN, so
+    * the stream operator is held to the batch operator's oracle.
+    */
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    // every event rides as a left; markers ALSO ride as rights (the
+    // batch query enriches every event, markers included)
+    val lefts = ev.select(col("user_id").as("key"), col("ts_ms").as("tsMs"),
+      lit(false).as("isRight"), col("event_id").as("rid"),
+      timestamp_millis(col("ts_ms")).as("ts"))
+    val rights = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id").as("key"), col("ts_ms").as("tsMs"),
+        lit(true).as("isRight"), col("event_id").as("rid"),
+        timestamp_millis(col("ts_ms")).as("ts"))
+    val tagged = lefts.unionByName(rights).as[graft.streaming.StreamingAsOf.In]
+    graft.streaming.StreamingAsOf.boundedOf(s, tagged).toDF()
+      .select(col("leftId").as("event_id"), col("key").as("user_id"),
+        col("tsMs").as("ts_ms"), col("rightId").as("marker_id"),
+        (col("tsMs") - col("rightTsMs")).as("lag_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamAsofSql: String = tsAsofSql
+
   /** Forward as-of: every event enriched with the NEXT marker at or
     * after its timestamp ([[graft.operators.AsOf.joinForward]]) —
     * "time until the next checkpoint", the mirror statistic of
@@ -355,6 +383,7 @@ object TimeSeriesQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
+    "stream_asof" -> (streamAsof _),
     "stream_sessions" -> (streamSessions _),
     "ts_impute" -> (tsImpute _),
     "ts_anomaly" -> (tsAnomaly _),
@@ -367,6 +396,7 @@ object TimeSeriesQueries {
   val oracles: Map[String, String] = Map(
     "ts_asof" -> tsAsofSql,
     "ts_asof_fwd" -> tsAsofFwdSql,
+    "stream_asof" -> streamAsofSql,
     "stream_sessions" -> streamSessionsSql,
     "ts_impute" -> tsImputeSql,
     "ts_anomaly" -> tsAnomalySql,
