@@ -187,6 +187,90 @@ object TimeSeriesQueries {
       .orderBy(col("user_id"), col("seg"))
   }
 
+  /** T6 solver certification (round 4 — closes the ts_trend no_oracle
+    * gap at the SOLVER level): the continuous-PWL fixed-break least
+    * squares underlying ts_trend, run through the REAL Breeze QR path
+    * ([[graft.ts.TrendFit.fitFixedBreaks]]) with deterministic breaks
+    * [0, 0.5, 1] on range-normalized x, certified against DuckDB
+    * solving the SAME least-squares problem in closed form (3×3 normal
+    * equations via Cramer's rule). The emitted quantities — fitted
+    * values at the three breaks + SSR — uniquely pin the continuous
+    * PWL solution; QR and the normal equations agree to ~1e-12 on the
+    * normalized (condition-number ~10) design, so the 4-decimal
+    * rounding both sides apply absorbs the algorithmic difference with
+    * enormous margin. The break SEARCH stays spec-pinned
+    * (TrendFitSpec golden fixtures); ts_trend itself remains the
+    * search+fit composition.
+    */
+  def tsTrendFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"), col("value"))))
+        .as("pts"))
+      .as[(Long, Seq[(Long, Long, Double)])]
+    grouped
+      .flatMap { case (uid, pts) =>
+        val mn = pts.head._1
+        val mx = pts.last._1
+        if (pts.size < 8 || mx == mn) Nil
+        else {
+          // one exact-integer subtraction + one division, mirrored
+          // verbatim in the oracle so the design matrices are
+          // bit-identical inputs to the two solvers
+          val span = (mx - mn).toDouble
+          val u = pts.map(p => (p._1 - mn).toDouble / span).toArray
+          val y = pts.map(_._3).toArray
+          val fit = graft.ts.TrendFit.fitFixedBreaks(u, y, Array(0.0, 0.5, 1.0))
+          val s0 = fit.segments.head
+          val s1 = fit.segments.last
+          Seq((uid, s0.intercept + s0.slope * 0.0,
+            s1.intercept + s1.slope * 0.5,
+            s1.intercept + s1.slope * 1.0, fit.ssr))
+        }
+      }
+      .toDF("user_id", "y0r", "ymr", "yer", "ssrr")
+      .select(col("user_id"),
+        round(col("y0r"), 4).as("y_start"),
+        round(col("ymr"), 4).as("y_mid"),
+        round(col("yer"), 4).as("y_end"),
+        round(col("ssrr"), 4).as("ssr"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsTrendFixedSql: String =
+    """WITH pts AS (SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms, value
+      |  FROM events),
+      |spans AS (SELECT user_id, MIN(ts_ms) AS mn, MAX(ts_ms) AS mx, COUNT(*) AS n
+      |  FROM pts GROUP BY user_id HAVING COUNT(*) >= 8 AND MAX(ts_ms) > MIN(ts_ms)),
+      |uv AS (SELECT p.user_id,
+      |    CAST(p.ts_ms - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE) AS u,
+      |    p.value AS y
+      |  FROM pts p JOIN spans s USING (user_id)),
+      |uvr AS (SELECT user_id, u, y, greatest(u - 0.5, 0) AS r FROM uv),
+      |sums AS (SELECT user_id,
+      |    CAST(COUNT(*) AS DOUBLE) AS n, SUM(u) AS su, SUM(r) AS sr,
+      |    SUM(u*u) AS suu, SUM(u*r) AS sur, SUM(r*r) AS srr,
+      |    SUM(y) AS sy, SUM(u*y) AS suy, SUM(r*y) AS sry
+      |  FROM uvr GROUP BY user_id),
+      |coef AS (SELECT user_id,
+      |    (sy*(suu*srr - sur*sur) - su*(suy*srr - sur*sry) + sr*(suy*sur - suu*sry))
+      |      / (n*(suu*srr - sur*sur) - su*(su*srr - sur*sr) + sr*(su*sur - suu*sr)) AS c0,
+      |    (n*(suy*srr - sur*sry) - sy*(su*srr - sur*sr) + sr*(su*sry - suy*sr))
+      |      / (n*(suu*srr - sur*sur) - su*(su*srr - sur*sr) + sr*(su*sur - suu*sr)) AS c1,
+      |    (n*(suu*sry - suy*sur) - su*(su*sry - suy*sr) + sy*(su*sur - suu*sr))
+      |      / (n*(suu*srr - sur*sur) - su*(su*srr - sur*sr) + sr*(su*sur - suu*sr)) AS c2
+      |  FROM sums),
+      |ssr AS (SELECT v.user_id,
+      |    SUM((v.y - (c.c0 + c.c1*v.u + c.c2*v.r)) * (v.y - (c.c0 + c.c1*v.u + c.c2*v.r))) AS sse
+      |  FROM uvr v JOIN coef c USING (user_id) GROUP BY v.user_id)
+      |SELECT c.user_id,
+      |  ROUND(c.c0, 4) AS y_start,
+      |  ROUND(c.c0 + 0.5*c.c1, 4) AS y_mid,
+      |  ROUND(c.c0 + c.c1 + 0.5*c.c2, 4) AS y_end,
+      |  ROUND(s.sse, 4) AS ssr
+      |FROM coef c JOIN ssr s USING (user_id) ORDER BY c.user_id""".stripMargin
+
   /** T10+T9+T11 connect-the-dots trend on short series, DuckDB-checkable:
     * the ≤6-point path of [[graft.ts.TrendFit.fitSeries]] is pure
     * arithmetic (consecutive-point segments + scaled-slope description),
@@ -391,6 +475,7 @@ object TimeSeriesQueries {
     "ts_numeric_gate" -> (tsNumericGate _),
     "ts_emission" -> (tsEmission _),
     "ts_trend" -> (tsTrend _),
+    "ts_trend_fixed" -> (tsTrendFixed _),
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
@@ -403,8 +488,10 @@ object TimeSeriesQueries {
     "ts_slope" -> tsSlopeSql,
     "ts_numeric_gate" -> tsNumericGateSql,
     "ts_emission" -> tsEmissionSql,
+    "ts_trend_fixed" -> tsTrendFixedSql,
     "ts_trend_dots" -> tsTrendDotsSql)
-    // ts_trend: Breeze PWL fit, not SQL-expressible -> rows-only check
+    // ts_trend: the break SEARCH is not SQL-expressible -> rows-only
+    // check; its SOLVER is oracle-certified via ts_trend_fixed
     // plus the golden-fixture e2e spec (TrendFitSpec) asserting exact
     // segments on a hand-derived piecewise series.
 }
