@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * video frame extraction and COMPRESSED audio (MP3/AAC/Vorbis),
   * whose codecs genuinely are not in the JDK; their plumbing (schema,
   * explode shape, batch signature) is the tested contract a
-  * javacv/JNI kernel drops into.
+  * javacv/JNI kernel drops into. Round 4 pins that contract as a
+  * first-class hook: [[ExternalDecoder]] (factory-per-partition
+  * lifecycle, JDK fallback composition, schema parity — proven with
+  * fake MP3/H.264 decoders in ExternalDecoderSpec).
   */
 object Multimodal {
 
