@@ -20,7 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unchanged. SST CONTINUE-record splitting IS handled (including the
   * mid-string option-byte encoding switch); rich-text/phonetic payload
   * CONTENT is skipped (correctly stepped over). BIFF5 (.xls written by
-  * Excel 5.0/95) is not supported.
+  * Excel 5.0/95) parses through the same record walk via BOF version
+  * dispatch (round 4): ANSI byte strings, no SST — the record subset
+  * pre-97 writers emit for data cells.
   */
 object XlsReader {
 
@@ -222,6 +224,12 @@ object XlsReader {
     */
   def parseWorkbook(bytes: Array[Byte], sheetNumber: Option[Int] = None): Seq[XlsxReader.Cell] = {
     val s = workbookStream(bytes)
+    // BIFF version dispatch from the globals BOF (round 4): vers
+    // 0x0500 = BIFF5 (Excel 5.0/95 — the pre-97 workbooks pyexcel
+    // still reads). BIFF5 subset: same record ids for BOUNDSHEET/
+    // LABEL/NUMBER/RK/MULRK/FORMULA, but strings are ANSI byte runs
+    // (no grbit option flags) and there is no SST/LABELSST.
+    val biff5 = s.length >= 6 && u16(s, 0) == 0x809 && u16(s, 4) == 0x0500
     // pass 1: workbook globals — sheet table + shared strings
     val sheets = ArrayBuffer[(String, Int)]() // (name, stream offset of sheet BOF)
     var sst: IndexedSeq[String] = IndexedSeq.empty
@@ -233,10 +241,14 @@ object XlsReader {
         case 0x85 => // BOUNDSHEET
           val pos = u32(s, p + 4)
           val cch = s(p + 10) & 0xff
-          val hi = (s(p + 11) & 0x01) != 0
           val name =
-            if (hi) new String(s, p + 12, cch * 2, "UTF-16LE")
-            else new String(s.slice(p + 12, p + 12 + cch).map(x => (x & 0xff).toChar))
+            if (biff5) // ANSI bytes immediately after cch, no flags
+              new String(s.slice(p + 11, p + 11 + cch).map(x => (x & 0xff).toChar))
+            else {
+              val hi = (s(p + 11) & 0x01) != 0
+              if (hi) new String(s, p + 12, cch * 2, "UTF-16LE")
+              else new String(s.slice(p + 12, p + 12 + cch).map(x => (x & 0xff).toChar))
+            }
           sheets += ((name, pos))
         case 0xFC => // SST + any immediately-following CONTINUE records
           val segs = ArrayBuffer[Array[Byte]](s.slice(p + 4, p + 4 + len))
@@ -269,7 +281,12 @@ object XlsReader {
             out += XlsxReader.Cell(name, u16(s, d), u16(s, d + 2),
               if (idx < sst.length) sst(idx) else "")
           case 0x204 => // LABEL (inline string)
-            out += XlsxReader.Cell(name, u16(s, d), u16(s, d + 2), xlString(s, d + 6)._1)
+            val v =
+              if (biff5) { // cch u16 + ANSI bytes, no grbit
+                val cch = u16(s, d + 6)
+                new String(s.slice(d + 8, d + 8 + cch).map(x => (x & 0xff).toChar))
+              } else xlString(s, d + 6)._1
+            out += XlsxReader.Cell(name, u16(s, d), u16(s, d + 2), v)
           case 0x203 => // NUMBER (IEEE double)
             val bits = (u32(s, d + 6).toLong & 0xFFFFFFFFL) |
               ((u32(s, d + 10).toLong & 0xFFFFFFFFL) << 32)

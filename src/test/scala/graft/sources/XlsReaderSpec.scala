@@ -137,6 +137,42 @@ class XlsReaderSpec extends SparkSpec {
     assert(bySheet("extra").head.value == "3.5") // non-integral NUMBER
   }
 
+  /** BIFF5 (Excel 5.0/95) workbook stream: BOF vers 0x0500, ANSI
+    * BOUNDSHEET names (no option-flags byte), inline LABEL with ANSI
+    * byte strings, no SST — the pre-97 record shapes.
+    */
+  private def biff5Stream(): Array[Byte] = {
+    def bof(dt: Int) = rec(0x809, new LE().u16(0x0500).u16(dt).u16(0).u16(0))
+    def number(row: Int, col: Int, v: Double) =
+      rec(0x203, new LE().u16(row).u16(col).u16(0).f64(v))
+    def label(row: Int, col: Int, txt: String) =
+      rec(0x204, new LE().u16(row).u16(col).u16(0).u16(txt.length).ascii(txt))
+    def rkInt(v: Int): Int = (v << 2) | 0x02
+    val eof = rec(0x0A, new LE())
+    val sheet = bof(0x0010) ++
+      label(0, 0, "year") ++ label(0, 1, "gdp") ++
+      number(1, 0, 1995.0) ++
+      rec(0x27E, new LE().u16(1).u16(1).u16(0).u32(rkInt(7))) ++
+      rec(0xBD, new LE().u16(2).u16(0)
+        .u16(0).u32(rkInt(1996)).u16(0).u32(rkInt(8)).u16(1)) ++
+      eof
+    def boundsheet(pos: Int, name: String) =
+      rec(0x85, new LE().u32(pos).u16(0).u8(name.length).ascii(name))
+    def globals(p1: Int) = bof(0x0005) ++ boundsheet(p1, "legacy") ++ eof
+    val gLen = globals(0).length
+    globals(gLen) ++ sheet
+  }
+
+  test("BIFF5 workbook parses through the BOF version dispatch: ANSI labels, NUMBER, RK, MULRK") {
+    val cells = XlsReader.parseWorkbook(cfb(biff5Stream()))
+    assert(cells.map(_.sheet).toSet == Set("legacy"))
+    val grid = cells.map(c => (c.row, c.col) -> c.value).toMap
+    assert(grid((0, 0)) == "year" && grid((0, 1)) == "gdp")
+    assert(grid((1, 0)) == "1995" && grid((1, 1)) == "7")
+    assert(grid((2, 0)) == "1996" && grid((2, 1)) == "8")
+    assert(cells.size == 6)
+  }
+
   test("sheet_number selection is 1-based, matching dig_tabular_import") {
     val only1 = XlsReader.parseWorkbook(makeXls(), sheetNumber = Some(1))
     assert(only1.nonEmpty && only1.forall(_.sheet == "data"))
