@@ -192,6 +192,11 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(graft.operators.Similarity.pqTopK(emb, q, k = 5)) <= 2)
     assert(shuffles(graft.operators.Similarity.ivfpqTopK(emb, q, k = 5)) <= 2)
     assert(shuffles(graft.operators.Similarity.semanticDedup(emb, tau = 0.35)) <= 1)
+    // trained codebooks ride the SAME literal-map plumbing: budgets
+    // must not grow when k-means replaces the seed convention
+    assert(shuffles(graft.operators.Similarity.ivfTopKTrained(emb, q, k = 5)) <= 1)
+    assert(shuffles(graft.operators.Similarity.pqTopKTrained(emb, q, k = 5)) <= 2)
+    assert(shuffles(graft.operators.Similarity.ivfpqTopKTrained(emb, q, k = 5)) <= 2)
   }
 
   test("as-of join: exactly one keyed shuffle in the operator; query adds only marker dedup") {
