@@ -405,6 +405,39 @@ object TimeSeriesQueries {
       |  ON e.user_id = m.user_id AND e.ts >= m.ts
       |ORDER BY event_id""".stripMargin
 
+  /** Range (point-in-interval) join ([[graft.operators.IntervalJoin]],
+    * round 4 — the second brief-mandated time-series join beside
+    * as-of): every event matched to each 6-hour maintenance window
+    * opened by a marker event for the same user. The bucketized
+    * equi-join plan (no BroadcastNestedLoop, no per-key cartesian) is
+    * certified against DuckDB's native range join.
+    */
+  def tsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val mk = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("m_id"))
+      .select(col("user_id"), col("ts_ms").as("m_start"),
+        (col("ts_ms") + 21600000L).as("m_end"), col("m_id"))
+    graft.operators.IntervalJoin.joinPointInInterval(
+      ev.select(col("user_id"), col("event_id"), col("ts_ms")),
+      mk, key = Seq("user_id"), ts = "ts_ms",
+      start = "m_start", end = "m_end", bucketMs = 21600000L)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("m_id"),
+        (col("ts_ms") - col("m_start")).as("offset_ms"))
+      .orderBy(col("event_id"), col("m_id"))
+  }
+
+  val tsRangeJoinSql: String =
+    """WITH mk AS (SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS m_start,
+      |    MAX(event_id) AS m_id
+      |  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, m.m_id,
+      |  epoch_ms(e.ts) - m.m_start AS offset_ms
+      |FROM events e JOIN mk m ON e.user_id = m.user_id
+      |  AND epoch_ms(e.ts) >= m.m_start AND epoch_ms(e.ts) <= m.m_start + 21600000
+      |ORDER BY event_id, m_id""".stripMargin
+
   /** STREAMING as-of join run in bounded mode over the same corpus as
     * ts_asof ([[graft.streaming.StreamingAsOf]] — flatMapGroupsWithState
     * with watermark-pruned marker state on the stream plane): identical
@@ -468,6 +501,7 @@ object TimeSeriesQueries {
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_asof" -> (streamAsof _),
+    "ts_range_join" -> (tsRangeJoin _),
     "stream_sessions" -> (streamSessions _),
     "ts_impute" -> (tsImpute _),
     "ts_anomaly" -> (tsAnomaly _),
@@ -482,6 +516,7 @@ object TimeSeriesQueries {
     "ts_asof" -> tsAsofSql,
     "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_asof" -> streamAsofSql,
+    "ts_range_join" -> tsRangeJoinSql,
     "stream_sessions" -> streamSessionsSql,
     "ts_impute" -> tsImputeSql,
     "ts_anomaly" -> tsAnomalySql,

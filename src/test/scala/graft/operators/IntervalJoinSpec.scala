@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The bucketized range join against the naive theta join it replaces:
+  * identical pairs on real events (any bucket width), inclusive-bound
+  * and boundary edge cases, and the plan guarantee — an equi-join
+  * shape, never BroadcastNestedLoop/cartesian.
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evs = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"))
+
+  private def marks = evs.filter($"event_id" % 10 === 0)
+    .groupBy($"user_id", $"ts_ms")
+    .agg(max($"event_id").as("m_id"))
+    .select($"user_id", $"ts_ms".as("m_start"),
+      ($"ts_ms" + 21600000L).as("m_end"), $"m_id")
+
+  test("bucketized join equals the naive theta join on real events, across bucket widths") {
+    val naive = evs.join(marks, Seq("user_id"))
+      .filter($"ts_ms" >= $"m_start" && $"ts_ms" <= $"m_end")
+      .select($"event_id", $"m_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    // widths spanning under- and over-sized buckets vs the 6h interval
+    Seq(3600000L, 21600000L, 86400000L).foreach { w =>
+      val got = IntervalJoin.joinPointInInterval(evs, marks,
+        key = Seq("user_id"), ts = "ts_ms", start = "m_start", end = "m_end",
+        bucketMs = w)
+        .select($"event_id", $"m_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"bucketMs=$w: ${got.size} vs ${naive.size} pairs")
+    }
+  }
+
+  test("inclusive bounds, bucket-boundary points, empty and multi-bucket intervals") {
+    val pts = Seq((1L, 0L, 100L), (1L, 10L, 101L), (1L, 25L, 102L),
+      (1L, 99L, 103L), (2L, 10L, 104L))
+      .toDF("k", "t", "pid")
+    val ivs = Seq(
+      (1L, 0L, 10L, 201L),   // inclusive both ends: catches t=0 AND t=10
+      (1L, 11L, 24L, 202L),  // catches nothing
+      (1L, 20L, 99L, 203L),  // spans many 10-wide buckets: t=25, t=99
+      (1L, 50L, 40L, 204L),  // empty (end < start): no rows, no error
+      (2L, 10L, 10L, 205L))  // degenerate single-point: t=10 on key 2
+      .toDF("k", "s", "e", "iid")
+    val got = IntervalJoin.joinPointInInterval(pts, ivs,
+      key = Seq("k"), ts = "t", start = "s", end = "e", bucketMs = 10L)
+      .select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 201L), (101L, 201L), (102L, 203L),
+      (103L, 203L), (104L, 205L)))
+  }
+
+  test("plan is an equi-join on (key, bucket): no nested loop, no cartesian") {
+    val df = graft.queries.TimeSeriesQueries.tsRangeJoin(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bucketize to an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join on (key, bucket):\n$p")
+  }
+}
