@@ -234,4 +234,26 @@ object TextFunctions {
       },
       acc => struct(acc.getField("cnt").as("cnt"), acc.getField("gram").as("gram")))
   }
+
+  // ── Encoding repair (round 4 — the CCNet/ftfy-style curation step) ──
+
+  /** Heuristic double-encoded-UTF-8 (mojibake) detector: counts the
+    * lead-byte artifacts UTF-8 text shows after a latin-1 decode
+    * ("Ã©" for é, "â€™" for ', "Â " for NBSP…). Zero on clean text.
+    */
+  def mojibakeCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("Ã.|â€.|Â[ °£·»«]"), lit(0)))
+
+  /** Repair double-encoded UTF-8: re-encode the string's chars as
+    * windows-1252 bytes (the charset real pipelines mis-decode with)
+    * and decode them as UTF-8 — the inverse of the corrupting decode.
+    * A native expression, not SQL decode(encode(...)): Spark 4's ANSI
+    * `encode` THROWS on any non-encodable char and `decode` throws on
+    * invalid UTF-8 bytes, while this repair must simply pass such rows
+    * through. Applied only when the detector fires and the result
+    * strictly reduces the artifact count — never corrupts clean text,
+    * idempotent on repaired text.
+    */
+  def fixDoubleUtf8(c: Column): Column =
+    graft.plans.NativeExpressions.fixDoubleUtf8(c)
 }

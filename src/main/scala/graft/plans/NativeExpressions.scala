@@ -277,6 +277,62 @@ object NativeExpressions {
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** The latin-1 lead-byte artifacts UTF-8 text shows after a wrong
+    * latin-1 decode — the same alternation TextFunctions.mojibakeCount
+    * counts in-plan.
+    */
+  private val Mojibake = java.util.regex.Pattern.compile("Ã.|â€.|Â[ °£·»«]")
+
+  private def mojibake(s: String): Int = {
+    val m = Mojibake.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Double-encoded-UTF-8 repair kernel: re-encode through
+    * windows-1252 — the charset browsers and real-world pipelines
+    * actually mis-decode with (0x80–0x9F map to €…™, which is why
+    * mojibake reads "â€™", never latin-1's invisible C1 controls) —
+    * then strict UTF-8 decode. Guarded three ways: detector must fire,
+    * every char must be cp1252-encodable (CharsetEncoder.canEncode,
+    * not the silently-mangling getBytes), and the repair must strictly
+    * reduce the artifact count. Invalid UTF-8 byte runs surface as a
+    * CharacterCodingException (REPORT action), not replacement chars —
+    * such rows pass through unrepaired.
+    */
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  def fixUtf8Compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (mojibake(str) == 0) return s
+    if (!Cp1252.newEncoder().canEncode(str)) return s
+    try {
+      val bytes = str.getBytes(Cp1252)
+      val fixed = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (mojibake(fixed) < mojibake(str)) UTF8String.fromString(fixed) else s
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => s
+    }
+  }
+
+  case class FixDoubleUtf8(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "fix_double_utf8"
+    override protected def nullSafeEval(input: Any): Any =
+      fixUtf8Compute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.NativeExpressions.fixUtf8Compute($c);")
+    override protected def withNewChildInternal(newChild: Expression): FixDoubleUtf8 =
+      copy(child = newChild)
+  }
+
+  def fixDoubleUtf8(c: Column): Column =
+    GraftColumnBridge.column(FixDoubleUtf8(GraftColumnBridge.expression(c)))
+
   /** Gopher top-n-gram panel in one pass: tokenize once, then for each
     * n in [minN, maxN] count token n-grams (HashMap) and keep the most
     * frequent with ties to the lexicographically smallest (ASCII-safe:
