@@ -438,6 +438,36 @@ object TimeSeriesQueries {
       |  AND epoch_ms(e.ts) >= m.m_start AND epoch_ms(e.ts) <= m.m_start + 21600000
       |ORDER BY event_id, m_id""".stripMargin
 
+  /** STREAMING range join run in bounded mode over the same corpus as
+    * ts_range_join ([[graft.streaming.StreamingIntervalJoin]] —
+    * watermark-bounded point and interval state on the stream plane):
+    * identical output contract, certified against DuckDB's native
+    * range join, so the stream operator is held to the batch
+    * operator's oracle.
+    */
+  def streamRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val points = ev.select(col("user_id").as("key"), col("ts_ms").as("startMs"),
+      col("ts_ms").as("endMs"), lit(false).as("isInterval"),
+      col("event_id").as("rid"), timestamp_millis(col("ts_ms")).as("ts"))
+    val intervals = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("m_id"))
+      .select(col("user_id").as("key"), col("ts_ms").as("startMs"),
+        (col("ts_ms") + 21600000L).as("endMs"), lit(true).as("isInterval"),
+        col("m_id").as("rid"), timestamp_millis(col("ts_ms")).as("ts"))
+    val tagged = points.unionByName(intervals)
+      .as[graft.streaming.StreamingIntervalJoin.In]
+    graft.streaming.StreamingIntervalJoin.boundedOf(s, tagged).toDF()
+      .select(col("pointId").as("event_id"), col("key").as("user_id"),
+        col("tsMs").as("ts_ms"), col("intervalId").as("m_id"),
+        col("offsetMs").as("offset_ms"))
+      .orderBy(col("event_id"), col("m_id"))
+  }
+
+  val streamRangeJoinSql: String = tsRangeJoinSql
+
   /** STREAMING as-of join run in bounded mode over the same corpus as
     * ts_asof ([[graft.streaming.StreamingAsOf]] — flatMapGroupsWithState
     * with watermark-pruned marker state on the stream plane): identical
@@ -502,6 +532,7 @@ object TimeSeriesQueries {
     "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_asof" -> (streamAsof _),
     "ts_range_join" -> (tsRangeJoin _),
+    "stream_range_join" -> (streamRangeJoin _),
     "stream_sessions" -> (streamSessions _),
     "ts_impute" -> (tsImpute _),
     "ts_anomaly" -> (tsAnomaly _),
@@ -517,6 +548,7 @@ object TimeSeriesQueries {
     "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_asof" -> streamAsofSql,
     "ts_range_join" -> tsRangeJoinSql,
+    "stream_range_join" -> streamRangeJoinSql,
     "stream_sessions" -> streamSessionsSql,
     "ts_impute" -> tsImputeSql,
     "ts_anomaly" -> tsAnomalySql,
