@@ -57,6 +57,45 @@ class IntervalJoinSpec extends SparkSpec {
       (103L, 203L), (104L, 205L)))
   }
 
+  test("property: random points/intervals/bucket widths always equal the in-memory reference") {
+    val rnd = new scala.util.Random(11)
+    (0 until 20).foreach { trial =>
+      val nP = 1 + rnd.nextInt(40)
+      val nI = 1 + rnd.nextInt(25)
+      val pts = (0 until nP).map(i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(200).toLong, 1000L + i))
+      val ivs = (0 until nI).map { i =>
+        val s = rnd.nextInt(220) - 10
+        // mixes empty (negative-span), point, short and long intervals
+        (rnd.nextInt(3).toLong, s.toLong, (s + rnd.nextInt(60) - 5).toLong, 2000L + i)
+      }
+      val expected = (for {
+        (pk, t, pid) <- pts
+        (ik, s, e, iid) <- ivs if pk == ik && s <= t && t <= e
+      } yield (pid, iid)).toSet
+      val bucket = 1L + rnd.nextInt(100)
+      val got = IntervalJoin.joinPointInInterval(
+        pts.toDF("k", "t", "pid"), ivs.toDF("k", "s", "e", "iid"),
+        key = Seq("k"), ts = "t", start = "s", end = "e", bucketMs = bucket)
+        .select($"pid", $"iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial=$trial bucketMs=$bucket")
+      // streaming bounded mode agrees too (same trial data)
+      val taggedRows = pts.map { case (k, t, pid) =>
+        (k, t, t, false, pid, new java.sql.Timestamp(t))
+      } ++ ivs.map { case (k, s, e, iid) =>
+        (k, s, e, true, iid, new java.sql.Timestamp(s))
+      }
+      val tagged = taggedRows
+        .toDF("key", "startMs", "endMs", "isInterval", "rid", "ts")
+        .as[graft.streaming.StreamingIntervalJoin.In]
+      val gotStream = graft.streaming.StreamingIntervalJoin
+        .boundedOf(spark, tagged)
+        .collect().map(o => (o.pointId, o.intervalId)).toSet
+      assert(gotStream == expected, s"stream trial=$trial")
+    }
+  }
+
   test("plan is an equi-join on (key, bucket): no nested loop, no cartesian") {
     val df = graft.queries.TimeSeriesQueries.tsRangeJoin(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
