@@ -333,6 +333,96 @@ object NativeExpressions {
   def fixDoubleUtf8(c: Column): Column =
     GraftColumnBridge.column(FixDoubleUtf8(GraftColumnBridge.expression(c)))
 
+  /** One-pass readability counters (round 4): words (maximal runs of
+    * non-[\t\n\f\r ] chars — the BpeWsClass split), sentence marks
+    * (.!? occurrences), vowel runs (maximal [aeiouy]+ runs of the
+    * Locale.ROOT-lowercased text), and no-vowel words (lower(word)
+    * contains no [aeiouy]) — the four integers behind the Flesch
+    * panel, without two regexp_replace passes plus a per-word
+    * interpreted rlike. Integer-exact vs the composed formulation
+    * (parity-spec'd), so the readability oracle is unchanged.
+    */
+  def readabilityCompute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    // vowel runs on the FULL-STRING lowercase (same trap as TextStats:
+    // per-char lowering diverges on expanding mappings like U+0130)
+    val lt = raw.toLowerCase(java.util.Locale.ROOT)
+    var runs = 0
+    var inRun = false
+    var i = 0
+    while (i < lt.length) {
+      val c = lt.charAt(i)
+      val v = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+      if (v) { if (!inRun) { runs += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    def isWs(c: Char) = c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
+    def isAsciiVowel(c: Char) = "aeiouyAEIOUY".indexOf(c) >= 0
+    var nWords = 0
+    var nNoVowel = 0
+    var nSent = 0
+    var w0 = -1
+    var wordHasVowel = false
+    var wordHasNonAscii = false
+    def closeWord(end: Int): Unit = if (w0 >= 0) {
+      nWords += 1
+      // rare path: a word with no ASCII vowel may still gain one from
+      // a full lowercase (U+0130 -> "i" + combining dot), which is what
+      // lower(w) rlike [aeiouy] sees — replicate exactly
+      val has =
+        if (wordHasVowel) true
+        else if (!wordHasNonAscii) false
+        else {
+          val lw = raw.substring(w0, end).toLowerCase(java.util.Locale.ROOT)
+          var j = 0
+          var found = false
+          while (j < lw.length && !found) {
+            val c = lw.charAt(j)
+            found = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+            j += 1
+          }
+          found
+        }
+      if (!has) nNoVowel += 1
+      w0 = -1; wordHasVowel = false; wordHasNonAscii = false
+    }
+    i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '.' || c == '!' || c == '?') nSent += 1
+      if (isWs(c)) closeWord(i)
+      else {
+        if (w0 < 0) w0 = i
+        if (isAsciiVowel(c)) wordHasVowel = true
+        if (c > 127) wordHasNonAscii = true
+      }
+      i += 1
+    }
+    closeWord(raw.length)
+    org.apache.spark.sql.catalyst.InternalRow(nWords, nSent, runs, nNoVowel)
+  }
+
+  case class ReadabilityStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_words", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_sent_raw", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_runs", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_novowel", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def prettyName: String = "readability_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      readabilityCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.NativeExpressions.readabilityCompute($c);")
+    override protected def withNewChildInternal(newChild: Expression): ReadabilityStats =
+      copy(child = newChild)
+  }
+
+  def readabilityStats(c: Column): Column =
+    GraftColumnBridge.column(ReadabilityStats(GraftColumnBridge.expression(c)))
+
   /** Gopher top-n-gram panel in one pass: tokenize once, then for each
     * n in [minN, maxN] count token n-grams (HashMap) and keep the most
     * frequent with ties to the lexicographically smallest (ASCII-safe:

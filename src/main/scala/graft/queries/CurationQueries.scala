@@ -615,8 +615,40 @@ object CurationQueries {
 
   /** The Flesch panel as a reusable column expression — stateless, so
     * it drops into a streaming plan unchanged (StreamCurationSpec).
+    * Round 4: the four counters come from the one-pass native
+    * [[graft.plans.NativeExpressions.ReadabilityStats]] (integer-exact
+    * vs the composed regex formulation, parity-spec'd — the oracle is
+    * unchanged); [[readabilityPanelHof]] keeps the original
+    * two-regexp_replace + per-word-rlike formulation as the
+    * independent reference.
     */
   def readabilityPanel(text: Column): Column = {
+    import TextFunctions.bindOnce
+    bindOnce(graft.plans.NativeExpressions.readabilityStats(text)) { st =>
+      val nWords = st.getField("n_words")
+      val nSent = greatest(st.getField("n_sent_raw"), lit(1))
+      bindOnce((st.getField("n_runs") + st.getField("n_novowel")).cast("long")) { nSyl =>
+        val wps = nWords.cast("double") / nSent.cast("double")
+        val spw = nSyl.cast("double") / nWords.cast("double")
+        bindOnce(when(nWords > 0,
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)) { ease =>
+          val grade = when(nWords > 0, lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+          val band = when(ease.isNull, lit(null).cast("string"))
+            .when(ease >= 90.0, lit("very_easy"))
+            .when(ease >= 60.0, lit("standard"))
+            .when(ease >= 30.0, lit("difficult"))
+            .otherwise(lit("very_confusing"))
+          struct(nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"),
+            ease.as("flesch_ease"), grade.as("fk_grade"), band.as("band"))
+        }
+      }
+    }
+  }
+
+  /** The original composed formulation, kept as the parity reference
+    * for the native counters.
+    */
+  def readabilityPanelHof(text: Column): Column = {
     import TextFunctions.bindOnce
     bindOnce(text) { t =>
       bindOnce(filter(split(t, s"[${TextFunctions.BpeWsClass}]+"), w => w =!= "")) { words =>

@@ -47,6 +47,25 @@ class NativeExpressionsSpec extends SparkSpec {
         col("st.n_punct") =!= $"p" || col("st.n_alnum") =!= $"a").count() == 0)
   }
 
+  test("native readability counters match the composed regex formulation field-for-field") {
+    import graft.queries.CurationQueries
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      CurationQueries.readabilityPanel($"text").as("nat"),
+      CurationQueries.readabilityPanelHof($"text").as("hof"))
+    assert(both.filter(to_json($"nat") =!= to_json($"hof")).count() == 0)
+    // tricky shapes: empty, whitespace-only, no-vowel words, multi
+    // sentence marks, U+0130 (lowercase expansion introduces a vowel),
+    // non-latin words, surrogate pairs
+    val edge = Seq("", "   \t\n ", "xyz qrst!!", "Mr. Smith?! Dr. N. cwm fly",
+      "İ STANBUL city", "русский текст.", "emoji 😀 word",
+      "a.b!c?d").toDF("text")
+    val eb = edge.select(
+      CurationQueries.readabilityPanel($"text").as("nat"),
+      CurationQueries.readabilityPanelHof($"text").as("hof"))
+    assert(eb.filter(to_json($"nat") =!= to_json($"hof")).count() == 0)
+  }
+
   test("native sorted-intersect count matches size(array_intersect) on sorted distinct arrays") {
     // real shingle sets (sorted, distinct — the hotPerDoc shape) crossed
     // against a handful of others, plus edge shapes: empty/empty,
