@@ -45,9 +45,15 @@ object CurationQueries {
     * Top-50 most repetitive docs.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val sh = TextFunctions.shingles(col("text"))
+    // bindOnce: total and uniq both reference the shingle array — an
+    // unbound reference re-runs the whole tokenize+zip_with subtree
+    // per use (the CollapseProject trap)
+    val counts = TextFunctions.bindOnce(TextFunctions.shingles(col("text"))) { sh =>
+      struct(size(sh).as("total"), size(array_distinct(sh)).as("uniq"))
+    }
     Tables(s, dir, "documents")
-      .select(col("doc_id"), size(sh).as("total"), size(array_distinct(sh)).as("uniq"))
+      .select(col("doc_id"), counts.as("c"))
+      .select(col("doc_id"), col("c.total").as("total"), col("c.uniq").as("uniq"))
       .filter(col("total") > 0)
       .withColumn("rep",
         (col("total") - col("uniq")).cast("double") / col("total").cast("double"))
@@ -110,16 +116,23 @@ object CurationQueries {
   private val IpRx = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
   def textRedact(s: SparkSession, dir: String): DataFrame = {
-    val withPii = concat(col("text"),
+    val withPii0 = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
       lit(" from 10.0."), (col("doc_id") % lit(256)).cast("string"), lit(".7"))
-    val redacted = regexp_replace(
-      regexp_replace(withPii, EmailRx, "<EMAIL>"), IpRx, "<IP>")
-    Tables(s, dir, "documents")
-      .select(col("doc_id"),
+    // bindOnce: the synthetic-PII string feeds three regex consumers —
+    // unbound, the concat re-materializes per consumer
+    val cols = TextFunctions.bindOnce(withPii0) { withPii =>
+      val redacted = regexp_replace(
+        regexp_replace(withPii, EmailRx, "<EMAIL>"), IpRx, "<IP>")
+      struct(
         size(regexp_extract_all(withPii, lit(EmailRx), lit(0))).as("n_email"),
         size(regexp_extract_all(withPii, lit(IpRx), lit(0))).as("n_ip"),
         sha2(redacted, 256).as("redacted_hash"))
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), cols.as("c"))
+      .select(col("doc_id"), col("c.n_email").as("n_email"),
+        col("c.n_ip").as("n_ip"), col("c.redacted_hash").as("redacted_hash"))
       .orderBy(col("doc_id"))
   }
 
