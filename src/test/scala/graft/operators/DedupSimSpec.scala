@@ -268,6 +268,29 @@ class DedupSimSpec extends SparkSpec {
     assert(trained >= 0.9, s"k-means should recover the 4 clean clusters, got $trained")
   }
 
+  test("trained PQ recall >= seeded PQ recall on the same clustered corpus") {
+    val emb = clusteredEmbeddings.cache()
+    val queries = emb.filter($"vec_id" >= 112)
+    val truth = Similarity.cosineTopK(emb, queries, k = 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val got = ann.select($"qid", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // 4 codewords/subspace = the degenerate-seeds regime (all four
+    // seed vectors sit in cluster 0): training must not LOSE recall
+    // here, and the decisive training win is asserted on the coarse
+    // quantizer (IVF test above) — per-subspace k-means improves PQ in
+    // expectation, not pointwise, so this is a no-regression bound.
+    val seeded = recall(Similarity.pqTopK(emb, queries, k = 5,
+      m = 4, nCentroids = 4, knownDim = 16))
+    val trained = recall(Similarity.pqTopKTrained(emb, queries, k = 5,
+      m = 4, nCentroids = 4, sampleN = 120, iters = 5, knownDim = 16))
+    assert(trained >= seeded, s"trained PQ recall $trained < seeded $seeded")
+    assert(trained >= 0.35, s"trained PQ should be usable on clean clusters, got $trained")
+  }
+
   test("trained centroids differ from the seeds and training is deterministic") {
     val emb = clusteredEmbeddings
     val sample = Similarity.collectSeeds(emb, 120)
