@@ -18,7 +18,7 @@ class EncodingRepairSpec extends SparkSpec {
   private def corrupt(s: String): String =
     new String(s.getBytes("UTF-8"), "windows-1252")
 
-  test("repair inverts the latin-1 mis-decode; clean text and non-latin1 text pass through") {
+  test("repair inverts the cp1252 mis-decode; clean text and non-cp1252 text pass through") {
     val clean = Seq(
       "plain ascii stays as is",
       "naïve café — already CORRECT utf-8 accents",
