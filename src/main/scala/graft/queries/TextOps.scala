@@ -70,6 +70,56 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** TRAINED BPE subword tokenizer (round 4 — [[graft.functions.Bpe]]):
+    * 8 merges learned from the 64 lowest-id docs driver-side, applied
+    * as a literal replace() fold; per-doc word and subword counts.
+    * The oracle RERUNS THE TRAINING — 8 unrolled pair-count/argmax/
+    * rewrite rounds in SQL — then applies the same nested replaces, so
+    * the learned merges AND every count hash-match bit-exact (the
+    * sim_*_t pattern applied to tokenization).
+    */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.functions.Bpe.trainMerges(docs, "doc_id", "text",
+      sampleN = 64, nMerges = 8)
+    docs.select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).as("n_words"),
+        graft.functions.Bpe.bpeTokenCount($"text", merges).as("n_bpe"))
+      .filter($"n_words" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val textBpeTrainSql: String = {
+    val nMerges = 8
+    // MATERIALIZED: each round's vocab/merge must evaluate ONCE — the
+    // chain is referenced by the next round AND by the final nested
+    // apply, and default CTE inlining re-runs the whole prefix per
+    // reference (exponential in rounds)
+    val rounds = (0 until nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT p, SUM(f) AS c FROM (
+         |  SELECT f, unnest(list_transform(range(len(s)-1), i -> s[i+1] || ' ' || s[i+2])) AS p
+         |  FROM (SELECT string_split(trim(w), '  ') AS s, f FROM v$r)) GROUP BY p),
+         |m$r AS MATERIALIZED (SELECT ' ' || string_split(p, ' ')[1] || '  ' || string_split(p, ' ')[2] || ' ' AS pf,
+         |    ' ' || replace(p, ' ', '') || ' ' AS pt
+         |  FROM p$r ORDER BY c DESC, p LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pf FROM m$r), (SELECT pt FROM m$r)) AS w, f FROM v$r)""".stripMargin
+    }.mkString(",\n")
+    val applied = (0 until nMerges).foldLeft(
+      "regexp_replace(word, '(.)', ' \\1 ', 'g')") { (acc, r) =>
+      s"replace($acc, (SELECT pf FROM m$r), (SELECT pt FROM m$r))"
+    }
+    s"""WITH smp AS (SELECT text FROM documents ORDER BY doc_id LIMIT 64),
+       |wf AS (SELECT tok AS word, COUNT(*) AS f FROM (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM smp) GROUP BY tok),
+       |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, f FROM wf),
+       |$rounds,
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+       |  CAST(SUM(len(string_split(trim($applied), '  '))) AS INT) AS n_bpe
+       |FROM dw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val textBpeSql: String = {
     // SQL-escape the apostrophe in the contraction arm
     val rx = graft.functions.TextFunctions.BpePieceRx.replace("'", "''")
@@ -285,6 +335,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _),
     "text_tokens" -> (textTokens _),
     "text_bpe" -> (textBpe _),
+    "text_bpe_train" -> (textBpeTrain _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -298,6 +349,7 @@ object TextOps {
     "text_bigrams" -> textBigramsSql,
     "text_tokens" -> textTokensSql,
     "text_bpe" -> textBpeSql,
+    "text_bpe_train" -> textBpeTrainSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
