@@ -90,13 +90,17 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val textBpeTrainSql: String = {
-    val nMerges = 8
-    // MATERIALIZED: each round's vocab/merge must evaluate ONCE — the
-    // chain is referenced by the next round AND by the final nested
-    // apply, and default CTE inlining re-runs the whole prefix per
-    // reference (exponential in rounds)
-    val rounds = (0 until nMerges).map { r =>
+  private val BpeMergeRounds = 8
+
+  /** Shared oracle CTE block: the full BPE training replay (sample →
+    * word-freq vocab → [[BpeMergeRounds]] pair-count/argmax/rewrite
+    * rounds). MATERIALIZED: each round's vocab/merge must evaluate
+    * ONCE — the chain is referenced by the next round AND by the final
+    * nested apply, and default CTE inlining re-runs the whole prefix
+    * per reference (exponential in rounds).
+    */
+  private[queries] val BpeTrainCtes: String = {
+    val rounds = (0 until BpeMergeRounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT p, SUM(f) AS c FROM (
          |  SELECT f, unnest(list_transform(range(len(s)-1), i -> s[i+1] || ' ' || s[i+2])) AS p
          |  FROM (SELECT string_split(trim(w), '  ') AS s, f FROM v$r)) GROUP BY p),
@@ -105,20 +109,31 @@ object TextOps {
          |  FROM p$r ORDER BY c DESC, p LIMIT 1),
          |v${r + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pf FROM m$r), (SELECT pt FROM m$r)) AS w, f FROM v$r)""".stripMargin
     }.mkString(",\n")
-    val applied = (0 until nMerges).foldLeft(
-      "regexp_replace(word, '(.)', ' \\1 ', 'g')") { (acc, r) =>
-      s"replace($acc, (SELECT pf FROM m$r), (SELECT pt FROM m$r))"
-    }
-    s"""WITH smp AS (SELECT text FROM documents ORDER BY doc_id LIMIT 64),
+    s"""smp AS (SELECT text FROM documents ORDER BY doc_id LIMIT 64),
        |wf AS (SELECT tok AS word, COUNT(*) AS f FROM (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM smp) GROUP BY tok),
        |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, f FROM wf),
-       |$rounds,
-       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents)
-       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
-       |  CAST(SUM(len(string_split(trim($applied), '  '))) AS INT) AS n_bpe
-       |FROM dw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** The nested-replace application of the trained merges to `word`. */
+  private[queries] val BpeApplied: String =
+    (0 until BpeMergeRounds).foldLeft(
+      "regexp_replace(word, '(.)', ' \\1 ', 'g')") { (acc, r) =>
+      s"replace($acc, (SELECT pf FROM m$r), (SELECT pt FROM m$r))"
+    }
+
+  /** Per-doc BPE token counts over `documents` (docs with ≥1 token). */
+  private[queries] val BpeDocCountsCte: String =
+    s"""dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
+       |bcnt AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+       |    CAST(SUM(len(string_split(trim($BpeApplied), '  '))) AS INT) AS n_bpe
+       |  FROM dw GROUP BY doc_id)""".stripMargin
+
+  val textBpeTrainSql: String =
+    s"""WITH $BpeTrainCtes,
+       |$BpeDocCountsCte
+       |SELECT doc_id, n_words, n_bpe FROM bcnt ORDER BY doc_id""".stripMargin
 
   val textBpeSql: String = {
     // SQL-escape the apostrophe in the contraction arm

@@ -194,6 +194,42 @@ object TrainingPrep {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM c GROUP BY 1, 2 ORDER BY bucket, chunk""".stripMargin
 
+  /** [[packSequences]] with REAL subword budgets (round 4): the packing
+    * decision uses the trained-BPE token counts ([[graft.functions.Bpe]])
+    * instead of the whitespace approximation — the composition a
+    * production packing pipeline runs, since sequence budgets are
+    * measured in TOKENIZER tokens. Oracle: the full BPE training
+    * replay (TextOps.BpeTrainCtes) feeding the same pack SQL.
+    */
+  def packSequencesBpe(s: SparkSession, dir: String,
+      seqLen: Int = 256, nBuckets: Int = 8): DataFrame = {
+    val base = Tables(s, dir, "documents")
+    val merges = graft.functions.Bpe.trainMerges(base, "doc_id", "text",
+      sampleN = 64, nMerges = 8)
+    val docs = base.select(col("doc_id"),
+      pmod(col("doc_id"), lit(nBuckets)).as("bucket"),
+      graft.functions.Bpe.bpeTokenCount(col("text"), merges).as("n_tok"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk", expr(s"(cum - n_tok) div $seqLen"))
+      .groupBy(col("bucket"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("bucket"), col("chunk"))
+  }
+
+  val packSequencesBpeSql: String =
+    s"""WITH ${TextOps.BpeTrainCtes},
+       |${TextOps.BpeDocCountsCte},
+       |d AS (SELECT dd.doc_id, dd.doc_id % 8 AS bucket, COALESCE(b.n_bpe, 0) AS n_tok
+       |  FROM documents dd LEFT JOIN bcnt b USING (doc_id)),
+       |c AS (SELECT bucket, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
+       |SELECT bucket, (cum - n_tok) // 256 AS chunk,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY bucket, chunk""".stripMargin
+
   // ---- dataset mixing ------------------------------------------------------
 
   /** Deterministic dataset mixing: cap each source's expected
@@ -241,11 +277,13 @@ object TrainingPrep {
     "dedup_lines" -> ((s: SparkSession, dir: String) => lineDedup(s, dir)),
     "dedup_substring" -> ((s: SparkSession, dir: String) => dedupSubstring(s, dir)),
     "pipeline_pack" -> ((s: SparkSession, dir: String) => packSequences(s, dir)),
+    "pipeline_pack_bpe" -> ((s: SparkSession, dir: String) => packSequencesBpe(s, dir)),
     "pipeline_mix" -> ((s: SparkSession, dir: String) => mixSources(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "dedup_lines" -> lineDedupSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_pack" -> packSequencesSql,
+    "pipeline_pack_bpe" -> packSequencesBpeSql,
     "pipeline_mix" -> mixSourcesSql)
 }
