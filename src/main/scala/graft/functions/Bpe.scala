@@ -71,14 +71,18 @@ object Bpe {
 
   /** Driver-side trainer on the `sampleN` lowest-id docs. Word model
     * is [[TextFunctions.tokens]] exactly: `[a-z0-9]+` over the
-    * Locale.ROOT-lowercased text. Returns merges ("x y") in training
-    * order; throws if the sample cannot support `nMerges` rounds (the
-    * oracle unrolls exactly that many, so fail loudly not silently).
+    * Locale.ROOT-lowercased text; null texts contribute nothing.
+    * Returns merges ("x y") in training order — FEWER than `nMerges`
+    * when the sample exhausts its pairs (empty/degenerate corpora must
+    * not crash a query registry sweep). The oracle unrolls all
+    * `nMerges` rounds, so hash certification assumes a corpus rich
+    * enough to support them — true of the driver corpora by a wide
+    * margin; a sub-`nMerges` corpus is outside the certified contract.
     */
   def trainMerges(docs: DataFrame, idCol: String, textCol: String,
                   sampleN: Int, nMerges: Int): Seq[String] = {
     val sample = docs.orderBy(col(idCol)).limit(sampleN)
-      .select(col(textCol)).collect().map(_.getString(0))
+      .select(col(textCol)).collect().map(r => if (r.isNullAt(0)) "" else r.getString(0))
     val tokenRx = "[a-z0-9]+".r
     val freq = scala.collection.mutable.Map[String, Long]()
     sample.foreach { t =>
@@ -90,13 +94,15 @@ object Bpe {
       freq.toSeq.sortBy(_._1).map { case (w, f) => (spacedScala(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer[String]()
     var r = 0
-    while (r < nMerges) {
-      val p = bestPair(vocab).getOrElse(
-        throw new IllegalArgumentException(
-          s"sample supports only ${merges.size} of $nMerges BPE merges"))
-      merges += p
-      vocab = vocab.map { case (w, f) => (w.replace(mergeFrom(p), mergeTo(p)), f) }
-      r += 1
+    var done = false
+    while (r < nMerges && !done) {
+      bestPair(vocab) match {
+        case Some(p) =>
+          merges += p
+          vocab = vocab.map { case (w, f) => (w.replace(mergeFrom(p), mergeTo(p)), f) }
+          r += 1
+        case None => done = true
+      }
     }
     merges.toSeq
   }
