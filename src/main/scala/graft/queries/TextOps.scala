@@ -104,7 +104,8 @@ object TextOps {
       s"""p$r AS MATERIALIZED (SELECT p, SUM(f) AS c FROM (
          |  SELECT f, unnest(list_transform(range(len(s)-1), i -> s[i+1] || ' ' || s[i+2])) AS p
          |  FROM (SELECT string_split(trim(w), '  ') AS s, f FROM v$r)) GROUP BY p),
-         |m$r AS MATERIALIZED (SELECT ' ' || string_split(p, ' ')[1] || '  ' || string_split(p, ' ')[2] || ' ' AS pf,
+         |m$r AS MATERIALIZED (SELECT p,
+         |    ' ' || string_split(p, ' ')[1] || '  ' || string_split(p, ' ')[2] || ' ' AS pf,
          |    ' ' || replace(p, ' ', '') || ' ' AS pt
          |  FROM p$r ORDER BY c DESC, p LIMIT 1),
          |v${r + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pf FROM m$r), (SELECT pt FROM m$r)) AS w, f FROM v$r)""".stripMargin
@@ -134,6 +135,31 @@ object TextOps {
     s"""WITH $BpeTrainCtes,
        |$BpeDocCountsCte
        |SELECT doc_id, n_words, n_bpe FROM bcnt ORDER BY doc_id""".stripMargin
+
+  /** The learned merge table itself, certified row-by-row: rank, the
+    * merged pair, and the resulting symbol — the artifact a tokenizer
+    * deployment ships, proven identical between the driver trainer and
+    * the SQL training replay.
+    */
+  def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.functions.Bpe.trainMerges(Tables(s, dir, "documents"),
+      "doc_id", "text", sampleN = 64, nMerges = BpeMergeRounds)
+    merges.zipWithIndex
+      .map { case (p, i) => (i + 1, p, p.replace(" ", "")) }
+      .toDF("rank", "pair", "merged")
+      .orderBy($"rank")
+  }
+
+  val textBpeVocabSql: String = {
+    val rows = (0 until BpeMergeRounds).map { r =>
+      s"SELECT ${r + 1} AS rank, p AS pair, replace(p, ' ', '') AS merged FROM m$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $BpeTrainCtes
+       |SELECT CAST(rank AS INT) AS rank, pair, merged FROM (
+       |  $rows)
+       |ORDER BY rank""".stripMargin
+  }
 
   val textBpeSql: String = {
     // SQL-escape the apostrophe in the contraction arm
@@ -351,6 +377,7 @@ object TextOps {
     "text_tokens" -> (textTokens _),
     "text_bpe" -> (textBpe _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_vocab" -> (textBpeVocab _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -365,6 +392,7 @@ object TextOps {
     "text_tokens" -> textTokensSql,
     "text_bpe" -> textBpeSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_vocab" -> textBpeVocabSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
