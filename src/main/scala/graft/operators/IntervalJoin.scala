@@ -58,4 +58,39 @@ object IntervalJoin {
       .filter(col(ts) >= col(start) && col(ts) <= col(end))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join: every left interval
+    * (key, lstart, lend) is matched to each right interval
+    * (key, rstart, rend) it overlaps (closed intervals:
+    * `lstart <= rend AND rstart <= lend`).
+    *
+    * Same bucketization as [[joinPointInInterval]], with one twist:
+    * two overlapping intervals share EVERY bucket their overlap spans,
+    * so a naive bucket equi-join emits the pair once per shared bucket.
+    * Instead of a post-join `distinct` (a second shuffle over the
+    * result), each pair is kept only in its CANONICAL bucket — the one
+    * containing the overlap's start `greatest(lstart, rstart)`. That
+    * bucket is always shared (it lies in both intervals), so every
+    * overlapping pair survives exactly once and the join stays one
+    * keyed shuffle per side with no result-side dedup.
+    */
+  def joinIntervalOverlap(left: DataFrame, right: DataFrame,
+                          key: Seq[String],
+                          lstart: String, lend: String,
+                          rstart: String, rend: String,
+                          bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "__bucket is reserved by IntervalJoin")
+    val lb = left.filter(col(lend) >= col(lstart))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(lstart) / bucketMs), floor(col(lend) / bucketMs))))
+    val rb = right.filter(col(rend) >= col(rstart))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(rstart) / bucketMs), floor(col(rend) / bucketMs))))
+    lb.join(rb, key :+ "__bucket")
+      .filter(col(lstart) <= col(rend) && col(rstart) <= col(lend) &&
+        col("__bucket") === floor(greatest(col(lstart), col(rstart)) / bucketMs))
+      .drop("__bucket")
+  }
 }

@@ -27,11 +27,14 @@ object DedupSim {
       .limit(100)
   }
 
-  val dedupMinhashSql: String = {
-    // mirrors Dedup.shingleHashes + minhashSig: ONE md5 per shingle
-    // (first 8 hex digits as a 32-bit int), then affine universal
-    // hashes (a_i*h + b_i) mod p — identical integer arithmetic in
-    // DuckDB BIGINTs and Spark longs (products stay under 2^63)
+  /** Shared oracle CTE chain ending in `cand(id_a, id_b, inter, na, nb)`
+    * — the MinHash+LSH candidate pairs with exact shingle overlap.
+    * Mirrors Dedup.shingleHashes + minhashSig: ONE md5 per shingle
+    * (first 8 hex digits as a 32-bit int), then affine universal
+    * hashes (a_i*h + b_i) mod p — identical integer arithmetic in
+    * DuckDB BIGINTs and Spark longs (products stay under 2^63).
+    */
+  private val MinhashCandCtes: String = {
     val p = graft.operators.Dedup.MinhashP
     val sigI = (i: Int) =>
       s"list_min(list_transform(h, v -> (${graft.operators.Dedup.minhashA(i)} * v + " +
@@ -47,11 +50,37 @@ object DedupSim {
        |bands AS (\n  $bandSelects),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
-       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.id < b.id)
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.id < b.id)""".stripMargin
+  }
+
+  val dedupMinhashSql: String =
+    s"""$MinhashCandCtes
        |SELECT id_a, id_b, inter, na, nb,
        |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
        |FROM cand ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  /** Connected components over the MinHash near-dup pairs
+    * ([[Dedup.clusters]] — iterative min-label propagation on the PAIR
+    * set only): (doc, cluster representative). The oracle computes true
+    * components via a recursive transitive closure, so the fixpoint
+    * iteration is certified exact, not just converged.
+    */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text")
+    Dedup.clusters(pairs.select(col("id_a"), col("id_b")), maxIter = 20)
+      .orderBy(col("id"))
   }
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE ${MinhashCandCtes.stripPrefix("WITH ")},
+       |edges AS (SELECT id_a, id_b FROM cand
+       |  UNION SELECT id_b AS id_a, id_a AS id_b FROM cand),
+       |reach(a, b) AS (
+       |  SELECT id_a, id_b FROM edges
+       |  UNION
+       |  SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a)
+       |SELECT a AS id, least(a, MIN(b)) AS cluster
+       |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
   /** Exact-score n-gram Jaccard via the df-capped inverted index
     * (cap = 256 docs per shingle, mirrored in the oracle), top-100.
@@ -549,6 +578,7 @@ object DedupSim {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_cluster" -> (dedupCluster _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk" -> (simTopK _),
@@ -564,6 +594,7 @@ object DedupSim {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_cluster" -> dedupClusterSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,

@@ -117,12 +117,15 @@ object TextOps {
        |$rounds""".stripMargin
   }
 
-  /** The nested-replace application of the trained merges to `word`. */
-  private[queries] val BpeApplied: String =
+  /** The nested-replace application of the trained merges to `e`. */
+  private[queries] def bpeAppliedOn(e: String): String =
     (0 until BpeMergeRounds).foldLeft(
-      "regexp_replace(word, '(.)', ' \\1 ', 'g')") { (acc, r) =>
+      s"regexp_replace($e, '(.)', ' \\1 ', 'g')") { (acc, r) =>
       s"replace($acc, (SELECT pf FROM m$r), (SELECT pt FROM m$r))"
     }
+
+  /** The nested-replace application of the trained merges to `word`. */
+  private[queries] val BpeApplied: String = bpeAppliedOn("word")
 
   /** Per-doc BPE token counts over `documents` (docs with ≥1 token). */
   private[queries] val BpeDocCountsCte: String =
@@ -150,6 +153,48 @@ object TextOps {
       .toDF("rank", "pair", "merged")
       .orderBy($"rank")
   }
+
+  /** Full BPE ENCODE: the trained merges applied to whole documents,
+    * emitting the actual subword sequence (doc, position, token) — the
+    * artifact a training pipeline feeds the model, completing the
+    * count-only textBpeTrain. Bounded to the 3 lowest-id docs so the
+    * oracle (training replay + per-word nested replace + positional
+    * unnest) stays tractable; the Spark side is a narrow map either
+    * way (literal replace() fold per word, flatten, posexplode).
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.functions.Bpe.trainMerges(docs, "doc_id", "text",
+      sampleN = 64, nMerges = BpeMergeRounds)
+    docs.filter($"doc_id" < 3)
+      .select($"doc_id", posexplode(flatten(transform(
+        graft.functions.TextFunctions.tokens($"text"),
+        w => graft.functions.Bpe.symbolsCol(
+          graft.functions.Bpe.applyMergesCol(w, merges))))))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("token"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  // the merge-table subqueries can't ride inside a DuckDB lambda, so the
+  // apply runs at ROW level: words unnest with their position, each word
+  // splits to its subwords, and the global token position is the running
+  // sum of prior words' subword counts plus the within-word index
+  val textBpeEncodeSql: String =
+    s"""WITH $BpeTrainCtes,
+       |dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents WHERE doc_id < 3),
+       |wpos AS (SELECT doc_id, unnest(list_transform(range(len(ws)),
+       |    i -> {'wp': i + 1, 'word': ws[i + 1]})) AS u FROM dw),
+       |words AS (SELECT doc_id, u.wp AS wp, u.word AS word FROM wpos),
+       |wt AS (SELECT doc_id, wp, string_split(trim($BpeApplied), '  ') AS tk FROM words),
+       |woff AS (SELECT doc_id, tk,
+       |    SUM(len(tk)) OVER (PARTITION BY doc_id ORDER BY wp
+       |      ROWS UNBOUNDED PRECEDING) - len(tk) AS off FROM wt),
+       |sel AS (SELECT doc_id, off, unnest(list_transform(range(len(tk)),
+       |    i -> {'i': i + 1, 'token': tk[i + 1]})) AS v FROM woff)
+       |SELECT doc_id, CAST(off + v.i AS INT) AS pos, v.token AS token
+       |FROM sel ORDER BY doc_id, pos""".stripMargin
 
   val textBpeVocabSql: String = {
     val rows = (0 until BpeMergeRounds).map { r =>
@@ -378,6 +423,7 @@ object TextOps {
     "text_bpe" -> (textBpe _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_vocab" -> (textBpeVocab _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -393,6 +439,7 @@ object TextOps {
     "text_bpe" -> textBpeSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_vocab" -> textBpeVocabSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -527,11 +527,86 @@ object TimeSeriesQueries {
       |  ON e.user_id = m.user_id AND e.ts <= m.ts
       |ORDER BY event_id""".stripMargin
 
+  /** Interval×interval overlap join ([[graft.operators.IntervalJoin
+    * .joinIntervalOverlap]]): every 6-hour maintenance window matched
+    * to each 3-hour activity window it overlaps for the same user,
+    * with the overlap length. The canonical-bucket equi-join plan
+    * (each pair survives only in the bucket holding the overlap's
+    * start — one keyed shuffle per side, no result-side dedup) is
+    * certified against the naive theta join in DuckDB.
+    */
+  def tsIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val mk = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("m_id"))
+      .select(col("user_id"), col("ts_ms").as("m_start"),
+        (col("ts_ms") + 21600000L).as("m_end"), col("m_id"))
+    val act = ev.filter(col("event_id") % 7 === 3)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("a_id"))
+      .select(col("user_id"), col("ts_ms").as("a_start"),
+        (col("ts_ms") + 10800000L).as("a_end"), col("a_id"))
+    graft.operators.IntervalJoin.joinIntervalOverlap(
+      mk, act, key = Seq("user_id"),
+      lstart = "m_start", lend = "m_end", rstart = "a_start", rend = "a_end",
+      bucketMs = 21600000L)
+      .select(col("m_id"), col("a_id"), col("user_id"),
+        (least(col("m_end"), col("a_end")) -
+          greatest(col("m_start"), col("a_start"))).as("overlap_ms"))
+      .orderBy(col("m_id"), col("a_id"))
+  }
+
+  val tsIntervalOverlapSql: String =
+    """WITH mk AS (SELECT user_id, epoch_ms(ts) AS m_start,
+      |    epoch_ms(ts) + 21600000 AS m_end, MAX(event_id) AS m_id
+      |  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+      |act AS (SELECT user_id, epoch_ms(ts) AS a_start,
+      |    epoch_ms(ts) + 10800000 AS a_end, MAX(event_id) AS a_id
+      |  FROM events WHERE event_id % 7 = 3 GROUP BY user_id, ts)
+      |SELECT m.m_id, a.a_id, m.user_id,
+      |  least(m.m_end, a.a_end) - greatest(m.m_start, a.a_start) AS overlap_ms
+      |FROM mk m JOIN act a ON m.user_id = a.user_id
+      |  AND m.m_start <= a.a_end AND a.a_start <= m.m_end
+      |ORDER BY m_id, a_id""".stripMargin
+
+  /** SCD type-2 history ([[graft.operators.Scd.buildType2]]): each
+    * user's event_type change log becomes versioned validity intervals
+    * — consecutive same-type events collapse into one version, each
+    * closed by the next version's start. One keyed shuffle; both
+    * window passes share the exchange and sort.
+    */
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.Scd.buildType2(
+      ev.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type")),
+      key = Seq("user_id"), ts = "ts_ms", ord = Seq("event_id"),
+      attrs = Seq("event_type"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2BuildSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+      |chg AS (SELECT *,
+      |    ROW_NUMBER() OVER w AS rn, lag(event_type) OVER w AS prev
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |runs AS (SELECT user_id, ts_ms, event_id, event_type FROM chg
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id, CAST(ROW_NUMBER() OVER w AS INT) AS version, event_type,
+      |  ts_ms AS valid_from, lead(ts_ms) OVER w AS valid_to,
+      |  lead(ts_ms) OVER w IS NULL AS is_current
+      |FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_asof" -> (streamAsof _),
     "ts_range_join" -> (tsRangeJoin _),
+    "ts_interval_overlap" -> (tsIntervalOverlap _),
+    "scd2_build" -> (scd2Build _),
     "stream_range_join" -> (streamRangeJoin _),
     "stream_sessions" -> (streamSessions _),
     "ts_impute" -> (tsImpute _),
@@ -548,6 +623,8 @@ object TimeSeriesQueries {
     "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_asof" -> streamAsofSql,
     "ts_range_join" -> tsRangeJoinSql,
+    "ts_interval_overlap" -> tsIntervalOverlapSql,
+    "scd2_build" -> scd2BuildSql,
     "stream_range_join" -> streamRangeJoinSql,
     "stream_sessions" -> streamSessionsSql,
     "ts_impute" -> tsImputeSql,

@@ -68,4 +68,17 @@ class BpeSpec extends SparkSpec {
       .collect().head
     assert(sanity.getLong(1) < sanity.getLong(0) && sanity.getLong(0) < sanity.getLong(2))
   }
+
+  test("encode: subword tokens exactly partition every word (lossless reassembly)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", sampleN = 64, nMerges = 8)
+    // per word: concatenating its subwords must rebuild the word, and
+    // every subword must be non-empty
+    val bad = docs.limit(40)
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .select($"w", Bpe.symbolsCol(Bpe.applyMergesCol($"w", merges)).as("tk"))
+      .filter(concat_ws("", $"tk") =!= $"w" || exists($"tk", t => length(t) === 0))
+      .count()
+    assert(bad == 0L)
+  }
 }

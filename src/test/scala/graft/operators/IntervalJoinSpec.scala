@@ -96,6 +96,57 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("overlap join: touching, nested, disjoint, empty and cross-key intervals") {
+    val l = Seq(
+      (1L, 0L, 10L, 100L),   // overlaps 201 (touching at 10), 202 (nested)
+      (1L, 40L, 50L, 101L),  // disjoint from everything on key 1
+      (1L, 60L, 55L, 102L),  // empty (end < start): never emitted
+      (2L, 0L, 100L, 103L))  // key 2: overlaps 204 only
+      .toDF("k", "ls", "le", "lid")
+    val r = Seq(
+      (1L, 10L, 20L, 201L),  // touches 100 at exactly t=10 (closed bounds)
+      (1L, 2L, 8L, 202L),    // nested inside 100
+      (1L, 11L, 39L, 203L),  // between 100 and 101: no overlap
+      (2L, 99L, 300L, 204L), // overlaps 103 at [99,100]
+      (3L, 0L, 10L, 205L))   // key 3: no left partner
+      .toDF("k", "rs", "re", "rid")
+    val got = IntervalJoin.joinIntervalOverlap(l, r, key = Seq("k"),
+      lstart = "ls", lend = "le", rstart = "rs", rend = "re", bucketMs = 7L)
+      .select($"lid", $"rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((100L, 201L), (100L, 202L), (103L, 204L)))
+  }
+
+  test("property: random interval pairs equal the in-memory reference, each pair EXACTLY once") {
+    val rnd = new scala.util.Random(23)
+    (0 until 20).foreach { trial =>
+      val nL = 1 + rnd.nextInt(30)
+      val nR = 1 + rnd.nextInt(30)
+      val ls = (0 until nL).map { i =>
+        val s = rnd.nextInt(220) - 10
+        (rnd.nextInt(3).toLong, s.toLong, (s + rnd.nextInt(60) - 5).toLong, 1000L + i)
+      }
+      val rs = (0 until nR).map { i =>
+        val s = rnd.nextInt(220) - 10
+        (rnd.nextInt(3).toLong, s.toLong, (s + rnd.nextInt(60) - 5).toLong, 2000L + i)
+      }
+      val expected = (for {
+        (lk, a, b, lid) <- ls if a <= b
+        (rk, c, d, rid) <- rs if rk == lk && c <= d && a <= d && c <= b
+      } yield (lid, rid)).toSet
+      val bucket = 1L + rnd.nextInt(100)
+      val rows = IntervalJoin.joinIntervalOverlap(
+        ls.toDF("k", "ls", "le", "lid"), rs.toDF("k", "rs", "re", "rid"),
+        key = Seq("k"), lstart = "ls", lend = "le", rstart = "rs", rend = "re",
+        bucketMs = bucket)
+        .select($"lid", $"rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      // canonical-bucket filter ⇒ no per-shared-bucket duplicates
+      assert(rows.length == rows.toSet.size, s"trial=$trial emitted duplicates")
+      assert(rows.toSet == expected, s"trial=$trial bucketMs=$bucket")
+    }
+  }
+
   test("plan is an equi-join on (key, bucket): no nested loop, no cartesian") {
     val df = graft.queries.TimeSeriesQueries.tsRangeJoin(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
@@ -104,5 +155,10 @@ class IntervalJoinSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"),
       s"expected a hash/merge equi-join on (key, bucket):\n$p")
+    val po = graft.queries.TimeSeriesQueries
+      .tsIntervalOverlap(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!po.contains("BroadcastNestedLoopJoin") && !po.contains("CartesianProduct"),
+      s"overlap join must bucketize to an equi-join:\n$po")
   }
 }
