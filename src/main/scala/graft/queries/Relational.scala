@@ -229,7 +229,105 @@ object Relational {
        |FROM (SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket, value FROM events)
        |GROUP BY CUBE(event_type, user_bucket) ORDER BY et, ub""".stripMargin
 
+  /** Deterministic-HLL approximate distinct users per event_type
+    * ([[graft.functions.Sketches]] — md5-derived registers, so the
+    * DuckDB oracle reproduces the ESTIMATE bit-for-bit), beside the
+    * exact count and the relative error. The scale story is the
+    * sketch's: (group, 256-register) partial agg instead of a
+    * COUNT(DISTINCT) shuffle of every distinct value.
+    */
+  def approxDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val (bucket, rho) = graft.functions.Sketches.hllParts(col("user_id"))
+    val est = ev.select(col("event_type"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("r")))).as("regs"))
+      .select(col("event_type"),
+        graft.functions.Sketches.hllEstimate(col("regs")).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("est"), col("n_exact"),
+        round(lit(100.0) * (col("est") - col("n_exact")) / col("n_exact"), 4)
+          .as("err_pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val approxDistinctHllSql: String = {
+    val lz = "CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END"
+    val a = graft.functions.Sketches.HllAlphaM2
+    s"""WITH hs AS (SELECT event_type,
+       |    substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bh,
+       |    substr(md5(CAST(user_id AS VARCHAR)), 3, 14) AS sub FROM events),
+       |pz AS (SELECT event_type, CAST(concat('0x', bh) AS INT) AS bucket, sub,
+       |    length(regexp_extract(sub, '^0*')) AS p FROM hs),
+       |rr AS (SELECT event_type, bucket,
+       |    CASE WHEN p = 14 THEN 57 ELSE p * 4 + $lz + 1 END AS rho
+       |  FROM (SELECT *, strpos('0123456789abcdef', substr(sub, p + 1, 1)) - 1 AS v FROM pz)),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS r FROM rr GROUP BY 1, 2),
+       |grp AS (SELECT event_type,
+       |    list_reduce(list_prepend(0.0, list_transform(list(r ORDER BY bucket),
+       |      x -> pow(2.0, -x))), (a, b) -> a + b) + (256 - COUNT(*)) AS z,
+       |    256 - COUNT(*) AS zeros FROM regs GROUP BY event_type),
+       |est AS (SELECT event_type, round(CASE WHEN $a / z <= 640.0 AND zeros > 0
+       |    THEN 256.0 * ln(256.0 / zeros) ELSE $a / z END, 4) AS est FROM grp),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+       |SELECT event_type, est, n_exact,
+       |  round(100.0 * (est - n_exact) / n_exact, 4) AS err_pct
+       |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
+  /** Bloom-filter semi-join ([[graft.functions.Sketches.bloomBits]] —
+    * k=3 salted-md5 positions over m=8192 bits): customers probed
+    * against a filter built from order custkeys, beside the exact
+    * left-semi count — reporting the measured false-positive count and
+    * filter fill. The runtime-row-filter shape for 100 TB joins: the
+    * built filter is broadcast-sized BY CONSTRUCTION (≤ m positions no
+    * matter how large the build side), the probe a narrow map — no
+    * shuffle of the probe side just to discard rows. Deterministic
+    * positions make the approximate filter oracle-exact.
+    */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.functions.Sketches
+    val cust = Tables(s, dir, "customer")
+    val orders = Tables(s, dir, "orders")
+    val pos = orders.select(explode(S.bloomBits(col("o_custkey"))).as("p"))
+      .distinct()
+    val bitset = S.bloomBitset(pos)
+    val nBloom = cust.crossJoin(broadcast(bitset))
+      .filter(forall(S.bloomBits(col("c_custkey")), x => S.bloomContains(col("bs"), x)))
+      .agg(count(lit(1)).as("n_bloom"))
+    val nExact = cust.join(orders.select(col("o_custkey")).distinct(),
+      cust("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_exact"))
+    val nBits = pos.agg(count(lit(1)).as("n_bits"))
+    nExact.crossJoin(nBloom).crossJoin(nBits)
+      .select(col("n_exact"), col("n_bloom"),
+        (col("n_bloom") - col("n_exact")).as("false_pos"), col("n_bits"))
+  }
+
+  val bloomSemiJoinSql: String = {
+    val S = graft.functions.Sketches
+    def bits(v: String) =
+      s"CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || 'b:' || CAST($v AS VARCHAR)), 1, 8)) AS BIGINT) % ${S.BloomM}"
+    s"""WITH pos AS (SELECT DISTINCT ${bits("o_custkey")} AS p
+       |  FROM orders CROSS JOIN range(${S.BloomK}) t(k)),
+       |pb AS (SELECT c_custkey, ${bits("c_custkey")} AS p
+       |  FROM customer CROSS JOIN range(${S.BloomK}) t(k)),
+       |hits AS (SELECT c_custkey, COUNT(*) AS h FROM pb JOIN pos USING (p) GROUP BY c_custkey),
+       |blm AS (SELECT c_custkey FROM hits WHERE h = ${S.BloomK}),
+       |ex AS (SELECT DISTINCT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey)
+       |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+       |  (SELECT COUNT(*) FROM blm) AS n_bloom,
+       |  (SELECT COUNT(*) FROM blm) - (SELECT COUNT(*) FROM ex) AS false_pos,
+       |  (SELECT COUNT(*) FROM pos) AS n_bits""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_distinct_hll" -> (approxDistinctHll _),
+    "bloom_semi_join" -> (bloomSemiJoin _),
     "facet_cube" -> (facetCube _),
     "agg_pricing" -> (aggPricing _),
     "facet_topk" -> (facetTopK _),
@@ -242,6 +340,8 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "approx_distinct_hll" -> approxDistinctHllSql,
+    "bloom_semi_join" -> bloomSemiJoinSql,
     "facet_cube" -> facetCubeSql,
     "agg_pricing" -> aggPricingSql,
     "facet_topk" -> facetTopKSql,

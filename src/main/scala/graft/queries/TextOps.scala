@@ -196,6 +196,46 @@ object TextOps {
        |SELECT doc_id, CAST(off + v.i AS INT) AS pos, v.token AS token
        |FROM sel ORDER BY doc_id, pos""".stripMargin
 
+  /** Count-Min heavy-hitter estimation over the token stream
+    * ([[graft.functions.Sketches]] — d=4 × w=1024 salted-md5 counters):
+    * the 20 most frequent tokens with exact count beside the CMS
+    * estimate. Deterministic registers mean the oracle rebuilds the
+    * counter matrix and every point estimate exactly; the n_est ≥
+    * n_exact overestimate-only invariant is spec-pinned. Scale: the
+    * counter matrix is ≤ 4096 rows whatever the corpus, built in one
+    * partial-agg groupBy.
+    */
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = graft.functions.Sketches
+    val cnt = Tables(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    def buckets = posexplode(array((0 until S.CmsD).map(i => S.cmsBucket($"tok", i)): _*))
+    val counters = cnt.select($"tok", $"c", buckets)
+      .select($"c", $"pos".as("row"), $"col".as("bucket"))
+      .groupBy($"row", $"bucket").agg(sum($"c").as("cv"))
+    cnt.orderBy($"c".desc, $"tok").limit(20)
+      .select($"tok", $"c".as("n_exact"), buckets)
+      .select($"tok", $"n_exact", $"pos".as("row"), $"col".as("bucket"))
+      .join(counters, Seq("row", "bucket"))
+      .groupBy($"tok", $"n_exact").agg(min($"cv").as("n_est"))
+      .orderBy($"n_exact".desc, $"tok")
+  }
+
+  val sketchCmsSql: String =
+    s"""WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+       |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+       |wb AS (SELECT tok, c, r,
+       |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT)
+       |      % ${graft.functions.Sketches.CmsW} AS bucket
+       |  FROM cnt CROSS JOIN range(${graft.functions.Sketches.CmsD}) t(r)),
+       |counters AS (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cv FROM wb GROUP BY r, bucket),
+       |top AS (SELECT tok, c AS n_exact FROM cnt ORDER BY c DESC, tok LIMIT 20),
+       |tb AS (SELECT t.tok, t.n_exact, w.r, w.bucket FROM top t JOIN wb w ON w.tok = t.tok)
+       |SELECT tok, n_exact, MIN(cv) AS n_est FROM tb JOIN counters USING (r, bucket)
+       |GROUP BY tok, n_exact ORDER BY n_exact DESC, tok""".stripMargin
+
   val textBpeVocabSql: String = {
     val rows = (0 until BpeMergeRounds).map { r =>
       s"SELECT ${r + 1} AS rank, p AS pair, replace(p, ' ', '') AS merged FROM m$r"
@@ -424,6 +464,7 @@ object TextOps {
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "sketch_cms" -> (sketchCms _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -440,6 +481,7 @@ object TextOps {
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_vocab" -> textBpeVocabSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "sketch_cms" -> sketchCmsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -600,7 +600,35 @@ object TimeSeriesQueries {
       |FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** Rolling 1-hour stats per user via a RANGE frame (event-time
+    * window, not row-count): events in the same hour-long trailing
+    * window count once each regardless of row ties. Only
+    * order-independent aggregates (count/min/max) ride the frame, so
+    * doubles stay bit-exact cross-engine; one keyed shuffle.
+    */
+  def tsRolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        count(lit(1)).over(w).as("n_1h"),
+        min(col("value")).over(w).as("min_1h"),
+        max(col("value")).over(w).as("max_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsRollingSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |  COUNT(*) OVER w AS n_1h, MIN(value) OVER w AS min_1h,
+      |  MAX(value) OVER w AS max_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling" -> (tsRolling _),
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_asof" -> (streamAsof _),
@@ -619,6 +647,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_rolling" -> tsRollingSql,
     "ts_asof" -> tsAsofSql,
     "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_asof" -> streamAsofSql,
