@@ -325,8 +325,56 @@ object Relational {
        |  (SELECT COUNT(*) FROM pos) AS n_bits""".stripMargin
   }
 
+  /** STREAMING distinct-count sketch run in bounded mode
+    * ([[graft.streaming.StreamingHll]] — one int of state per
+    * (group, register)): the per-register running-max emissions fold
+    * into the SAME estimate expression as the batch sketch, certified
+    * against the batch HLL oracle — approximate NDV on the stream
+    * plane with provably-batch-equal results.
+    */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = graft.functions.Sketches
+    val (bucket, rho) = S.hllParts(col("user_id"))
+    val regsIn = Tables(s, dir, "events")
+      .select(col("event_type").as("grp"), bucket.as("bucket"), rho.as("rho"))
+      .as[graft.streaming.StreamingHll.RegIn]
+    graft.streaming.StreamingHll.registers(s, regsIn).toDF()
+      // multi-batch streams emit a register several times as it grows;
+      // the LAST value is the max, so a max-fold recovers the batch
+      // registers exactly
+      .groupBy(col("grp").as("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("r")))).as("regs"))
+      .select(col("event_type"), S.hllEstimate(col("regs")).as("est"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamHllSql: String = {
+    val lz = "CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END"
+    val a = graft.functions.Sketches.HllAlphaM2
+    s"""WITH hs AS (SELECT event_type,
+       |    substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bh,
+       |    substr(md5(CAST(user_id AS VARCHAR)), 3, 14) AS sub FROM events),
+       |pz AS (SELECT event_type, CAST(concat('0x', bh) AS INT) AS bucket, sub,
+       |    length(regexp_extract(sub, '^0*')) AS p FROM hs),
+       |rr AS (SELECT event_type, bucket,
+       |    CASE WHEN p = 14 THEN 57 ELSE p * 4 + $lz + 1 END AS rho
+       |  FROM (SELECT *, strpos('0123456789abcdef', substr(sub, p + 1, 1)) - 1 AS v FROM pz)),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS r FROM rr GROUP BY 1, 2),
+       |grp AS (SELECT event_type,
+       |    list_reduce(list_prepend(0.0, list_transform(list(r ORDER BY bucket),
+       |      x -> pow(2.0, -x))), (a, b) -> a + b) + (256 - COUNT(*)) AS z,
+       |    256 - COUNT(*) AS zeros FROM regs GROUP BY event_type)
+       |SELECT event_type, round(CASE WHEN $a / z <= 640.0 AND zeros > 0
+       |    THEN 256.0 * ln(256.0 / zeros) ELSE $a / z END, 4) AS est
+       |FROM grp ORDER BY event_type""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_hll" -> (approxDistinctHll _),
+    "stream_hll" -> (streamHll _),
     "bloom_semi_join" -> (bloomSemiJoin _),
     "facet_cube" -> (facetCube _),
     "agg_pricing" -> (aggPricing _),
@@ -341,6 +389,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "approx_distinct_hll" -> approxDistinctHllSql,
+    "stream_hll" -> streamHllSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "facet_cube" -> facetCubeSql,
     "agg_pricing" -> aggPricingSql,

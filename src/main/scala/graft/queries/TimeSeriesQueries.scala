@@ -627,8 +627,44 @@ object TimeSeriesQueries {
       |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** CDC apply (merge-into): collapse a change log with
+    * upserts and DELETE tombstones into the live snapshot — the
+    * last-writer-wins companion to [[scd2Build]]'s full history (and
+    * the batch shape of the reference's ES upsert sink, SURVEY §2.1
+    * S9, with deletes added). Out-of-order arrivals are handled by
+    * ordering on (ts, id) descending, so applying the log in ANY
+    * arrival order yields the same snapshot; error events act as the
+    * tombstones here. One keyed shuffle (row_number window).
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    events(s, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("ts_ms").as("last_ts"),
+        col("event_id").as("last_event"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcApplySql: String =
+    """WITH log AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+      |  FROM events),
+      |latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts_ms DESC, event_id DESC) AS rn FROM log)
+      |SELECT user_id, ts_ms AS last_ts, event_id AS last_event,
+      |  value AS last_value
+      |FROM latest WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_rolling" -> (tsRolling _),
+    "cdc_apply" -> (cdcApply _),
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_asof" -> (streamAsof _),
@@ -648,6 +684,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_rolling" -> tsRollingSql,
+    "cdc_apply" -> cdcApplySql,
     "ts_asof" -> tsAsofSql,
     "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_asof" -> streamAsofSql,

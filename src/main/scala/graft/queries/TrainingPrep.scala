@@ -273,7 +273,40 @@ object TrainingPrep {
       |SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept, r.rate
       |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
 
+  /** Deterministic training-order shuffle: every document gets a
+    * pseudorandom but REPRODUCIBLE (shard, position) from a salted
+    * md5 of its id — the "shuffle the corpus before training" step,
+    * with the reproducibility a training run needs for resumption and
+    * ablation (never rand(), the pipeline_mix convention).
+    *
+    * Scale: one hash-keyed shuffle; ordering is per-shard only (the
+    * window sorts within its shard partition), so no global sort ever
+    * happens — at cluster scale the same plan writes shard files via
+    * repartition(shard) + sortWithinPartitions.
+    */
+  def shuffleOrder(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("sh:"), col("doc_id").cast("string")))
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+    docs.withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shuffleOrderSql: String =
+    """WITH t AS (SELECT doc_id, md5('sh:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |s AS (SELECT doc_id, h,
+      |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 8 AS shard FROM t)
+      |SELECT shard, CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
+      |  doc_id
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
     "dedup_lines" -> ((s: SparkSession, dir: String) => lineDedup(s, dir)),
     "dedup_substring" -> ((s: SparkSession, dir: String) => dedupSubstring(s, dir)),
     "pipeline_pack" -> ((s: SparkSession, dir: String) => packSequences(s, dir)),
@@ -281,6 +314,7 @@ object TrainingPrep {
     "pipeline_mix" -> ((s: SparkSession, dir: String) => mixSources(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_shuffle" -> shuffleOrderSql,
     "dedup_lines" -> lineDedupSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_pack" -> packSequencesSql,
