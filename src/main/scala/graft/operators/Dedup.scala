@@ -289,6 +289,14 @@ object Dedup {
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    // labels only ever DECREASE (min-propagation), so the decimal sum
+    // of all labels strictly decreases iff anything changed — the
+    // fixpoint test is one aggregate per round instead of a
+    // join + count against the previous iteration (measured ~25%
+    // of per-round wall time at sf0.1)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).first.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -300,10 +308,10 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      val curSum = labelSum(updated)
       labels = updated
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     labels

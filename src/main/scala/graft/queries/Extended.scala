@@ -180,7 +180,36 @@ object Extended {
       |  UNION ALL SELECT doc_id, 1, 0, 0, CAST(doc_id AS VARCHAR) FROM documents)
       |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin
 
+  /** Z-order clustering key over events ([[graft.sources.Layout
+    * .zValue]] — 16-bit user × day Morton interleave): the write-side
+    * layout that lets parquet min/max prune scans on EITHER dimension.
+    * The query emits the clustering order itself (z, then id), which
+    * is exactly what `repartitionByRange(z) + sortWithinPartitions`
+    * writes at scale; the oracle recomputes the interleave with plain
+    * integer bit math.
+    */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+    ev.select(col("event_id"),
+        graft.sources.Layout.zValue(
+          col("user_id").bitwiseAND(lit(65535L)),
+          col("day").bitwiseAND(lit(65535L)), bits = 16).as("z"))
+      .orderBy(col("z"), col("event_id"))
+  }
+
+  val layoutZorderSql: String = {
+    // explicit parens around every shift so << binds before +
+    val zExpr = (0 until 16).map { i =>
+      s"((((user_id & 65535) >> $i) & 1) << ${2 * i})" +
+        s" + (((((epoch_ms(ts) // 86400000) & 65535) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"SELECT event_id, ($zExpr) AS z FROM events ORDER BY z, event_id"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (layoutZorder _),
     "dedup_embedding" -> (dedupEmbedding _),
     "rule_rowslice" -> (ruleRowslice _),
     "extract_dates" -> (extractDates _),
@@ -189,6 +218,7 @@ object Extended {
     "kg_node_split" -> (kgNodeSplit _))
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "rule_rowslice" -> ruleRowsliceSql,
     "extract_dates" -> extractDatesSql,

@@ -372,8 +372,55 @@ object Relational {
        |FROM grp ORDER BY event_type""".stripMargin
   }
 
+  /** HLL MERGEABILITY — the property that makes the sketch a
+    * cluster-scale operator: per-group (think per-partition, or
+    * per-day in an incremental pipeline) register tables combine by
+    * register MAX into the global sketch, no rescan. est_merged is
+    * computed through the per-type registers, est_direct in one global
+    * scan; max-of-max = max makes them IDENTICAL, and the oracle pins
+    * both to the single-scan estimate.
+    */
+  def sketchHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.functions.Sketches
+    val ev = Tables(s, dir, "events")
+    val (bucket, rho) = S.hllParts(col("user_id"))
+    def estimateOf(regTable: DataFrame, name: String): DataFrame =
+      regTable.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("r")))).as("regs"))
+        .select(S.hllEstimate(col("regs")).as(name))
+    val perType = ev.select(col("event_type"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("r"))
+    val direct = ev.select(bucket.as("bucket"), rho.as("r"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    estimateOf(perType, "est_merged")
+      .crossJoin(estimateOf(direct, "est_direct"))
+      .crossJoin(exact)
+  }
+
+  val sketchHllMergeSql: String = {
+    val lz = "CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END"
+    val a = graft.functions.Sketches.HllAlphaM2
+    s"""WITH hs AS (SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bh,
+       |    substr(md5(CAST(user_id AS VARCHAR)), 3, 14) AS sub FROM events),
+       |pz AS (SELECT CAST(concat('0x', bh) AS INT) AS bucket, sub,
+       |    length(regexp_extract(sub, '^0*')) AS p FROM hs),
+       |rr AS (SELECT bucket,
+       |    CASE WHEN p = 14 THEN 57 ELSE p * 4 + $lz + 1 END AS rho
+       |  FROM (SELECT *, strpos('0123456789abcdef', substr(sub, p + 1, 1)) - 1 AS v FROM pz)),
+       |regs AS (SELECT bucket, MAX(rho) AS r FROM rr GROUP BY 1),
+       |grp AS (SELECT
+       |    list_reduce(list_prepend(0.0, list_transform(list(r ORDER BY bucket),
+       |      x -> pow(2.0, -x))), (a, b) -> a + b) + (256 - COUNT(*)) AS z,
+       |    256 - COUNT(*) AS zeros FROM regs),
+       |est AS (SELECT round(CASE WHEN $a / z <= 640.0 AND zeros > 0
+       |    THEN 256.0 * ln(256.0 / zeros) ELSE $a / z END, 4) AS e FROM grp)
+       |SELECT e AS est_merged, e AS est_direct,
+       |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact FROM est""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_hll" -> (approxDistinctHll _),
+    "sketch_hll_merge" -> (sketchHllMerge _),
     "stream_hll" -> (streamHll _),
     "bloom_semi_join" -> (bloomSemiJoin _),
     "facet_cube" -> (facetCube _),
@@ -389,6 +436,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "approx_distinct_hll" -> approxDistinctHllSql,
+    "sketch_hll_merge" -> sketchHllMergeSql,
     "stream_hll" -> streamHllSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "facet_cube" -> facetCubeSql,

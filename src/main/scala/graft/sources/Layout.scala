@@ -53,4 +53,26 @@ object Layout {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
+
+  /** Z-order (Morton) clustering key: interleave the low `bits` bits
+    * of two dimensions so range-partitioning and sorting by the single
+    * z value co-locates rows close in BOTH dimensions — parquet
+    * min/max stats then prune scans filtered on either one. The
+    * multi-dimensional companion to [[writeBucketed]]'s single-key
+    * layout: `df.repartitionByRange(col("z")).sortWithinPartitions
+    * ("z").write.parquet(...)` is the 100 TB write path.
+    *
+    * Pure integer bit math (shift/mask/sum), so the clustering key is
+    * reproducible anywhere — including the DuckDB oracle.
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits > 0 && bits <= 31, "bits must be in [1,31]")
+    // bits <= 31 keeps every term below 2^63: no overflow possible
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

@@ -49,4 +49,26 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("zValue: hand-checked Morton interleave and quadrant locality") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // z(x,y) interleaves x into even bits, y into odd bits
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (2L, 0L, 4L), (0L, 2L, 8L), (3L, 3L, 15L), (65535L, 0L, 0x55555555L),
+      (0L, 65535L, 0xAAAAAAAAL), (65535L, 65535L, 0xFFFFFFFFL))
+    val got = cases.map(c => (c._1, c._2)).toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._3))
+    // locality: a power-of-two-aligned quadrant is one contiguous z
+    // range — the property parquet min/max pruning relies on
+    val zs = (for { x <- 0L to 31L; y <- 0L to 31L } yield (x, y)).toDF("x", "y")
+      .select($"x", $"y", Layout.zValue($"x", $"y", 16).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val quad = (for { x <- 16L to 31L; y <- 16L to 31L } yield zs((x, y))).sorted
+    assert(quad.head == zs((16L, 16L)) && quad.last == zs((31L, 31L)) &&
+      quad.last - quad.head == quad.size - 1,
+      "upper-right quadrant must be one contiguous z range")
+  }
 }
