@@ -82,6 +82,37 @@ object DedupSim {
        |SELECT a AS id, least(a, MIN(b)) AS cluster
        |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
+  /** The user-facing OUTPUT of near-dup dedup: the corpus after
+    * cluster collapse — every doc whose component representative (min
+    * id) is itself, i.e. drop each doc with a lower-id near-dup mate,
+    * transitively. Composes [[Dedup.minhashLshPairs]] →
+    * [[Dedup.clusters]] → anti-join back to the corpus; the anti-join
+    * shuffles only doc ids against the (tiny) dropped set.
+    */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val dropped = Dedup.clusters(pairs.select(col("id_a"), col("id_b")), maxIter = 20)
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE ${MinhashCandCtes.stripPrefix("WITH ")},
+       |edges AS (SELECT id_a, id_b FROM cand
+       |  UNION SELECT id_b AS id_a, id_a AS id_b FROM cand),
+       |reach(a, b) AS (
+       |  SELECT id_a, id_b FROM edges
+       |  UNION
+       |  SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a),
+       |lbl AS (SELECT a AS id, least(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+       |drp AS (SELECT id FROM lbl WHERE cluster <> id)
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM drp) ORDER BY doc_id""".stripMargin
+
   /** Exact-score n-gram Jaccard via the df-capped inverted index
     * (cap = 256 docs per shingle, mirrored in the oracle), top-100.
     */
@@ -579,6 +610,7 @@ object DedupSim {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_survivors" -> (dedupSurvivors _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk" -> (simTopK _),
@@ -595,6 +627,7 @@ object DedupSim {
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,

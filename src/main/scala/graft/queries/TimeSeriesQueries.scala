@@ -662,9 +662,37 @@ object TimeSeriesQueries {
       |FROM latest WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  /** STREAMING CDC apply run in bounded mode
+    * ([[graft.streaming.StreamingCdc]] — one record of state per key,
+    * last-writer-wins by the monotone (ts, id) max, tombstones
+    * retained so late stale upserts cannot resurrect deleted keys):
+    * certified against the batch cdc_apply oracle.
+    */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = events(s, dir)
+      .select(col("user_id").as("key"), col("ts_ms").as("tsMs"),
+        col("event_id").as("id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value"))
+      .as[graft.streaming.StreamingCdc.In]
+    graft.streaming.StreamingCdc.snapshot(s, log).toDF()
+      // multi-batch streams emit a key once per winner change; the
+      // (ts, id)-max emission is the final winner
+      .groupBy(col("key"))
+      .agg(max(struct(col("tsMs"), col("id"), col("op"), col("value"))).as("cur"))
+      .filter(col("cur.op") =!= "D")
+      .select(col("key").as("user_id"), col("cur.tsMs").as("last_ts"),
+        col("cur.id").as("last_event"), col("cur.value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamCdcSql: String = cdcApplySql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_rolling" -> (tsRolling _),
     "cdc_apply" -> (cdcApply _),
+    "stream_cdc" -> (streamCdc _),
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_asof" -> (streamAsof _),
@@ -685,6 +713,7 @@ object TimeSeriesQueries {
   val oracles: Map[String, String] = Map(
     "ts_rolling" -> tsRollingSql,
     "cdc_apply" -> cdcApplySql,
+    "stream_cdc" -> streamCdcSql,
     "ts_asof" -> tsAsofSql,
     "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_asof" -> streamAsofSql,
