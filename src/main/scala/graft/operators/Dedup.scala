@@ -295,7 +295,9 @@ object Dedup {
     // join + count against the previous iteration (measured ~25%
     // of per-round wall time at sf0.1)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).first.getDecimal(0)
+      // sum over an EMPTY label table is null (no pairs → no nodes)
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).first.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

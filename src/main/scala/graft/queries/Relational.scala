@@ -418,8 +418,154 @@ object Relational {
        |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact FROM est""".stripMargin
   }
 
+  /** Ordered funnel (view → click → purchase) per user: the first
+    * view, the first click strictly AFTER it, the first purchase
+    * strictly after that — the sequential-conversion query product
+    * analytics engines special-case, expressed as three keyed
+    * min-aggregations chained by left joins. All three stages shuffle
+    * on user_id, so Catalyst plans ONE exchange per side and reuses
+    * the partitioning; integer millis end-to-end keep it hash-exact.
+    */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_ms") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_ms") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelConversionSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts_ms) AS t_click FROM ev e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts_ms) AS t_purchase FROM ev e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click GROUP BY e.user_id)
+      |SELECT v.user_id, t_view, t_click, t_purchase
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Cohort retention: users bucketed by first-seen day, counted as
+    * active per (cohort, day-offset) — the standard retention matrix.
+    * Two keyed aggregations; the distinct-activity step shuffles
+    * (user, day) pairs, never raw events twice.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset
+      |  FROM ev e JOIN f USING (user_id))
+      |SELECT cohort_day, day_offset, COUNT(*) AS n_active
+      |FROM a GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Exact integer floor-division on non-negative longs: (a − a mod b)
+    * is divisible by b, and an IEEE division whose true quotient is a
+    * representable integer is exact — so the double division below
+    * cannot round, and DuckDB's `//` reproduces it bit-for-bit.
+    */
+  private def intdiv(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  private val PrIters = 5
+
+  /** Weighted PageRank over the event-type transition graph
+    * (consecutive events per user define weighted edges), 5 Jacobi
+    * iterations in SCALED INTEGER arithmetic — rank×10⁶, damping
+    * 0.85 as (85·x) div 100 — so every iteration is exact integer
+    * math and the oracle REPLAYS the full computation in unrolled
+    * CTEs (the text_bpe_train convention: iterative algorithms get
+    * replay oracles, not golden values).
+    *
+    * Scale shape: each iteration is one keyed join + one aggregate on
+    * the EDGE set — the clusters() shape; at real graph sizes the
+    * loop adds localCheckpoint lineage barriers, ranks/edges shuffle
+    * on node ids, and iterations are bounded, never data-dependent.
+    * Dangling mass is dropped (documented simplification; no dangling
+    * nodes exist in a transition graph where every observed type has
+    * an outgoing edge — and the oracle makes the same choice).
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    pagerank(edges, PrIters).orderBy(col("node"))
+  }
+
+  /** The iteration core over any weighted edge table (src, dst, w). */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wt"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(wout, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), intdiv(col("r") * col("w"), col("wt")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + intdiv(lit(85L) * coalesce(col("s"), lit(0L)), lit(100L))).as("r"))
+    }
+    ranks
+  }
+
+  val graphPagerankSql: String = {
+    val base =
+      """ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |nx AS (SELECT event_type AS src, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS dst FROM ev),
+        |edges AS (SELECT src, dst, COUNT(*) AS w FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT n.node, CAST(150000 + (85 * COALESCE(CAST(SUM((r.r * e.w) // w2.wt) AS BIGINT), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  LEFT JOIN wout w2 ON w2.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$iters
+       |SELECT node, r FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_hll" -> (approxDistinctHll _),
+    "graph_pagerank" -> (graphPagerank _),
+    "funnel_conversion" -> (funnelConversion _),
+    "cohort_retention" -> (cohortRetention _),
     "sketch_hll_merge" -> (sketchHllMerge _),
     "stream_hll" -> (streamHll _),
     "bloom_semi_join" -> (bloomSemiJoin _),
@@ -436,6 +582,9 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "approx_distinct_hll" -> approxDistinctHllSql,
+    "graph_pagerank" -> graphPagerankSql,
+    "funnel_conversion" -> funnelConversionSql,
+    "cohort_retention" -> cohortRetentionSql,
     "sketch_hll_merge" -> sketchHllMergeSql,
     "stream_hll" -> streamHllSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
