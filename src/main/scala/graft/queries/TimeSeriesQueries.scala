@@ -689,10 +689,68 @@ object TimeSeriesQueries {
 
   val streamCdcSql: String = cdcApplySql
 
+  /** Snapshot DIFF — the inverse of [[cdcApply]]: given the entity
+    * state at mid-month and at month-end, emit the change feed
+    * (I/U/D ops) that transforms one into the other. Full outer join
+    * on the key; op classification is pure column logic. The pair
+    * closes the CDC loop: apply ∘ diff = identity, and the generated
+    * feed is what an incremental downstream consumer would ingest.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val midMs = 1705363200000L // 2024-01-16T00:00:00Z — mid-corpus
+    def snapshot(log: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+    }
+    val log = events(s, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value"))
+    val old = snapshot(log.filter(col("ts_ms") < midMs))
+      .select(col("user_id"), col("event_id").as("old_event"))
+    val cur = snapshot(log)
+      .select(col("user_id"), col("ts_ms").as("last_ts"),
+        col("event_id").as("last_event"), col("value").as("last_value"))
+    old.join(cur, Seq("user_id"), "full_outer")
+      .select(
+        when(col("old_event").isNull, lit("I"))
+          .when(col("last_event").isNull, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("user_id"), col("last_ts"), col("last_event"), col("last_value"))
+      .filter(col("op") =!= "U" || col("old_event") =!= col("last_event"))
+      .orderBy(col("user_id"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH log AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+      |  FROM events),
+      |old AS (SELECT user_id, event_id AS old_event FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+      |    FROM log WHERE ts_ms < 1705363200000)
+      |  WHERE rn = 1 AND op <> 'D'),
+      |cur AS (SELECT user_id, ts_ms AS last_ts, event_id AS last_event,
+      |    value AS last_value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms DESC, event_id DESC) AS rn FROM log)
+      |  WHERE rn = 1 AND op <> 'D')
+      |SELECT CASE WHEN old_event IS NULL THEN 'I'
+      |       WHEN last_event IS NULL THEN 'D' ELSE 'U' END AS op,
+      |  user_id, last_ts, last_event, last_value
+      |FROM old o FULL OUTER JOIN cur c USING (user_id)
+      |WHERE old_event IS NULL OR last_event IS NULL OR old_event <> last_event
+      |ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_rolling" -> (tsRolling _),
     "cdc_apply" -> (cdcApply _),
     "stream_cdc" -> (streamCdc _),
+    "snapshot_diff" -> (snapshotDiff _),
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
     "stream_asof" -> (streamAsof _),
@@ -714,6 +772,7 @@ object TimeSeriesQueries {
     "ts_rolling" -> tsRollingSql,
     "cdc_apply" -> cdcApplySql,
     "stream_cdc" -> streamCdcSql,
+    "snapshot_diff" -> snapshotDiffSql,
     "ts_asof" -> tsAsofSql,
     "ts_asof_fwd" -> tsAsofFwdSql,
     "stream_asof" -> streamAsofSql,

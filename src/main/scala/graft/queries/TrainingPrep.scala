@@ -305,7 +305,33 @@ object TrainingPrep {
       |  doc_id
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** Deterministic per-stratum sampling WITHOUT replacement: the k
+    * lowest salted-hash priorities per source — uniform over each
+    * stratum, reproducible, exact-k (vs [[mixSources]]' rate-based
+    * Bernoulli thinning). One keyed shuffle; the window keeps only
+    * rank ≤ k per stratum so nothing source-sized survives the sort.
+    */
+  def sampleK(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = md5(concat(lit("sm:"), col("doc_id").cast("string")))
+    Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"), pri.as("pri"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val sampleKSql: String =
+    """SELECT source, rk, doc_id FROM (
+      |  SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY md5('sm:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 50 ORDER BY source, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_sample" -> ((s: SparkSession, dir: String) => sampleK(s, dir)),
     "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
     "dedup_lines" -> ((s: SparkSession, dir: String) => lineDedup(s, dir)),
     "dedup_substring" -> ((s: SparkSession, dir: String) => dedupSubstring(s, dir)),
@@ -314,6 +340,7 @@ object TrainingPrep {
     "pipeline_mix" -> ((s: SparkSession, dir: String) => mixSources(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_sample" -> sampleKSql,
     "pipeline_shuffle" -> shuffleOrderSql,
     "dedup_lines" -> lineDedupSql,
     "dedup_substring" -> dedupSubstringSql,
