@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{KgPipeline, Relational}
+import graft.queries.{KgPipeline, Relational, TimeSeriesQueries, TrainingPrep}
 
 /** Physical-plan assertions (builder brief: "explain the plan and
   * iterate until it's the plan you'd want"). Checks that the properties
@@ -284,5 +284,41 @@ class PlanSpec extends SparkSpec {
     val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
     assert(selected.size == 1,
       s"one-constraint search must scan exactly the field=op partition, scanned ${selected.size}")
+  }
+
+  test("bloom_semi_join: bitset broadcasts; the probe side is a narrow map (no keyed shuffle)") {
+    val p = Relational.bloomSemiJoin(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"bitset must broadcast:\n$p")
+    // the customer probe never hash-shuffles: the only hashpartitioning
+    // exchanges belong to the build (distinct positions) and the exact
+    // reference count — both on key/position columns
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    // _groupingexpression = the bitset build's word-index groupBy
+    assert(hashEx.subsetOf(Set("p", "o_custkey", "c_custkey", "w", "_groupingexpression")),
+      s"probe-side payload must not shuffle; shuffled on: $hashEx\n$p")
+  }
+
+  test("approx_distinct_hll: register aggregation is partial (map-side max before the shuffle)") {
+    val p = Relational.approxDistinctHll(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("partial_max") || p.contains("partial max") ||
+      p.matches("(?s).*HashAggregate.*partial.*max.*"),
+      s"expected map-side partial max of rho:\n$p")
+  }
+
+  test("pipeline_shuffle: exactly one keyed shuffle, no global sort before the output ordering") {
+    val p = TrainingPrep.shuffleOrder(spark, dir).queryExecution.executedPlan.toString
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected 1 keyed shuffle (the shard window), got $keyed:\n$p")
+    // the only range exchange is the final deterministic output orderBy
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("scd2_build / cdc_apply: snapshot and history each ride ONE keyed shuffle") {
+    Seq(TimeSeriesQueries.scd2Build _, TimeSeriesQueries.cdcApply _).foreach { q =>
+      val p = q(spark, dir).queryExecution.executedPlan.toString
+      val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(keyed == 1, s"expected 1 keyed shuffle, got $keyed:\n$p")
+    }
   }
 }
