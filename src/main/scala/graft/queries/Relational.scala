@@ -570,8 +570,174 @@ object Relational {
        |SELECT node, r FROM r$PrIters ORDER BY node""".stripMargin
   }
 
+  /** Data-quality validation report (the Deequ-style constraint suite
+    * a warehouse engine is expected to ship): row counts, primary-key
+    * duplicates, null keys, referential orphans, range and enum
+    * violations — one (check, table, violation-count) row each.
+    * Per-table profile metrics compute in ONE pass (conditional sums
+    * inside a single aggregate, then unpivoted); the two referential
+    * checks are left-anti joins. Everything is an integer count, so
+    * the report is hash-exact by construction.
+    */
+  def dqReport(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val lineitem = Tables(s, dir, "lineitem")
+    val customer = Tables(s, dir, "customer")
+    def row(check: String, table: String,
+            v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      struct(lit(check).as("dq_check"), lit(table).as("table_name"),
+        v.cast("long").as("value"))
+    val ordersProfile = orders.agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nullk"),
+      countDistinct(col("o_orderkey")).as("dk"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("badenum"))
+      .select(explode(array(
+        row("row_count", "orders", col("cnt")),
+        row("null_keys", "orders", col("nullk")),
+        row("dup_pk", "orders", col("cnt") - col("dk")),
+        row("enum_status", "orders", col("badenum")))).as("r"))
+    val liProfile = lineitem.agg(
+      count(lit(1)).as("cnt"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("dk"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("baddisc"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("badqty"))
+      .select(explode(array(
+        row("row_count", "lineitem", col("cnt")),
+        row("dup_pk", "lineitem", col("cnt") - col("dk")),
+        row("range_discount", "lineitem", col("baddisc")),
+        row("range_quantity", "lineitem", col("badqty")))).as("r"))
+    val custProfile = customer.agg(count(lit(1)).as("cnt"))
+      .select(explode(array(row("row_count", "customer", col("cnt")))).as("r"))
+    val liOrphans = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(explode(array(row("orphan_fk", "lineitem", col("v")))).as("r"))
+    val ordOrphans = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(explode(array(row("orphan_fk", "orders", col("v")))).as("r"))
+    ordersProfile.unionByName(liProfile).unionByName(custProfile)
+      .unionByName(liOrphans).unionByName(ordOrphans)
+      .select(col("r.dq_check").as("dq_check"), col("r.table_name").as("table_name"),
+        col("r.value").as("value"))
+      .orderBy(col("table_name"), col("dq_check"))
+  }
+
+  val dqReportSql: String =
+    """SELECT dq_check, table_name, value FROM (
+      |  SELECT 'row_count' AS dq_check, 'orders' AS table_name, COUNT(*) AS value FROM orders
+      |  UNION ALL SELECT 'null_keys', 'orders',
+      |    CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'dup_pk', 'orders',
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'enum_status', 'orders',
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'row_count', 'lineitem', COUNT(*) FROM lineitem
+      |  UNION ALL SELECT 'dup_pk', 'lineitem',
+      |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+      |  UNION ALL SELECT 'range_discount', 'lineitem',
+      |    CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'range_quantity', 'lineitem',
+      |    CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'row_count', 'customer', COUNT(*) FROM customer
+      |  UNION ALL SELECT 'orphan_fk', 'lineitem',
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL SELECT 'orphan_fk', 'orders',
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+      |ORDER BY table_name, dq_check""".stripMargin
+
+  /** HLL set algebra: pairwise user overlap between event types by
+    * inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the union estimate comes from MERGED registers (max per bucket),
+    * never a rescan. Beside each estimate: the exact intersection.
+    * The estimate error compounds (the documented HLL-intersection
+    * weakness — small intersections of large sets are noisy), but
+    * every arithmetic step is deterministic, so the oracle still pins
+    * the result bit-for-bit.
+    */
+  def sketchHllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.functions.Sketches
+    val ev = Tables(s, dir, "events")
+    val (bucket, rho) = S.hllParts(col("user_id"))
+    val regs = ev.select(col("event_type"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("r"))
+    def fold(grouped: DataFrame, keys: Seq[String], name: String): DataFrame =
+      grouped.groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("bucket"), col("r")))).as("regs"))
+        .select(keys.map(col) :+ S.hllEstimate(col("regs")).as(name): _*)
+    val perType = fold(regs, Seq("event_type"), "est")
+    val types = regs.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val unionRegs = pairs.join(regs,
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("bucket")).agg(max(col("r")).as("r"))
+    val unionEst = fold(unionRegs, Seq("ta", "tb"), "est_union")
+    val exact = ev.select(col("event_type"), col("user_id")).distinct()
+    val exactInter = exact.as("x")
+      .join(exact.as("y"), col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    unionEst
+      .join(perType.select(col("event_type").as("ta"), col("est").as("est_a")), Seq("ta"))
+      .join(perType.select(col("event_type").as("tb"), col("est").as("est_b")), Seq("tb"))
+      .join(exactInter, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_inter"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val sketchHllIntersectSql: String = {
+    val lz = "CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END"
+    val a = graft.functions.Sketches.HllAlphaM2
+    def estOf(src: String, keys: String) =
+      s"""SELECT $keys,
+         |    round(CASE WHEN $a / z <= 640.0 AND zeros > 0
+         |      THEN 256.0 * ln(256.0 / zeros) ELSE $a / z END, 4) AS est
+         |  FROM (SELECT $keys,
+         |      list_reduce(list_prepend(0.0, list_transform(list(r ORDER BY bucket),
+         |        x -> pow(2.0, -x))), (a, b) -> a + b) + (256 - COUNT(*)) AS z,
+         |      256 - COUNT(*) AS zeros FROM $src GROUP BY $keys)""".stripMargin
+    s"""WITH hs AS (SELECT event_type,
+       |    substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bh,
+       |    substr(md5(CAST(user_id AS VARCHAR)), 3, 14) AS sub FROM events),
+       |pz AS (SELECT event_type, CAST(concat('0x', bh) AS INT) AS bucket, sub,
+       |    length(regexp_extract(sub, '^0*')) AS p FROM hs),
+       |rr AS (SELECT event_type, bucket,
+       |    CASE WHEN p = 14 THEN 57 ELSE p * 4 + $lz + 1 END AS rho
+       |  FROM (SELECT *, strpos('0123456789abcdef', substr(sub, p + 1, 1)) - 1 AS v FROM pz)),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS r FROM rr GROUP BY 1, 2),
+       |tps AS (SELECT DISTINCT event_type FROM events),
+       |prs AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM tps a, tps b WHERE a.event_type < b.event_type),
+       |uregs AS (SELECT p.ta, p.tb, t.bucket, MAX(t.r) AS r
+       |  FROM prs p JOIN regs t ON t.event_type IN (p.ta, p.tb) GROUP BY 1, 2, 3),
+       |pest AS (${estOf("regs", "event_type")}),
+       |uest AS (${estOf("uregs", "ta, tb")}),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |exct AS (SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_exact_inter
+       |  FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2)
+       |SELECT u.ta, u.tb, ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
+       |  round(ea.est + eb.est - u.est, 4) AS est_inter,
+       |  COALESCE(e.n_exact_inter, 0) AS n_exact_inter
+       |FROM uest u
+       |JOIN pest ea ON ea.event_type = u.ta
+       |JOIN pest eb ON eb.event_type = u.tb
+       |LEFT JOIN exct e ON e.ta = u.ta AND e.tb = u.tb
+       |ORDER BY u.ta, u.tb""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_hll" -> (approxDistinctHll _),
+    "sketch_hll_intersect" -> (sketchHllIntersect _),
+    "dq_report" -> (dqReport _),
     "graph_pagerank" -> (graphPagerank _),
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
@@ -591,6 +757,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "approx_distinct_hll" -> approxDistinctHllSql,
+    "sketch_hll_intersect" -> sketchHllIntersectSql,
+    "dq_report" -> dqReportSql,
     "graph_pagerank" -> graphPagerankSql,
     "funnel_conversion" -> funnelConversionSql,
     "cohort_retention" -> cohortRetentionSql,
