@@ -734,8 +734,93 @@ object Relational {
        |ORDER BY u.ta, u.tb""".stripMargin
   }
 
+  /** Entity resolution, blocked shape: candidate pairs only WITHIN a
+    * blocking key, scored by edit distance, matched under a threshold
+    * — the classic block→compare→match pipeline that avoids the
+    * all-pairs cartesian. THE scale knob is block size — measured at
+    * sf0.1: nation blocks (600 rows) → ~4.5M pairs, 26 s; 16-char
+    * prefix (100 rows) → 742k pairs, 6.6 s; 17-char prefix (10 rows)
+    * → 67k pairs, sub-second. Block tighter and recover the boundary
+    * pairs with the companion sorted-neighborhood pass — the standard
+    * two-pass ER design. The comparator is the THRESHOLDED
+    * levenshtein (banded DP, early exit — Spark returns −1 above the
+    * threshold) rather than the full-matrix form.
+    */
+  def erMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 17).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        col("a.blk").as("block"),
+        levenshtein(col("a.c_name"), col("b.c_name"), 2).as("dist"))
+      .filter(col("dist") =!= -1)
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  val erMatchSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  substr(a.c_name, 1, 17) AS block, levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b
+      |  ON substr(a.c_name, 1, 17) = substr(b.c_name, 1, 17)
+      |  AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY dist, id_a, id_b LIMIT 100""".stripMargin
+
+  /** Entity resolution, sorted-neighborhood shape (Hernández &
+    * Stolfo): sort by the match key once, compare each record only to
+    * its w following neighbors via lead() — LINEAR candidate count
+    * (n·w pairs) instead of blocked quadratic, one sort-shuffle total.
+    * The scale path when no small blocking key exists.
+    */
+  def erSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables(s, dir, "customer")
+    // single global sort window is intentional here: the sorted
+    // neighborhood IS the algorithm; at scale use repartitionByRange
+    // + per-partition windows with boundary overlap
+    val w = Window.orderBy(col("c_name"), col("c_custkey"))
+    val withNext = c.select(col("c_custkey"), col("c_name"))
+      .withColumn("n1_key", lead(col("c_custkey"), 1).over(w))
+      .withColumn("n1_name", lead(col("c_name"), 1).over(w))
+      .withColumn("n2_key", lead(col("c_custkey"), 2).over(w))
+      .withColumn("n2_name", lead(col("c_name"), 2).over(w))
+    val p1 = withNext.filter(col("n1_key").isNotNull)
+      .select(col("c_custkey").as("id_a"), col("n1_key").as("id_b"),
+        levenshtein(col("c_name"), col("n1_name")).as("dist"))
+    val p2 = withNext.filter(col("n2_key").isNotNull)
+      .select(col("c_custkey").as("id_a"), col("n2_key").as("id_b"),
+        levenshtein(col("c_name"), col("n2_name")).as("dist"))
+    p1.unionByName(p2)
+      .filter(col("dist") <= 1)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+      .limit(200)
+  }
+
+  val erSortedNeighborhoodSql: String =
+    """WITH s AS (SELECT c_custkey, c_name,
+      |    lead(c_custkey, 1) OVER w AS n1_key, lead(c_name, 1) OVER w AS n1_name,
+      |    lead(c_custkey, 2) OVER w AS n2_key, lead(c_name, 2) OVER w AS n2_name
+      |  FROM customer WINDOW w AS (ORDER BY c_name, c_custkey)),
+      |prs AS (
+      |  SELECT c_custkey AS id_a, n1_key AS id_b, levenshtein(c_name, n1_name) AS dist
+      |  FROM s WHERE n1_key IS NOT NULL
+      |  UNION ALL
+      |  SELECT c_custkey AS id_a, n2_key AS id_b, levenshtein(c_name, n2_name) AS dist
+      |  FROM s WHERE n2_key IS NOT NULL)
+      |SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, dist
+      |FROM prs WHERE dist <= 1
+      |ORDER BY id_a, id_b LIMIT 200""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_hll" -> (approxDistinctHll _),
+    "er_match" -> (erMatch _),
+    "er_sorted_neighborhood" -> (erSortedNeighborhood _),
     "sketch_hll_intersect" -> (sketchHllIntersect _),
     "dq_report" -> (dqReport _),
     "graph_pagerank" -> (graphPagerank _),
@@ -757,6 +842,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "approx_distinct_hll" -> approxDistinctHllSql,
+    "er_match" -> erMatchSql,
+    "er_sorted_neighborhood" -> erSortedNeighborhoodSql,
     "sketch_hll_intersect" -> sketchHllIntersectSql,
     "dq_report" -> dqReportSql,
     "graph_pagerank" -> graphPagerankSql,
