@@ -746,8 +746,112 @@ object TimeSeriesQueries {
       |WHERE old_event IS NULL OR last_event IS NULL OR old_event <> last_event
       |ORDER BY user_id""".stripMargin
 
+  /** Burst throttling (exact greedy dedup-within-window): per
+    * (user, type), events within 5 minutes of the PREVIOUS event chain
+    * into one burst, and only each burst's first event survives. The
+    * gaps-and-islands trick makes the greedy chain exact in one window
+    * pass: a row opens a burst iff its gap > Δt, and the running count
+    * of openings is the burst id. One keyed shuffle.
+    */
+  def tsThrottle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events(s, dir)
+      .withColumn("gap_open",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > 300000L
+          || lag(col("ts_ms"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("burst", sum(col("gap_open")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("gap_open") === 1L)
+      .select(col("user_id"), col("event_type"), col("burst"),
+        col("event_id"), col("ts_ms"))
+      .orderBy(col("user_id"), col("event_type"), col("burst"))
+  }
+
+  val tsThrottleSql: String =
+    """WITH ev AS (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      |g AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w > 300000
+      |      OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS gap_open
+      |  FROM ev WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id)),
+      |b AS (SELECT *, CAST(SUM(gap_open) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst FROM g)
+      |SELECT user_id, event_type, burst, event_id, ts_ms
+      |FROM b WHERE gap_open = 1
+      |ORDER BY user_id, event_type, burst""".stripMargin
+
+  /** Exact selection percentiles (p50/p90/p99) of `value` per event
+    * type — rank SELECTION, not interpolation, so the emitted doubles
+    * are untouched input values and hash exactly. At scale: one keyed
+    * shuffle; only ranks are computed, no sketch approximation.
+    */
+  def tsPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def sel(p: Double, name: String) =
+      max(when(col("rn") === floor(lit(p) * (col("n") - 1)).cast("long") + 1,
+        col("value"))).as(name)
+    ranked.groupBy(col("event_type"))
+      .agg(sel(0.5, "p50"), sel(0.9, "p90"), sel(0.99, "p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsPercentilesSql: String =
+    """WITH r AS (SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p99,
+      |  COUNT(*) AS n
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands: day − dense_rank(day) is constant within a
+    * consecutive run, so grouping by it isolates each streak. Two
+    * keyed aggregations, no self-join.
+    */
+  def tsStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events(s, dir)
+      .select(col("user_id"), (col("ts_ms") / 86400000L).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - dense_rank().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("len"), col("start_day"))).as("best"))
+      .select(col("user_id"), col("best.len").as("streak_days"),
+        col("best.start_day").as("streak_start"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsStreaksSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |    day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+      |runs AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM g GROUP BY user_id, grp),
+      |best AS (SELECT user_id, len, start_day,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day DESC) AS rk
+      |  FROM runs)
+      |SELECT user_id, len AS streak_days, start_day AS streak_start
+      |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_rolling" -> (tsRolling _),
+    "ts_throttle" -> (tsThrottle _),
+    "ts_percentiles" -> (tsPercentiles _),
+    "ts_streaks" -> (tsStreaks _),
     "cdc_apply" -> (cdcApply _),
     "stream_cdc" -> (streamCdc _),
     "snapshot_diff" -> (snapshotDiff _),
@@ -770,6 +874,9 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_rolling" -> tsRollingSql,
+    "ts_throttle" -> tsThrottleSql,
+    "ts_percentiles" -> tsPercentilesSql,
+    "ts_streaks" -> tsStreaksSql,
     "cdc_apply" -> cdcApplySql,
     "stream_cdc" -> streamCdcSql,
     "snapshot_diff" -> snapshotDiffSql,
