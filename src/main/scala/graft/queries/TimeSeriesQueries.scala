@@ -847,8 +847,57 @@ object TimeSeriesQueries {
       |SELECT user_id, len AS streak_days, start_day AS streak_start
       |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  /** Robust statistics per event type: median and MAD (median absolute
+    * deviation) by rank SELECTION (lower median), plus the robust
+    * outlier count at the 3×MAD fence. Every arithmetic step is a
+    * single exact-or-once-rounded IEEE op (subtract, abs, one
+    * multiply), identical in both engines, so the doubles hash
+    * exactly. Two keyed rank windows — no sketch, no interpolation.
+    */
+  def tsMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir).filter(col("value").isNotNull)
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(v), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col(v))).as(out))
+    }
+    val med = lowerMedian(ev, "value", "median")
+    val dev = ev.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("median")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("median")).as("median"), max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsMadSql: String =
+    """WITH ev AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+      |r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM ev),
+      |med AS (SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median
+      |  FROM r1 GROUP BY event_type),
+      |dev AS (SELECT e.event_type, e.event_id, e.value, m.median,
+      |    abs(e.value - m.median) AS adev FROM ev e JOIN med m USING (event_type)),
+      |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev),
+      |mad AS (SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+      |  FROM r2 GROUP BY event_type)
+      |SELECT d.event_type, MAX(d.median) AS median, MAX(a.mad) AS mad,
+      |  CAST(COALESCE(SUM(CASE WHEN d.adev > 3.0e0 * a.mad THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+      |  COUNT(*) AS n
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_rolling" -> (tsRolling _),
+    "ts_mad" -> (tsMad _),
     "ts_throttle" -> (tsThrottle _),
     "ts_percentiles" -> (tsPercentiles _),
     "ts_streaks" -> (tsStreaks _),
@@ -874,6 +923,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_rolling" -> tsRollingSql,
+    "ts_mad" -> tsMadSql,
     "ts_throttle" -> tsThrottleSql,
     "ts_percentiles" -> tsPercentilesSql,
     "ts_streaks" -> tsStreaksSql,
