@@ -817,8 +817,121 @@ object Relational {
       |FROM prs WHERE dist <= 1
       |ORDER BY id_a, id_b LIMIT 200""".stripMargin
 
+  /** Association-rule mining, pairwise (the market-basket shape):
+    * baskets are (user, day) sessions, items the event types seen in
+    * them; emits support, confidence and lift per ordered type pair.
+    * The pair expansion happens INSIDE each basket (items per basket
+    * ≤ 5 types), so candidates are linear in baskets, never |types|²
+    * across the corpus. Counts are exact ints; the three ratios are
+    * single IEEE divisions, identical cross-engine.
+    */
+  def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val baskets = ev.select(col("user_id"),
+        (unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        col("event_type")).distinct()
+    val nBaskets = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val item = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_item"))
+    val pair = baskets.as("a").join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_pair"))
+    pair.join(item.select(col("event_type").as("ta"), col("n_item").as("n_a")), Seq("ta"))
+      .join(item.select(col("event_type").as("tb"), col("n_item").as("n_b")), Seq("tb"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ta"), col("tb"), col("n_pair"), col("n_a"), col("n_b"),
+        (col("n_pair").cast("double") / col("n_baskets")).as("support"),
+        (col("n_pair").cast("double") / col("n_a")).as("confidence"),
+        (col("n_pair").cast("double") * col("n_baskets") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val basketPairsSql: String =
+    """WITH b AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day, event_type FROM events),
+      |nb AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)),
+      |it AS (SELECT event_type, COUNT(*) AS n_item FROM b GROUP BY event_type),
+      |pr AS (SELECT a.event_type AS ta, b2.event_type AS tb, COUNT(*) AS n_pair
+      |  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.day = b2.day
+      |    AND a.event_type < b2.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+      |  CAST(n_pair AS DOUBLE) / n_baskets AS support,
+      |  CAST(n_pair AS DOUBLE) / ia.n_item AS confidence,
+      |  CAST(n_pair AS DOUBLE) * n_baskets / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      |FROM pr JOIN it ia ON ia.event_type = ta
+      |JOIN it ib ON ib.event_type = tb CROSS JOIN nb
+      |ORDER BY ta, tb""".stripMargin
+
+  /** Equi-width histogram of `value` per event type (20 buckets over
+    * the per-type [min, max]): the profiling primitive behind data
+    * skipping and UI distributions. Bucket index arithmetic is the
+    * same double expression both engines evaluate; counts are exact.
+    */
+  def tsHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val w = Window.partitionBy(col("event_type"))
+    val bucketed = ev
+      .withColumn("lo", min(col("value")).over(w))
+      .withColumn("hi", max(col("value")).over(w))
+      .withColumn("bucket",
+        least(floor((col("value") - col("lo")) * 20.0 /
+          greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(19L)))
+    bucketed.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val tsHistogramSql: String =
+    """WITH ev AS (SELECT event_type, value,
+      |    MIN(value) OVER (PARTITION BY event_type) AS lo,
+      |    MAX(value) OVER (PARTITION BY event_type) AS hi
+      |  FROM events WHERE value IS NOT NULL),
+      |bk AS (SELECT event_type,
+      |    least(CAST(floor((value - lo) * 20.0e0 / greatest(hi - lo, 1e-300)) AS BIGINT), 19) AS bucket
+      |  FROM ev)
+      |SELECT event_type, bucket, COUNT(*) AS n
+      |FROM bk GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin
+
+  /** First-order Markov transition probabilities over the event-type
+    * graph (the normalized form of [[graphPagerank]]'s edge table):
+    * P(next = dst | cur = src) as one exact division per edge.
+    */
+  def graphTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    edges.withColumn("wt", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("w"),
+        (col("w").cast("double") / col("wt")).as("p"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val graphTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+      |nx AS (SELECT event_type AS src, lead(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS dst FROM ev),
+      |edges AS (SELECT src, dst, COUNT(*) AS w FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, w,
+      |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS p
+      |FROM edges ORDER BY src, dst""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_hll" -> (approxDistinctHll _),
+    "basket_pairs" -> (basketPairs _),
+    "ts_histogram" -> (tsHistogram _),
+    "graph_transitions" -> (graphTransitions _),
     "er_match" -> (erMatch _),
     "er_sorted_neighborhood" -> (erSortedNeighborhood _),
     "sketch_hll_intersect" -> (sketchHllIntersect _),
@@ -842,6 +955,9 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "approx_distinct_hll" -> approxDistinctHllSql,
+    "basket_pairs" -> basketPairsSql,
+    "ts_histogram" -> tsHistogramSql,
+    "graph_transitions" -> graphTransitionsSql,
     "er_match" -> erMatchSql,
     "er_sorted_neighborhood" -> erSortedNeighborhoodSql,
     "sketch_hll_intersect" -> sketchHllIntersectSql,
