@@ -927,7 +927,111 @@ object Relational {
       |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS p
       |FROM edges ORDER BY src, dst""".stripMargin
 
+  /** Pearson correlation + least-squares line of extendedprice on
+    * quantity per return flag, with EXACT integer moments: quantity is
+    * integral and price has exactly 2 decimals, so round(p*100) is the
+    * same BIGINT in both engines (IEEE multiply then half-up round of
+    * a positive double); the five moment sums accumulate in
+    * DECIMAL(38,0) (map-side partials, one keyed shuffle), are cast to
+    * double ONCE each, and the corr/slope/intercept arithmetic is the
+    * identical IEEE sequence cross-engine. The built-in `corr` is a
+    * streaming-kahan variant whose result is partition-order-dependent
+    * — this formulation is deterministic at any partition count.
+    */
+  def statsCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100.0).cast("long").as("p"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("q"), "sq"), dsum(col("p"), "sp"),
+        dsum(col("q") * col("p"), "sqp"),
+        dsum(col("q") * col("q"), "sqq"),
+        dsum(col("p") * col("p"), "spp"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("spp") - col("sp") * col("sp")))).as("corr_qp"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (col("n") * col("sqq") - col("sq") * col("sq"))).as("slope"),
+        ((col("sp") - ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (col("n") * col("sqq") - col("sq") * col("sq"))) * col("sq")) / col("n"))
+          .as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsCorrSql: String =
+    """WITH m AS (SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+      |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(CAST(round(l_extendedprice * 100.0e0) AS BIGINT) * CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS spp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  (n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qp,
+      |  (n * sqp - sq * sp) / (n * sqq - sq * sq) AS slope,
+      |  (sp - ((n * sqp - sq * sp) / (n * sqq - sq * sq)) * sq) / n AS intercept
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** χ² test of independence for event_type × weekday: observed counts
+    * are exact ints, expected = rowTotal·colTotal/total is one double
+    * division (the BIGINT product is exact), and the statistic folds
+    * (o−e)²/e over cells in (type, dow) order — the contingency table
+    * is small by construction (|types|·7), so the ordered fold is a
+    * scalar tail on top of one keyed count aggregation.
+    */
+  def statsChisq(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "events")
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    val withTots = cells
+      .withColumn("row_t", sum(col("o")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("col_t", sum(col("o")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dow"))))
+      .withColumn("tot", sum(col("o")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("e",
+        (col("row_t") * col("col_t")).cast("double") / col("tot").cast("double"))
+      // (o−e)² as an explicit multiply: java Math.pow is not correctly
+      // rounded, an IEEE multiply is — the square must round identically
+      // in both engines
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+    withTots
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("event_type"), col("dow"), col("term")))).as("arr"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("dow")).as("c"))
+      .select(
+        aggregate(transform(col("arr"), x => x.getField("term")), lit(0.0),
+          (a, v) => a + v).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"))
+  }
+
+  val statsChisqSql: String =
+    """WITH cells AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) + 1 AS dow, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, dow, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS row_t,
+      |    SUM(o) OVER (PARTITION BY dow) AS col_t,
+      |    SUM(o) OVER () AS tot FROM cells),
+      |e AS (SELECT event_type, dow, o,
+      |    CAST(row_t * col_t AS DOUBLE) / CAST(tot AS DOUBLE) AS e FROM t),
+      |terms AS (SELECT event_type, dow,
+      |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS term FROM e)
+      |SELECT list_reduce(list(term ORDER BY event_type, dow), (a, v) -> a + v) AS chi2,
+      |  (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof
+      |FROM terms""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_corr" -> (statsCorr _),
+    "stats_chisq" -> (statsChisq _),
     "approx_distinct_hll" -> (approxDistinctHll _),
     "basket_pairs" -> (basketPairs _),
     "ts_histogram" -> (tsHistogram _),
@@ -954,6 +1058,8 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "stats_corr" -> statsCorrSql,
+    "stats_chisq" -> statsChisqSql,
     "approx_distinct_hll" -> approxDistinctHllSql,
     "basket_pairs" -> basketPairsSql,
     "ts_histogram" -> tsHistogramSql,

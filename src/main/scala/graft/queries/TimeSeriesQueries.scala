@@ -895,7 +895,121 @@ object TimeSeriesQueries {
       |FROM dev d JOIN mad a USING (event_type)
       |GROUP BY d.event_type ORDER BY event_type""".stripMargin
 
+  /** OHLC candlestick rollup per (event_type, day): open/close are the
+    * values at the first/last event of the bucket (tie-broken by
+    * event_id — selection, not interpolation, so doubles pass through
+    * untouched), high/low are min/max, volume the row count. One keyed
+    * aggregation via min_by/max_by over the (ts, id) struct order — no
+    * window, no second shuffle; the bucket key bounds state at any
+    * scale.
+    */
+  def tsOhlc(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("value").isNotNull)
+      .withColumn("day", (col("ts_ms") / 86400000L).cast("long"))
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(
+        min_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsOhlcSql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    epoch_ms(ts) AS ts_ms, event_id, value
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts_ms, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+      |  FROM ev)
+      |SELECT event_type, day,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  COUNT(*) AS volume
+      |FROM r GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+
+  /** Exponentially weighted moving average per user series, α = 1/2:
+    * s₁ = v₁, sₜ = sₜ₋₁/2 + vₜ/2. The recurrence is inherently
+    * sequential, so it runs as an ordered fold over the series array —
+    * halving is EXACT in IEEE (power-of-two scale) and the single add
+    * rounds once, so the left-to-right fold is bit-identical to the
+    * DuckDB list_reduce (whose implicit init is the first element,
+    * matching the slice-from-2 fold here). Per-user arrays bound state;
+    * users distribute. For unbounded streams the same recurrence runs
+    * in mapGroupsWithState with one double of state per key.
+    */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("value").isNotNull)
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+        col("value")))).as("arr"))
+      .select(col("user_id"), size(col("arr")).as("n"),
+        aggregate(
+          slice(transform(col("arr"), x => x.getField("value")), lit(2), size(col("arr")) - 1),
+          element_at(transform(col("arr"), x => x.getField("value")), 1),
+          (acc, v) => acc * lit(0.5) + v * lit(0.5)).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsEwmaSql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  list_reduce(list(value ORDER BY epoch_ms(ts), event_id),
+      |    (a, v) -> a * 0.5e0 + v * 0.5e0) AS ewma
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Lag-1 autocorrelation per user series (the seasonality /
+    * stationarity probe): r₁ = Σ(vₜ−m)(vₜ₊₁−m) / Σ(vₜ−m)². Mean and
+    * both quadratic sums are position-ordered folds (the perplexity
+    * determinism trick), so every rounding step is identical
+    * cross-engine; the den=0 degenerate (constant series) is NULL in
+    * both. Series arrays are per-user bounded; nothing global.
+    */
+  def tsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("value").isNotNull)
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+        col("value")))).as("arr"))
+      .withColumn("vs", transform(col("arr"), x => x.getField("value")))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 3)
+      .withColumn("m",
+        aggregate(col("vs"), lit(0.0), (a, v) => a + v) / col("n").cast("double"))
+      .withColumn("num", aggregate(
+        zip_with(slice(col("vs"), lit(1), col("n") - 1), slice(col("vs"), lit(2), col("n") - 1),
+          (a, b) => (a - col("m")) * (b - col("m"))),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("den", aggregate(
+        transform(col("vs"), v => (v - col("m")) * (v - col("m"))),
+        lit(0.0), (a, v) => a + v))
+      .select(col("user_id"), col("n"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(col("num") / col("den")).as("r1"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsAutocorrSql: String =
+    """WITH s AS (SELECT user_id, list(value ORDER BY epoch_ms(ts), event_id) AS vs
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |st AS (SELECT user_id, vs, len(vs) AS n,
+      |    list_reduce(vs, (a, v) -> a + v) / CAST(len(vs) AS DOUBLE) AS m
+      |  FROM s WHERE len(vs) >= 3),
+      |qs AS (SELECT user_id, n,
+      |    list_reduce(list_transform(range(1, n), i -> (vs[i] - m) * (vs[i + 1] - m)),
+      |      (a, v) -> a + v) AS num,
+      |    list_reduce(list_transform(vs, v -> (v - m) * (v - m)),
+      |      (a, v) -> a + v) AS den
+      |  FROM st)
+      |SELECT user_id, n, CASE WHEN den = 0.0e0 THEN NULL ELSE num / den END AS r1
+      |FROM qs ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ohlc" -> (tsOhlc _),
+    "ts_ewma" -> (tsEwma _),
+    "ts_autocorr" -> (tsAutocorr _),
     "ts_rolling" -> (tsRolling _),
     "ts_mad" -> (tsMad _),
     "ts_throttle" -> (tsThrottle _),
@@ -922,6 +1036,9 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_ohlc" -> tsOhlcSql,
+    "ts_ewma" -> tsEwmaSql,
+    "ts_autocorr" -> tsAutocorrSql,
     "ts_rolling" -> tsRollingSql,
     "ts_mad" -> tsMadSql,
     "ts_throttle" -> tsThrottleSql,
