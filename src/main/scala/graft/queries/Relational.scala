@@ -1029,9 +1029,92 @@ object Relational {
       |  (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof
       |FROM terms""".stripMargin
 
+  /** Per-node triangle counts over the supplier co-supply graph: an
+    * edge joins two suppliers whose shared-part count reaches the p99
+    * of all co-supply pairs (exact rank SELECTION, so the graph is
+    * self-tuning — a fixed absolute cut is meaningless when mean
+    * co-supply swings with catalog density). Counting uses the
+    * degree-ordered orientation: each undirected edge points from its
+    * lower-(degree, id) endpoint to the higher, so every triangle is
+    * enumerated exactly once and the wedge join fans out by ORIENTED
+    * degree — O(m^1.5) candidates on any graph, immune to high-degree
+    * hubs (the reason GraphX/Trino count triangles this way). Pair
+    * expansion happens INSIDE each part group (co-supply fan-out is
+    * catalog-bounded); output is exact integers.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("shared"))
+    // exact p99 of `shared` WITHOUT a global sort: histogram of the
+    // bounded-integer domain + cumulative count (the pipeline_stats
+    // percentile trick) — the window runs over distinct shared values
+    // only, never over the pair set
+    val hist = pairs.groupBy(col("shared")).agg(count(lit(1)).as("cnt"))
+    val tot = pairs.agg(count(lit(1)).as("n"))
+    val thr = hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("shared"))))
+      .filter(col("cum") >= floor(lit(0.99) * (col("n") - 1)).cast("long") + 1)
+      .agg(min(col("shared")).as("thr"))
+    val edges = pairs.crossJoin(broadcast(thr))
+      .filter(col("shared") >= col("thr"))
+      .select(col("u"), col("v")).localCheckpoint(true)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: src = endpoint with lower (deg, id)
+    val oriented = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node")).limit(20)
+  }
+
+  val graphTrianglesSql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pairs AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
+      |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+      |hist AS (SELECT shared, COUNT(*) AS cnt FROM pairs GROUP BY shared),
+      |tot AS (SELECT COUNT(*) AS n FROM pairs),
+      |cum AS (SELECT shared, SUM(cnt) OVER (ORDER BY shared) AS cum, n
+      |  FROM hist CROSS JOIN tot),
+      |thr AS (SELECT MIN(shared) AS thr FROM cum
+      |  WHERE cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1),
+      |edges AS (SELECT u, v FROM pairs CROSS JOIN thr WHERE shared >= thr),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+      |o AS (SELECT
+      |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+      |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst
+      |  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      |  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      |SELECT node, COUNT(*) AS n_tri FROM (
+      |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_corr" -> (statsCorr _),
     "stats_chisq" -> (statsChisq _),
+    "graph_triangles" -> (graphTriangles _),
     "approx_distinct_hll" -> (approxDistinctHll _),
     "basket_pairs" -> (basketPairs _),
     "ts_histogram" -> (tsHistogram _),
@@ -1060,6 +1143,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "stats_corr" -> statsCorrSql,
     "stats_chisq" -> statsChisqSql,
+    "graph_triangles" -> graphTrianglesSql,
     "approx_distinct_hll" -> approxDistinctHllSql,
     "basket_pairs" -> basketPairsSql,
     "ts_histogram" -> tsHistogramSql,

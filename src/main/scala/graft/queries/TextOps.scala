@@ -456,7 +456,52 @@ object TextOps {
        |    THEN sha256(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))) END) AS unique_kept
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** TF-IDF keyword extraction: top-5 terms per document ranked by an
+    * ALL-INTEGER score, tf · ⌊10⁶·N/df⌋ — raw-idf scaled to a fixed
+    * point so the ranking key is exact in both engines (a double
+    * tf·log(N/df) key can flip ranks on the last ulp; the log is
+    * monotone in N/df, so for ranking the rational form loses
+    * nothing). Classic topology: token explode → per-doc tf → df over
+    * the vocabulary → join back — two vocabulary-sized shuffles, and
+    * the per-doc top-5 window is keyed by doc_id (never global).
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = toks.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select($"doc_id", $"tok", $"tf", $"df",
+        // floor division matching DuckDB `//` on positive operands:
+        // (a - a mod b) / b is representable exactly in double here
+        // (quotient ≤ 10⁶·N/1 < 2^53)
+        ($"tf" * ((lit(1000000L) * $"n" - pmod(lit(1000000L) * $"n", $"df")) / $"df")
+          .cast("long")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"tok", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val textTfidfSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($TokSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tk),
+       |sc AS (SELECT doc_id, tok, tf, df, tf * ((1000000 * n) // df) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM sc)
+       |SELECT doc_id, rank, tok, tf, df, score
+       |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
     "pipeline_clean" -> (pipelineClean _),
     "text_bigrams" -> (textBigrams _),
     "text_tokens" -> (textTokens _),
@@ -474,6 +519,7 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
     "pipeline_clean" -> pipelineCleanSql,
     "text_bigrams" -> textBigramsSql,
     "text_tokens" -> textTokensSql,
