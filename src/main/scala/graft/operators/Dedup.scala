@@ -150,6 +150,70 @@ object Dedup {
     * corpus-level boilerplate). At 100 TB prefer [[minhashLshPairs]];
     * this is the exact-score variant.
     */
+  /** Threshold similarity join with PREFIX FILTERING (Chaudhuri et al.
+    * ICDE'06; Xiao et al. WWW'08 "PPJoin"): emits every pair with
+    * n-gram Jaccard ≥ τ, exactly — the pruning is lossless. Each doc's
+    * shingles are ordered by ascending document frequency (rarest
+    * first); if J(a,b) ≥ τ then |a∩b| ≥ ⌈τ·|a|⌉, so the prefix of
+    * length |a|−⌈τ·|a|⌉+1 under the GLOBAL df order must contribute a
+    * candidate token — only prefixes enter the inverted index, so
+    * candidate volume is driven by RARE tokens (the opposite tail from
+    * the df-cap's). τ is a rational k/10 and all pruning arithmetic is
+    * integer (prefix length via ⌈τn⌉ = (k·n+9) div 10, length filter
+    * via cross-multiplication), so no pair can be lost to a double
+    * rounding at a boundary. Verification is the native sorted
+    * two-pointer intersection over the pair's pre-sorted arrays.
+    *
+    * Scale shape: one vocabulary groupBy (df), one keyed per-doc
+    * window (prefix rank), one equi-join on prefix tokens, one exact
+    * verify join — no corpus² anywhere. Complements
+    * [[ngramJaccardPairs]] (top-k by score, df-cap recall bound):
+    * this one is threshold-complete, the standard contract for
+    * near-dup REMOVAL at a fixed similarity bar.
+    */
+  def jaccardJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                        tauTenths: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauTenths > 0 && tauTenths < 10, "tau = tauTenths/10 in (0,1)")
+    val k = tauTenths.toLong
+    // sorted ONCE: the verify step's two-pointer intersection needs
+    // sorted arrays; cached because prefix build + verify both consume
+    val sh = docs.select(col(idCol).as("id"),
+        sort_array(array_distinct(TextFunctions.shingles(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val toks = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("s"))
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix length = n - ceil(τn) + 1, all-integer: ceil(kn/10) = (kn+9) div 10
+    val ceilTauN = {
+      val a = col("n") * k + 9L
+      (a - pmod(a, lit(10L))) / 10L
+    }
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val pref = toks.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceilTauN.cast("long") + 1L)
+      .select(col("id"), col("n"), col("s"))
+    // candidates: prefix-token equi-join + integer length filter
+    // (J ≥ τ ⟹ 10·min(na,nb) ≥ k·max(na,nb))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")) * 10L >= greatest(col("a.n"), col("b.n")) * k)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .withColumn("inter",
+        graft.plans.NativeExpressions.sortedIntersectCount(col("sha"), col("shb")).cast("int"))
+      .withColumn("na", size(col("sha"))).withColumn("nb", size(col("shb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= k.toDouble / 10.0)
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int = 256): DataFrame = {
     val shingled = docs.select(

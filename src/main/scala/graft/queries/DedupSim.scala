@@ -136,6 +136,30 @@ object DedupSim {
        |FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
 
+  /** Threshold-complete Jaccard similarity join at τ = 0.7 via prefix
+    * filtering — emits ALL pairs ≥ τ (contrast dedup_jaccard's df-cap
+    * top-100). The oracle generates candidates from the FULL inverted
+    * index, so the green row certifies the prefix pruning is lossless.
+    */
+  def dedupJaccardJoin(s: SparkSession, dir: String): DataFrame = {
+    Dedup.jaccardJoinPrefix(Tables(s, dir, "documents"), "doc_id", "text", tauTenths = 7)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupJaccardJoinSql: String =
+    s"""$ShinglesCte,
+       |inv AS (SELECT id, unnest(s) AS x FROM sh),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM inv a JOIN inv b ON a.x = b.x AND a.id < b.id)
+       |SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS inter,
+       |  len(sa.s) AS na, len(sb.s) AS nb,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
+       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.7e0
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Per-document 64-bit SimHash signature (bit string). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
@@ -612,6 +636,7 @@ object DedupSim {
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_jaccard_join" -> (dedupJaccardJoin _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk" -> (simTopK _),
     "sim_lsh" -> (simLsh _),
@@ -629,6 +654,7 @@ object DedupSim {
     "dedup_cluster" -> dedupClusterSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_jaccard_join" -> dedupJaccardJoinSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,
     "sim_lsh" -> simLshSql,

@@ -1087,9 +1087,13 @@ object Relational {
       .orderBy(col("n_tri").desc, col("node")).limit(20)
   }
 
+  // MATERIALIZED: DuckDB inlines CTEs by default, and `o` is referenced
+  // three times in the triangle join — without the barrier the whole
+  // pair-build re-runs per reference and the optimizer loses the
+  // self-join cardinality (measured: >5 min vs seconds at sf0.1)
   val graphTrianglesSql: String =
-    """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-      |pairs AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
+    """WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pairs AS MATERIALIZED (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
       |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
       |hist AS (SELECT shared, COUNT(*) AS cnt FROM pairs GROUP BY shared),
       |tot AS (SELECT COUNT(*) AS n FROM pairs),
@@ -1097,10 +1101,10 @@ object Relational {
       |  FROM hist CROSS JOIN tot),
       |thr AS (SELECT MIN(shared) AS thr FROM cum
       |  WHERE cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1),
-      |edges AS (SELECT u, v FROM pairs CROSS JOIN thr WHERE shared >= thr),
-      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |edges AS MATERIALIZED (SELECT u, v FROM pairs CROSS JOIN thr WHERE shared >= thr),
+      |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
       |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
-      |o AS (SELECT
+      |o AS MATERIALIZED (SELECT
       |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
       |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst
       |  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),

@@ -301,4 +301,36 @@ class DedupSimSpec extends SparkSpec {
     assert(t1.map(_._1) == seeds.map(_._1), "cluster ids stay the seed vec_ids")
     assert(t1 != seeds, "one Lloyd round must move the centroids")
   }
+
+  test("property: prefix-filter jaccard join equals the naive all-pairs join") {
+    // random word-soup corpora: the prefix index must lose NOTHING at
+    // the threshold, for every τ in {0.5, 0.7, 0.9}
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    (0 until 3).foreach { trial =>
+      val corpus = (0 until 40).map { i =>
+        val base = (0 until 8 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, base.mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      def shingleSet(t: String): Set[String] = {
+        val w = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+        w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }
+      Seq(5, 7, 9).foreach { tau =>
+        val got = Dedup.jaccardJoinPrefix(df, "doc_id", "text", tau)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val expected = (for {
+          (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+          sa = shingleSet(ta); sb = shingleSet(tb)
+          if sa.nonEmpty && sb.nonEmpty
+          inter = (sa & sb).size
+          j = inter.toDouble / (sa.size + sb.size - inter)
+          if j >= tau / 10.0
+        } yield (ia, ib)).toSet
+        assert(got == expected, s"trial=$trial tau=0.$tau " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+      }
+    }
+  }
 }
