@@ -500,8 +500,36 @@ object TextOps {
        |SELECT doc_id, rank, tok, tf, df, score
        |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** STREAMING Count-Min run in bounded mode
+    * ([[graft.streaming.StreamingCms]] — one long of state per counter,
+    * d×w total whatever the stream length): running totals fold by max
+    * (counts are additive and monotone) into the SAME counter matrix as
+    * the batch sketch, so the probe emits byte-identical estimates and
+    * the batch sketch_cms oracle certifies the stream plane.
+    */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = graft.functions.Sketches
+    val toks = Tables(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    def buckets = posexplode(array((0 until S.CmsD).map(i => S.cmsBucket($"tok", i)): _*))
+    val in = toks.select(buckets)
+      .select($"pos".as("row"), $"col".as("bucket"), lit(1L).as("w"))
+      .as[graft.streaming.StreamingCms.CntIn]
+    val counters = graft.streaming.StreamingCms.counters(s, in).toDF()
+      .groupBy($"row", $"bucket").agg(max($"c").as("cv"))
+    val cnt = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    cnt.orderBy($"c".desc, $"tok").limit(20)
+      .select($"tok", $"c".as("n_exact"), buckets)
+      .select($"tok", $"n_exact", $"pos".as("row"), $"col".as("bucket"))
+      .join(counters, Seq("row", "bucket"))
+      .groupBy($"tok", $"n_exact").agg(min($"cv").as("n_est"))
+      .orderBy($"n_exact".desc, $"tok")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
+    "stream_cms" -> (streamCms _),
     "pipeline_clean" -> (pipelineClean _),
     "text_bigrams" -> (textBigrams _),
     "text_tokens" -> (textTokens _),
@@ -520,6 +548,9 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_tfidf" -> textTfidfSql,
+    // bounded-mode streaming CMS = the batch sketch, certified by the
+    // SAME oracle (the stream_hll convention)
+    "stream_cms" -> sketchCmsSql,
     "pipeline_clean" -> pipelineCleanSql,
     "text_bigrams" -> textBigramsSql,
     "text_tokens" -> textTokensSql,
