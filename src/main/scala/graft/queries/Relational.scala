@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Dedup
 import Exact._
 
 /** Core relational operators from SURVEY §2 expressed Spark-first.
@@ -1042,7 +1043,15 @@ object Relational {
     * expansion happens INSIDE each part group (co-supply fan-out is
     * catalog-bounded); output is exact integers.
     */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** The supplier co-supply graph shared by [[graphTriangles]] and
+    * [[graphBfs]]: undirected edges (u < v) between suppliers whose
+    * shared-part count reaches the p99 of all co-supply pairs. The p99
+    * is exact WITHOUT a global sort: histogram of the bounded-integer
+    * domain + cumulative count (the pipeline_stats percentile trick) —
+    * the window runs over distinct shared values only, never over the
+    * pair set. Checkpointed: every consumer iterates or self-joins it.
+    */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ps = Tables(s, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
@@ -1050,19 +1059,34 @@ object Relational {
         col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
-    // exact p99 of `shared` WITHOUT a global sort: histogram of the
-    // bounded-integer domain + cumulative count (the pipeline_stats
-    // percentile trick) — the window runs over distinct shared values
-    // only, never over the pair set
     val hist = pairs.groupBy(col("shared")).agg(count(lit(1)).as("cnt"))
     val tot = pairs.agg(count(lit(1)).as("n"))
     val thr = hist.crossJoin(broadcast(tot))
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("shared"))))
       .filter(col("cum") >= floor(lit(0.99) * (col("n") - 1)).cast("long") + 1)
       .agg(min(col("shared")).as("thr"))
-    val edges = pairs.crossJoin(broadcast(thr))
+    pairs.crossJoin(broadcast(thr))
       .filter(col("shared") >= col("thr"))
       .select(col("u"), col("v")).localCheckpoint(true)
+  }
+
+  /** Oracle CTE block mirroring [[coSupplyEdges]] (MATERIALIZED — see
+    * the triangle-oracle note below).
+    */
+  private val CoSupplyCtes: String =
+    """ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pairs AS MATERIALIZED (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
+      |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+      |hist AS (SELECT shared, COUNT(*) AS cnt FROM pairs GROUP BY shared),
+      |tot AS (SELECT COUNT(*) AS n FROM pairs),
+      |cum AS (SELECT shared, SUM(cnt) OVER (ORDER BY shared) AS cum, n
+      |  FROM hist CROSS JOIN tot),
+      |thr AS (SELECT MIN(shared) AS thr FROM cum
+      |  WHERE cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1),
+      |edges AS MATERIALIZED (SELECT u, v FROM pairs CROSS JOIN thr WHERE shared >= thr)""".stripMargin
+
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1092,16 +1116,7 @@ object Relational {
   // pair-build re-runs per reference and the optimizer loses the
   // self-join cardinality (measured: >5 min vs seconds at sf0.1)
   val graphTrianglesSql: String =
-    """WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-      |pairs AS MATERIALIZED (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
-      |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
-      |hist AS (SELECT shared, COUNT(*) AS cnt FROM pairs GROUP BY shared),
-      |tot AS (SELECT COUNT(*) AS n FROM pairs),
-      |cum AS (SELECT shared, SUM(cnt) OVER (ORDER BY shared) AS cum, n
-      |  FROM hist CROSS JOIN tot),
-      |thr AS (SELECT MIN(shared) AS thr FROM cum
-      |  WHERE cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1),
-      |edges AS MATERIALIZED (SELECT u, v FROM pairs CROSS JOIN thr WHERE shared >= thr),
+    s"""WITH $CoSupplyCtes,
       |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
       |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
       |o AS MATERIALIZED (SELECT
@@ -1115,10 +1130,139 @@ object Relational {
       |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
       |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
 
+  /** Single-source BFS over the co-supply graph (source = the minimum
+    * node id), hop distances ≤ 6: the frontier-expansion loop — each
+    * round is one keyed join (edges ⋈ frontier) + one anti-join
+    * against the visited set, the Pregel step shape. Iterations are
+    * FIXED (6), never data-dependent; every round is checkpointed so
+    * the plan stays flat (the pagerank/clusters lesson). The oracle
+    * replays the same search as a recursive CTE with the hop bound in
+    * the recursion guard, then takes MIN(hop) — certifying the
+    * iterative frontier discipline against a declarative closure.
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val src = edges.agg(min(col("u")).as("node")).withColumn("hop", lit(0L))
+    var dist = src.localCheckpoint(true)
+    var frontier = dist
+    (1 to 6).foreach { h =>
+      val next = e2.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    dist.orderBy(col("node"))
+  }
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE $CoSupplyCtes,
+      |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |s0 AS (SELECT MIN(u) AS s FROM edges),
+      |walk(node, hop) AS (
+      |  SELECT s, CAST(0 AS BIGINT) FROM s0
+      |  UNION
+      |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e2 e ON e.src = w.node
+      |  WHERE w.hop < 6)
+      |SELECT node, MIN(hop) AS hop FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  /** Entity-resolution clustering: the er_match pair set (full, not
+    * top-100) closed into connected components via min-label
+    * propagation ([[graft.operators.Dedup.clusters]]) — match →
+    * cluster → canonical id is the complete ER pipeline. The oracle
+    * computes TRUE components through a recursive-CTE transitive
+    * closure, so the fixpoint iteration is certified exact (the
+    * dedup_cluster convention, on a different graph).
+    */
+  def erCluster(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 17).as("blk"))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        levenshtein(col("a.c_name"), col("b.c_name"), 2).as("dist"))
+      .filter(col("dist") =!= -1)
+    val lbl = Dedup.clusters(pairs.select(col("id_a"), col("id_b")), maxIter = 20)
+    val sizes = lbl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sizes, "cluster")
+      .select(col("id").as("c_custkey"), col("cluster"), col("cluster_size"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val erClusterSql: String =
+    """WITH RECURSIVE cand AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |  FROM customer a JOIN customer b
+      |    ON substr(a.c_name, 1, 17) = substr(b.c_name, 1, 17)
+      |    AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+      |edges AS (SELECT id_a, id_b FROM cand
+      |  UNION SELECT id_b, id_a FROM cand),
+      |reach(a, b) AS (
+      |  SELECT id_a, id_b FROM edges
+      |  UNION
+      |  SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a),
+      |lbl AS (SELECT a AS id, least(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+      |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster)
+      |SELECT id AS c_custkey, cluster, cluster_size
+      |FROM lbl JOIN sz USING (cluster) ORDER BY c_custkey""".stripMargin
+
+  /** Shannon entropy of each user's event-type mix, −Σ p·ln p: the
+    * behavioral-diversity profile. Terms are computed per (user, type)
+    * row — one division, one ln, one multiply, one negation, all
+    * identical cross-engine (the perplexity precedent certifies ln) —
+    * then folded in type order with an explicit 0.0 init on BOTH sides
+    * (list_prepend), so the single-type −0.0 term cannot surface as a
+    * sign mismatch. ln is only ~correctly-rounded in both runtimes and
+    * CAN split by one ulp on some inputs (observed at sf0.01), so the
+    * emitted entropy is rounded to 4 decimals — the kg_bm25 / ts_trend
+    * score convention. State is bounded by the type alphabet per user.
+    */
+  def statsEntropy(s: SparkSession, dir: String): DataFrame = {
+    val byType = Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val withTot = byType.withColumn("total", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .withColumn("p", col("c").cast("double") / col("total").cast("double"))
+      .withColumn("term", -(col("p") * log(col("p"))))
+    withTot.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_type"), col("term")))).as("arr"),
+        count(lit(1)).as("n_types"),
+        max(col("total")).as("n_events"))
+      .select(col("user_id"), col("n_types"), col("n_events"),
+        round(aggregate(transform(col("arr"), x => x.getField("term")), lit(0.0),
+          (a, v) => a + v), 4).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  val statsEntropySql: String =
+    """WITH bt AS (SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |wt AS (SELECT user_id, event_type, c,
+      |    CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS total FROM bt),
+      |tm AS (SELECT user_id, event_type, total,
+      |    -((CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) *
+      |      ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))) AS term FROM wt)
+      |SELECT user_id, COUNT(*) AS n_types, MAX(total) AS n_events,
+      |  round(list_reduce(list_prepend(0.0e0, list(term ORDER BY event_type)),
+      |    (a, v) -> a + v), 4) AS entropy
+      |FROM tm GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_corr" -> (statsCorr _),
     "stats_chisq" -> (statsChisq _),
+    "stats_entropy" -> (statsEntropy _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_bfs" -> (graphBfs _),
+    "er_cluster" -> (erCluster _),
     "approx_distinct_hll" -> (approxDistinctHll _),
     "basket_pairs" -> (basketPairs _),
     "ts_histogram" -> (tsHistogram _),
@@ -1147,7 +1291,10 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "stats_corr" -> statsCorrSql,
     "stats_chisq" -> statsChisqSql,
+    "stats_entropy" -> statsEntropySql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_bfs" -> graphBfsSql,
+    "er_cluster" -> erClusterSql,
     "approx_distinct_hll" -> approxDistinctHllSql,
     "basket_pairs" -> basketPairsSql,
     "ts_histogram" -> tsHistogramSql,
