@@ -1256,10 +1256,87 @@ object Relational {
       |    (a, v) -> a + v), 4) AS entropy
       |FROM tm GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic (click vs view value
+    * distributions): D = max |F₁(v) − F₂(v)| over sample points,
+    * EXACT. The cumulative counts that a textbook implementation gets
+    * from one global sort are computed two-level instead: per-value
+    * counts → 1024 range buckets → bucket totals prefix-summed in a
+    * TINY window (1024 rows) → within-bucket running sums keyed by
+    * bucket — the global sort becomes one keyed shuffle plus a
+    * broadcast of bucket offsets, the same shape at any corpus size.
+    * All cumulatives are integers; each CDF value is one division and
+    * D-terms one subtract + abs, identical cross-engine; the argmax
+    * row is selected by max(struct) with the value as tiebreak.
+    */
+  def statsKs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val vals = ev.groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val rng = vals.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val bucketed = vals.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("value") - col("lo")) * 1024.0 /
+          greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+      .withColumn("o1", coalesce(sum(col("s1")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("o2", coalesce(sum(col("s2")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("o1"), col("o2"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("value"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum1", col("o1") + sum(col("c1")).over(wb))
+      .withColumn("cum2", col("o2") + sum(col("c2")).over(wb))
+      .withColumn("d", abs(col("cum1").cast("double") / col("n1").cast("double") -
+        col("cum2").cast("double") / col("n2").cast("double")))
+      .groupBy()
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(struct(col("d"), col("value"))).as("best"))
+      .select(col("n1"), col("n2"),
+        col("best.d").as("ks_d"), col("best.value").as("at_value"))
+  }
+
+  val statsKsSql: String =
+    """WITH ev AS (SELECT event_type, value FROM events
+      |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |vals AS (SELECT value,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      |  FROM ev GROUP BY value),
+      |rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+      |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM vals),
+      |bk AS (SELECT value, c1, c2, n1, n2,
+      |    least(CAST(floor((value - lo) * 1024.0e0 /
+      |      greatest(hi - lo, 1e-300)) AS BIGINT), 1023) AS bucket
+      |  FROM vals CROSS JOIN rng),
+      |offs AS (SELECT bucket,
+      |    CAST(COALESCE(SUM(s1) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o1,
+      |    CAST(COALESCE(SUM(s2) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o2
+      |  FROM (SELECT bucket, SUM(c1) AS s1, SUM(c2) AS s2 FROM bk GROUP BY bucket)),
+      |cm AS (SELECT value, n1, n2,
+      |    o1 + CAST(SUM(c1) OVER (PARTITION BY bk.bucket ORDER BY value) AS BIGINT) AS cum1,
+      |    o2 + CAST(SUM(c2) OVER (PARTITION BY bk.bucket ORDER BY value) AS BIGINT) AS cum2
+      |  FROM bk JOIN offs ON bk.bucket = offs.bucket),
+      |dd AS (SELECT value, n1, n2,
+      |    abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+      |        CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS d FROM cm)
+      |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+      |  MAX(struct_pack(d := d, value := value)).d AS ks_d,
+      |  MAX(struct_pack(d := d, value := value)).value AS at_value
+      |FROM dd""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_corr" -> (statsCorr _),
     "stats_chisq" -> (statsChisq _),
     "stats_entropy" -> (statsEntropy _),
+    "stats_ks" -> (statsKs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs" -> (graphBfs _),
     "er_cluster" -> (erCluster _),
@@ -1292,6 +1369,7 @@ object Relational {
     "stats_corr" -> statsCorrSql,
     "stats_chisq" -> statsChisqSql,
     "stats_entropy" -> statsEntropySql,
+    "stats_ks" -> statsKsSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_bfs" -> graphBfsSql,
     "er_cluster" -> erClusterSql,

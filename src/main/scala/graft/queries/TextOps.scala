@@ -527,8 +527,51 @@ object TextOps {
       .orderBy($"n_exact".desc, $"tok")
   }
 
+  /** Bigram language model: P(w₂ | w₁) = c(w₁w₂)/c(w₁·) with the top-3
+    * continuations per head token (heads with ≥ 100 bigram occurrences
+    * — the next-token-prediction statistic a corpus LM report leads
+    * with). c(w₁·) is the SUM of the head's bigram counts, so the
+    * conditional is exactly normalized by construction; counts are
+    * ints, one division per row, rank selection keyed per head.
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .select(graft.functions.TextFunctions.tokens($"text").as("t"))
+    val bg = toks.select(explode(zip_with($"t", slice($"t", lit(2), size($"t")),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      // zip_with pads the shorter side: the final (last-token, null)
+      // row is not a bigram
+      .filter($"b.w2".isNotNull)
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val heads = bg.groupBy($"w1").agg(sum($"c12").as("c1"))
+    bg.join(heads.filter($"c1" >= 100), "w1")
+      .withColumn("p", $"c12".cast("double") / $"c1".cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"w1").orderBy($"c12".desc, $"w2")))
+      .filter($"rank" <= 3)
+      .select($"w1", $"rank", $"w2", $"c12", $"c1", $"p")
+      .orderBy($"w1", $"rank")
+  }
+
+  val textBigramLmSql: String =
+    s"""WITH tk AS (SELECT $TokSql AS t FROM documents),
+       |bg AS (SELECT t[i+1] AS w1, t[i+2] AS w2
+       |  FROM tk, UNNEST(range(greatest(len(t) - 1, 0))) AS u(i)),
+       |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+       |hd AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+       |rk AS (SELECT cb.w1, w2, c12, c1,
+       |    CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p,
+       |    ROW_NUMBER() OVER (PARTITION BY cb.w1 ORDER BY c12 DESC, w2) AS rank
+       |  FROM cb JOIN hd ON cb.w1 = hd.w1 WHERE c1 >= 100)
+       |SELECT w1, rank, w2, c12, c1, p FROM rk WHERE rank <= 3
+       |ORDER BY w1, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
+    "text_bigram_lm" -> (textBigramLm _),
     "stream_cms" -> (streamCms _),
     "pipeline_clean" -> (pipelineClean _),
     "text_bigrams" -> (textBigrams _),
@@ -548,6 +591,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_tfidf" -> textTfidfSql,
+    "text_bigram_lm" -> textBigramLmSql,
     // bounded-mode streaming CMS = the batch sketch, certified by the
     // SAME oracle (the stream_hll convention)
     "stream_cms" -> sketchCmsSql,

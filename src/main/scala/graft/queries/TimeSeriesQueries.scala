@@ -1006,7 +1006,38 @@ object TimeSeriesQueries {
       |SELECT user_id, n, CASE WHEN den = 0.0e0 THEN NULL ELSE num / den END AS r1
       |FROM qs ORDER BY user_id""".stripMargin
 
+  /** Lag-feature frame per user series — the feature-engineering step
+    * in front of model training: previous two values, first difference
+    * and 3-point moving average in ONE keyed window pass. The moving
+    * average is the EXPLICIT expression (v + lag1 + lag2)/3, never a
+    * frame aggregate: engines disagree on frame-sum association
+    * (running vs segment-tree), an explicit left-to-right chain cannot.
+    * Nulls at series heads propagate identically.
+    */
+  def tsFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events(s, dir).filter(col("value").isNotNull)
+      .withColumn("lag1", lag(col("value"), 1).over(w))
+      .withColumn("lag2", lag(col("value"), 2).over(w))
+      .select(col("user_id"), col("event_id"), col("value"), col("lag1"),
+        (col("value") - col("lag1")).as("delta"),
+        ((col("value") + col("lag1") + col("lag2")) / 3.0).as("ma3"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val tsFeaturesSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+      |  FROM events WHERE value IS NOT NULL),
+      |lg AS (SELECT user_id, event_id, value,
+      |    lag(value, 1) OVER w AS lag1, lag(value, 2) OVER w AS lag2
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      |SELECT user_id, event_id, value, lag1,
+      |  value - lag1 AS delta, (value + lag1 + lag2) / 3.0e0 AS ma3
+      |FROM lg ORDER BY user_id, event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_features" -> (tsFeatures _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_ewma" -> (tsEwma _),
     "ts_autocorr" -> (tsAutocorr _),
@@ -1036,6 +1067,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_features" -> tsFeaturesSql,
     "ts_ohlc" -> tsOhlcSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_autocorr" -> tsAutocorrSql,
