@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Feature-engineering operators for a training-data pipeline: the
+  * steps between "curated corpus" and "model-ready matrix" — wide
+  * pivots, categorical target encoding, exact quantile binning and
+  * winsorization. Beyond-reference scope (the reference delegates
+  * feature prep to downstream consumers); grouped here so the family
+  * reads as one suite.
+  *
+  * Determinism discipline (the suite-wide rule): no double is ever the
+  * result of an unordered floating-point reduction. Counts are
+  * integers; every emitted double is either an untouched input value
+  * (selection), or a short fixed chain of IEEE ops (divide / multiply /
+  * add) applied in the same order by Spark and DuckDB — bit-exact
+  * without rounding.
+  */
+object FeatureQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide per-user feature row via `groupBy().pivot()` with an EXPLICIT
+    * value list — the relational crosstab operator. Explicit values
+    * matter twice at scale: Spark skips the extra distinct-scan job it
+    * otherwise runs to discover the pivot alphabet, and the output
+    * schema is fixed at plan time (a drifting alphabet cannot widen the
+    * row). One hash aggregate, one shuffle of (user, 5 counters).
+    */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes
+      .foldLeft(p)((df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t))
+      .orderBy(col("user_id"))
+  }
+
+  val pivotEventsSql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n      |  ")
+    s"""SELECT user_id,
+      |  $cols
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Smoothed target encoding (Micci-Barreca 2001): category →
+    * (pos + m·prior) / (cnt + m) with m = 100, target = order status
+    * 'F'. The high-cardinality-categorical workhorse. Everything up to
+    * the final two divisions is integer counting (one keyed aggregate +
+    * a broadcast global row); the encoding itself is a five-op IEEE
+    * chain evaluated in the same order by both engines, so the doubles
+    * hash exactly. At 100 TB the encoding table is dimension-sized and
+    * broadcasts back onto the fact table for free.
+    */
+  def encodeTarget(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("pos"))
+    val g = per.agg(sum(col("cnt")).as("g_n"), sum(col("pos")).as("g_pos"))
+    per.crossJoin(broadcast(g))
+      .withColumn("prior", col("g_pos").cast("double") / col("g_n").cast("double"))
+      .withColumn("target_enc",
+        (col("pos").cast("double") + lit(100.0) * col("prior")) /
+          (col("cnt").cast("double") + lit(100.0)))
+      .select(col("o_orderpriority"), col("cnt"), col("pos"),
+        col("prior"), col("target_enc"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val encodeTargetSql: String =
+    """WITH per AS (SELECT o_orderpriority, COUNT(*) AS cnt,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g_n,
+      |    CAST(SUM(pos) AS BIGINT) AS g_pos FROM per)
+      |SELECT o_orderpriority, cnt, pos,
+      |  CAST(g_pos AS DOUBLE) / CAST(g_n AS DOUBLE) AS prior,
+      |  (CAST(pos AS DOUBLE) + 100.0e0 * (CAST(g_pos AS DOUBLE) / CAST(g_n AS DOUBLE))) /
+      |    (CAST(cnt AS DOUBLE) + 100.0e0) AS target_enc
+      |FROM per CROSS JOIN g ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact cumulative rank per distinct value WITHOUT a global sort —
+    * the stats_ks two-level shape: per-value counts → 1024 range
+    * buckets → bucket offsets prefix-summed in a tiny window → a
+    * bucket-KEYED running sum adds the within-bucket part. One keyed
+    * shuffle plus a broadcast of 1024 offsets, the same plan at any
+    * corpus size. Returns (v, c, cum, n) with integer cumulatives.
+    */
+  private def cumRanks(vals: DataFrame): DataFrame = {
+    val rng = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      sum(col("c")).as("n"))
+    val bucketed = vals.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("v") - col("lo")) * 1024.0 /
+          greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("off") + sum(col("c")).over(wb))
+      .select(col("v"), col("c"), col("cum"), col("n"))
+  }
+
+  private def orderPriceCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("c"))
+
+  /** Exact equi-depth decile binning of order totals: bin(v) =
+    * ((cum(v) − 1) · 10) div n — pure integer arithmetic on exact
+    * cumulative ranks, so all copies of a value land in one bin and
+    * bins are balanced to ±1 row when values are distinct. This is the
+    * discretizer a feature pipeline wants (quantile bins, not
+    * equi-width), computed exactly where most systems fall back to a
+    * sketch. Emitted bin edges are untouched input doubles (selection).
+    */
+  def encodeBinning(s: SparkSession, dir: String): DataFrame =
+    cumRanks(orderPriceCounts(s, dir))
+      .withColumn("bin", expr("(cum - 1) * 10 div n"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("cnt"),
+        min(col("v")).as("lo_value"), max(col("v")).as("hi_value"))
+      .orderBy(col("bin"))
+
+  val encodeBinningSql: String =
+    """WITH vals AS (SELECT o_totalprice AS v, COUNT(*) AS c FROM orders GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vals CROSS JOIN nn)
+      |SELECT ((cum - 1) * 10) // n AS bin, CAST(SUM(c) AS BIGINT) AS cnt,
+      |  MIN(v) AS lo_value, MAX(v) AS hi_value
+      |FROM cm GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Winsorization at exact p05/p95: the boundary is the rank-SELECTED
+    * order statistic (smallest v whose cumulative count reaches
+    * floor(p·(n−1))+1 — the ts_percentiles selection convention on the
+    * two-level cumulative, so no global sort), and every emitted value
+    * is either an untouched input double or that selected boundary —
+    * nothing to round. The clamp itself is least(greatest(v, lo), hi)
+    * broadcast onto the rows; output restricted to o_orderkey ≤ 500 to
+    * keep the certified slice readable.
+    */
+  def encodeWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val bounds = cumRanks(orderPriceCounts(s, dir))
+      .agg(
+        min(when(col("cum") >=
+          floor(lit(0.05) * (col("n") - 1)).cast("long") + 1, col("v"))).as("lo"),
+        min(when(col("cum") >=
+          floor(lit(0.95) * (col("n") - 1)).cast("long") + 1, col("v"))).as("hi"))
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        least(greatest(col("o_totalprice"), col("lo")), col("hi")).as("winsorized"),
+        when(col("o_totalprice") < col("lo"), "low")
+          .when(col("o_totalprice") > col("hi"), "high")
+          .otherwise("none").as("clipped"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val encodeWinsorizeSql: String =
+    """WITH vals AS (SELECT o_totalprice AS v, COUNT(*) AS c FROM orders GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+      |cm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vals CROSS JOIN nn),
+      |b AS (SELECT
+      |    MIN(CASE WHEN cum >= CAST(floor(0.05e0 * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo,
+      |    MIN(CASE WHEN cum >= CAST(floor(0.95e0 * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi
+      |  FROM cm)
+      |SELECT o_orderkey, o_totalprice,
+      |  least(greatest(o_totalprice, lo), hi) AS winsorized,
+      |  CASE WHEN o_totalprice < lo THEN 'low'
+      |       WHEN o_totalprice > hi THEN 'high' ELSE 'none' END AS clipped
+      |FROM orders CROSS JOIN b WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_events" -> (pivotEvents _),
+    "encode_target" -> (encodeTarget _),
+    "encode_binning" -> (encodeBinning _),
+    "encode_winsorize" -> (encodeWinsorize _))
+
+  val oracles: Map[String, String] = Map(
+    "pivot_events" -> pivotEventsSql,
+    "encode_target" -> encodeTargetSql,
+    "encode_binning" -> encodeBinningSql,
+    "encode_winsorize" -> encodeWinsorizeSql)
+}

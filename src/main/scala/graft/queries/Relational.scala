@@ -952,14 +952,18 @@ object Relational {
         dsum(col("q") * col("p"), "sqp"),
         dsum(col("q") * col("q"), "sqq"),
         dsum(col("p") * col("p"), "spp"))
+      // A degenerate group (constant q or p) has zero variance; under
+      // Spark-4 ANSI a double division by zero THROWS, so the guards
+      // emit NULL there instead — same op sequence otherwise.
+      .withColumn("num", col("n") * col("sqp") - col("sq") * col("sp"))
+      .withColumn("var_q", col("n") * col("sqq") - col("sq") * col("sq"))
+      .withColumn("var_p", col("n") * col("spp") - col("sp") * col("sp"))
       .select(col("l_returnflag"), col("n").cast("long").as("n"),
-        ((col("n") * col("sqp") - col("sq") * col("sp")) /
-          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
-            sqrt(col("n") * col("spp") - col("sp") * col("sp")))).as("corr_qp"),
-        ((col("n") * col("sqp") - col("sq") * col("sp")) /
-          (col("n") * col("sqq") - col("sq") * col("sq"))).as("slope"),
-        ((col("sp") - ((col("n") * col("sqp") - col("sq") * col("sp")) /
-          (col("n") * col("sqq") - col("sq") * col("sq"))) * col("sq")) / col("n"))
+        when(col("var_q") =!= 0.0 && col("var_p") =!= 0.0,
+          col("num") / (sqrt(col("var_q")) * sqrt(col("var_p")))).as("corr_qp"),
+        when(col("var_q") =!= 0.0, col("num") / col("var_q")).as("slope"),
+        when(col("var_q") =!= 0.0,
+          (col("sp") - (col("num") / col("var_q")) * col("sq")) / col("n"))
           .as("intercept"))
       .orderBy(col("l_returnflag"))
   }
@@ -972,12 +976,15 @@ object Relational {
       |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
       |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
       |    CAST(SUM(CAST(CAST(round(l_extendedprice * 100.0e0) AS BIGINT) * CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS spp
-      |  FROM lineitem GROUP BY l_returnflag)
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (SELECT *, (n * sqp - sq * sp) AS num,
+      |    (n * sqq - sq * sq) AS var_q, (n * spp - sp * sp) AS var_p FROM m)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-      |  (n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qp,
-      |  (n * sqp - sq * sp) / (n * sqq - sq * sq) AS slope,
-      |  (sp - ((n * sqp - sq * sp) / (n * sqq - sq * sq)) * sq) / n AS intercept
-      |FROM m ORDER BY l_returnflag""".stripMargin
+      |  CASE WHEN var_q <> 0 AND var_p <> 0
+      |    THEN num / (sqrt(var_q) * sqrt(var_p)) END AS corr_qp,
+      |  CASE WHEN var_q <> 0 THEN num / var_q END AS slope,
+      |  CASE WHEN var_q <> 0 THEN (sp - (num / var_q) * sq) / n END AS intercept
+      |FROM d ORDER BY l_returnflag""".stripMargin
 
   /** χ² test of independence for event_type × weekday: observed counts
     * are exact ints, expected = rowTotal·colTotal/total is one double
