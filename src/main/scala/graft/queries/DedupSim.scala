@@ -160,6 +160,71 @@ object DedupSim {
        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.7e0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Recall evaluation of banded MinHash+LSH against exhaustive truth:
+    * gold = the threshold-complete prefix join at τ = 0.7
+    * ([[Dedup.jaccardJoinPrefix]]), predicted = the LSH candidate
+    * pairs exact-verified at the same τ. Because candidates are
+    * exact-verified, predicted ⊆ gold by construction (fp = 0,
+    * precision = 1 when any pair predicts) — the number under test is
+    * RECALL, i.e. the fraction of true near-dup pairs whose 4 bands
+    * never collided. This is the measurement a production dedup run
+    * needs before trusting banded LSH at scale; both pair sets come
+    * from bounded candidate generation, and the metric aggregation
+    * shuffles only (id, id) pairs. Divisions are guarded (NULL when
+    * a side is empty) for degenerate corpora under ANSI.
+    */
+  def dedupEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val gold = Dedup.jaccardJoinPrefix(docs, "doc_id", "text", tauTenths = 7)
+      .select(col("id_a"), col("id_b"), lit(1L).as("g"))
+    val pred = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id_a"), col("id_b"), lit(1L).as("p"))
+    gold.join(pred, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("g").isNotNull && col("p").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("g").isNotNull && col("p").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(col("g").isNull && col("p").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"))
+      .select(col("tp"), col("fn"), col("fp"),
+        (col("tp") + col("fn")).as("n_gold"),
+        (col("tp") + col("fp")).as("n_pred"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"))
+  }
+
+  val dedupEvalSql: String =
+    s"""$MinhashCandCtes,
+       |pred AS (SELECT id_a, id_b FROM cand
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7e0),
+       |inv AS (SELECT id, unnest(s) AS x FROM sh),
+       |gcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM inv a JOIN inv b ON a.x = b.x AND a.id < b.id),
+       |gold AS (SELECT id_a, id_b FROM gcand
+       |  JOIN sh sa ON sa.id = gcand.id_a JOIN sh sb ON sb.id = gcand.id_b
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.7e0),
+       |j AS (SELECT g.id_a IS NOT NULL AS in_g, p.id_a IS NOT NULL AS in_p
+       |  FROM gold g FULL OUTER JOIN pred p
+       |    ON g.id_a = p.id_a AND g.id_b = p.id_b),
+       |m AS (SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN in_g AND in_p THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(SUM(CASE WHEN in_g AND NOT in_p THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+       |    CAST(COALESCE(SUM(CASE WHEN NOT in_g AND in_p THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp
+       |  FROM j)
+       |SELECT tp, fn, fp, tp + fn AS n_gold, tp + fp AS n_pred,
+       |  CASE WHEN tp + fp > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |  CASE WHEN tp + fn > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+       |FROM m""".stripMargin
+
   /** Per-document 64-bit SimHash signature (bit string). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
@@ -633,6 +698,7 @@ object DedupSim {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_eval" -> (dedupEval _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -651,6 +717,7 @@ object DedupSim {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_eval" -> dedupEvalSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -569,7 +569,56 @@ object TextOps {
        |SELECT w1, rank, w2, c12, c1, p FROM rk WHERE rank <= 3
        |ORDER BY w1, rank""".stripMargin
 
+  /** Collocation mining by pointwise mutual information: PMI(w₁,w₂) =
+    * ln(N·c₁₂ / (c₁·c₂)) over bigram events, with the head/tail
+    * marginals taken from the bigram table itself so everything is
+    * exactly normalized integer counting. The ratio under the log is
+    * ONE division of two exact BIGINT products (< 2^53, so the double
+    * casts are exact) — bit-identical cross-engine — and the top-30
+    * selection ORDERS BY THAT RATIO, not the log, so ln's 1-ulp
+    * wobble (the stats_entropy lesson) can't flip the cutoff; the
+    * emitted PMI is rounded to 4 decimals. One keyed aggregate per
+    * marginal, candidate set pre-pruned by support ≥ 20.
+    */
+  def textPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(graft.functions.TextFunctions.tokens($"text").as("t"))
+    val bg = toks.select(explode(zip_with($"t", slice($"t", lit(2), size($"t")),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .filter($"b.w2".isNotNull)
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val heads = bg.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val tails = bg.groupBy($"w2").agg(sum($"c12").as("c2"))
+    val n = bg.agg(sum($"c12").as("n"))
+    bg.filter($"c12" >= 20)
+      .join(heads, "w1").join(tails, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("ratio",
+        ($"c12" * $"n").cast("double") / ($"c1" * $"c2").cast("double"))
+      .orderBy($"ratio".desc, $"w1", $"w2").limit(30)
+      .select($"w1", $"w2", $"c12", $"c1", $"c2",
+        round(log($"ratio"), 4).as("pmi"))
+  }
+
+  val textPmiSql: String =
+    s"""WITH tk AS (SELECT $TokSql AS t FROM documents),
+       |bg AS (SELECT t[i+1] AS w1, t[i+2] AS w2
+       |  FROM tk, UNNEST(range(greatest(len(t) - 1, 0))) AS u(i)),
+       |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+       |hd AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+       |tl AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM cb GROUP BY w2),
+       |nn AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM cb),
+       |r AS (SELECT cb.w1, cb.w2, c12, c1, c2,
+       |    CAST(c12 * n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS ratio
+       |  FROM cb JOIN hd ON cb.w1 = hd.w1 JOIN tl ON cb.w2 = tl.w2
+       |  CROSS JOIN nn WHERE c12 >= 20)
+       |SELECT w1, w2, c12, c1, c2, round(ln(ratio), 4) AS pmi
+       |FROM r ORDER BY ratio DESC, w1, w2 LIMIT 30""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi" -> (textPmi _),
     "text_tfidf" -> (textTfidf _),
     "text_bigram_lm" -> (textBigramLm _),
     "stream_cms" -> (streamCms _),
@@ -590,6 +639,7 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_pmi" -> textPmiSql,
     "text_tfidf" -> textTfidfSql,
     "text_bigram_lm" -> textBigramLmSql,
     // bounded-mode streaming CMS = the batch sketch, certified by the
