@@ -1339,7 +1339,114 @@ object Relational {
       |  MAX(struct_pack(d := d, value := value)).value AS at_value
       |FROM dd""".stripMargin
 
+  /** Community detection by SYNCHRONOUS label propagation over the
+    * co-supply graph (Raghavan 2007): every node starts as its own
+    * label; each round replaces it with the mode of its neighbors'
+    * labels, ties to the SMALLEST label so the update is a pure
+    * function of the round's label table — deterministic at any
+    * partition count, unlike the asynchronous variant. Three FIXED
+    * rounds, each one join + one count aggregate + one max(struct)
+    * argmax on the EDGE set, checkpointed flat (the pagerank lesson);
+    * the oracle replays all three rounds in unrolled CTEs. Isolated
+    * nodes can't occur (every co-supply node has an edge).
+    */
+  def graphLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    var lbl = e2.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    (1 to 3).foreach { _ =>
+      lbl = e2.join(lbl.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): max of (c, -lbl) then negate
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    lbl.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  val graphLabelpropSql: String = {
+    val round = (i: Int) =>
+      s"""c$i AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+        |  FROM e2 e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+        |l$i AS (SELECT node,
+        |    -((MAX(struct_pack(c := c, nl := -lbl))).nl) AS lbl
+        |  FROM c$i GROUP BY node)""".stripMargin
+    s"""WITH $CoSupplyCtes,
+      |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e2),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)},
+      |sz AS (SELECT lbl, COUNT(*) AS community_size FROM l3 GROUP BY lbl)
+      |SELECT node, l3.lbl AS community, community_size
+      |FROM l3 JOIN sz ON l3.lbl = sz.lbl ORDER BY node""".stripMargin
+  }
+
+  /** 2-D skyline (Pareto frontier) of the part table — cheapest price
+    * vs largest size, the min/max dominance query. Exact without a
+    * self-join: collapse to the best (max) size per distinct price,
+    * then a price survives iff its best size strictly exceeds the
+    * running max over all STRICTLY lower prices — computed two-level
+    * (1024 range buckets; tiny prefix window over bucket maxima;
+    * bucket-keyed running max inside) so there is no global sort, the
+    * stats_ks shape with max as the monoid. Ties survive together:
+    * dominance requires strict improvement in one dimension, so every
+    * part matching a surviving (price, best-size) point is emitted via
+    * one semi-join back to the table.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(s, dir, "part")
+    val best = parts.groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("bs"))
+    val rng = best.agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    val bucketed = best.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("price") - col("lo")) * 1024.0 /
+          greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(max(col("bs")).as("bmax"))
+      .withColumn("off", max(col("bmax")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("off"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("runmax", greatest(
+        coalesce(max(col("bs")).over(wb), lit(Int.MinValue)),
+        coalesce(col("off"), lit(Int.MinValue))))
+      .filter(col("bs") > col("runmax"))
+      .select(col("price"), col("bs"))
+    parts.join(frontier,
+        parts("p_retailprice") === frontier("price") &&
+          parts("p_size") === frontier("bs"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val skylinePartsSql: String =
+    """WITH best AS (SELECT p_retailprice AS price, MAX(p_size) AS bs
+      |  FROM part GROUP BY 1),
+      |rm AS (SELECT price, bs, MAX(bs) OVER (ORDER BY price
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      |  FROM best),
+      |f AS (SELECT price, bs FROM rm WHERE runmax IS NULL OR bs > runmax)
+      |SELECT p_partkey, p_retailprice, p_size
+      |FROM part JOIN f ON p_retailprice = f.price AND p_size = f.bs
+      |ORDER BY p_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_labelprop" -> (graphLabelprop _),
+    "skyline_parts" -> (skylineParts _),
     "stats_corr" -> (statsCorr _),
     "stats_chisq" -> (statsChisq _),
     "stats_entropy" -> (statsEntropy _),
@@ -1373,6 +1480,8 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "graph_labelprop" -> graphLabelpropSql,
+    "skyline_parts" -> skylinePartsSql,
     "stats_corr" -> statsCorrSql,
     "stats_chisq" -> statsChisqSql,
     "stats_entropy" -> statsEntropySql,

@@ -1036,6 +1036,64 @@ object TimeSeriesQueries {
       |  value - lag1 AS delta, (value + lag1 + lag2) / 3.0e0 AS ma3
       |FROM lg ORDER BY user_id, event_id""".stripMargin
 
+  /** One-sided CUSUM changepoint score per user (Page 1954): S₀ = 0,
+    * Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − μ)) over the user's values in event-time
+    * order, reporting max Sᵢ — the classic upward-shift detector. The
+    * recursion is inherently ordered, so BOTH the mean and the CUSUM
+    * are computed as folds over the same (ts, event_id)-sorted array
+    * (the ts_ewma discipline): identical add/max/divide sequences
+    * cross-engine make every emitted double bit-exact with no
+    * rounding. State per user is one array of its own events — the
+    * many-small-series shape that collect_list handles at any corpus
+    * size — and the fold carries a (running, max) struct so the peak
+    * needs no second pass.
+    */
+  def tsCusum(s: SparkSession, dir: String): DataFrame = {
+    val arr = events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_ms"), col("event_id"), col("value")))).as("a"))
+      .select(col("user_id"),
+        transform(col("a"), x => x.getField("value")).as("xs"))
+      .withColumn("n", size(col("xs")))
+      .withColumn("mean",
+        aggregate(col("xs"), lit(0.0), (a, v) => a + v) / col("n").cast("double"))
+    // Field order in the fold state is LOAD-BEARING: DuckDB 1.0
+    // evaluates struct_pack fields sequentially against a mutating
+    // accumulator, so a field computed AFTER s would see the NEW s
+    // (measured: m=6.0 where the fold semantics say 3.0). With m
+    // first, m reads the pre-update s and s itself uses nothing that
+    // was already overwritten — correct under both functional (Spark)
+    // and sequential (DuckDB) evaluation.
+    arr.select(col("user_id"), col("n"), col("mean"),
+      aggregate(col("xs"),
+        struct(lit(0.0).as("m"), lit(0.0).as("s")),
+        (acc, v) => struct(
+          greatest(acc.getField("m"),
+            greatest(acc.getField("s") + (v - col("mean")), lit(0.0))).as("m"),
+          greatest(acc.getField("s") + (v - col("mean")), lit(0.0)).as("s")))
+        .getField("m").as("cusum_max"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsCusumSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+      |  FROM events WHERE value IS NOT NULL),
+      |ar AS (SELECT user_id,
+      |    list(value ORDER BY ts_ms, event_id) AS xs FROM ev GROUP BY user_id),
+      |mn AS (SELECT user_id, xs, len(xs) AS n,
+      |    list_reduce(list_prepend(0.0e0, xs), (a, v) -> a + v)
+      |      / CAST(len(xs) AS DOUBLE) AS mean FROM ar)
+      |SELECT user_id, n, mean,
+      |  (list_reduce(list_prepend(struct_pack(m := 0.0e0, s := 0.0e0),
+      |      list_transform(xs, v -> struct_pack(m := 0.0e0, s := v))),
+      |    (acc, x) -> struct_pack(
+      |      m := greatest(acc.m, greatest(acc.s + (x.s - mean), 0.0e0)),
+      |      s := greatest(acc.s + (x.s - mean), 0.0e0)))).m
+      |    AS cusum_max
+      |FROM mn ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_features" -> (tsFeatures _),
     "ts_ohlc" -> (tsOhlc _),
@@ -1045,6 +1103,7 @@ object TimeSeriesQueries {
     "ts_mad" -> (tsMad _),
     "ts_throttle" -> (tsThrottle _),
     "ts_percentiles" -> (tsPercentiles _),
+    "ts_cusum" -> (tsCusum _),
     "ts_streaks" -> (tsStreaks _),
     "cdc_apply" -> (cdcApply _),
     "stream_cdc" -> (streamCdc _),
@@ -1075,6 +1134,7 @@ object TimeSeriesQueries {
     "ts_mad" -> tsMadSql,
     "ts_throttle" -> tsThrottleSql,
     "ts_percentiles" -> tsPercentilesSql,
+    "ts_cusum" -> tsCusumSql,
     "ts_streaks" -> tsStreaksSql,
     "cdc_apply" -> cdcApplySql,
     "stream_cdc" -> streamCdcSql,
