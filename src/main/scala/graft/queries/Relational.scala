@@ -1444,7 +1444,100 @@ object Relational {
       |FROM part JOIN f ON p_retailprice = f.price AND p_size = f.bs
       |ORDER BY p_partkey""".stripMargin
 
+  /** Item-item collaborative filtering by co-occurrence cosine:
+    * cos(i,j) = c_ij / √(c_i·c_j) over order baskets — the classic
+    * "bought together" recommender primitive. Pair expansion happens
+    * INSIDE baskets (TPC-H orders hold a handful of parts, so
+    * candidates stay linear in orders — the basket_pairs shape) and
+    * marginals join back on part keys. The cosine is one IEEE sqrt +
+    * one division of exact integer products — both correctly-rounded
+    * ops, so scores AND the top-50 ordering are bit-exact
+    * cross-engine with no rounding step at all.
+    */
+  def recCosine(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val ci = b.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = b.as("a").join(b.as("b2"),
+        col("a.ok") === col("b2.ok") && col("a.pk") < col("b2.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b2.pk").as("pb"))
+      .agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= 3)
+    pairs
+      .join(ci.select(col("pk").as("pa"), col("c").as("ca")), "pa")
+      .join(ci.select(col("pk").as("pb"), col("c").as("cb")), "pb")
+      .withColumn("cosine",
+        col("cij").cast("double") / sqrt((col("ca") * col("cb")).cast("double")))
+      .select(col("pa"), col("pb"), col("cij"), col("ca"), col("cb"), col("cosine"))
+      .orderBy(col("cosine").desc, col("pa"), col("pb")).limit(50)
+  }
+
+  val recCosineSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ci AS (SELECT pk, COUNT(*) AS c FROM b GROUP BY pk),
+      |pairs AS (SELECT a.pk AS pa, b2.pk AS pb, COUNT(*) AS cij
+      |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT pa, pb, cij, ca.c AS ca, cb.c AS cb,
+      |  CAST(cij AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosine
+      |FROM pairs JOIN ci ca ON ca.pk = pa JOIN ci cb ON cb.pk = pb
+      |ORDER BY cosine DESC, pa, pb LIMIT 50""".stripMargin
+
+  /** Benford's-law conformance of order totals: observed leading-digit
+    * counts vs expected n·log₁₀(1+1/d), with the χ² statistic folded
+    * over the 9 digits in digit order (the stats_entropy fold). All
+    * nine cells participate even when a digit never occurs (digits
+    * come from a literal 1..9 table, observed coalesced to 0) — the
+    * classic mistake of dropping empty cells would silently shrink
+    * χ². log₁₀ shares ln's 1-ulp cross-engine wobble, so expected and
+    * χ² are rounded to 4 decimals; counts are exact ints.
+    */
+  def statsBenford(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables(s, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val digits = s.range(1, 10).select(col("id").as("digit"))
+    val tot = obs.agg(sum(col("obs")).as("n"))
+    val cells = digits.join(obs, Seq("digit"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("n").cast("double") * log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("term",
+        (col("obs").cast("double") - col("expected")) *
+          (col("obs").cast("double") - col("expected")) / col("expected"))
+    val chi = cells
+      .agg(round(aggregate(
+        transform(sort_array(collect_list(struct(col("digit"), col("term")))),
+          x => x.getField("term")),
+        lit(0.0), (a, v) => a + v), 4).as("chi2"))
+    cells.crossJoin(broadcast(chi))
+      .select(col("digit"), col("obs"), round(col("expected"), 4).as("expected"),
+        col("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  val statsBenfordSql: String =
+    """WITH ld AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |ob AS (SELECT digit, COUNT(*) AS obs FROM ld GROUP BY digit),
+      |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM ob),
+      |cells AS (SELECT d.digit, COALESCE(ob.obs, 0) AS obs,
+      |    CAST(n AS DOUBLE) * log10(1.0e0 + 1.0e0 / CAST(d.digit AS DOUBLE)) AS expected
+      |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+      |  LEFT JOIN ob ON ob.digit = d.digit CROSS JOIN tot),
+      |tm AS (SELECT digit, obs, expected,
+      |    (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected) / expected AS term
+      |  FROM cells),
+      |chi AS (SELECT round(list_reduce(list_prepend(0.0e0,
+      |    list(term ORDER BY digit)), (a, v) -> a + v), 4) AS chi2 FROM tm)
+      |SELECT digit, obs, round(expected, 4) AS expected, chi2
+      |FROM tm CROSS JOIN chi ORDER BY digit""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rec_cosine" -> (recCosine _),
+    "stats_benford" -> (statsBenford _),
     "graph_labelprop" -> (graphLabelprop _),
     "skyline_parts" -> (skylineParts _),
     "stats_corr" -> (statsCorr _),
@@ -1480,6 +1573,8 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "rec_cosine" -> recCosineSql,
+    "stats_benford" -> statsBenfordSql,
     "graph_labelprop" -> graphLabelpropSql,
     "skyline_parts" -> skylinePartsSql,
     "stats_corr" -> statsCorrSql,

@@ -617,7 +617,44 @@ object TextOps {
        |SELECT w1, w2, c12, c1, c2, round(ln(ratio), 4) AS pmi
        |FROM r ORDER BY ratio DESC, w1, w2 LIMIT 30""".stripMargin
 
+  /** Per-source vocabulary profile: token volume, distinct vocabulary,
+    * hapax legomena (frequency-1 types — the Zipf-tail health signal a
+    * corpus report leads with), and type-token ratio. One tokenize +
+    * one (source, token) count aggregate; everything is integer until
+    * the single TTR division. The hapax share of vocabulary is the
+    * standard contamination/boilerplate tell: synthetic or templated
+    * sources collapse it toward zero.
+    */
+  def textVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val nDocs = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val cnt = docs
+      .select($"source", explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+    cnt.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("hapax"))
+      .join(nDocs, "source")
+      .select($"source", $"n_docs", $"n_tokens", $"vocab", $"hapax",
+        ($"vocab".cast("double") / $"n_tokens".cast("double")).as("ttr"))
+      .orderBy($"source")
+  }
+
+  val textVocabSql: String =
+    s"""WITH tk AS (SELECT source, unnest($TokSql) AS t FROM documents),
+       |cnt AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       |v AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+       |  FROM cnt GROUP BY source),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT v.source, n_docs, n_tokens, vocab, hapax,
+       |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+       |FROM v JOIN nd ON v.source = nd.source ORDER BY v.source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> (textVocab _),
     "text_pmi" -> (textPmi _),
     "text_tfidf" -> (textTfidf _),
     "text_bigram_lm" -> (textBigramLm _),
@@ -639,6 +676,7 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_vocab" -> textVocabSql,
     "text_pmi" -> textPmiSql,
     "text_tfidf" -> textTfidfSql,
     "text_bigram_lm" -> textBigramLmSql,
