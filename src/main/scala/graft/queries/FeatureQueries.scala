@@ -95,7 +95,7 @@ object FeatureQueries {
     * shuffle plus a broadcast of 1024 offsets, the same plan at any
     * corpus size. Returns (v, c, cum, n) with integer cumulatives.
     */
-  private def cumRanks(vals: DataFrame): DataFrame = {
+  private[queries] def cumRanks(vals: DataFrame): DataFrame = {
     val rng = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
       sum(col("c")).as("n"))
     val bucketed = vals.crossJoin(broadcast(rng))
@@ -186,13 +186,78 @@ object FeatureQueries {
       |FROM orders CROSS JOIN b WHERE o_orderkey <= 500
       |ORDER BY o_orderkey""".stripMargin
 
+  /** RFM customer segmentation — recency (days since last order, so
+    * quintile 0 = most recent), frequency (order count), monetary
+    * (decimal-exact price sum, the [[Exact.dsum]] discipline) — each
+    * dimension quintiled EXACTLY through the same two-level
+    * cumulative-rank machinery as encode_binning, then joined back by
+    * value. Classic mart-building operator; per-dimension rank tables
+    * are value-distinct (far smaller than the customer table) and the
+    * join-backs are value-keyed. The monetary join key is a double,
+    * safe here because both engines produce it from the identical
+    * decimal sum (bit-equal by construction).
+    */
+  def rfmScores(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey"),
+        // parquet ms timestamps read as TIMESTAMP_NTZ; session is
+        // pinned UTC so the cast is shift-free and unix_millis applies
+        (unix_millis(col("o_orderdate").cast("timestamp")) / lit(86400000L))
+          .cast("long").as("day"),
+        col("o_totalprice"))
+    val maxd = o.agg(max(col("day")).as("maxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
+        Exact.dsum(col("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("r_days", col("maxd") - col("lastd"))
+      .select(col("o_custkey"), col("r_days"), col("f"), col("monetary"))
+    def quintiles(dim: String): DataFrame =
+      cumRanks(cust.groupBy(col(dim).as("v")).agg(count(lit(1)).as("c")))
+        .withColumn("q", expr("(cum - 1) * 5 div n"))
+        .select(col("v").as(dim), col("q"))
+    cust
+      .join(quintiles("r_days").withColumnRenamed("q", "r_q"), "r_days")
+      .join(quintiles("f").withColumnRenamed("q", "f_q"), "f")
+      .join(quintiles("monetary").withColumnRenamed("q", "m_q"), "monetary")
+      .select(col("o_custkey").as("c_custkey"), col("r_days"), col("f"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val rfmScoresSql: String = {
+    val quintile = (name: String, dim: String) =>
+      s"""${name}v AS (SELECT $dim AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+        |${name}n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ${name}v),
+        |${name}q AS (SELECT v,
+        |    ((CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - 1) * 5) // n AS q
+        |  FROM ${name}v CROSS JOIN ${name}n)""".stripMargin
+    s"""WITH o AS (SELECT o_custkey,
+      |    CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day, o_totalprice
+      |  FROM orders),
+      |mx AS (SELECT MAX(day) AS maxd FROM o),
+      |cust AS (SELECT o_custkey, maxd - MAX(day) AS r_days, COUNT(*) AS f,
+      |    ${Exact.sqlSum("o_totalprice")} AS monetary
+      |  FROM o CROSS JOIN mx GROUP BY o_custkey, maxd),
+      |${quintile("r", "r_days")},
+      |${quintile("f", "f")},
+      |${quintile("m", "monetary")}
+      |SELECT o_custkey AS c_custkey, cust.r_days, cust.f, cust.monetary,
+      |  rq.q AS r_q, fq.q AS f_q, mq.q AS m_q
+      |FROM cust JOIN rq ON rq.v = cust.r_days JOIN fq ON fq.v = cust.f
+      |JOIN mq ON mq.v = cust.monetary
+      |ORDER BY c_custkey""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_scores" -> (rfmScores _),
     "pivot_events" -> (pivotEvents _),
     "encode_target" -> (encodeTarget _),
     "encode_binning" -> (encodeBinning _),
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "rfm_scores" -> rfmScoresSql,
     "pivot_events" -> pivotEventsSql,
     "encode_target" -> encodeTargetSql,
     "encode_binning" -> encodeBinningSql,

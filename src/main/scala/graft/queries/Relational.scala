@@ -1350,7 +1350,8 @@ object Relational {
     * the oracle replays all three rounds in unrolled CTEs. Isolated
     * nodes can't occur (every co-supply node has an edge).
     */
-  def graphLabelprop(s: SparkSession, dir: String): DataFrame = {
+  /** Shared labelprop state: (undirected edge list, final label table). */
+  private def labelpropState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = coSupplyEdges(s, dir)
     val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
@@ -1366,30 +1367,101 @@ object Relational {
         .select(col("node"), (-col("best.nl")).as("lbl"))
         .localCheckpoint(true)
     }
+    (edges, lbl)
+  }
+
+  def graphLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val (_, lbl) = labelpropState(s, dir)
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     lbl.join(sizes, "lbl")
       .select(col("node"), col("lbl").as("community"), col("community_size"))
       .orderBy(col("node"))
   }
 
-  val graphLabelpropSql: String = {
+  /** Newman modularity of the labelprop partition: Q = Σ_c (e_c/m −
+    * (d_c/2m)²) — the standard partition-quality score, reported
+    * per-community with the global Q alongside. Everything is integer
+    * counting (within-community edges, degree sums, edge total) until
+    * three IEEE divisions per community; the global Q folds the
+    * per-community contributions in community order (the
+    * stats_entropy discipline), so every double is bit-exact
+    * cross-engine — no transcendentals, no rounding. Communities with
+    * zero internal edges still contribute their −(d_c/2m)² penalty
+    * (left join, coalesce 0) — dropping them would inflate Q.
+    */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val (edges, lbl) = labelpropState(s, dir)
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lbl, "node")
+      .groupBy(col("lbl").as("community")).agg(sum(col("deg")).as("d_tot"))
+    val ec = edges
+      .join(lbl.select(col("node").as("u"), col("lbl").as("la")), "u")
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lb")), "v")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val cells = dc.join(ec, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("dd", col("d_tot").cast("double") / (lit(2) * col("m")).cast("double"))
+      .withColumn("contrib",
+        col("e_in").cast("double") / col("m").cast("double") - col("dd") * col("dd"))
+    val q = cells
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("community"), col("contrib")))),
+          x => x.getField("contrib")),
+        lit(0.0), (a, v) => a + v).as("q"))
+    cells.crossJoin(broadcast(q))
+      .select(col("community"), col("e_in"), col("d_tot"), col("contrib"), col("q"))
+      .orderBy(col("community"))
+  }
+
+  /** Shared oracle CTE chain ending in `l3(node, lbl)` — the three
+    * unrolled labelprop rounds over the co-supply graph.
+    */
+  private val LabelpropCtes: String = {
     val round = (i: Int) =>
       s"""c$i AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c
         |  FROM e2 e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
         |l$i AS (SELECT node,
         |    -((MAX(struct_pack(c := c, nl := -lbl))).nl) AS lbl
         |  FROM c$i GROUP BY node)""".stripMargin
-    s"""WITH $CoSupplyCtes,
+    s"""$CoSupplyCtes,
       |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
       |  UNION ALL SELECT v, u FROM edges),
       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e2),
       |${round(1)},
       |${round(2)},
-      |${round(3)},
+      |${round(3)}""".stripMargin
+  }
+
+  val graphLabelpropSql: String =
+    s"""WITH $LabelpropCtes,
       |sz AS (SELECT lbl, COUNT(*) AS community_size FROM l3 GROUP BY lbl)
       |SELECT node, l3.lbl AS community, community_size
       |FROM l3 JOIN sz ON l3.lbl = sz.lbl ORDER BY node""".stripMargin
-  }
+
+  val graphModularitySql: String =
+    s"""WITH $LabelpropCtes,
+      |mm AS (SELECT COUNT(*) AS m FROM edges),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+      |dc AS (SELECT l.lbl AS community, CAST(SUM(deg) AS BIGINT) AS d_tot
+      |  FROM deg JOIN l3 l ON l.node = deg.node GROUP BY 1),
+      |ec AS (SELECT la.lbl AS community, COUNT(*) AS e_in
+      |  FROM edges e JOIN l3 la ON la.node = e.u JOIN l3 lb ON lb.node = e.v
+      |  WHERE la.lbl = lb.lbl GROUP BY 1),
+      |cells AS (SELECT dc.community, COALESCE(e_in, 0) AS e_in, d_tot,
+      |    CAST(COALESCE(e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+      |      - (CAST(d_tot AS DOUBLE) / CAST(2 * m AS DOUBLE))
+      |        * (CAST(d_tot AS DOUBLE) / CAST(2 * m AS DOUBLE)) AS contrib
+      |  FROM dc LEFT JOIN ec ON ec.community = dc.community CROSS JOIN mm),
+      |qq AS (SELECT list_reduce(list_prepend(0.0e0,
+      |    list(contrib ORDER BY community)), (a, v) -> a + v) AS q FROM cells)
+      |SELECT community, e_in, d_tot, contrib, q
+      |FROM cells CROSS JOIN qq ORDER BY community""".stripMargin
 
   /** 2-D skyline (Pareto frontier) of the part table — cheapest price
     * vs largest size, the min/max dominance query. Exact without a
@@ -1539,6 +1611,7 @@ object Relational {
     "rec_cosine" -> (recCosine _),
     "stats_benford" -> (statsBenford _),
     "graph_labelprop" -> (graphLabelprop _),
+    "graph_modularity" -> (graphModularity _),
     "skyline_parts" -> (skylineParts _),
     "stats_corr" -> (statsCorr _),
     "stats_chisq" -> (statsChisq _),
@@ -1576,6 +1649,7 @@ object Relational {
     "rec_cosine" -> recCosineSql,
     "stats_benford" -> statsBenfordSql,
     "graph_labelprop" -> graphLabelpropSql,
+    "graph_modularity" -> graphModularitySql,
     "skyline_parts" -> skylinePartsSql,
     "stats_corr" -> statsCorrSql,
     "stats_chisq" -> statsChisqSql,

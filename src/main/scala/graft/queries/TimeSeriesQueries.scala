@@ -1094,7 +1094,53 @@ object TimeSeriesQueries {
       |    AS cusum_max
       |FROM mn ORDER BY user_id""".stripMargin
 
+  /** Day-of-week seasonality profile per event type: mean daily volume
+    * per weekday ÷ overall mean daily volume — the seasonal-index
+    * decomposition a volume dashboard is built on. Two stacked count
+    * aggregations (per-day, then per-weekday), so everything is
+    * integer until three divisions. The weekday is pure integer
+    * arithmetic on the epoch day ((day+4) mod 7, 0 = Sunday — epoch
+    * day 0 was a Thursday), avoiding engine dayofweek conventions
+    * entirely.
+    */
+  def tsSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .withColumn("day", (col("ts_ms") / lit(86400000L)).cast("long"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+      .withColumn("dow_mean",
+        col("total").cast("double") / col("n_days").cast("double"))
+    val overall = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("g_days"), sum(col("cnt")).as("g_total"))
+      .withColumn("g_mean",
+        col("g_total").cast("double") / col("g_days").cast("double"))
+      .select(col("event_type"), col("g_mean"))
+    byDow.join(overall, "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"), col("total"),
+        col("dow_mean"), (col("dow_mean") / col("g_mean")).as("seasonal_index"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val tsSeasonalSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, (day + 4) % 7 AS dow, cnt FROM daily),
+      |bd AS (SELECT event_type, dow, COUNT(*) AS n_days,
+      |    CAST(SUM(cnt) AS BIGINT) AS total FROM d2 GROUP BY 1, 2),
+      |ov AS (SELECT event_type,
+      |    CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS g_mean
+      |  FROM daily GROUP BY event_type)
+      |SELECT bd.event_type, dow, n_days, total,
+      |  CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS dow_mean,
+      |  (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) / g_mean AS seasonal_index
+      |FROM bd JOIN ov ON bd.event_type = ov.event_type
+      |ORDER BY bd.event_type, dow""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal" -> (tsSeasonal _),
     "ts_features" -> (tsFeatures _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_ewma" -> (tsEwma _),
@@ -1126,6 +1172,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_seasonal" -> tsSeasonalSql,
     "ts_features" -> tsFeaturesSql,
     "ts_ohlc" -> tsOhlcSql,
     "ts_ewma" -> tsEwmaSql,
