@@ -1607,7 +1607,63 @@ object Relational {
       |SELECT digit, obs, round(expected, 4) AS expected, chi2
       |FROM tm CROSS JOIN chi ORDER BY digit""".stripMargin
 
+  /** ABC (Pareto) classification of parts by revenue: cumulative
+    * revenue share in descending-revenue order, class A until 80%,
+    * B until 95%, C beyond (the crossing item starts the next class —
+    * the convention is pinned by the oracle). Revenue accumulates in
+    * exact integer CENTS (round(price·100) is the same BIGINT in both
+    * engines — the stats_corr proof), and the descending cumulative is
+    * the two-level bucket shape on NEGATED cents with a part-key
+    * tiebreak, so there is no global sort and every share is one
+    * division of exact integers.
+    */
+  def abcParts(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100.0).cast("long")).as("cents"))
+    val rng = per.agg(min(-col("cents")).as("lo"), max(-col("cents")).as("hi"),
+      sum(col("cents")).as("tot"))
+    val bucketed = per.withColumn("v", -col("cents"))
+      .crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("v") - col("lo")).cast("double") * 1024.0 /
+          greatest((col("hi") - col("lo")).cast("double"), lit(1.0))).cast("long"),
+          lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("cents")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("v"), col("l_partkey"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("off") + sum(col("cents")).over(wb))
+      .withColumn("share", col("cum").cast("double") / col("tot").cast("double"))
+      .withColumn("abc_class",
+        when(col("share") <= 0.8, "A").when(col("share") <= 0.95, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("cents"), col("cum"), col("share"),
+        col("abc_class"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val abcPartsSql: String =
+    """WITH per AS (SELECT l_partkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100.0e0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM per),
+      |cm AS (SELECT l_partkey, cents,
+      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT) AS cum, tot
+      |  FROM per CROSS JOIN tot)
+      |SELECT l_partkey, cents, cum,
+      |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+      |  CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8e0 THEN 'A'
+      |       WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95e0 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM cm ORDER BY l_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "abc_parts" -> (abcParts _),
     "rec_cosine" -> (recCosine _),
     "stats_benford" -> (statsBenford _),
     "graph_labelprop" -> (graphLabelprop _),
@@ -1646,6 +1702,7 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "abc_parts" -> abcPartsSql,
     "rec_cosine" -> recCosineSql,
     "stats_benford" -> statsBenfordSql,
     "graph_labelprop" -> graphLabelpropSql,

@@ -1139,7 +1139,79 @@ object TimeSeriesQueries {
       |FROM bd JOIN ov ON bd.event_type = ov.event_type
       |ORDER BY bd.event_type, dow""".stripMargin
 
+  /** Last-touch marketing attribution: each purchase is attributed to
+    * the user's most recent click/view within a 7-day lookback —
+    * [[graft.operators.AsOf.joinBackward]] reused with a horizon
+    * predicate on top, the composition pattern an attribution pipeline
+    * actually runs (as-of join ≫ windowed lag gate). Touches are
+    * deduplicated to the max (event_id, event_type) struct per
+    * (user, ts) — the operator's right-side uniqueness contract — and
+    * the oracle goes through DuckDB's NATIVE ASOF LEFT JOIN, so the
+    * semantics are cross-checked against an independent
+    * implementation, not self-mirrored.
+    */
+  def tsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("b"))
+      .select(col("user_id"), col("ts"), col("b.event_id").as("t_id"),
+        col("b.event_type").as("t_type"), col("ts").as("t_ts"))
+    val horizon = 604800000L // 7 days
+    graft.operators.AsOf.joinBackward(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      touches, key = Seq("user_id"), ts = "ts",
+      payload = Seq("t_id", "t_type", "t_ts"))
+      .withColumn("lag_raw",
+        unix_millis(col("ts")) - unix_millis(col("asof_t_ts")))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        when(col("lag_raw") <= horizon, col("asof_t_id")).as("attributed_id"),
+        when(col("lag_raw") <= horizon, col("asof_t_type")).as("channel"),
+        when(col("lag_raw") <= horizon, col("lag_raw")).as("lag_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsAttributionSql: String =
+    """WITH tch AS (SELECT user_id, ts,
+      |    MAX(struct_pack(event_id := event_id, event_type := event_type)) AS b
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id, ts),
+      |t2 AS (SELECT user_id, ts, b.event_id AS t_id, b.event_type AS t_type FROM tch),
+      |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+      |  CASE WHEN epoch_ms(p.ts) - epoch_ms(t.ts) <= 604800000 THEN t.t_id END AS attributed_id,
+      |  CASE WHEN epoch_ms(p.ts) - epoch_ms(t.ts) <= 604800000 THEN t.t_type END AS channel,
+      |  CASE WHEN epoch_ms(p.ts) - epoch_ms(t.ts) <= 604800000
+      |    THEN epoch_ms(p.ts) - epoch_ms(t.ts) END AS lag_ms
+      |FROM p ASOF LEFT JOIN t2 t ON p.user_id = t.user_id AND p.ts >= t.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Tumbling-window event counts per type
+    * ([[graft.streaming.StreamPipeline.windowedCounts]] in bounded
+    * mode): THE canonical structured-streaming aggregate — watermarked
+    * event-time windows with bounded late-data state. The transform is
+    * plan-identical in batch and streaming (window()+groupBy; the
+    * watermark only adds state cleanup), so the DuckDB oracle
+    * certifies the window arithmetic and StreamTumblingSpec proves the
+    * multi-batch streaming run emits the same rows.
+    */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.windowedCounts(
+      graft.Tables(s, dir, "events"), tsCol = "ts", keyCol = "event_type",
+      windowDur = "1 hour", watermarkDelay = "1 hour")
+      .select(unix_millis(col("win_start")).as("win_start_ms"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  val streamTumblingSql: String =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,
+      |  event_type, COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_attribution" -> (tsAttribution _),
+    "stream_tumbling" -> (streamTumbling _),
     "ts_seasonal" -> (tsSeasonal _),
     "ts_features" -> (tsFeatures _),
     "ts_ohlc" -> (tsOhlc _),
@@ -1172,6 +1244,8 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_attribution" -> tsAttributionSql,
+    "stream_tumbling" -> streamTumblingSql,
     "ts_seasonal" -> tsSeasonalSql,
     "ts_features" -> tsFeaturesSql,
     "ts_ohlc" -> tsOhlcSql,
