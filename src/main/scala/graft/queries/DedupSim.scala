@@ -225,6 +225,36 @@ object DedupSim {
        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
        |FROM m""".stripMargin
 
+  /** Incremental-ingestion dedup: treating doc_id < K (K = midpoint of
+    * the id range, so the split scales with the corpus) as the
+    * already-ingested corpus and the rest as the arriving batch, emit
+    * each NEW doc that near-duplicates an earlier doc (lower id —
+    * existing corpus or earlier in the batch, the survivor-order
+    * convention), with its mate count and first mate. This is the
+    * nightly-append shape: the arriving batch's shingles hash against
+    * the same banded index, no corpus rescan; the pair set is the
+    * bounded LSH candidate set.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val k = docs.agg(
+      expr("min(doc_id) + (max(doc_id) - min(doc_id)) div 2").as("k"))
+    Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .crossJoin(broadcast(k))
+      .filter(col("id_b") >= col("k"))
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_mates"), min(col("id_a")).as("first_mate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""$MinhashCandCtes,
+       |kk AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS k
+       |  FROM documents)
+       |SELECT id_b AS doc_id, COUNT(*) AS n_mates, MIN(id_a) AS first_mate
+       |FROM cand CROSS JOIN kk WHERE id_b >= k
+       |GROUP BY id_b ORDER BY doc_id""".stripMargin
+
   /** Per-document 64-bit SimHash signature (bit string). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
@@ -699,6 +729,7 @@ object DedupSim {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_eval" -> (dedupEval _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -718,6 +749,7 @@ object DedupSim {
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_eval" -> dedupEvalSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_jaccard" -> dedupJaccardSql,

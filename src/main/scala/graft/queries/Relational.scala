@@ -1662,7 +1662,146 @@ object Relational {
       |       ELSE 'C' END AS abc_class
       |FROM cm ORDER BY l_partkey""".stripMargin
 
+  /** Wilson score interval (95%) for the per-type "high-value event"
+    * rate — the A/B-dashboard statistic done right (the normal
+    * approximation misbehaves at small n / extreme p; Wilson doesn't).
+    * Success = value ≥ 50. Counts are exact ints; the interval is a
+    * fixed chain of IEEE divide/multiply/sqrt — every op correctly
+    * rounded and sequenced identically in both engines, so bounds are
+    * bit-exact unrounded. One count aggregate total.
+    */
+  def statsWilson(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("x"))
+    val z2 = lit(1.96) * lit(1.96)
+    per
+      .withColumn("p", col("x").cast("double") / col("n").cast("double"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("denom", lit(1.0) + z2 / col("nd"))
+      .withColumn("center", (col("p") + z2 / (lit(2.0) * col("nd"))) / col("denom"))
+      .withColumn("half",
+        (lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("nd") +
+          z2 / (lit(4.0) * col("nd") * col("nd")))) / col("denom"))
+      .select(col("event_type"), col("n"), col("x"), col("p"),
+        (col("center") - col("half")).as("wilson_lo"),
+        (col("center") + col("half")).as("wilson_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val statsWilsonSql: String =
+    """WITH per AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN value >= 50.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |c AS (SELECT event_type, n, x,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    1.0e0 + (1.96e0 * 1.96e0) / CAST(n AS DOUBLE) AS denom FROM per),
+      |d AS (SELECT event_type, n, x, p,
+      |    (p + (1.96e0 * 1.96e0) / (2.0e0 * nd)) / denom AS center,
+      |    (1.96e0 * sqrt(p * (1.0e0 - p) / nd +
+      |      (1.96e0 * 1.96e0) / (4.0e0 * nd * nd))) / denom AS half
+      |  FROM c)
+      |SELECT event_type, n, x, p,
+      |  center - half AS wilson_lo, center + half AS wilson_hi
+      |FROM d ORDER BY event_type""".stripMargin
+
+  /** Gini coefficient of customer revenue concentration:
+    * G = 2·Σᵢ rᵢ·xᵢ / (n·Σx) − (n+1)/n over per-customer revenue in
+    * exact integer cents, rows ranked by (cents, custkey) through the
+    * two-level cumulative-count machinery (rank = bucket offset +
+    * within-bucket row number — no global sort). Both Σ terms stay in
+    * BIGINT, so G is two divisions and a subtraction — bit-exact.
+    */
+  def statsGini(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+    val rng = per.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+      count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    val bucketed = per.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("cents") - col("lo")).cast("double") * 1024.0 /
+          greatest((col("hi") - col("lo")).cast("double"), lit(1.0))).cast("long"),
+          lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("cents"), col("o_custkey"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("r", col("off") + row_number().over(wb))
+      .agg(max(col("n")).as("n"), max(col("tot")).as("total_cents"),
+        sum(col("r") * col("cents")).as("s1"))
+      .select(col("n"), col("total_cents"),
+        ((lit(2L) * col("s1")).cast("double") /
+          (col("n") * col("total_cents")).cast("double") -
+          (col("n") + 1L).cast("double") / col("n").cast("double")).as("gini"))
+  }
+
+  val statsGiniSql: String =
+    """WITH per AS (SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100.0e0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |rk AS (SELECT cents,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS r
+      |  FROM per),
+      |ag AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |    CAST(SUM(r * cents) AS BIGINT) AS s1 FROM rk)
+      |SELECT n, total_cents,
+      |  CAST(2 * s1 AS DOUBLE) / CAST(n * total_cents AS DOUBLE)
+      |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      |FROM ag""".stripMargin
+
+  /** Link prediction by common-neighbor Jaccard over the co-supply
+    * graph: for node pairs NOT already connected, |N(u)∩N(v)| /
+    * |N(u)∪N(v)| — the classic topological similarity. Candidates are
+    * generated through shared neighbors (two-hop join on the edge
+    * set — only pairs with ≥1 common neighbor ever materialize),
+    * existing edges anti-joined away, and the score is one division
+    * of exact ints, so the top-30 ordering is bit-exact.
+    */
+  def graphLinkpred(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val deg = e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val cn = e2.as("a").join(e2.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("u"), col("b.src").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(edges, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jaccard", col("cn").cast("double") /
+        (col("du") + col("dv") - col("cn")).cast("double"))
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v")).limit(30)
+  }
+
+  val graphLinkpredSql: String =
+    s"""WITH $CoSupplyCtes,
+      |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
+      |cn AS (SELECT a.src AS u, b.src AS v, COUNT(*) AS cn
+      |  FROM e2 a JOIN e2 b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2),
+      |nc AS (SELECT cn.u, cn.v, cn FROM cn
+      |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = cn.u AND e.v = cn.v))
+      |SELECT nc.u, nc.v, cn, du.deg AS du, dv.deg AS dv,
+      |  CAST(cn AS DOUBLE) / CAST(du.deg + dv.deg - cn AS DOUBLE) AS jaccard
+      |FROM nc JOIN deg du ON du.node = nc.u JOIN deg dv ON dv.node = nc.v
+      |ORDER BY jaccard DESC, nc.u, nc.v LIMIT 30""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_wilson" -> (statsWilson _),
+    "stats_gini" -> (statsGini _),
+    "graph_linkpred" -> (graphLinkpred _),
     "abc_parts" -> (abcParts _),
     "rec_cosine" -> (recCosine _),
     "stats_benford" -> (statsBenford _),
@@ -1702,6 +1841,9 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "stats_wilson" -> statsWilsonSql,
+    "stats_gini" -> statsGiniSql,
+    "graph_linkpred" -> graphLinkpredSql,
     "abc_parts" -> abcPartsSql,
     "rec_cosine" -> recCosineSql,
     "stats_benford" -> statsBenfordSql,
