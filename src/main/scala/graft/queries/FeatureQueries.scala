@@ -249,7 +249,105 @@ object FeatureQueries {
       |ORDER BY c_custkey""".stripMargin
   }
 
+  /** Population Stability Index — the standard model-monitoring drift
+    * score: order totals are split at the date-range midpoint into a
+    * reference and a current period, the REFERENCE period's exact
+    * decile boundaries (selection ranks over the two-level cumulative)
+    * define 10 bins, and PSI = Σ (p−q)·ln(p/q) over bin shares. All
+    * ten bins stay alive on both sides via a literal bin table, with
+    * empty-bin counts floored to 1 FOR THE SHARE ONLY (the standard
+    * ε-floor, raw counts reported) so ln never sees zero. Shares are
+    * exact divisions; only the ln-bearing contributions and the PSI
+    * fold (bin-ordered) are rounded to 4 decimals.
+    */
+  def dqPsi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_totalprice").as("v"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) / lit(86400000L))
+          .cast("long").as("day"))
+    val mid = o.agg(expr("min(day) + (max(day) - min(day)) div 2").as("mid"))
+    val tagged = o.crossJoin(broadcast(mid))
+      .withColumn("period", when(col("day") < col("mid"), "ref").otherwise("cur"))
+    val refCounts = tagged.filter(col("period") === "ref")
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val boundCols = (1 to 9).map(k =>
+      min(when(col("cum") >=
+        floor(lit(k / 10.0) * (col("n") - 1)).cast("long") + 1, col("v")))
+        .as(s"b$k"))
+    val bounds = cumRanks(refCounts).agg(boundCols.head, boundCols.tail: _*)
+    val binned = tagged.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        (1 to 9).map(k => when(col("v") >= col(s"b$k"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("period"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val totals = binned.groupBy(col("period")).agg(sum(col("cnt")).as("tot"))
+    val bins = s.range(0, 10).select(col("id").as("bin"))
+    val cells = bins
+      .join(binned.filter(col("period") === "ref")
+        .select(col("bin"), col("cnt").as("cnt_ref")), Seq("bin"), "left")
+      .join(binned.filter(col("period") === "cur")
+        .select(col("bin"), col("cnt").as("cnt_cur")), Seq("bin"), "left")
+      .withColumn("cnt_ref", coalesce(col("cnt_ref"), lit(0L)))
+      .withColumn("cnt_cur", coalesce(col("cnt_cur"), lit(0L)))
+      .crossJoin(broadcast(totals.filter(col("period") === "ref")
+        .select(col("tot").as("tot_ref"))))
+      .crossJoin(broadcast(totals.filter(col("period") === "cur")
+        .select(col("tot").as("tot_cur"))))
+      .withColumn("p", greatest(col("cnt_ref"), lit(1L)).cast("double") /
+        col("tot_ref").cast("double"))
+      .withColumn("q", greatest(col("cnt_cur"), lit(1L)).cast("double") /
+        col("tot_cur").cast("double"))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+    val psi = cells.agg(round(aggregate(
+      transform(sort_array(collect_list(struct(col("bin"), col("contrib")))),
+        x => x.getField("contrib")),
+      lit(0.0), (a, v) => a + v), 4).as("psi"))
+    cells.crossJoin(broadcast(psi))
+      .select(col("bin"), col("cnt_ref"), col("cnt_cur"), col("p"), col("q"),
+        round(col("contrib"), 4).as("contrib"), col("psi"))
+      .orderBy(col("bin"))
+  }
+
+  val dqPsiSql: String = {
+    val bs = (1 to 9).map(k =>
+      s"MIN(CASE WHEN cum >= CAST(floor(0.${k} e0 * (n - 1)) AS BIGINT) + 1 THEN v END) AS b$k"
+        .replace(" e0", "e0")).mkString(",\n      |    ")
+    val binExpr = (1 to 9).map(k => s"CASE WHEN v >= b$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH o AS (SELECT o_totalprice AS v,
+      |    CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day FROM orders),
+      |md AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS mid FROM o),
+      |tg AS (SELECT v, CASE WHEN day < mid THEN 'ref' ELSE 'cur' END AS period
+      |  FROM o CROSS JOIN md),
+      |rv AS (SELECT v, COUNT(*) AS c FROM tg WHERE period = 'ref' GROUP BY v),
+      |rn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rv),
+      |cm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, n
+      |  FROM rv CROSS JOIN rn),
+      |bd AS (SELECT
+      |    $bs
+      |  FROM cm),
+      |bn AS (SELECT period, $binExpr AS bin, COUNT(*) AS cnt
+      |  FROM tg CROSS JOIN bd GROUP BY 1, 2),
+      |tt AS (SELECT period, CAST(SUM(cnt) AS BIGINT) AS tot FROM bn GROUP BY period),
+      |cells AS (SELECT b.bin,
+      |    COALESCE(r.cnt, 0) AS cnt_ref, COALESCE(c.cnt, 0) AS cnt_cur,
+      |    CAST(greatest(COALESCE(r.cnt, 0), 1) AS DOUBLE) /
+      |      CAST((SELECT tot FROM tt WHERE period = 'ref') AS DOUBLE) AS p,
+      |    CAST(greatest(COALESCE(c.cnt, 0), 1) AS DOUBLE) /
+      |      CAST((SELECT tot FROM tt WHERE period = 'cur') AS DOUBLE) AS q
+      |  FROM (SELECT unnest(range(0, 10)) AS bin) b
+      |  LEFT JOIN (SELECT bin, cnt FROM bn WHERE period = 'ref') r ON r.bin = b.bin
+      |  LEFT JOIN (SELECT bin, cnt FROM bn WHERE period = 'cur') c ON c.bin = b.bin),
+      |ct AS (SELECT bin, cnt_ref, cnt_cur, p, q, (p - q) * ln(p / q) AS contrib
+      |  FROM cells),
+      |ps AS (SELECT round(list_reduce(list_prepend(0.0e0,
+      |    list(contrib ORDER BY bin)), (a, v) -> a + v), 4) AS psi FROM ct)
+      |SELECT bin, cnt_ref, cnt_cur, p, q, round(contrib, 4) AS contrib, psi
+      |FROM ct CROSS JOIN ps ORDER BY bin""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_psi" -> (dqPsi _),
     "rfm_scores" -> (rfmScores _),
     "pivot_events" -> (pivotEvents _),
     "encode_target" -> (encodeTarget _),
@@ -257,6 +355,7 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "dq_psi" -> dqPsiSql,
     "rfm_scores" -> rfmScoresSql,
     "pivot_events" -> pivotEventsSql,
     "encode_target" -> encodeTargetSql,

@@ -1209,7 +1209,79 @@ object TimeSeriesQueries {
       |  event_type, COUNT(*) AS cnt
       |FROM events GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin
 
+  /** Daily-volume spike detection: per event type, each day's count is
+    * z-scored against the type's own daily distribution with EXACT
+    * integer moments — z = (c·n − S₁)/√(n·S₂ − S₁²), every term a
+    * BIGINT until one sqrt and one division — and days with z ≥ 2 are
+    * flagged. The algebra avoids ever forming the mean or variance as
+    * intermediate doubles (the stats_corr discipline), so scores are
+    * bit-exact and the flag threshold cannot waver cross-engine.
+    * Degenerate types (constant daily counts → zero variance) emit
+    * NULL z under the ANSI guard.
+    */
+  def tsSpike(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .withColumn("day", (col("ts_ms") / lit(86400000L)).cast("long"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
+    daily.join(mom, "event_type")
+      .withColumn("z", when(col("var_num") > 0,
+        (col("c") * col("n") - col("s1")).cast("double") /
+          sqrt(col("var_num").cast("double"))))
+      .filter(col("z") >= 2.0)
+      .select(col("event_type"), col("day"), col("c").as("cnt"), col("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsSpikeSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |mom AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+      |    CAST(SUM(c * c) AS BIGINT) AS s2 FROM daily GROUP BY event_type),
+      |m2 AS (SELECT event_type, n, s1, n * s2 - s1 * s1 AS var_num FROM mom),
+      |z AS (SELECT d.event_type, day, c,
+      |    CASE WHEN var_num > 0 THEN CAST(c * n - s1 AS DOUBLE)
+      |      / sqrt(CAST(var_num AS DOUBLE)) END AS z
+      |  FROM daily d JOIN m2 ON d.event_type = m2.event_type)
+      |SELECT event_type, day, c AS cnt, z FROM z WHERE z >= 2.0e0
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Week-over-week growth report: weekly volumes per event type with
+    * percentage change vs the previous ROW'S week — one keyed lag
+    * window; growth is a single division of exact integer counts,
+    * NULL for each type's first week (no fabricated 0% baseline).
+    */
+  def tsWow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = events(s, dir)
+      .withColumn("week", (col("ts_ms") / lit(604800000L)).cast("long"))
+      .groupBy(col("event_type"), col("week")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly.withColumn("prev", lag(col("cnt"), 1).over(w))
+      .withColumn("wow_pct",
+        (col("cnt") - col("prev")).cast("double") / col("prev").cast("double"))
+      .select(col("event_type"), col("week"), col("cnt"), col("prev"), col("wow_pct"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  val tsWowSql: String =
+    """WITH weekly AS (SELECT event_type,
+      |    CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS week, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, week, cnt,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      |  FROM weekly)
+      |SELECT event_type, week, cnt, prev,
+      |  CAST(cnt - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS wow_pct
+      |FROM l ORDER BY event_type, week""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_spike" -> (tsSpike _),
+    "ts_wow" -> (tsWow _),
     "ts_attribution" -> (tsAttribution _),
     "stream_tumbling" -> (streamTumbling _),
     "ts_seasonal" -> (tsSeasonal _),
@@ -1244,6 +1316,8 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_spike" -> tsSpikeSql,
+    "ts_wow" -> tsWowSql,
     "ts_attribution" -> tsAttributionSql,
     "stream_tumbling" -> streamTumblingSql,
     "ts_seasonal" -> tsSeasonalSql,
