@@ -42,6 +42,12 @@ object Bench {
     val tKg = System.nanoTime()
     graft.queries.KgPipeline.kg(spark, sfDir)
     val kgBuild = "kg_build" -> (System.nanoTime() - tKg) / 1e9
+    // Same treatment for the co-supply graph index shared by the six
+    // graph_* queries: build once, itemized, so each query's time is
+    // query-plane work, not a rebuild of the same edge list.
+    val tG = System.nanoTime()
+    graft.queries.Relational.graphBuild(spark, sfDir).count()
+    val graphBuild = "graph_build" -> (System.nanoTime() - tG) / 1e9
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid;
     // the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -85,7 +91,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val errs = results.collect { case (n, Left(m)) => s""""$n":"$m"""" }
       .mkString("{", ",", "}")
-    val ok = results.collect { case (n, Right(t)) => n -> t } :+ kgBuild
+    val ok = results.collect { case (n, Right(t)) => n -> t } :+
+      kgBuild :+ graphBuild
     val total = ok.map(_._2).sum
     val qs = ok.map { case (q, v) => "\"" + q + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -1058,7 +1058,26 @@ object Relational {
     * the window runs over distinct shared values only, never over the
     * pair set. Checkpointed: every consumer iterates or self-joins it.
     */
-  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The co-supply edge list is INDEX-BUILD work shared by six graph
+    * queries (triangles, BFS, labelprop, modularity, linkpred,
+    * er-adjacent): memoized per (session, dir) so one materialized
+    * localCheckpoint serves them all — the kg_build precedent. Bench
+    * itemizes the build as `graph_build` so per-query timings measure
+    * the query plane, not a rebuild of the same index.
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Force-build (or reuse) the memoized edge index; returns it. */
+  def graphBuild(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir,
+      _ => buildCoSupplyEdges(s, dir))
+
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame =
+    graphBuild(s, dir)
+
+  private def buildCoSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ps = Tables(s, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()

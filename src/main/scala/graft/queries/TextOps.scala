@@ -653,7 +653,120 @@ object TextOps {
        |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
        |FROM v JOIN nd ON v.source = nd.source ORDER BY v.source""".stripMargin
 
+  /** Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top-100
+    * tokens — slope ≈ −1 is the natural-corpus signature, deviations
+    * flag templated/synthetic text. Ranks come from a deterministic
+    * top-k (freq desc, token tiebreak; the window runs on the
+    * 100-row result, never the corpus). The four regression moments
+    * fold over the rank-ordered term list in ONE struct whose fields
+    * each read only their own accumulator slot — diagonal updates are
+    * safe under both functional (Spark) and sequential (DuckDB
+    * struct_pack) fold evaluation, the ts_cusum lesson applied.
+    * ln wobble → slope/intercept rounded to 4 decimals.
+    */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(100)
+    val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy($"c".desc, $"tok")))
+      .withColumn("x", log($"rank".cast("double")))
+      .withColumn("y", log($"c".cast("double")))
+    val folded = ranked
+      .agg(sort_array(collect_list(struct($"rank", $"x", $"y"))).as("a"),
+        count(lit(1)).as("n"))
+      .select($"n", aggregate($"a",
+        struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+          lit(0.0).as("sxy"), lit(0.0).as("sxx")),
+        (acc, t) => struct(
+          (acc.getField("sx") + t.getField("x")).as("sx"),
+          (acc.getField("sy") + t.getField("y")).as("sy"),
+          (acc.getField("sxy") + t.getField("x") * t.getField("y")).as("sxy"),
+          (acc.getField("sxx") + t.getField("x") * t.getField("x")).as("sxx")))
+        .as("m"))
+    // degenerate corpora (n < 2 → zero x-variance) emit NULL under the
+    // ANSI double/0 guard
+    folded.select($"n",
+        ($"n" * $"m.sxx" - $"m.sx" * $"m.sx").as("den"),
+        ($"n" * $"m.sxy" - $"m.sx" * $"m.sy").as("num"),
+        $"m.sx".as("sx"), $"m.sy".as("sy"))
+      .select($"n",
+        round(when($"den" =!= 0.0, $"num" / $"den"), 4).as("zipf_slope"),
+        round(when($"den" =!= 0.0,
+          ($"sy" - ($"num" / $"den") * $"sx") / $"n"), 4).as("zipf_intercept"))
+  }
+
+  val textZipfSql: String =
+    s"""WITH tk AS (SELECT unnest($TokSql) AS tok FROM documents),
+       |top AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+       |  ORDER BY c DESC, tok LIMIT 100),
+       |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM top),
+       |tm AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+       |    ln(CAST(c AS DOUBLE)) AS y FROM rk),
+       |fd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    (list_reduce(list_prepend(
+       |      struct_pack(sx := 0.0e0, sy := 0.0e0, sxy := 0.0e0, sxx := 0.0e0),
+       |      list(struct_pack(sx := x, sy := y, sxy := 0.0e0, sxx := 0.0e0)
+       |        ORDER BY rank)),
+       |      (acc, t) -> struct_pack(
+       |        sx := acc.sx + t.sx, sy := acc.sy + t.sy,
+       |        sxy := acc.sxy + t.sx * t.sy,
+       |        sxx := acc.sxx + t.sx * t.sx))) AS m
+       |  FROM tm),
+       |sl AS (SELECT n,
+       |    (n * m.sxx - m.sx * m.sx) AS den,
+       |    (n * m.sxy - m.sx * m.sy) AS num,
+       |    m.sx AS sx, m.sy AS sy FROM fd)
+       |SELECT n,
+       |  round(CASE WHEN den <> 0 THEN num / den END, 4) AS zipf_slope,
+       |  round(CASE WHEN den <> 0 THEN (sy - (num / den) * sx) / n END, 4)
+       |    AS zipf_intercept
+       |FROM sl""".stripMargin
+
+  /** Lexical-diversity indices per source: Simpson's D = Σc(c−1) /
+    * (N(N−1)) (repeat-draw collision probability) and the Herfindahl
+    * concentration Σc²/N² — both pure integer moments with one final
+    * division, bit-exact unrounded. At extreme corpus sizes the
+    * squared terms want DECIMAL(38) accumulators; BIGINT holds to
+    * ~3·10⁹ tokens per source, documented here.
+    */
+  def textDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnt = Tables(s, dir, "documents")
+      .select($"source", explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+    cnt.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        sum($"c" * ($"c" - 1)).as("s_coll"),
+        sum($"c" * $"c").as("s_sq"))
+      .select($"source", $"n_tokens",
+        // a single-token source has no repeat-draw pair: NULL, not 0/0
+        when($"n_tokens" > 1, $"s_coll".cast("double") /
+          ($"n_tokens" * ($"n_tokens" - 1)).cast("double")).as("simpson_d"),
+        ($"s_sq".cast("double") /
+          ($"n_tokens" * $"n_tokens").cast("double")).as("herfindahl"))
+      .orderBy($"source")
+  }
+
+  val textDiversitySql: String =
+    s"""WITH tk AS (SELECT source, unnest($TokSql) AS t FROM documents),
+       |cnt AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       |m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(c * (c - 1)) AS BIGINT) AS s_coll,
+       |    CAST(SUM(c * c) AS BIGINT) AS s_sq
+       |  FROM cnt GROUP BY source)
+       |SELECT source, n_tokens,
+       |  CASE WHEN n_tokens > 1 THEN CAST(s_coll AS DOUBLE)
+       |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END AS simpson_d,
+       |  CAST(s_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS herfindahl
+       |FROM m ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (textZipf _),
+    "text_diversity" -> (textDiversity _),
     "text_vocab" -> (textVocab _),
     "text_pmi" -> (textPmi _),
     "text_tfidf" -> (textTfidf _),
@@ -676,6 +789,8 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
+    "text_diversity" -> textDiversitySql,
     "text_vocab" -> textVocabSql,
     "text_pmi" -> textPmiSql,
     "text_tfidf" -> textTfidfSql,
