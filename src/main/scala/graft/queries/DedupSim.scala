@@ -255,6 +255,42 @@ object DedupSim {
        |FROM cand CROSS JOIN kk WHERE id_b >= k
        |GROUP BY id_b ORDER BY doc_id""".stripMargin
 
+  /** Per-document n-gram novelty: the share of a doc's distinct
+    * 3-gram shingles whose FIRST corpus occurrence (minimum doc_id —
+    * ingestion order) is the doc itself. Low novelty = the doc mostly
+    * restates earlier corpus content — the memorization-risk /
+    * boilerplate signal a training-data report wants next to the
+    * dedup numbers. One inverted-index aggregate (shingle → min doc)
+    * joined back to the postings; integer counts, one division.
+    */
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.shingles(col("text")))).as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNoveltySql: String =
+    s"""$ShinglesCte,
+       |inv AS (SELECT id, unnest(s) AS sh FROM sh),
+       |fst AS (SELECT sh, MIN(id) AS first_doc FROM inv GROUP BY sh),
+       |pd AS (SELECT id AS doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN first_doc = id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM inv JOIN fst ON inv.sh = fst.sh GROUP BY id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+       |FROM pd ORDER BY doc_id""".stripMargin
+
   /** Per-document 64-bit SimHash signature (bit string). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
@@ -730,6 +766,7 @@ object DedupSim {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_eval" -> (dedupEval _),
     "dedup_incremental" -> (dedupIncremental _),
+    "text_novelty" -> (textNovelty _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -750,6 +787,7 @@ object DedupSim {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_eval" -> dedupEvalSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "text_novelty" -> textNoveltySql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -1279,7 +1279,36 @@ object TimeSeriesQueries {
       |  CAST(cnt - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS wow_pct
       |FROM l ORDER BY event_type, week""".stripMargin
 
+  /** Telemetry gap detection: every silence longer than 48 h inside a
+    * user's event stream, with endpoints and duration — the uptime /
+    * lost-data report. One keyed lag window; endpoints are exact
+    * epoch-ms integers.
+    */
+  def tsGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .withColumn("gap_ms", col("ts_ms") - col("prev"))
+      .filter(col("gap_ms") > 172800000L)
+      .select(col("user_id"), col("prev").as("gap_start_ms"),
+        col("ts_ms").as("gap_end_ms"), col("gap_ms"))
+      .orderBy(col("user_id"), col("gap_start_ms"))
+  }
+
+  val tsGapsSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      |l AS (SELECT user_id, ts_ms,
+      |    lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+      |  FROM ev)
+      |SELECT user_id, prev AS gap_start_ms, ts_ms AS gap_end_ms,
+      |  ts_ms - prev AS gap_ms
+      |FROM l WHERE ts_ms - prev > 172800000
+      |ORDER BY user_id, gap_start_ms""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gaps" -> (tsGaps _),
     "ts_spike" -> (tsSpike _),
     "ts_wow" -> (tsWow _),
     "ts_attribution" -> (tsAttribution _),
@@ -1316,6 +1345,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_gaps" -> tsGapsSql,
     "ts_spike" -> tsSpikeSql,
     "ts_wow" -> tsWowSql,
     "ts_attribution" -> tsAttributionSql,

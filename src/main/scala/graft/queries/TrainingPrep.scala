@@ -330,7 +330,45 @@ object TrainingPrep {
       |  FROM documents)
       |WHERE rk <= 50 ORDER BY source, rk""".stripMargin
 
+  /** Temperature-based source sampling weights (the multilingual-LM
+    * rebalancing rule, τ = 2 ⇒ w ∝ n^0.5): upsample the tail, damp
+    * the head. sqrt is correctly rounded IEEE, the normalizer folds
+    * the per-source weights in SOURCE ORDER (the stats_entropy
+    * discipline), and each rate/boost is one division — everything
+    * bit-exact unrounded. The output is the rate table a weighted
+    * sampler (pipeline_mix) consumes.
+    */
+  def pipelineTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = graft.Tables(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("total"))
+    val weighted = per.withColumn("w", sqrt(col("n_docs").cast("double")))
+    val z = weighted
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("source"), col("w")))),
+          x => x.getField("w")),
+        lit(0.0), (a, v) => a + v).as("z"))
+    weighted.crossJoin(broadcast(z)).crossJoin(broadcast(tot))
+      .withColumn("rate", col("w") / col("z"))
+      .select(col("source"), col("n_docs"), col("w"), col("rate"),
+        (col("rate") /
+          (col("n_docs").cast("double") / col("total").cast("double")))
+          .as("boost"))
+      .orderBy(col("source"))
+  }
+
+  val pipelineTemperatureSql: String =
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
+      |w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM per),
+      |z AS (SELECT list_reduce(list_prepend(0.0e0, list(w ORDER BY source)),
+      |    (a, v) -> a + v) AS z FROM w)
+      |SELECT source, n_docs, w, w / z AS rate,
+      |  (w / z) / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS boost
+      |FROM w CROSS JOIN z CROSS JOIN tot ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_temperature" -> (pipelineTemperature _),
     "pipeline_sample" -> ((s: SparkSession, dir: String) => sampleK(s, dir)),
     "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
     "dedup_lines" -> ((s: SparkSession, dir: String) => lineDedup(s, dir)),
@@ -340,6 +378,7 @@ object TrainingPrep {
     "pipeline_mix" -> ((s: SparkSession, dir: String) => mixSources(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_temperature" -> pipelineTemperatureSql,
     "pipeline_sample" -> sampleKSql,
     "pipeline_shuffle" -> shuffleOrderSql,
     "dedup_lines" -> lineDedupSql,
