@@ -1817,7 +1817,78 @@ object Relational {
       |FROM nc JOIN deg du ON du.node = nc.u JOIN deg dv ON dv.node = nc.v
       |ORDER BY jaccard DESC, nc.u, nc.v LIMIT 30""".stripMargin
 
+  /** Welch's two-sample t-test (click vs view values): the unequal-
+    * variance comparison a metrics platform runs by default. The five
+    * moments per group accumulate as exact decimals (values are
+    * 2-decimal; squares re-cast to scale 4 keep the scaled integer
+    * under 2^53 — the agg_pricing discipline), so means and variances
+    * come from order-independent sums, and t plus the Welch–
+    * Satterthwaite df are fixed IEEE chains — bit-exact unrounded.
+    * Groups with n < 2 NULL out under the ANSI guard.
+    */
+  def statsTtest(s: SparkSession, dir: String): DataFrame = {
+    import Exact.Dec
+    val per = Tables(s, dir, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Dec)).cast("double").as("sx"),
+        sum((col("value").cast(Dec) * col("value").cast(Dec))
+          .cast("decimal(18,4)")).cast("double").as("sxx"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("m", col("sx") / col("nd"))
+      .withColumn("v", when(col("n") >= 2,
+        (col("sxx") - col("sx") * col("m")) / (col("nd") - lit(1.0))))
+    val row = per.groupBy()
+      .agg(
+        max(when(col("event_type") === "click", col("n"))).as("n1"),
+        max(when(col("event_type") === "click", col("m"))).as("m1"),
+        max(when(col("event_type") === "click", col("v"))).as("v1"),
+        max(when(col("event_type") === "view", col("n"))).as("n2"),
+        max(when(col("event_type") === "view", col("m"))).as("m2"),
+        max(when(col("event_type") === "view", col("v"))).as("v2"))
+      .withColumn("se1", col("v1") / col("n1").cast("double"))
+      .withColumn("se2", col("v2") / col("n2").cast("double"))
+      .withColumn("se", col("se1") + col("se2"))
+    row.select(col("n1"), col("n2"), col("m1"), col("m2"),
+      ((col("m1") - col("m2")) / sqrt(col("se"))).as("t_stat"),
+      ((col("se") * col("se")) /
+        (col("se1") * col("se1") / (col("n1") - 1).cast("double") +
+          col("se2") * col("se2") / (col("n2") - 1).cast("double"))).as("df"))
+  }
+
+  val statsTtestSql: String =
+    """WITH per AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+      |  GROUP BY event_type),
+      |mv AS (SELECT event_type, n, sx / CAST(n AS DOUBLE) AS m,
+      |    CASE WHEN n >= 2 THEN (sxx - sx * (sx / CAST(n AS DOUBLE)))
+      |      / (CAST(n AS DOUBLE) - 1.0e0) END AS v
+      |  FROM per),
+      |r AS (SELECT
+      |    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+      |    MAX(CASE WHEN event_type = 'click' THEN m END) AS m1,
+      |    MAX(CASE WHEN event_type = 'click' THEN v END) AS v1,
+      |    MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+      |    MAX(CASE WHEN event_type = 'view' THEN m END) AS m2,
+      |    MAX(CASE WHEN event_type = 'view' THEN v END) AS v2
+      |  FROM mv),
+      |se AS (SELECT n1, n2, m1, m2,
+      |    v1 / CAST(n1 AS DOUBLE) AS se1, v2 / CAST(n2 AS DOUBLE) AS se2,
+      |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS sev
+      |  FROM r)
+      |SELECT n1, n2, m1, m2,
+      |  (m1 - m2) / sqrt(sev) AS t_stat,
+      |  (sev * sev) / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+      |    + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS df
+      |FROM se""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ttest" -> (statsTtest _),
     "stats_wilson" -> (statsWilson _),
     "stats_gini" -> (statsGini _),
     "graph_linkpred" -> (graphLinkpred _),
@@ -1860,6 +1931,7 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "stats_ttest" -> statsTtestSql,
     "stats_wilson" -> statsWilsonSql,
     "stats_gini" -> statsGiniSql,
     "graph_linkpred" -> graphLinkpredSql,

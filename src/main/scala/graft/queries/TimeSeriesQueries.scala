@@ -1307,7 +1307,74 @@ object TimeSeriesQueries {
       |FROM l WHERE ts_ms - prev > 172800000
       |ORDER BY user_id, gap_start_ms""".stripMargin
 
+  /** Theil–Sen robust trend slope per user: the MEDIAN of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i) — the outlier-immune alternative to
+    * OLS (ts_slope). Pairs expand INSIDE each per-user array via
+    * nested index transforms (the many-small-series shape: quadratic
+    * only in one user's own points, never across the corpus);
+    * same-timestamp pairs are skipped in both engines; the median is
+    * rank SELECTION over the sorted slope array — each slope is one
+    * IEEE division, the sort order is total (no NaN/Inf possible),
+    * and the even-count midpoint mean is one add + one divide, so the
+    * emitted slope is bit-exact unrounded. x is in DAYS (ms/86.4e6 —
+    * one division before the slope) to keep magnitudes readable.
+    */
+  def tsTheilsen(s: SparkSession, dir: String): DataFrame = {
+    val arr = events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_ms"), col("event_id"), col("value")))).as("a"))
+      .filter(size(col("a")) >= 2)
+      .withColumn("xs", transform(col("a"),
+        p => p.getField("ts_ms").cast("double") / lit(86400000.0)))
+      .withColumn("ys", transform(col("a"), p => p.getField("value")))
+      .withColumn("n", size(col("a")))
+    val slopes = arr.withColumn("sl",
+      filter(
+        flatten(transform(sequence(lit(1), col("n") - 1), i =>
+          transform(sequence(i + 1, col("n")), j =>
+            when(element_at(col("xs"), j) =!= element_at(col("xs"), i),
+              (element_at(col("ys"), j) - element_at(col("ys"), i)) /
+                (element_at(col("xs"), j) - element_at(col("xs"), i)))))),
+        v => v.isNotNull))
+      .withColumn("ns", size(col("sl")))
+      .filter(col("ns") >= 1)
+      .withColumn("sorted", sort_array(col("sl")))
+    slopes.select(col("user_id"), col("n"), col("ns"),
+      when(pmod(col("ns"), lit(2)) === 1,
+        element_at(col("sorted"), ((col("ns") + 1) / 2).cast("int")))
+        .otherwise((element_at(col("sorted"), (col("ns") / 2).cast("int")) +
+          element_at(col("sorted"), (col("ns") / 2 + 1).cast("int"))) / 2.0)
+        .as("theil_slope"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsTheilsenSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+      |  FROM events WHERE value IS NOT NULL),
+      |ar AS (SELECT user_id,
+      |    list(CAST(ts_ms AS DOUBLE) / 86400000.0e0 ORDER BY ts_ms, event_id) AS xs,
+      |    list(value ORDER BY ts_ms, event_id) AS ys,
+      |    COUNT(*) AS n
+      |  FROM ev GROUP BY user_id HAVING COUNT(*) >= 2),
+      |sl AS (SELECT user_id, n,
+      |    list_filter(flatten(list_transform(range(1, n), i ->
+      |      list_transform(range(i + 1, n + 1), j ->
+      |        CASE WHEN xs[j] <> xs[i]
+      |          THEN (ys[j] - ys[i]) / (xs[j] - xs[i]) END))),
+      |      v -> v IS NOT NULL) AS s
+      |  FROM ar),
+      |st AS (SELECT user_id, n, len(s) AS ns, list_sort(s) AS sorted
+      |  FROM sl WHERE len(s) >= 1)
+      |SELECT user_id, n, ns,
+      |  CASE WHEN ns % 2 = 1 THEN sorted[CAST((ns + 1) // 2 AS BIGINT)]
+      |       ELSE (sorted[CAST(ns // 2 AS BIGINT)]
+      |         + sorted[CAST(ns // 2 + 1 AS BIGINT)]) / 2.0e0 END AS theil_slope
+      |FROM st ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theilsen" -> (tsTheilsen _),
     "ts_gaps" -> (tsGaps _),
     "ts_spike" -> (tsSpike _),
     "ts_wow" -> (tsWow _),
@@ -1345,6 +1412,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_theilsen" -> tsTheilsenSql,
     "ts_gaps" -> tsGapsSql,
     "ts_spike" -> tsSpikeSql,
     "ts_wow" -> tsWowSql,
