@@ -1091,9 +1091,11 @@ object Relational {
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("shared"))))
       .filter(col("cum") >= floor(lit(0.99) * (col("n") - 1)).cast("long") + 1)
       .agg(min(col("shared")).as("thr"))
+    // `shared` rides along for weight-aware consumers (graph_sssp);
+    // unweighted consumers select (u, v) explicitly
     pairs.crossJoin(broadcast(thr))
       .filter(col("shared") >= col("thr"))
-      .select(col("u"), col("v")).localCheckpoint(true)
+      .select(col("u"), col("v"), col("shared")).localCheckpoint(true)
   }
 
   /** Oracle CTE block mirroring [[coSupplyEdges]] (MATERIALIZED — see
@@ -1109,7 +1111,7 @@ object Relational {
       |  FROM hist CROSS JOIN tot),
       |thr AS (SELECT MIN(shared) AS thr FROM cum
       |  WHERE cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1),
-      |edges AS MATERIALIZED (SELECT u, v FROM pairs CROSS JOIN thr WHERE shared >= thr)""".stripMargin
+      |edges AS MATERIALIZED (SELECT u, v, shared FROM pairs CROSS JOIN thr WHERE shared >= thr)""".stripMargin
 
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val edges = coSupplyEdges(s, dir)
@@ -1887,7 +1889,126 @@ object Relational {
       |    + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS df
       |FROM se""".stripMargin
 
+  /** Weighted single-source shortest paths (Bellman–Ford, 4 fixed
+    * relaxation rounds) over the co-supply graph with edge cost
+    * 1000 div shared — stronger co-supply ties are cheaper, so the
+    * result reads as "supply-chain proximity". Each round is ONE
+    * join + min-aggregate on the edge set (the Pregel relaxation
+    * step), checkpointed flat; distances are exact integers. The
+    * oracle unrolls the same 4 rounds — and because round-k distances
+    * are least-cost-within-k-hops, the iterative discipline is
+    * certified, not just converged.
+    */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val e2 = edges.select(col("u").as("src"), col("v").as("dst"),
+        expr("1000 div shared").as("w"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst"),
+        expr("1000 div shared").as("w")))
+      .localCheckpoint(true)
+    val src = edges.agg(min(col("u")).as("node"))
+      .withColumn("dist", lit(0L))
+    var dist = src.localCheckpoint(true)
+    (1 to 4).foreach { _ =>
+      val relaxed = e2.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      dist = relaxed.localCheckpoint(true)
+    }
+    dist.orderBy(col("node"))
+  }
+
+  val graphSsspSql: String = {
+    val round = (i: Int) =>
+      s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT e.dst AS node, d.dist + e.w AS dist
+        |  FROM e2 e JOIN d${i - 1} d ON d.node = e.src
+        |  UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY node)""".stripMargin
+    s"""WITH $CoSupplyCtes,
+      |e2 AS MATERIALIZED (SELECT u AS src, v AS dst, 1000 // shared AS w FROM edges
+      |  UNION ALL SELECT v, u, 1000 // shared FROM edges),
+      |d0 AS (SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)},
+      |${round(4)}
+      |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+  }
+
+  /** Mutual information between event type and weekday — the
+    * dependence strength behind stats_chisq's significance: MI =
+    * Σ p_ij·ln(c_ij·N / (r_i·s_j)). The log's argument is ONE
+    * division of exact BIGINT products; contributions fold in
+    * (type, dow) cell order and only the ln-bearing values are
+    * rounded (4 decimals, the entropy convention). Weekday is the
+    * engine-neutral (day+4) mod 7.
+    */
+  def statsMi(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "events")
+      .select(col("event_type"),
+        pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long") + 4, lit(7))
+          .as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("c"))
+    val withTots = cells
+      .withColumn("r", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("s2", sum(col("c")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("term",
+        (col("c").cast("double") / col("n").cast("double")) *
+          log((col("c") * col("n")).cast("double") /
+            (col("r") * col("s2")).cast("double")))
+    withTots
+      .agg(count(lit(1)).as("n_cells"),
+        round(aggregate(
+          transform(sort_array(collect_list(
+            struct(col("event_type"), col("dow"), col("term")))),
+            x => x.getField("term")),
+          lit(0.0), (a, v) => a + v), 4).as("mutual_info"))
+  }
+
+  val statsMiSql: String =
+    """WITH cells AS (SELECT event_type,
+      |    (CAST(epoch_ms(ts) // 86400000 AS BIGINT) + 4) % 7 AS dow, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, dow, c,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+      |    CAST(SUM(c) OVER (PARTITION BY dow) AS BIGINT) AS s2,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS n FROM cells),
+      |tm AS (SELECT event_type, dow,
+      |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln(CAST(c * n AS DOUBLE) / CAST(r * s2 AS DOUBLE)) AS term
+      |  FROM t)
+      |SELECT COUNT(*) AS n_cells,
+      |  round(list_reduce(list_prepend(0.0e0,
+      |    list(term ORDER BY event_type, dow)), (a, v) -> a + v), 4) AS mutual_info
+      |FROM tm""".stripMargin
+
+  /** Hierarchical subtotals via ROLLUP (returnflag → linestatus →
+    * grand total) — the reporting companion to facet_cube's full
+    * CUBE: one pass, decimal-exact quantity sums, grouping_id
+    * distinguishes subtotal rows from data nulls.
+    */
+  def facetRollup(s: SparkSession, dir: String): DataFrame = {
+    import Exact.dsum
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val facetRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_sssp" -> (graphSssp _),
+    "stats_mi" -> (statsMi _),
+    "facet_rollup" -> (facetRollup _),
     "stats_ttest" -> (statsTtest _),
     "stats_wilson" -> (statsWilson _),
     "stats_gini" -> (statsGini _),
@@ -1931,6 +2052,9 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "graph_sssp" -> graphSsspSql,
+    "stats_mi" -> statsMiSql,
+    "facet_rollup" -> facetRollupSql,
     "stats_ttest" -> statsTtestSql,
     "stats_wilson" -> statsWilsonSql,
     "stats_gini" -> statsGiniSql,
