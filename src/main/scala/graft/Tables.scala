@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -22,14 +22,21 @@ object Tables {
     // The driver's events table stores TIMESTAMP(NANOS), which Spark 4 only
     // reads as a long (spark.sql.legacy.parquet.nanosAsLong). Normalize to
     // TimestampType (µs, floor) so every operator sees a real timestamp.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       // FLOOR division, not `div` (truncation): pre-epoch nanoseconds
       // would truncate toward zero (-1500ns -> -1µs) while DuckDB's
       // native ns timestamps floor (-2µs), shifting every oracle compare
       // by one unit on pre-1970 data
-      case Some(_) => df.withColumn("ts", timestamp_micros(
+      case Some(LongType) => df.withColumn("ts", timestamp_micros(
         expr("CASE WHEN ts >= 0 THEN ts div 1000 ELSE -((-ts + 999) div 1000) END")))
-      case None => df
+      // parquet timestamp[us] with isAdjustedToUTC=false reads as
+      // TIMESTAMP_NTZ under Spark 4. The session runs in UTC (see
+      // sessionDefaults), so the wall-clock reinterpretation cast is
+      // value-preserving: every downstream unix_millis/unix_micros call
+      // sees the same instants DuckDB computes natively.
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -17,6 +17,12 @@ object Verify {
     // local-iteration subset (comma-separated names); unset → full run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Session-scoped indexes (kg/graph) build inside the first query
+    // that needs them; snapshotting the keep-set BEFORE any query runs
+    // means the sweep below would free them — so build both up front.
+    graft.queries.KgPipeline.kg(spark, sfDir)
+    graft.queries.Relational.graphBuild(spark, sfDir).count()
+    val keepRdds = Caches.persistentIds(spark)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +31,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // bound executor storage across the 160+ query run: free every
+      // per-query cache/checkpoint, keep the two shared indexes
+      Caches.sweep(spark, keepRdds)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -375,11 +375,15 @@ object Dedup {
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       val curSum = labelSum(updated)
+      graft.Caches.free(labels) // round N-1 labels are dead once N lands
       labels = updated
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1
     }
+    // the returned labels are a checkpoint: the edge cache backs nothing
+    // downstream and would otherwise pin storage for the session
+    edges.unpersist(blocking = false)
     labels
   }
 

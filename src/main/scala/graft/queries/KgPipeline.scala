@@ -50,15 +50,19 @@ object KgPipeline {
       val tokenized = docs.select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[A-Za-z0-9]+"), lit(0)).as("__toks"))
         .cache()
+      // localCheckpoint(eager), not .cache(): the KG is a session-scoped
+      // INDEX (the reference's ES index) — checkpoint blocks survive the
+      // per-query cache sweep (`Caches.sweep` protects them via the
+      // keep-set) where a cache-manager entry would be cleared and force
+      // a silent re-extraction inside the next search query's timing.
+      // Eager, so the intermediate token cache can be released
+      // immediately — it would otherwise pin executor storage for the
+      // session with no remaining reference.
       val built = Extractors.toKgValues(tokenized, "doc_id", Seq(
         ("op", Extractors.glossaryFromTokens(col("__toks"), OpGlossary), "extract_using_dictionary", "content"),
         ("speed", Extractors.glossaryFromTokens(col("__toks"), SpeedGlossary), "extract_using_dictionary", "content"),
         ("size", Extractors.glossaryFromTokens(col("__toks"), SizeGlossary), "extract_using_dictionary", "content")))
-        .cache()
-      // materialize the KG eagerly so the intermediate token cache can
-      // be released immediately — it would otherwise pin executor
-      // storage for the session with no remaining reference
-      built.count()
+        .localCheckpoint(true)
       tokenized.unpersist()
       built
     })

@@ -547,7 +547,13 @@ object Relational {
         .select(col("node"),
           (lit(150000L) + intdiv(lit(85L) * coalesce(col("s"), lit(0L)), lit(100L))).as("r"))
     }
-    ranks
+    // Materialize the final ranks so the edge checkpoint's blocks can be
+    // freed NOW instead of pinning executor storage for the session
+    // (a long-lived session accretes one dead edge set per pagerank call
+    // otherwise). The final plan executes once either way.
+    val out = ranks.localCheckpoint(true)
+    graft.Caches.free(e)
+    out
   }
 
   val graphPagerankSql: String = {
@@ -1182,9 +1188,16 @@ object Relational {
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+      val grown = dist.unionByName(next).localCheckpoint(true)
+      // round-(h-1) blocks are folded into `grown`/consumed by the join:
+      // free them now so peak storage stays one frontier + one dist
+      graft.Caches.free(frontier)
+      graft.Caches.free(dist)
+      dist = grown
       frontier = next
     }
+    graft.Caches.free(frontier)
+    graft.Caches.free(e2)
     dist.orderBy(col("node"))
   }
 
@@ -1380,14 +1393,17 @@ object Relational {
     var lbl = e2.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)
     (1 to 3).foreach { _ =>
-      lbl = e2.join(lbl.withColumnRenamed("node", "src"), "src")
+      val next = e2.join(lbl.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
         // argmax by (count desc, label asc): max of (c, -lbl) then negate
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
         .select(col("node"), (-col("best.nl")).as("lbl"))
         .localCheckpoint(true)
+      graft.Caches.free(lbl) // round N-1 labels are dead once N lands
+      lbl = next
     }
+    graft.Caches.free(e2)
     (edges, lbl)
   }
 
@@ -1914,8 +1930,11 @@ object Relational {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      dist = relaxed.localCheckpoint(true)
+      val next = relaxed.localCheckpoint(true)
+      graft.Caches.free(dist) // round N-1 distances are dead once N lands
+      dist = next
     }
+    graft.Caches.free(e2)
     dist.orderBy(col("node"))
   }
 

@@ -217,9 +217,11 @@ class TrendQueryGoldenSpec extends graft.SparkSpec {
     */
   test("dual-fitter cross-check: PWL elbow fit vs p-value segmentation on sf0.01 events") {
     import org.apache.spark.sql.functions._
-    val series = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    // Tables loader, not a raw read: it normalizes whichever timestamp
+    // encoding the driver generated (ns-as-long, TIMESTAMP_NTZ, zoned)
+    val series = graft.Tables(spark, "/root/testdata/sf0.01", "events")
       .select(col("user_id"),
-        (col("ts").cast("long") / 1e6).as("ts_ms"), // ns-as-long source
+        unix_millis(col("ts")).cast("double").as("ts_ms"),
         col("value").cast("double"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts_ms"), col("value")))).as("pts"))
