@@ -69,7 +69,10 @@ object Bpe {
     else Some(counts.toSeq.minBy { case (p, c) => (-c, p) }._1)
   }
 
-  /** Driver-side trainer on the `sampleN` lowest-id docs. Word model
+  /** Driver-side trainer on a `sampleN`-doc deterministic sample — the
+    * k lowest salted-hash priorities (`md5('bpe:'||doc_id)`, ties by
+    * id), uniform over the corpus and SQL-replayable, where "lowest
+    * ids" would train on ingest-order-correlated text. Word model
     * is [[TextFunctions.tokens]] exactly: `[a-z0-9]+` over the
     * Locale.ROOT-lowercased text; null texts contribute nothing.
     * Returns merges ("x y") in training order — FEWER than `nMerges`
@@ -81,7 +84,9 @@ object Bpe {
     */
   def trainMerges(docs: DataFrame, idCol: String, textCol: String,
                   sampleN: Int, nMerges: Int): Seq[String] = {
-    val sample = docs.orderBy(col(idCol)).limit(sampleN)
+    val sample = docs
+      .orderBy(md5(concat(lit("bpe:"), col(idCol).cast("string"))), col(idCol))
+      .limit(sampleN)
       .select(col(textCol)).collect().map(r => if (r.isNullAt(0)) "" else r.getString(0))
     val tokenRx = "[a-z0-9]+".r
     val freq = scala.collection.mutable.Map[String, Long]()

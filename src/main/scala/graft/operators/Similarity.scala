@@ -185,7 +185,10 @@ object Similarity {
     * vectors (see [[ivfTopK]]'s centroid note). Broadcast — n rows.
     */
   def seedCentroids(corpus: DataFrame, n: Int): DataFrame =
-    broadcast(corpus.orderBy(col("vec_id")).limit(n)
+    broadcast(corpus
+      .orderBy(md5(concat(lit("seed:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(n)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")))
 
   /** Nearest-centroid assignment via crossJoin + per-vector argmax
@@ -206,14 +209,21 @@ object Similarity {
       .select(col("cid"), col("vec_id"), col("embedding"))
   }
 
-  /** Driver-side bounded fetch of the `n` lowest-id corpus vectors —
-    * the seed-centroid convention as VALUES (n rows, one job; the
-    * literal-codebook analogue of [[probeDim]]). At 100 TB this is the
+  /** Driver-side bounded fetch of `n` corpus vectors — the
     * "train the quantizer on a sample" step every IVF/PQ deployment
-    * runs before indexing.
+    * runs before indexing (n rows, one job; the literal-codebook
+    * analogue of [[probeDim]]). Selection is the k lowest SALTED-HASH
+    * priorities (`md5('seed:'||vec_id)`, ties by id) — a deterministic
+    * uniform reservoir over the whole corpus, SQL-replayable in the
+    * oracle, where "n lowest ids" would train on whatever shard
+    * happens to sort first at 100 TB (id order correlates with
+    * ingest order, not content).
     */
   def collectSeeds(corpus: DataFrame, n: Int): Seq[(Long, Array[Float])] =
-    corpus.orderBy(col("vec_id")).limit(n)
+    corpus
+      .orderBy(md5(concat(lit("seed:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(n)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
 
@@ -375,7 +385,10 @@ object Similarity {
     */
   def pqCodebook(corpus: DataFrame, m: Int, k: Int, dim: Int): DataFrame = {
     val sub = dim / m
-    broadcast(corpus.orderBy(col("vec_id")).limit(k)
+    broadcast(corpus
+      .orderBy(md5(concat(lit("seed:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cid"),
         posexplode(array((0 until m).map(i => slice(col("embedding"), i * sub + 1, sub)): _*))
           .as(Seq("m", "csub"))))
@@ -498,11 +511,15 @@ object Similarity {
       .select(col("cid"), col("vec_id"),
         zip_with(col("embedding"), element_at(ceMap, col("cid")),
           (x, c) => x.cast("double") - c.cast("double")).as("resid"))
-    // PQ seeds = residuals of the pqK lowest-id vectors, fetched
+    // PQ seeds = residuals of the pqK lowest salted-hash priorities
+    // (the collectSeeds sampling convention, salt "pqseed:"), fetched
     // driver-side through the SAME Spark arithmetic (one bounded job;
     // no cache barrier needed — the only other resid reader is the
     // single lazy code scan)
-    val pqSeeds = resid.orderBy(col("vec_id")).limit(pqK)
+    val pqSeeds = resid
+      .orderBy(md5(concat(lit("pqseed:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(pqK)
       .select(col("vec_id"), col("resid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     if (pqSeeds.isEmpty) return empty

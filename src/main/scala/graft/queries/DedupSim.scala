@@ -382,7 +382,8 @@ object DedupSim {
 
   val simIvfSql: String =
     s"""WITH $NormCte,
-       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |asg AS (SELECT cid, vec_id, embedding FROM (
        |  SELECT c.cid, e.vec_id, e.embedding,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -422,7 +423,8 @@ object DedupSim {
 
   val dedupSemanticSql: String =
     s"""WITH $NormCte,
-       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |asg AS (SELECT cid, vec_id, embedding FROM (
        |  SELECT c.cid, e.vec_id, e.embedding,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -461,7 +463,8 @@ object DedupSim {
   }
 
   val simPqSql: String =
-    s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+    s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |ms AS (SELECT unnest(range(4)) AS m),
        |cb AS (SELECT cid, m, ce[m*16+1 : m*16+16] AS csub FROM seeds CROSS JOIN ms),
        |subs AS (SELECT vec_id, m, embedding[m*16+1 : m*16+16] AS sub
@@ -503,7 +506,8 @@ object DedupSim {
 
   val simIvfpqSql: String =
     s"""WITH $NormCte,
-       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |asg AS (SELECT cid, vec_id, embedding FROM (
        |  SELECT c.cid, e.vec_id, e.embedding,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -515,7 +519,8 @@ object DedupSim {
        |  FROM asg a JOIN cents c ON c.cid = a.cid),
        |ms AS (SELECT unnest(range(4)) AS m),
        |cb AS (SELECT p.vec_id AS pcid, m, p.resid[m*16+1 : m*16+16] AS csub
-       |  FROM (SELECT vec_id, resid FROM res ORDER BY vec_id LIMIT 8) p CROSS JOIN ms),
+       |  FROM (SELECT vec_id, resid FROM res
+       |    ORDER BY md5('pqseed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) p CROSS JOIN ms),
        |subs AS (SELECT cid, vec_id, m, resid[m*16+1 : m*16+16] AS sv FROM res CROSS JOIN ms),
        |codes AS (SELECT cid, vec_id, m, pcid AS code FROM (
        |    SELECT s.cid, s.vec_id, s.m, c.pcid,
@@ -554,7 +559,8 @@ object DedupSim {
     * (cid, ce double-list, cn = sqrt of the self-dot fold).
     */
   private val TrainedCentsCtes: String =
-    s"""smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+    s"""smp AS (SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
        |seeds AS (SELECT vec_id AS cid, embedding AS ce FROM smp ORDER BY vec_id LIMIT 8),
        |sasg AS (SELECT cid, vec_id, embedding FROM (
        |  SELECT c.cid, s.vec_id, s.embedding,
@@ -621,7 +627,8 @@ object DedupSim {
   }
 
   val simPqTSql: String =
-    s"""WITH smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+    s"""WITH smp AS (SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
        |ms AS (SELECT unnest(range(4)) AS m),
        |sseeds AS (SELECT vec_id AS cid, embedding FROM smp ORDER BY vec_id LIMIT 8),
        |scb AS (SELECT cid, m, embedding[m*16+1 : m*16+16] AS csub FROM sseeds CROSS JOIN ms),

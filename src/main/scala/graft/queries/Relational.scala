@@ -1084,24 +1084,42 @@ object Relational {
     graphBuild(s, dir)
 
   private def buildCoSupplyEdges(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ps = Tables(s, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    // Materialized ONCE: the threshold scan and the final filter both
+    // read the pair set — without the barrier the p99 pass and the edge
+    // pass each re-run the self-join (the build's dominant cost).
     val pairs = ps.as("a").join(ps.as("b"),
         col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
+      .localCheckpoint(true)
     val hist = pairs.groupBy(col("shared")).agg(count(lit(1)).as("cnt"))
-    val tot = pairs.agg(count(lit(1)).as("n"))
-    val thr = hist.crossJoin(broadcast(tot))
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("shared"))))
-      .filter(col("cum") >= floor(lit(0.99) * (col("n") - 1)).cast("long") + 1)
-      .agg(min(col("shared")).as("thr"))
+    // p99 threshold from the histogram WITHOUT a window: the histogram's
+    // bounded-int domain collapses to one row (sorted struct array +
+    // total, n = Σcnt — no second pass over the pair set), and a single
+    // left-to-right fold finds the first `shared` whose cumulative count
+    // reaches the p99 target. No Window.orderBy -> no single-partition
+    // sort, no WindowExec "no partition defined" ambiguity at scale.
+    val thr = hist
+      .agg(sort_array(collect_list(struct(col("shared"), col("cnt")))).as("h"),
+        sum(col("cnt")).as("n"))
+      .withColumn("target", floor(lit(0.99) * (col("n") - 1).cast("double")).cast("long") + 1)
+      .select(aggregate(col("h"),
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("thr")),
+        (acc, x) => {
+          val cum = acc.getField("cum") + x.getField("cnt")
+          struct(cum.as("cum"),
+            coalesce(acc.getField("thr"),
+              when(cum >= col("target"), x.getField("shared"))).as("thr"))
+        }).getField("thr").as("thr"))
     // `shared` rides along for weight-aware consumers (graph_sssp);
     // unweighted consumers select (u, v) explicitly
-    pairs.crossJoin(broadcast(thr))
+    val out = pairs.crossJoin(broadcast(thr))
       .filter(col("shared") >= col("thr"))
       .select(col("u"), col("v"), col("shared")).localCheckpoint(true)
+    graft.Caches.free(pairs) // the full pair set is dead once edges land
+    out
   }
 
   /** Oracle CTE block mirroring [[coSupplyEdges]] (MATERIALIZED — see

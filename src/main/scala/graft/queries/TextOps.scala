@@ -110,7 +110,8 @@ object TextOps {
          |  FROM p$r ORDER BY c DESC, p LIMIT 1),
          |v${r + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pf FROM m$r), (SELECT pt FROM m$r)) AS w, f FROM v$r)""".stripMargin
     }.mkString(",\n")
-    s"""smp AS (SELECT text FROM documents ORDER BY doc_id LIMIT 64),
+    s"""smp AS (SELECT text FROM documents
+       |  ORDER BY md5('bpe:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
        |wf AS (SELECT tok AS word, COUNT(*) AS f FROM (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM smp) GROUP BY tok),
        |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, f FROM wf),

@@ -1330,13 +1330,21 @@ object TimeSeriesQueries {
         p => p.getField("ts_ms").cast("double") / lit(86400000.0)))
       .withColumn("ys", transform(col("a"), p => p.getField("value")))
       .withColumn("n", size(col("a")))
+    // LET-BINDING wrapper (1-element struct array): the nested pair
+    // loop must reference xs/ys as evaluated lambda VALUES. Referencing
+    // the outer columns directly lets CollapseProject inline the full
+    // transform(a, …) definition into every element_at — 5 subtree
+    // re-evaluations per pair turned the per-user cost O(n²) into
+    // O(n³) (measured: 96.7 s at sf0.1; ~1 s with the binding).
     val slopes = arr.withColumn("sl",
       filter(
-        flatten(transform(sequence(lit(1), col("n") - 1), i =>
-          transform(sequence(i + 1, col("n")), j =>
-            when(element_at(col("xs"), j) =!= element_at(col("xs"), i),
-              (element_at(col("ys"), j) - element_at(col("ys"), i)) /
-                (element_at(col("xs"), j) - element_at(col("xs"), i)))))),
+        flatten(transform(
+          array(struct(col("xs").as("x"), col("ys").as("y"), col("n").as("m"))),
+          s => flatten(transform(sequence(lit(1), s.getField("m") - 1), i =>
+            transform(sequence(i + 1, s.getField("m")), j =>
+              when(element_at(s.getField("x"), j) =!= element_at(s.getField("x"), i),
+                (element_at(s.getField("y"), j) - element_at(s.getField("y"), i)) /
+                  (element_at(s.getField("x"), j) - element_at(s.getField("x"), i)))))))),
         v => v.isNotNull))
       .withColumn("ns", size(col("sl")))
       .filter(col("ns") >= 1)
