@@ -321,4 +321,35 @@ class PlanSpec extends SparkSpec {
       assert(keyed == 1, s"expected 1 keyed shuffle, got $keyed:\n$p")
     }
   }
+
+  test("range/interval joins: bucketized equi-joins, never a nested-loop or cartesian") {
+    Seq(TimeSeriesQueries.tsRangeJoin _,
+        TimeSeriesQueries.tsIntervalOverlap _).foreach { q =>
+      val p = q(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"range predicate must ride a bucket equi-join, not an O(n*m) join:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"expected an equi-join on the bucket key:\n$p")
+    }
+  }
+
+  test("graph loops stay flat: iterative results read one materialized RDD, not re-derived lineage") {
+    // Every fixed-iteration loop (BFS/SSSP/labelprop/pagerank) must
+    // checkpoint each round — if the barrier is dropped, the final plan
+    // re-embeds the full edge derivation per iteration and the exchange
+    // count explodes (measured 61 vs 13 for the 5-iter pagerank). The
+    // stable signal: the query's own plan is a scan of the checkpointed
+    // RDD plus at most the final sort/aggregate stage.
+    Seq(Relational.graphBfs _, Relational.graphSssp _).foreach { q =>
+      val p = q(spark, dir).queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"),
+        s"loop output must be a materialized checkpoint scan:\n$p")
+      assert("Exchange (hash|range)partitioning".r.findAllIn(p).length <= 1,
+        s"only the output sort may shuffle after a checkpointed loop:\n$p")
+    }
+    val lp = Relational.graphLabelprop(spark, dir).queryExecution.executedPlan.toString
+    assert(lp.contains("Scan ExistingRDD"), s"labelprop output must read the checkpoint:\n$lp")
+    assert("Exchange (hash|range)partitioning".r.findAllIn(lp).length <= 3,
+      s"community-size join + output sort only:\n$lp")
+  }
 }
