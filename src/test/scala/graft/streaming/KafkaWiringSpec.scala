@@ -1,37 +1,147 @@
 package graft.streaming
 
+import java.nio.file.Files
+
 import graft.SparkSpec
+import graft.streaming.kafkadouble.{InMemoryBroker, KOffset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-/** S7/S8 Kafka wiring, specced to the limit this container allows: no
-  * spark-sql-kafka connector jar and no broker exist here (zero
-  * egress), so the topology cannot run — instead we pin down that
-  * (a) the builder wires exactly `format("kafka")` (source lookup
-  * fails with the connector-missing error, not a plan/analysis error),
-  * and (b) the message plane — JSON value decode → per-doc transform →
-  * JSON value encode, the code path the Kafka topology shares with the
-  * file-backed loop — round-trips correctly.
+/** S7/S8 Kafka topology, driven end-to-end against the in-repo
+  * connector double (test classpath only — see KafkaTestDouble): the
+  * container ships neither the spark-sql-kafka jar nor a broker
+  * (re-verified, NOTES.md), so the double registers the same short name
+  * and the SAME `format("kafka")` wiring in StreamPipeline runs
+  * unmodified. What this certifies beyond the r4 wiring-only spec:
+  * subscribe/startingOffsets resolution, the connector read schema,
+  * offset-JSON checkpointing, micro-batch admission
+  * (maxOffsetsPerTrigger), exactly-once-per-record restart semantics on
+  * a shared checkpoint, and the producer side (topic option, value
+  * serialization). On a real cluster the genuine connector binds
+  * instead and every option name carries over verbatim.
   */
 class KafkaWiringSpec extends SparkSpec {
   import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // batch reads of "kafka" route to the V1 source path by default
+    // (spark.sql.sources.useV1SourceList) — the real connector ships a
+    // V1 relation, the double is V2-only; drop kafka from the list so
+    // the V2 TableProvider binds for batch reads too
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,orc,parquet,text")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.sql.sources.useV1SourceList") // shared session
+    super.afterAll()
+  }
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", StringType),
     StructField("dataset", StringType),
     StructField("raw_content", StringType)))
 
-  test("kafkaPipeline wires format(\"kafka\") — lookup fails only for the missing connector") {
-    val ex = intercept[Exception] {
-      StreamPipeline.kafkaPipeline(spark, "broker:9092", "proj",
-        docSchema, identity, "/tmp/ck-kafka")
+  private def docJson(i: Int): Array[Byte] =
+    s"""{"doc_id":"d$i","dataset":"ads","raw_content":"<html>$i</html>"}"""
+      .getBytes("UTF-8")
+
+  private def readTopic(topic: String) =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", "test:9092")
+      .option("subscribe", topic).load()
+
+  test("format(\"kafka\") resolves and batch-reads the connector schema") {
+    InMemoryBroker.deleteTopic("schema_probe")
+    InMemoryBroker.createTopic("schema_probe", partitions = 2)
+    InMemoryBroker.produce("schema_probe", "k1".getBytes, "v1".getBytes)
+    val df = readTopic("schema_probe")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+    val rows = df.select($"topic", $"partition", $"offset",
+      $"key".cast("string"), $"value".cast("string")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "schema_probe")
+    assert(rows.head.getLong(2) == 0L)
+    assert(rows.head.getString(4) == "v1")
+  }
+
+  test("kafkaPipeline: subscribe -> decode -> transform -> produce, end to end") {
+    Seq("proj_in", "proj_out").foreach(InMemoryBroker.deleteTopic)
+    InMemoryBroker.createTopic("proj_in", partitions = 2)
+    (1 to 6).foreach(i => InMemoryBroker.produce("proj_in", null, docJson(i)))
+    val ck = Files.createTempDirectory("ck-kafka").toString
+    val q = StreamPipeline.kafkaPipeline(spark, "test:9092", "proj",
+        docSchema, _.withColumn("tld", lit("example.org")),
+        ck, startingOffsets = "earliest")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = readTopic("proj_out")
+      .select(from_json($"value".cast("string"),
+        docSchema.add(StructField("tld", StringType))).as("doc"))
+      .select("doc.*").orderBy("doc_id").collect()
+    assert(out.length == 6)
+    assert(out.map(_.getAs[String]("doc_id")).toSeq == (1 to 6).map(i => s"d$i"))
+    assert(out.forall(_.getAs[String]("tld") == "example.org"))
+  }
+
+  test("restart on the same checkpoint processes only new records (no replays, no loss)") {
+    Seq("ck_in", "ck_out").foreach(InMemoryBroker.deleteTopic)
+    InMemoryBroker.createTopic("ck_in")
+    (1 to 3).foreach(i => InMemoryBroker.produce("ck_in", null, docJson(i)))
+    val ck = Files.createTempDirectory("ck-kafka-restart").toString
+    def run(): Unit = {
+      val q = StreamPipeline.kafkaPipeline(spark, "test:9092", "ck",
+          docSchema, identity, ck, startingOffsets = "earliest")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
     }
-    // Spark's error for an absent data source names the format and the
-    // deploy guide — proving the builder reached source resolution with
-    // format "kafka" (any wiring mistake would fail differently)
-    val msg = ex.getMessage.toLowerCase
-    assert(msg.contains("kafka"))
-    assert(msg.contains("failed to find") || msg.contains("data source"))
+    run()
+    (4 to 5).foreach(i => InMemoryBroker.produce("ck_in", null, docJson(i)))
+    run()
+    val ids = readTopic("ck_out")
+      .select(from_json($"value".cast("string"), docSchema).getField("doc_id"))
+      .as[String].collect().sorted.toSeq
+    // earliest + checkpoint: the second run resumes AFTER d3 — a replay
+    // would duplicate d1..d3, an offset bug would drop d4/d5
+    assert(ids == Seq("d1", "d2", "d3", "d4", "d5"))
+  }
+
+  test("maxOffsetsPerTrigger bounds every micro-batch (admission control)") {
+    Seq("adm_in", "adm_out").foreach(InMemoryBroker.deleteTopic)
+    InMemoryBroker.createTopic("adm_in")
+    (1 to 10).foreach(i => InMemoryBroker.produce("adm_in", null, docJson(i)))
+    val ck = Files.createTempDirectory("ck-kafka-adm").toString
+    val q = StreamPipeline.kafkaPipeline(spark, "test:9092", "adm",
+        docSchema, identity, ck,
+        maxOffsetsPerTrigger = 3L, startingOffsets = "earliest")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(readTopic("adm_out").count() == 10,
+      "AvailableNow must drain everything across multiple bounded batches")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty && batches.forall(_.numInputRows <= 3),
+      s"every micro-batch must respect maxOffsetsPerTrigger=3: ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.map(_.numInputRows).sum == 10)
+  }
+
+  test("offset json round-trips in the connector's checkpoint format") {
+    val o = new KOffset(Map("t" -> Map(0 -> 5L, 1 -> 42L), "u" -> Map(0 -> 0L)))
+    assert(o.json() == """{"t":{"0":5,"1":42},"u":{"0":0}}""")
+    assert(KOffset.parse(o.json()).offsets == o.offsets)
+  }
+
+  test("keyed produce partitions by key hash; same key always lands in one partition") {
+    InMemoryBroker.deleteTopic("keyed")
+    InMemoryBroker.createTopic("keyed", partitions = 4)
+    (1 to 8).foreach(_ => InMemoryBroker.produce("keyed", "userA".getBytes, "v".getBytes))
+    val parts = readTopic("keyed").select($"partition").distinct().as[Int].collect()
+    assert(parts.length == 1, "a fixed key must hash to exactly one partition")
   }
 
   test("message plane: kafka value codec round-trips docs through the transform") {
