@@ -1198,25 +1198,24 @@ object Relational {
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)
     val src = edges.agg(min(col("u")).as("node")).withColumn("hop", lit(0L))
-    var dist = src.localCheckpoint(true)
-    var frontier = dist
+    // Frontier ACCUMULATION, not a re-checkpointed distance table: BFS
+    // frontiers are disjoint, so the visited set is the lazy union of
+    // the flat per-round checkpoints — one checkpoint per round (not
+    // two), each block stored once (the union re-reads, never copies),
+    // and the blocks ARE the result (freed by the caller's sweep, not
+    // in-loop).
+    var frontiers = List(src.localCheckpoint(true))
     (1 to 6).foreach { h =>
-      val next = e2.join(frontier.select(col("node").as("src")), "src")
+      val visited = frontiers.reduce(_ unionByName _)
+      val next = e2.join(frontiers.head.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .localCheckpoint(true)
-      val grown = dist.unionByName(next).localCheckpoint(true)
-      // round-(h-1) blocks are folded into `grown`/consumed by the join:
-      // free them now so peak storage stays one frontier + one dist
-      graft.Caches.free(frontier)
-      graft.Caches.free(dist)
-      dist = grown
-      frontier = next
+      frontiers = next :: frontiers
     }
-    graft.Caches.free(frontier)
     graft.Caches.free(e2)
-    dist.orderBy(col("node"))
+    frontiers.reduce(_ unionByName _).orderBy(col("node"))
   }
 
   val graphBfsSql: String =

@@ -98,7 +98,13 @@ class CurationFilterSpec extends SparkSpec {
       }
       acc
     }
-    val seeds = embs.sortBy(_._1).take(k)
+    // the operator's salted-hash sample convention (collectSeeds)
+    def pri(salt: String, id: Long): (String, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id).getBytes("UTF-8"))
+      (d.map("%02x".format(_)).mkString, id)
+    }
+    val seeds = embs.sortBy(e => pri("seed:", e._1)).take(k)
     // codebook: (m, cid) -> centroid subvector
     val cb = (for {
       (cid, ce) <- seeds
@@ -263,7 +269,13 @@ class CurationFilterSpec extends SparkSpec {
       while (i < a.length) { val d = a(i) - b(i); acc = acc + d * d; i += 1 }
       acc
     }
-    val cents = embs.sortBy(_._1).take(nCells)
+    // the operator's salted-hash sample convention (collectSeeds)
+    def pri(salt: String, id: Long): (String, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id).getBytes("UTF-8"))
+      (d.map("%02x".format(_)).mkString, id)
+    }
+    val cents = embs.sortBy(e => pri("seed:", e._1)).take(nCells)
     def assignCell(e: Array[Float]): Long =
       cents.map { case (cid, ce) => (cos(e, ce), cid) }
         .sortBy { case (c, cid) => (-c, cid) }.head._2
@@ -272,10 +284,10 @@ class CurationFilterSpec extends SparkSpec {
       id -> (assignCell(e), e.indices.map(i => e(i).toDouble - ce(i).toDouble).toArray)
     }.toMap
     val cb = (for {
-      (pcid, (_, r)) <- resid.toSeq.sortBy(_._1).take(pqK)
+      (pcid, (_, r)) <- resid.toSeq.sortBy(e => pri("pqseed:", e._1)).take(pqK)
       mi <- 0 until m
     } yield ((mi, pcid), r.slice(mi * sub, mi * sub + sub))).toMap
-    val pcids = resid.toSeq.sortBy(_._1).take(pqK).map(_._1)
+    val pcids = resid.toSeq.sortBy(e => pri("pqseed:", e._1)).take(pqK).map(_._1)
     val codes = resid.map { case (id, (_, r)) =>
       id -> (0 until m).map { mi =>
         val s = r.slice(mi * sub, mi * sub + sub)
@@ -389,12 +401,15 @@ class CurationFilterSpec extends SparkSpec {
   test("pqCodes: every code is the argmin-L2 sub-centroid and codes stay in-range") {
     val emb = graft.Tables(spark, dir, "embeddings")
     val cb = graft.operators.Similarity.pqCodebook(emb, m = 4, k = 8, dim = 64)
+    // cids are the hash-sampled seed vec_ids, not 0..k-1
+    val seedIds = cb.select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(seedIds.size == 8)
     val codes = graft.operators.Similarity.pqCodes(emb, cb, m = 4, dim = 64).collect()
     assert(codes.length == emb.count())
     codes.foreach { r =>
       val entries = r.getSeq[org.apache.spark.sql.Row](1)
       assert(entries.map(_.getInt(0)) == Seq(0, 1, 2, 3)) // one code per subspace, m-sorted
-      assert(entries.forall(e => e.getLong(1) >= 0 && e.getLong(1) < 8)) // seed cids
+      assert(entries.forall(e => seedIds.contains(e.getLong(1)))) // seed cids
     }
   }
 }
