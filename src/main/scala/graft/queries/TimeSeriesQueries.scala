@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1319,6 +1319,15 @@ object TimeSeriesQueries {
     * emitted slope is bit-exact unrounded. x is in DAYS (ms/86.4e6 —
     * one division before the slope) to keep magnitudes readable.
     */
+  /** Expression-level LET: evaluate `e` ONCE, hand it to `f` as a bound
+    * lambda value. A projection column referenced k times is re-inlined
+    * k times by CollapseProject — ruinous when the column is a derived
+    * array consumed by nested HOFs (the Theil–Sen lesson: the pair loop
+    * went O(n²)→O(n³) through exactly this, 96.7 s at sf0.1).
+    */
+  private def let(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
   def tsTheilsen(s: SparkSession, dir: String): DataFrame = {
     val arr = events(s, dir)
       .filter(col("value").isNotNull)
@@ -1326,35 +1335,36 @@ object TimeSeriesQueries {
       .agg(sort_array(collect_list(
         struct(col("ts_ms"), col("event_id"), col("value")))).as("a"))
       .filter(size(col("a")) >= 2)
-      .withColumn("xs", transform(col("a"),
-        p => p.getField("ts_ms").cast("double") / lit(86400000.0)))
-      .withColumn("ys", transform(col("a"), p => p.getField("value")))
-      .withColumn("n", size(col("a")))
-    // LET-BINDING wrapper (1-element struct array): the nested pair
-    // loop must reference xs/ys as evaluated lambda VALUES. Referencing
-    // the outer columns directly lets CollapseProject inline the full
-    // transform(a, …) definition into every element_at — 5 subtree
-    // re-evaluations per pair turned the per-user cost O(n²) into
-    // O(n³) (measured: 96.7 s at sf0.1; ~1 s with the binding).
-    val slopes = arr.withColumn("sl",
-      filter(
-        flatten(transform(
-          array(struct(col("xs").as("x"), col("ys").as("y"), col("n").as("m"))),
-          s => flatten(transform(sequence(lit(1), s.getField("m") - 1), i =>
+    // The WHOLE per-series computation is one let-chain — xs/ys bound
+    // once, the O(n²) slope list bound once, its sort bound once — and
+    // the final (ns, slope) struct splits through inline() (a Generate
+    // evaluates the expression once; projecting two fields out of a
+    // projection column would re-run the chain per field).
+    val packed = let(struct(
+        transform(col("a"), p => p.getField("ts_ms").cast("double") / lit(86400000.0)).as("x"),
+        transform(col("a"), p => p.getField("value")).as("y"),
+        size(col("a")).as("m"))) { s =>
+      let(filter(
+          flatten(transform(sequence(lit(1), s.getField("m") - 1), i =>
             transform(sequence(i + 1, s.getField("m")), j =>
               when(element_at(s.getField("x"), j) =!= element_at(s.getField("x"), i),
                 (element_at(s.getField("y"), j) - element_at(s.getField("y"), i)) /
-                  (element_at(s.getField("x"), j) - element_at(s.getField("x"), i)))))))),
-        v => v.isNotNull))
-      .withColumn("ns", size(col("sl")))
+                  (element_at(s.getField("x"), j) - element_at(s.getField("x"), i)))))),
+          v => v.isNotNull)) { sl =>
+        let(sort_array(sl)) { sorted =>
+          val k = size(sl)
+          struct(k.as("ns"),
+            when(pmod(k, lit(2)) === 1,
+              element_at(sorted, ((k + 1) / 2).cast("int")))
+              .otherwise((element_at(sorted, (k / 2).cast("int")) +
+                element_at(sorted, (k / 2 + 1).cast("int"))) / 2.0)
+              .as("theil_slope"))
+        }
+      }
+    }
+    arr.select(col("user_id"), size(col("a")).as("n"), inline(array(packed)))
       .filter(col("ns") >= 1)
-      .withColumn("sorted", sort_array(col("sl")))
-    slopes.select(col("user_id"), col("n"), col("ns"),
-      when(pmod(col("ns"), lit(2)) === 1,
-        element_at(col("sorted"), ((col("ns") + 1) / 2).cast("int")))
-        .otherwise((element_at(col("sorted"), (col("ns") / 2).cast("int")) +
-          element_at(col("sorted"), (col("ns") / 2 + 1).cast("int"))) / 2.0)
-        .as("theil_slope"))
+      .select(col("user_id"), col("n"), col("ns"), col("theil_slope"))
       .orderBy(col("user_id"))
   }
 
