@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -367,6 +368,62 @@ object DedupSim {
        |  SELECT qid, bucket, vec_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cs)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** All-corpus nearest-neighbor GRAPH via LSH buckets: every vector
+    * (not a handful of query points — the [[simLsh]] contrast) gets its
+    * top-1 cosine neighbor among its 4-hyperplane bucket-mates. This is
+    * the k-NN-graph build that SemDeDup-style semantic dedup and graph
+    * clustering start from. Scale shape: bucket assignment is a narrow
+    * map (plan-time literal hyperplanes), the candidate join is a keyed
+    * equi-join on bucket (expected population N/2^planes — planes grow
+    * as log₂N to hold it constant), and the per-vector argmax is one
+    * keyed window. No all-pairs stage anywhere; vectors in a singleton
+    * bucket are reported with a NULL neighbor rather than dropped (the
+    * recall-accounting convention from dedup_eval).
+    */
+  def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val b = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), nPlanes = 4).as("bucket"),
+      col("embedding"))
+    val scored = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"), "left")
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("cand"),
+        when(col("b.vec_id").isNotNull,
+          Similarity.cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc_nulls_last, col("cand"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bucket"), col("cand").as("nn_id"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simKnnGraphSql: String = {
+    val planeDot =
+      "list_reduce(list_transform(range(len(embedding)), d -> " +
+        "CAST(embedding[d+1] AS DOUBLE) * " +
+        "((strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1)" +
+        " / 7.5 - 1.0)), (x, y) -> x + y)"
+    s"""WITH $NormCte,
+       |bkt AS MATERIALIZED (SELECT vec_id, embedding, array_to_string(list_transform(range(4), j ->
+       |    CASE WHEN $planeDot > 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings),
+       |cs AS (SELECT a.vec_id AS vec_id, a.bucket, b.vec_id AS cand,
+       |    CASE WHEN b.vec_id IS NOT NULL THEN
+       |      ${sqlDot("a.embedding", "b.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) END AS cos
+       |  FROM bkt a LEFT JOIN bkt b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  LEFT JOIN nrm na ON na.vec_id = a.vec_id
+       |  LEFT JOIN nrm nb ON nb.vec_id = b.vec_id)
+       |SELECT vec_id, bucket, cand AS nn_id, cos FROM (
+       |  SELECT vec_id, bucket, cand, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC NULLS LAST, cand) AS rn FROM cs)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
   /** IVF ANN (8 deterministic seed centroids, 2 probes): exact top-5
@@ -780,6 +837,7 @@ object DedupSim {
     "dedup_jaccard_join" -> (dedupJaccardJoin _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk" -> (simTopK _),
+    "sim_knn_graph" -> (simKnnGraph _),
     "sim_lsh" -> (simLsh _),
     "sim_ivf" -> (simIvf _),
     "sim_pq" -> (simPq _),
@@ -801,6 +859,7 @@ object DedupSim {
     "dedup_jaccard_join" -> dedupJaccardJoinSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,
+    "sim_knn_graph" -> simKnnGraphSql,
     "sim_lsh" -> simLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_pq" -> simPqSql,

@@ -280,6 +280,70 @@ object Relational {
        |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
   }
 
+  /** KMV / Theta-style distinct sketch (Bar-Yossef et al. 2002, the
+    * DataSketches Theta family): keep the k = 64 smallest md5-derived
+    * hash values per group; θ = the k-th smallest normalized hash and
+    * the estimate is (k−1)/θ. Like the HLL twin above, the hash is
+    * md5 so the DuckDB oracle reproduces the ESTIMATE bit-for-bit —
+    * an approximate operator with an exact oracle. The normalizer is
+    * 2⁻⁵² (13 hex chars = 52 bits fit a double exactly; the division
+    * is a power-of-two scale, exact in IEEE). Groups with fewer than
+    * k distinct members report exactly (θ undefined → the sketch IS
+    * the set). Scale: distinct (group, member) pairs shuffle once,
+    * then ONE keyed row_number keeps ≤ k rows per group — the sketch
+    * is mergeable by construction (union of KMV sets re-truncated to
+    * the k smallest), the property that makes it the Druid/DataSketches
+    * workhorse for cross-segment distinct counting.
+    */
+  def sketchKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = Tables(s, dir, "events")
+    val pairs = ev.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").cast("double") / lit(4503599627370496.0))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("user_id"))
+    val kept = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val th = kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("theta"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    th.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(when(col("theta").isNull, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("theta")), 4).as("est"),
+        col("n_exact"))
+      .select(col("event_type"), col("est"), col("n_exact"),
+        round(lit(100.0) * (col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 4).as("err_pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchKmvSql: String =
+    """WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+      |hs AS (SELECT event_type, user_id,
+      |    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+      |      AS BIGINT) AS DOUBLE) / 4503599627370496.0e0 AS h FROM pairs),
+      |rk AS (SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+      |  FROM hs),
+      |th AS (SELECT event_type, COUNT(*) AS n_kept,
+      |    MAX(CASE WHEN rn = 64 THEN h END) AS theta
+      |  FROM rk WHERE rn <= 64 GROUP BY event_type),
+      |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type,
+      |  round(CASE WHEN theta IS NULL THEN CAST(n_kept AS DOUBLE)
+      |    ELSE 63.0e0 / theta END, 4) AS est,
+      |  n_exact,
+      |  round(100.0e0 * (round(CASE WHEN theta IS NULL THEN CAST(n_kept AS DOUBLE)
+      |      ELSE 63.0e0 / theta END, 4) - CAST(n_exact AS DOUBLE))
+      |    / CAST(n_exact AS DOUBLE), 4) AS err_pct
+      |FROM th JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+
   /** Bloom-filter semi-join ([[graft.functions.Sketches.bloomBits]] —
     * k=3 salted-md5 positions over m=8192 bits): customers probed
     * against a filter built from order custkeys, beside the exact
@@ -1517,6 +1581,61 @@ object Relational {
       |SELECT community, e_in, d_tot, contrib, q
       |FROM cells CROSS JOIN qq ORDER BY community""".stripMargin
 
+  /** k-core peeling over the co-supply graph (k = 2, 4 unrolled
+    * rounds): repeatedly drop nodes whose degree in the SURVIVING
+    * subgraph is < k — the standard dense-substructure / influence
+    * filter (Seidman 1983). Each round is one degree count over the
+    * edge set restricted to live endpoints (two semi-join-shaped hash
+    * joins + one agg, all keyed on node ids) — per-round cost linear in
+    * edges, the labelprop/pagerank loop shape, and the live set only
+    * shrinks so later rounds cost less. Four rounds are UNROLLED in
+    * the oracle (the graph_labelprop convention), so the certified
+    * semantics are "4-round peel" — on this graph the peel reaches its
+    * fixpoint earlier (spec-asserted round-4 == round-5 on the test
+    * corpus); at true scale the same loop runs to convergence with the
+    * checkpoint-and-free discipline. Output: surviving nodes with
+    * their final in-core degree.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val k = 2
+    val edges = coSupplyEdges(s, dir)
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    var alive = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var lastDeg: DataFrame = null
+    for (_ <- 1 to 4) {
+      val deg = sym
+        .join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= k).select(col("node"), col("deg"))
+        .localCheckpoint(true)
+      graft.Caches.free(alive) // round N−1's blocks are dead once N lands
+      if (lastDeg != null) graft.Caches.free(lastDeg)
+      lastDeg = next
+      alive = next.select(col("node"))
+    }
+    lastDeg.orderBy(col("node"))
+  }
+
+  val graphKcoreSql: String = {
+    val round = (i: Int) =>
+      s"""d$i AS (SELECT e.src AS node, COUNT(*) AS deg FROM e2 e
+        |  JOIN a${i - 1} x ON e.src = x.node
+        |  JOIN a${i - 1} y ON e.dst = y.node GROUP BY 1),
+        |a$i AS (SELECT node FROM d$i WHERE deg >= 2)""".stripMargin
+    s"""WITH $CoSupplyCtes,
+      |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |a0 AS (SELECT DISTINCT src AS node FROM e2),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)},
+      |${round(4)}
+      |SELECT node, deg FROM d4 WHERE deg >= 2 ORDER BY node""".stripMargin
+  }
+
   /** 2-D skyline (Pareto frontier) of the part table — cheapest price
     * vs largest size, the min/max dominance query. Exact without a
     * self-join: collapse to the best (max) size per distinct price,
@@ -1922,6 +2041,74 @@ object Relational {
       |    + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS df
       |FROM se""".stripMargin
 
+  /** One-way ANOVA (F test) of value across ALL event types — the
+    * k-group generalization of [[statsTtest]]: SSB = Σ n_g(m_g − m)²,
+    * SSW = Σ (Σx²_g − (Σx_g)²/n_g), F = (SSB/(g−1))/(SSW/(N−g)).
+    * Per-group and grand moments accumulate as exact decimals (the
+    * agg_pricing discipline), so they are order-independent; the two
+    * sums over GROUPS fold in event_type order (the stats_chisq
+    * discipline) — every double bit-exact cross-engine. One keyed agg
+    * + one grand agg; the per-group table is |types|-sized.
+    */
+  def statsAnova(s: SparkSession, dir: String): DataFrame = {
+    import Exact.Dec
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+    val per = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Dec)).cast("double").as("sx"),
+        sum((col("value").cast(Dec) * col("value").cast(Dec))
+          .cast("decimal(18,4)")).cast("double").as("sxx"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("m", col("sx") / col("nd"))
+    val grand = ev.agg(count(lit(1)).as("nn"),
+      sum(col("value").cast(Dec)).cast("double").as("gx"))
+      .withColumn("gm", col("gx") / col("nn").cast("double"))
+      .select(col("nn"), col("gm"))
+    val folded = per.crossJoin(broadcast(grand))
+      .withColumn("ssb_t",
+        col("nd") * ((col("m") - col("gm")) * (col("m") - col("gm"))))
+      .withColumn("ssw_t", col("sxx") - col("sx") * col("m"))
+      .groupBy()
+      .agg(count(lit(1)).as("g"), max(col("nn")).as("n_total"),
+        sort_array(collect_list(struct(col("event_type"),
+          col("ssb_t"), col("ssw_t")))).as("arr"))
+      .withColumn("ssb", aggregate(
+        transform(col("arr"), x => x.getField("ssb_t")),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("ssw", aggregate(
+        transform(col("arr"), x => x.getField("ssw_t")),
+        lit(0.0), (a, v) => a + v))
+    folded.select(col("g"), col("n_total"), col("ssb"), col("ssw"),
+      ((col("ssb") / (col("g") - 1).cast("double")) /
+        (col("ssw") / (col("n_total") - col("g")).cast("double"))).as("f_stat"))
+  }
+
+  val statsAnovaSql: String =
+    """WITH per AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |pm AS (SELECT event_type, n, sx, sxx, CAST(n AS DOUBLE) AS nd,
+      |    sx / CAST(n AS DOUBLE) AS m FROM per),
+      |gr AS (SELECT COUNT(*) AS nn,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS gm
+      |  FROM events WHERE value IS NOT NULL),
+      |terms AS (SELECT event_type, nn,
+      |    nd * ((m - gm) * (m - gm)) AS ssb_t,
+      |    sxx - sx * m AS ssw_t
+      |  FROM pm CROSS JOIN gr),
+      |f AS (SELECT COUNT(*) AS g, MAX(nn) AS n_total,
+      |    list_reduce(list_prepend(0.0e0, list(ssb_t ORDER BY event_type)),
+      |      (a, v) -> a + v) AS ssb,
+      |    list_reduce(list_prepend(0.0e0, list(ssw_t ORDER BY event_type)),
+      |      (a, v) -> a + v) AS ssw
+      |  FROM terms)
+      |SELECT g, n_total, ssb, ssw,
+      |  (ssb / CAST(g - 1 AS DOUBLE)) / (ssw / CAST(n_total - g AS DOUBLE)) AS f_stat
+      |FROM f""".stripMargin
+
   /** Weighted single-source shortest paths (Bellman–Ford, 4 fixed
     * relaxation rounds) over the co-supply graph with edge cost
     * 1000 div shared — stronger co-supply ties are cheaper, so the
@@ -2053,6 +2240,7 @@ object Relational {
     "rec_cosine" -> (recCosine _),
     "stats_benford" -> (statsBenford _),
     "graph_labelprop" -> (graphLabelprop _),
+    "graph_kcore" -> (graphKcore _),
     "graph_modularity" -> (graphModularity _),
     "skyline_parts" -> (skylineParts _),
     "stats_corr" -> (statsCorr _),
@@ -2063,6 +2251,8 @@ object Relational {
     "graph_bfs" -> (graphBfs _),
     "er_cluster" -> (erCluster _),
     "approx_distinct_hll" -> (approxDistinctHll _),
+    "sketch_kmv" -> (sketchKmv _),
+    "stats_anova" -> (statsAnova _),
     "basket_pairs" -> (basketPairs _),
     "ts_histogram" -> (tsHistogram _),
     "graph_transitions" -> (graphTransitions _),
@@ -2099,6 +2289,7 @@ object Relational {
     "rec_cosine" -> recCosineSql,
     "stats_benford" -> statsBenfordSql,
     "graph_labelprop" -> graphLabelpropSql,
+    "graph_kcore" -> graphKcoreSql,
     "graph_modularity" -> graphModularitySql,
     "skyline_parts" -> skylinePartsSql,
     "stats_corr" -> statsCorrSql,
@@ -2109,6 +2300,8 @@ object Relational {
     "graph_bfs" -> graphBfsSql,
     "er_cluster" -> erClusterSql,
     "approx_distinct_hll" -> approxDistinctHllSql,
+    "sketch_kmv" -> sketchKmvSql,
+    "stats_anova" -> statsAnovaSql,
     "basket_pairs" -> basketPairsSql,
     "ts_histogram" -> tsHistogramSql,
     "graph_transitions" -> graphTransitionsSql,

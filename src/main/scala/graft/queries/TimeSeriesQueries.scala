@@ -1391,7 +1391,74 @@ object TimeSeriesQueries {
       |         + sorted[CAST(ns // 2 + 1 AS BIGINT)]) / 2.0e0 END AS theil_slope
       |FROM st ORDER BY user_id""".stripMargin
 
+  /** Double exponential smoothing per user series (Brown 1963) — the
+    * level+trend forecaster one notch up from [[tsEwma]]: two cascaded
+    * EWMAs s1ₜ = (vₜ + s1ₜ₋₁)/2 and s2ₜ = (s1ₜ + s2ₜ₋₁)/2 (both
+    * initialized to v₁), from which level = 2·s1 − s2 and trend =
+    * s1 − s2 (α = 1/2 makes α/(1−α) = 1), forecast = level + trend.
+    * Halving is EXACT in IEEE and each add rounds once, so the fold is
+    * bit-identical cross-engine.
+    *
+    * The fold state is a 2-field struct, and the field ORDER is
+    * load-bearing under DuckDB's sequential struct_pack evaluation (the
+    * ts_cusum hazard). Brown's cascade is the rare coupled recurrence
+    * that is safe under BOTH functional and sequential semantics: with
+    * state (s2, s1), s2's update reads only OLD fields (itself plus the
+    * LATER field s1, recomputing new-s1 = (v + s1)/2 inline from old
+    * s1), and s1's update reads nothing but itself — the dependency
+    * graph is acyclic, so no field ever reads an already-overwritten
+    * slot. A textbook (l, b) Holt state has a 2-cycle (each field needs
+    * both old slots) and CANNOT be ordered safely — the reason this
+    * query ships Brown's formulation.
+    *
+    * Per-user arrays bound state (many-small-series shape); on an
+    * unbounded stream the same two doubles of state per key run in
+    * mapGroupsWithState.
+    */
+  def tsHolt(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("value").isNotNull)
+    val folded = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+        col("value")))).as("arr"))
+      .withColumn("vs", transform(col("arr"), x => x.getField("value")))
+      .filter(size(col("vs")) >= 2)
+      .withColumn("st", aggregate(
+        slice(col("vs"), lit(2), size(col("vs")) - 1),
+        struct(element_at(col("vs"), 1).as("s2"),
+          element_at(col("vs"), 1).as("s1")),
+        (acc, v) => struct(
+          // new s2 = (new s1 + old s2)/2, with new s1 recomputed from
+          // OLD s1 — identical expression tree both engines
+          (((v + acc.getField("s1")) * lit(0.5)) + acc.getField("s2"))
+            .*(lit(0.5)).as("s2"),
+          ((v + acc.getField("s1")) * lit(0.5)).as("s1"))))
+    folded.select(col("user_id"), size(col("vs")).as("n"),
+      (col("st.s1") * 2.0 - col("st.s2")).as("level"),
+      (col("st.s1") - col("st.s2")).as("trend"),
+      ((col("st.s1") * 2.0 - col("st.s2"))
+        + (col("st.s1") - col("st.s2"))).as("forecast"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsHoltSql: String =
+    """WITH ar AS (SELECT user_id, list(value ORDER BY epoch_ms(ts), event_id) AS vs
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |f AS (SELECT user_id, len(vs) AS n,
+      |    list_reduce(
+      |      list_prepend(struct_pack(s2 := vs[1], s1 := vs[1]),
+      |        list_transform(vs[2:], v -> struct_pack(s2 := v, s1 := v))),
+      |      (acc, x) -> struct_pack(
+      |        s2 := ((x.s2 + acc.s1) * 0.5e0 + acc.s2) * 0.5e0,
+      |        s1 := (x.s1 + acc.s1) * 0.5e0)) AS st
+      |  FROM ar WHERE len(vs) >= 2)
+      |SELECT user_id, n,
+      |  st.s1 * 2.0e0 - st.s2 AS level,
+      |  st.s1 - st.s2 AS trend,
+      |  (st.s1 * 2.0e0 - st.s2) + (st.s1 - st.s2) AS forecast
+      |FROM f ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt" -> (tsHolt _),
     "ts_theilsen" -> (tsTheilsen _),
     "ts_gaps" -> (tsGaps _),
     "ts_spike" -> (tsSpike _),
@@ -1430,6 +1497,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_holt" -> tsHoltSql,
     "ts_theilsen" -> tsTheilsenSql,
     "ts_gaps" -> tsGapsSql,
     "ts_spike" -> tsSpikeSql,

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** Round-5 additions certified against independent plain-Scala
+  * references (not the DuckDB oracle — that runs in the driver gate):
+  * Brown double-exponential smoothing, k-core peeling, the KMV distinct
+  * sketch, one-way ANOVA, and the LSH k-NN graph.
+  */
+class Round5OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val dir01 = "/root/testdata/sf0.01"
+
+  test("ts_holt matches a plain-Scala sequential Brown fold exactly") {
+    val rows = TimeSeriesQueries.tsHolt(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // independent reference: per-user values in (ts, event_id) order,
+    // folded with the same α = 1/2 cascade
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("value"))
+      .filter(col("value").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._2, r._3)).map(_._4)
+    }
+    var checked = 0
+    byUser.foreach { case (u, vs) =>
+      if (vs.length >= 2) {
+        var s1 = vs.head; var s2 = vs.head
+        vs.tail.foreach { v =>
+          val ns1 = (v + s1) * 0.5
+          val ns2 = (ns1 + s2) * 0.5
+          s1 = ns1; s2 = ns2
+        }
+        val (n, level, trend, forecast) = rows(u)
+        assert(n == vs.length, s"user $u n")
+        assert(level == s1 * 2.0 - s2, s"user $u level")
+        assert(trend == s1 - s2, s"user $u trend")
+        assert(forecast == (s1 * 2.0 - s2) + (s1 - s2), s"user $u forecast")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && rows.size == checked)
+  }
+
+  test("graph_kcore equals the run-to-convergence plain-Scala peel (and round 4 IS the fixpoint)") {
+    val edges = Relational.graphBuild(spark, dir01)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def peel(alive: Set[Long]): Map[Long, Long] = {
+      val deg = edges.flatMap { case (u, v) =>
+        if (alive(u) && alive(v)) Seq(u -> 1L, v -> 1L) else Nil
+      }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+      deg.filter(_._2 >= 2)
+    }
+    var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var last = Map.empty[Long, Long]
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 50) {
+      val next = peel(alive)
+      stable = next.keySet == alive
+      last = next; alive = next.keySet; rounds += 1
+    }
+    assert(rounds <= 4, s"test-corpus peel must stabilize within the 4 unrolled rounds (took $rounds)")
+    val got = Relational.graphKcore(spark, dir01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "2-core must be non-trivial on the test corpus")
+    assert(got == last)
+  }
+
+  test("sketch_kmv matches a plain-Scala KMV and is exact below k") {
+    val k = 64
+    val ev = graft.Tables(spark, dir01, "events")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def h(u: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+    }
+    val expect = ev.groupBy(_._1).map { case (t, us) =>
+      val ids = us.map(_._2).distinct
+      val hs = ids.map(u => (h(u), u)).sortBy(identity)
+      val est =
+        if (ids.length < k) ids.length.toDouble
+        else (k - 1).toDouble / hs(k - 1)._1
+      // HALF_UP at 4dp — Spark's round() convention for doubles
+      t -> (BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, ids.length.toLong)
+    }
+    val got = Relational.sketchKmv(spark, dir01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (t, (est, nExact)) =>
+      assert(got(t)._2 == nExact, s"$t exact count")
+      assert(got(t)._1 == est, s"$t estimate: got ${got(t)._1}, want $est")
+      if (nExact < k) assert(got(t)._1 == nExact.toDouble, s"$t sub-k exactness")
+      else assert(math.abs(got(t)._1 - nExact) / nExact < 0.5,
+        s"$t estimate sane: ${got(t)._1} vs $nExact")
+    }
+  }
+
+  test("stats_anova satisfies the SSB + SSW = SST decomposition and group count") {
+    val r = Relational.statsAnova(spark, dir01).collect().head
+    val (g, n, ssb, ssw) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val vals = graft.Tables(spark, dir01, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    assert(g == vals.map(_._1).distinct.length)
+    assert(n == vals.length)
+    val m = vals.map(_._2).sum / vals.length
+    val sst = vals.map(v => (v._2 - m) * (v._2 - m)).sum
+    assert(math.abs(ssb + ssw - sst) / sst < 1e-9,
+      s"decomposition: ssb=$ssb ssw=$ssw sst=$sst")
+    assert(r.getDouble(4) > 0.0)
+  }
+
+  test("sim_knn_graph picks each vector's true within-bucket argmax, NULL for singletons") {
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def bucket(v: Array[Float]): String =
+      (0 until 4).map { j =>
+        var acc = 0.0
+        for (d <- v.indices)
+          acc += v(d).toDouble * Similarity.planeComponentValue(j, d)
+        if (acc > 0) '1' else '0'
+      }.mkString
+    val byBucket = emb.groupBy(e => bucket(e._2))
+    val expect = emb.map { case (id, v) =>
+      val mates = byBucket(bucket(v)).filter(_._1 != id)
+      if (mates.isEmpty) id -> None
+      else {
+        val scored = mates.map { case (mid, mv) =>
+          (dot(v, mv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(mv, mv))), mid)
+        }
+        val best = scored.minBy { case (c, mid) => (-c, mid) }
+        id -> Some(best._2)
+      }
+    }.toMap
+    val got = TimeSeriesQueriesHelper.knn(spark, dir)
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, nn) =>
+      assert(got(id) == nn, s"vec $id: got ${got(id)}, want $nn")
+    }
+    assert(expect.values.exists(_.isDefined))
+  }
+}
+
+/** Collects the query result in a null-safe shape. */
+private object TimeSeriesQueriesHelper {
+  def knn(spark: org.apache.spark.sql.SparkSession, dir: String): Map[Long, Option[Long]] =
+    DedupSim.simKnnGraph(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+}
