@@ -168,7 +168,16 @@ object ImageCodec {
     * linear→sRGB transfer (128 would decode as 188); untagged RGB is
     * read as sRGB verbatim.
     */
-  def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
+  def encodePng(w: Int, h: Int, gray: Int): Array[Byte] =
+    encodePngColumns(Array.fill(w)(gray), h)
+
+  /** Per-COLUMN-gray generalization of [[encodePng]]: column c of the
+    * w×h truecolor PNG is the constant r=g=b=grays(c). Gives dHash a
+    * closed form: at exactly 9×8 the resize is the identity, so the
+    * hash bits are the pairwise column comparisons of `grays`.
+    */
+  def encodePngColumns(grays: Array[Int], h: Int): Array[Byte] = {
+    val w = grays.length
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
@@ -198,7 +207,14 @@ object ImageCodec {
     while (r < h) {
       val base = r * rowLen
       raw(base) = 0
-      java.util.Arrays.fill(raw, base + 1, base + rowLen, gray.toByte)
+      var c = 0
+      while (c < w) {
+        val g = grays(c).toByte
+        raw(base + 1 + 3 * c) = g
+        raw(base + 2 + 3 * c) = g
+        raw(base + 3 + 3 * c) = g
+        c += 1
+      }
       r += 1
     }
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
@@ -230,6 +246,50 @@ object ImageCodec {
       val bos = new ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, name, bos)
       bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash, the classic perceptual near-dup
+    * fingerprint): decode, scale to 9×8 (bilinear — the identity when
+    * the input is already 9×8, which is what gives the oracle its
+    * closed form), gray = (r+g+b)/3 integer floor, bit (r, c) =
+    * gray(r, c) < gray(r, c+1), emitted row-major as a 64-char bit
+    * string (the dedup_simhash convention — a string dodges BIGINT
+    * sign pitfalls cross-engine). None when the bytes don't decode.
+    */
+  def dHashBits(bytes: Array[Byte]): Option[String] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val scaled =
+      if (img.getWidth == 9 && img.getHeight == 8) img
+      else {
+        val out = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        out
+      }
+    val px = scaled.getRGB(0, 0, 9, 8, null, 0, 9)
+    def gray(r: Int, c: Int): Int = {
+      val p = px(r * 9 + c)
+      (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        sb.append(if (gray(r, c) < gray(r, c + 1)) '1' else '0')
+        c += 1
+      }
+      r += 1
+    }
+    Some(sb.toString)
   }
 
   // ---- Catalyst surface ----

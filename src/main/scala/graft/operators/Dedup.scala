@@ -214,6 +214,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** Threshold-complete CONTAINMENT join: emits every ordered pair
+    * (a, b), a ≠ b, with |a∩b| / |a| ≥ τ — the asymmetric cousin of
+    * [[jaccardJoinPrefix]] that catches a short document swallowed by
+    * a longer one (quote-plus-commentary, boilerplate-wrapped reposts)
+    * where symmetric Jaccard stays low. Prefix filtering applies to
+    * the CONTAINED side only: if |a∩b| ≥ ⌈τ·|a|⌉ then one of a's
+    * |a| − ⌈τ·|a|⌉ + 1 globally-rarest tokens must appear in b, so
+    * a's prefixes probe b's FULL inverted index (the Xiao et al.
+    * WWW'08 overlap-join degradation — the b side cannot be prefixed
+    * without losing pairs). Pruning and the final threshold are pure
+    * integer cross-multiplications (inter·10 ≥ |a|·k, |b|·10 ≥ |a|·k),
+    * so no boundary pair is lost to double rounding; the emitted score
+    * is the one double division. Scale shape matches the Jaccard
+    * join: vocabulary groupBy, keyed prefix window, token equi-join,
+    * sorted two-pointer verify — no corpus² stage.
+    */
+  def containmentJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                            tauTenths: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauTenths > 0 && tauTenths < 10, "tau = tauTenths/10 in (0,1)")
+    val k = tauTenths.toLong
+    val sh = docs.select(col(idCol).as("id"),
+        sort_array(array_distinct(TextFunctions.shingles(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val toks = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("s"))
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ceilTauN = {
+      val a = col("n") * k + 9L
+      (a - pmod(a, lit(10L))) / 10L
+    }
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val pref = toks.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceilTauN.cast("long") + 1L)
+      .select(col("id"), col("n"), col("s"))
+    val cand = pref.as("a").join(toks.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id") &&
+          col("b.n") * 10L >= col("a.n") * k)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .withColumn("inter",
+        graft.plans.NativeExpressions.sortedIntersectCount(col("sha"), col("shb")).cast("int"))
+      .withColumn("na", size(col("sha"))).withColumn("nb", size(col("shb")))
+      .filter(col("inter") * 10L >= col("na").cast("long") * k)
+      .withColumn("containment",
+        col("inter").cast("double") / col("na").cast("double"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        col("containment"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int = 256): DataFrame = {
     val shingled = docs.select(

@@ -161,6 +161,32 @@ object DedupSim {
        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.7e0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Containment (asymmetric overlap) join at τ = 0.8: every ordered
+    * pair where ≥ 80% of a's shingles appear in b — near-dup
+    * CONTAINMENT, which symmetric Jaccard misses when lengths differ.
+    * The oracle builds candidates from the FULL inverted index, so a
+    * green row certifies the contained-side-only prefix pruning is
+    * lossless (the dedup_jaccard_join convention).
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    Dedup.containmentJoinPrefix(Tables(s, dir, "documents"), "doc_id", "text",
+      tauTenths = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""$ShinglesCte,
+       |inv AS (SELECT id, unnest(s) AS x FROM sh),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM inv a JOIN inv b ON a.x = b.x AND a.id <> b.id)
+       |SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS inter,
+       |  len(sa.s) AS na, len(sb.s) AS nb,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(sa.s) AS DOUBLE) AS containment
+       |FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
+       |WHERE len(list_intersect(sa.s, sb.s)) * 10 >= len(sa.s) * 8
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Recall evaluation of banded MinHash+LSH against exhaustive truth:
     * gold = the threshold-complete prefix join at τ = 0.7
     * ([[Dedup.jaccardJoinPrefix]]), predicted = the LSH candidate
@@ -835,6 +861,7 @@ object DedupSim {
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_jaccard_join" -> (dedupJaccardJoin _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk" -> (simTopK _),
     "sim_knn_graph" -> (simKnnGraph _),
@@ -857,6 +884,7 @@ object DedupSim {
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_jaccard_join" -> dedupJaccardJoinSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,
     "sim_knn_graph" -> simKnnGraphSql,

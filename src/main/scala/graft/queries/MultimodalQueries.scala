@@ -224,17 +224,67 @@ object MultimodalQueries {
       |  CAST(n % 16 + 8 AS INT) AS dec_height
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Synthesis UDF for the perceptual-hash path: a real 9×8 PNG whose
+    * nine column grays encode the low 9 bits of n (bit set → 220,
+    * clear → 20) — at exactly 9×8 the dHash resize is the identity,
+    * so every hash bit has the closed form "bit c clear AND bit c+1
+    * set", one 8-bit row pattern repeated for all 8 rows.
+    */
+  private val synthColumns = udf { (n: Int) =>
+    ImageCodec.encodePngColumns(
+      Array.tabulate(9)(c => ((n >> c) & 1) * 200 + 20), 8)
+  }
+
+  private val dhashUdf =
+    udf((b: Array[Byte]) => ImageCodec.dHashBits(b).orNull)
+
+  /** media_phash: perceptual (difference-hash) image fingerprinting —
+    * the multimodal near-dup detector: REAL decode → 9×8 gray →
+    * pairwise column comparisons → 64-bit fingerprint (bit string, the
+    * dedup_simhash convention), then exact-hash grouping counts the
+    * perceptual duplicates. The kernel is the real dHash used on
+    * arbitrary images (non-9×8 inputs go through the bilinear scale —
+    * spec-covered); the synthesized 9×8 inputs make every bit
+    * closed-form for the oracle. Scale: narrow per-row map + one
+    * keyed count on the 64-char hash.
+    */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("int").as("n_bytes"))
+      .withColumn("phash", dhashUdf(synthColumns(col("n_bytes"))))
+      .withColumn("n_dup", count(lit(1)).over(w))
+      .select(col("doc_id"), col("n_bytes"), col("phash"), col("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaPhashSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
+      |ph AS (SELECT doc_id, n_bytes, repeat(
+      |    array_to_string(list_transform(range(8), c -> CASE
+      |      WHEN (n_bytes >> CAST(c AS INT)) & 1 = 0
+      |        AND (n_bytes >> (CAST(c AS INT) + 1)) & 1 = 1
+      |      THEN '1' ELSE '0' END), ''), 8) AS phash
+      |  FROM d)
+      |SELECT doc_id, n_bytes, phash,
+      |  COUNT(*) OVER (PARTITION BY phash) AS n_dup
+      |FROM ph ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
     "media_audio" -> (mediaAudio _),
-    "media_video" -> (mediaVideo _))
+    "media_video" -> (mediaVideo _),
+    "media_phash" -> (mediaPhash _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,
     "media_audio" -> mediaAudioSql,
-    "media_video" -> mediaVideoSql)
+    "media_video" -> mediaVideoSql,
+    "media_phash" -> mediaPhashSql)
 }

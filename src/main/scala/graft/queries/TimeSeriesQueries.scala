@@ -1391,6 +1391,73 @@ object TimeSeriesQueries {
       |         + sorted[CAST(ns // 2 + 1 AS BIGINT)]) / 2.0e0 END AS theil_slope
       |FROM st ORDER BY user_id""".stripMargin
 
+  /** Classical additive seasonal decomposition of daily volume per
+    * event type (the STL-lite a metrics dashboard runs): trend = the
+    * 7-day CENTERED moving average (defined only where the window
+    * spans exactly day−3…day+3 — row lags are calendar-checked, so
+    * gaps never fake a window), seasonal = the per-weekday mean of the
+    * detrended series, residual = the rest. Everything is INTEGER
+    * until the final divisions: counts are ints, the MA numerator S is
+    * a 7-int sum, the detrended value is carried as 7·cnt − S (exact
+    * int — never the rounded double), and the seasonal mean is
+    * Σ(7·cnt − S) / (7·n_days) — one division of two exact ints. So
+    * trend/seasonal/resid are each a single correctly-rounded IEEE op
+    * chain, bit-exact cross-engine with no ordered folds. Weekday is
+    * (day+4) mod 7 (the ts_seasonal convention — no engine dow).
+    * Scale: one keyed count, one keyed 7-row window, one 35-row
+    * seasonal agg broadcast back.
+    */
+  def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .withColumn("day", (col("ts_ms") / lit(86400000L)).cast("long"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ma = daily
+      .withColumn("s7",
+        lag(col("cnt"), 3).over(w) + lag(col("cnt"), 2).over(w) +
+          lag(col("cnt"), 1).over(w) + col("cnt") +
+          lead(col("cnt"), 1).over(w) + lead(col("cnt"), 2).over(w) +
+          lead(col("cnt"), 3).over(w))
+      .withColumn("ok",
+        lag(col("day"), 3).over(w) === col("day") - 3 &&
+          lead(col("day"), 3).over(w) === col("day") + 3)
+      .filter(col("ok") && col("s7").isNotNull)
+      .withColumn("d7", lit(7L) * col("cnt") - col("s7"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+    val seasonal = ma.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("d7")).as("s_num"), count(lit(1)).as("n_days"))
+      .withColumn("seasonal",
+        col("s_num").cast("double") / (lit(7L) * col("n_days")).cast("double"))
+      .select(col("event_type"), col("dow"), col("seasonal"))
+    ma.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("s7").cast("double") / lit(7.0)).as("trend"),
+        col("seasonal"),
+        (col("d7").cast("double") / lit(7.0) - col("seasonal")).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsDecomposeSql: String =
+    """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ma AS (SELECT event_type, day, cnt,
+      |    lag(cnt, 3) OVER w + lag(cnt, 2) OVER w + lag(cnt, 1) OVER w + cnt
+      |      + lead(cnt, 1) OVER w + lead(cnt, 2) OVER w + lead(cnt, 3) OVER w AS s7,
+      |    lag(day, 3) OVER w = day - 3 AND lead(day, 3) OVER w = day + 3 AS ok
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |d AS (SELECT event_type, day, cnt, s7, 7 * cnt - s7 AS d7,
+      |    (day + 4) % 7 AS dow
+      |  FROM ma WHERE ok AND s7 IS NOT NULL),
+      |se AS (SELECT event_type, dow,
+      |    CAST(SUM(d7) AS DOUBLE) / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+      |  FROM d GROUP BY 1, 2)
+      |SELECT d.event_type, day, cnt,
+      |  CAST(s7 AS DOUBLE) / 7.0e0 AS trend, seasonal,
+      |  CAST(d7 AS DOUBLE) / 7.0e0 - seasonal AS resid
+      |FROM d JOIN se ON se.event_type = d.event_type AND se.dow = d.dow
+      |ORDER BY d.event_type, day""".stripMargin
+
   /** Double exponential smoothing per user series (Brown 1963) — the
     * level+trend forecaster one notch up from [[tsEwma]]: two cascaded
     * EWMAs s1ₜ = (vₜ + s1ₜ₋₁)/2 and s2ₜ = (s1ₜ + s2ₜ₋₁)/2 (both
@@ -1459,6 +1526,7 @@ object TimeSeriesQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_holt" -> (tsHolt _),
+    "ts_decompose" -> (tsDecompose _),
     "ts_theilsen" -> (tsTheilsen _),
     "ts_gaps" -> (tsGaps _),
     "ts_spike" -> (tsSpike _),
@@ -1498,6 +1566,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_holt" -> tsHoltSql,
+    "ts_decompose" -> tsDecomposeSql,
     "ts_theilsen" -> tsTheilsenSql,
     "ts_gaps" -> tsGapsSql,
     "ts_spike" -> tsSpikeSql,

@@ -160,6 +160,70 @@ class Round5OpsSpec extends SparkSpec {
     }
     assert(expect.values.exists(_.isDefined))
   }
+  test("dedup_containment equals the brute-force all-pairs containment at tau = 0.8") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val expect = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia != ib
+      inter = (sa & sb).size
+      if inter * 10 >= sa.size * 8
+    } yield (ia, ib) -> (inter, sa.size, sb.size)).toMap
+    val got = graft.operators.Dedup
+      .containmentJoinPrefix(docs, "doc_id", "text", tauTenths = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got == expect, s"got ${got.size} pairs, want ${expect.size}")
+  }
+
+  test("containment is asymmetric: a quote inside a longer doc scores 1.0 one way only") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " iota kappa lambda mu nu xi omicron pi rho sigma " +
+      "tau upsilon phi chi psi omega one two three four five six seven"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .containmentJoinPrefix(docs, "doc_id", "text", tauTenths = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0)
+    assert(!got.contains((2L, 1L)))
+  }
+
+  test("ts_decompose: additivity cnt = trend + seasonal + resid and zero residual means") {
+    val rows = TimeSeriesQueries.tsDecompose(spark, dir01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, trend, seasonal, resid) =
+        (r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(trend + seasonal + resid - cnt) < 1e-6,
+        s"additivity at ${r.getString(0)}/${r.getLong(1)}")
+    }
+    // per-(type, dow) residual means vanish by construction
+    rows.groupBy(r => (r.getString(0), (r.getLong(1) + 4) % 7)).foreach {
+      case (k, rs) =>
+        val s = rs.map(_.getDouble(5)).sum
+        assert(math.abs(s) / rs.length < 1e-9, s"residual mean at $k: $s")
+    }
+  }
+
+  test("dHash kernel: constant, two-tone, and scaled-ramp images hash as predicted") {
+    import graft.multimodal.ImageCodec
+    val const9x8 = ImageCodec.encodePngColumns(Array.fill(9)(128), 8)
+    assert(ImageCodec.dHashBits(const9x8).get == "0" * 64)
+    val twoTone = ImageCodec.encodePngColumns(
+      Array(20, 20, 20, 20, 20, 220, 220, 220, 220), 8)
+    // the single rising edge is at column 4 -> 5: bit c=4 per row
+    assert(ImageCodec.dHashBits(twoTone).get == "0000100000001000" * 4)
+    // non-9×8 path goes through the bilinear scale: a strict horizontal
+    // ramp stays strictly increasing, so every bit is 1
+    val ramp = ImageCodec.encodePngColumns(Array.tabulate(18)(c => c * 14), 16)
+    assert(ImageCodec.dHashBits(ramp).get == "1" * 64)
+  }
 }
 
 /** Collects the query result in a null-safe shape. */
