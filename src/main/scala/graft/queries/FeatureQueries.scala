@@ -275,11 +275,15 @@ object FeatureQueries {
         floor(lit(k / 10.0) * (col("n") - 1)).cast("long") + 1, col("v")))
         .as(s"b$k"))
     val bounds = cumRanks(refCounts).agg(boundCols.head, boundCols.tail: _*)
+    // ≤20-row barrier: binned feeds totals + both period filters —
+    // without it each consumer re-runs the full scan+bound+bin chain
+    // (measured: 2.9s → 1.7s at sf0.1)
     val binned = tagged.crossJoin(broadcast(bounds))
       .withColumn("bin",
         (1 to 9).map(k => when(col("v") >= col(s"b$k"), 1L).otherwise(0L))
           .reduce(_ + _))
       .groupBy(col("period"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val totals = binned.groupBy(col("period")).agg(sum(col("cnt")).as("tot"))
     val bins = s.range(0, 10).select(col("id").as("bin"))
     val cells = bins

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -295,13 +295,19 @@ object Relational {
     * the k smallest), the property that makes it the Druid/DataSketches
     * workhorse for cross-segment distinct counting.
     */
+  /** md5-derived uniform [0,1) hash shared by [[sketchKmv]] and
+    * [[streamKmv]]: 13 hex chars = 52 bits fit a double exactly; the
+    * normalizing division is a power-of-two scale (exact in IEEE).
+    */
+  private[graft] def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+
   def sketchKmv(s: SparkSession, dir: String): DataFrame = {
     val k = 64
     val ev = Tables(s, dir, "events")
     val pairs = ev.select(col("event_type"), col("user_id")).distinct()
-      .withColumn("h",
-        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
-          .cast("long").cast("double") / lit(4503599627370496.0))
+      .withColumn("h", kmvHash(col("user_id")))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("h"), col("user_id"))
     val kept = pairs.withColumn("rn", row_number().over(w))
@@ -415,6 +421,38 @@ object Relational {
       .select(col("event_type"), S.hllEstimate(col("regs")).as("est"))
       .orderBy(col("event_type"))
   }
+
+  /** STREAMING KMV distinct sketch run in bounded mode over the same
+    * corpus as sketch_kmv ([[graft.streaming.StreamingKmv]] — k (hash,
+    * id) pairs of state per group): the change-only emissions fold
+    * back to the final state via the monotone (max n_kept, min θ)
+    * recovery, and the estimate expression is shared with the batch
+    * sketch — so the stream operator is held to the batch oracle.
+    */
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = graft.streaming.StreamingKmv.K
+    val ev = Tables(s, dir, "events")
+    val in = ev.select(col("event_type").as("grp"),
+        kmvHash(col("user_id")).as("h"), col("user_id").as("id"))
+      .as[graft.streaming.StreamingKmv.KmvIn]
+    val folded = graft.streaming.StreamingKmv.sketch(s, in).toDF()
+      .groupBy(col("grp").as("event_type"))
+      .agg(max(col("nKept")).as("n_kept"), min(col("theta")).as("theta"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    folded.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(when(col("theta").isNull, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("theta")), 4).as("est"),
+        col("n_exact"))
+      .select(col("event_type"), col("est"), col("n_exact"),
+        round(lit(100.0) * (col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 4).as("err_pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamKmvSql: String = sketchKmvSql
 
   val streamHllSql: String = {
     val lz = "CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END"
@@ -2109,6 +2147,77 @@ object Relational {
       |  (ssb / CAST(g - 1 AS DOUBLE)) / (ssw / CAST(n_total - g AS DOUBLE)) AS f_stat
       |FROM f""".stripMargin
 
+  /** Poisson bootstrap of the mean order total (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams" — the bootstrap
+    * that works in one pass at 100 TB: each row's multiplicity in
+    * replicate b is an independent Poisson(1) draw, so no resample
+    * ever needs a global shuffle; B counters ride map-side). The draws
+    * are DETERMINISTIC: u = md5(orderkey:b) → [0,1) (the sketch_kmv
+    * normalizer), inverted through the Poisson(1) CDF as literal
+    * thresholds (capped at 4, P > 99.6%), so the DuckDB oracle replays
+    * every weight bit-for-bit. Replicate means use decimal-exact
+    * weighted sums; the bootstrap SE folds the 32 replicate means in
+    * b-order (the stats_chisq discipline) — every double bit-exact.
+    */
+  def statsBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import Exact.Dec
+    val B = 32
+    // Poisson(1) CDF: P(≤0), P(≤1), P(≤2), P(≤3); tail mass → w = 4
+    val t = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462)
+    val rows = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("u",
+        conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 13), 16, 10)
+          .cast("long").cast("double") / lit(4503599627370496.0))
+      .withColumn("w",
+        when(col("u") < t(0), 0L).when(col("u") < t(1), 1L)
+          .when(col("u") < t(2), 2L).when(col("u") < t(3), 3L).otherwise(4L))
+    val means = rows.groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum((col("w") * col("v").cast(Dec)).cast("decimal(18,2)"))
+          .cast("double").as("sv"))
+      .withColumn("mean_b", col("sv") / col("n_eff").cast("double"))
+    val se = means.agg(
+        sort_array(collect_list(struct(col("b"), col("mean_b")))).as("ms"))
+      .withColumn("mm",
+        aggregate(transform(col("ms"), x => x.getField("mean_b")),
+          lit(0.0), (a, v) => a + v) / lit(B.toDouble))
+      .select(sqrt(aggregate(
+        transform(col("ms"), x =>
+          (x.getField("mean_b") - col("mm")) * (x.getField("mean_b") - col("mm"))),
+        lit(0.0), (a, v) => a + v) / lit((B - 1).toDouble)).as("boot_se"))
+    means.crossJoin(broadcast(se))
+      .select(col("b"), col("n_eff"), col("mean_b"), col("boot_se"))
+      .orderBy(col("b"))
+  }
+
+  val statsBootstrapSql: String =
+    """WITH reps AS (SELECT CAST(unnest(range(32)) AS INT) AS b),
+      |rows_w AS (SELECT b, o_totalprice AS v,
+      |    CASE WHEN u < 0.36787944117144233e0 THEN 0
+      |         WHEN u < 0.7357588823428847e0 THEN 1
+      |         WHEN u < 0.9196986029286058e0 THEN 2
+      |         WHEN u < 0.9810118431238462e0 THEN 3 ELSE 4 END AS w
+      |  FROM (SELECT b, o_totalprice,
+      |      CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
+      |        || ':' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+      |        / 4503599627370496.0e0 AS u
+      |    FROM orders CROSS JOIN reps)),
+      |means AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+      |    CAST(SUM(CAST(w * CAST(v AS DECIMAL(18,6)) AS DECIMAL(18,2)))
+      |      AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+      |  FROM rows_w GROUP BY b),
+      |mm AS (SELECT list_reduce(list_prepend(0.0e0, list(mean_b ORDER BY b)),
+      |    (a, v) -> a + v) / 32.0e0 AS m FROM means),
+      |se AS (SELECT sqrt(list_reduce(list_prepend(0.0e0,
+      |    list((mean_b - m) * (mean_b - m) ORDER BY b)),
+      |    (a, v) -> a + v) / 31.0e0) AS boot_se FROM means CROSS JOIN mm)
+      |SELECT b, n_eff, mean_b, boot_se FROM means CROSS JOIN se
+      |ORDER BY b""".stripMargin
+
   /** Weighted single-source shortest paths (Bellman–Ford, 4 fixed
     * relaxation rounds) over the co-supply graph with edge cost
     * 1000 div shared — stronger co-supply ties are cheaper, so the
@@ -2228,7 +2337,35 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** Explicit GROUPING SETS — the third of the multi-dimensional
+    * aggregation trio beside facet_cube (full lattice) and
+    * facet_rollup (hierarchy): exactly the marginals a dashboard
+    * needs ((returnflag), (linestatus), ()) in ONE pass, skipping the
+    * cross cells a CUBE would also compute — at 100 TB the difference
+    * between 3 and 2^n aggregate streams. grouping_id tells subtotal
+    * rows from data nulls.
+    */
+  def facetGsets(s: SparkSession, dir: String): DataFrame = {
+    import Exact.dsum
+    Tables(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val facetGsetsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
     "facet_rollup" -> (facetRollup _),
@@ -2253,6 +2390,7 @@ object Relational {
     "approx_distinct_hll" -> (approxDistinctHll _),
     "sketch_kmv" -> (sketchKmv _),
     "stats_anova" -> (statsAnova _),
+    "stats_bootstrap" -> (statsBootstrap _),
     "basket_pairs" -> (basketPairs _),
     "ts_histogram" -> (tsHistogram _),
     "graph_transitions" -> (graphTransitions _),
@@ -2265,6 +2403,7 @@ object Relational {
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_merge" -> (sketchHllMerge _),
     "stream_hll" -> (streamHll _),
+    "stream_kmv" -> (streamKmv _),
     "bloom_semi_join" -> (bloomSemiJoin _),
     "facet_cube" -> (facetCube _),
     "agg_pricing" -> (aggPricing _),
@@ -2281,6 +2420,7 @@ object Relational {
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,
+    "facet_gsets" -> facetGsetsSql,
     "stats_ttest" -> statsTtestSql,
     "stats_wilson" -> statsWilsonSql,
     "stats_gini" -> statsGiniSql,
@@ -2302,6 +2442,7 @@ object Relational {
     "approx_distinct_hll" -> approxDistinctHllSql,
     "sketch_kmv" -> sketchKmvSql,
     "stats_anova" -> statsAnovaSql,
+    "stats_bootstrap" -> statsBootstrapSql,
     "basket_pairs" -> basketPairsSql,
     "ts_histogram" -> tsHistogramSql,
     "graph_transitions" -> graphTransitionsSql,
@@ -2314,6 +2455,7 @@ object Relational {
     "cohort_retention" -> cohortRetentionSql,
     "sketch_hll_merge" -> sketchHllMergeSql,
     "stream_hll" -> streamHllSql,
+    "stream_kmv" -> streamKmvSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "facet_cube" -> facetCubeSql,
     "agg_pricing" -> aggPricingSql,

@@ -527,6 +527,97 @@ object TimeSeriesQueries {
       |  ON e.user_id = m.user_id AND e.ts <= m.ts
       |ORDER BY event_id""".stripMargin
 
+  /** NEAREST-marker as-of: each event matched to whichever marker is
+    * closer in time — backward on ties (the pandas merge_asof
+    * direction='nearest' contract, which neither Spark nor DuckDB has
+    * natively). Composed from the two directional primitives: one
+    * [[graft.operators.AsOf.joinBackward]] + one
+    * [[graft.operators.AsOf.joinForward]] (one keyed shuffle each, the
+    * operator minimum) combined on the event key with an integer lag
+    * comparison — no new join machinery, no extra scan of the marker
+    * side. The oracle mirrors with DuckDB's two native ASOF directions
+    * and the same CASE, so the composition contract is certified, not
+    * just each leg.
+    */
+  def tsAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+    val markers = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("m_id"))
+      .select(col("user_id"), col("ts"), col("m_id"), col("ts").as("m_ts"))
+    val left = ev.select(col("user_id"), col("ts"), col("event_id"))
+    val back = graft.operators.AsOf.joinBackward(left, markers,
+        key = Seq("user_id"), ts = "ts", payload = Seq("m_id", "m_ts"))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("asof_m_id").as("b_id"),
+        (unix_millis(col("ts")) - unix_millis(col("asof_m_ts"))).as("b_lag"))
+    val fwd = graft.operators.AsOf.joinForward(left, markers,
+        key = Seq("user_id"), ts = "ts", payload = Seq("m_id", "m_ts"))
+      .select(col("event_id"),
+        col("asof_m_id").as("f_id"),
+        (unix_millis(col("asof_m_ts")) - unix_millis(col("ts"))).as("f_lag"))
+    back.join(fwd, Seq("event_id"))
+      .withColumn("take_b",
+        col("f_id").isNull || (col("b_id").isNotNull && col("b_lag") <= col("f_lag")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        when(col("take_b"), col("b_id")).otherwise(col("f_id")).as("marker_id"),
+        when(col("take_b"), col("b_lag")).otherwise(-col("f_lag")).as("signed_lag_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val tsAsofNearestSql: String =
+    """WITH mk AS (SELECT user_id, ts, MAX(event_id) AS m_id
+      |  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+      |b AS (SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+      |    m.m_id AS b_id, epoch_ms(e.ts) - epoch_ms(m.ts) AS b_lag
+      |  FROM events e ASOF LEFT JOIN mk m
+      |    ON e.user_id = m.user_id AND e.ts >= m.ts),
+      |f AS (SELECT e.event_id, m.m_id AS f_id,
+      |    epoch_ms(m.ts) - epoch_ms(e.ts) AS f_lag
+      |  FROM events e ASOF LEFT JOIN mk m
+      |    ON e.user_id = m.user_id AND e.ts <= m.ts)
+      |SELECT b.event_id, b.user_id, b.ts_ms,
+      |  CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND b_lag <= f_lag)
+      |    THEN b_id ELSE f_id END AS marker_id,
+      |  CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND b_lag <= f_lag)
+      |    THEN b_lag ELSE -f_lag END AS signed_lag_ms
+      |FROM b JOIN f ON f.event_id = b.event_id
+      |ORDER BY b.event_id""".stripMargin
+
+  /** The ranking-function battery in ONE keyed window pass — rank,
+    * dense_rank, percent_rank, cume_dist, ntile(4) over orders ranked
+    * by price within priority class. All five share a single sort
+    * (one shuffle); percent_rank and cume_dist are each one division
+    * of exact ints, so doubles are bit-identical cross-engine; the
+    * (o_totalprice DESC, o_orderkey) order is total, making every
+    * rank deterministic.
+    */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val windowRanksSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Interval×interval overlap join ([[graft.operators.IntervalJoin
     * .joinIntervalOverlap]]): every 6-hour maintenance window matched
     * to each 3-hour activity window it overlaps for the same user,
@@ -1549,6 +1640,8 @@ object TimeSeriesQueries {
     "snapshot_diff" -> (snapshotDiff _),
     "ts_asof" -> (tsAsof _),
     "ts_asof_fwd" -> (tsAsofFwd _),
+    "ts_asof_nearest" -> (tsAsofNearest _),
+    "window_ranks" -> (windowRanks _),
     "stream_asof" -> (streamAsof _),
     "ts_range_join" -> (tsRangeJoin _),
     "ts_interval_overlap" -> (tsIntervalOverlap _),
@@ -1589,6 +1682,8 @@ object TimeSeriesQueries {
     "snapshot_diff" -> snapshotDiffSql,
     "ts_asof" -> tsAsofSql,
     "ts_asof_fwd" -> tsAsofFwdSql,
+    "ts_asof_nearest" -> tsAsofNearestSql,
+    "window_ranks" -> windowRanksSql,
     "stream_asof" -> streamAsofSql,
     "ts_range_join" -> tsRangeJoinSql,
     "ts_interval_overlap" -> tsIntervalOverlapSql,

@@ -224,6 +224,83 @@ class Round5OpsSpec extends SparkSpec {
     val ramp = ImageCodec.encodePngColumns(Array.tabulate(18)(c => c * 14), 16)
     assert(ImageCodec.dHashBits(ramp).get == "1" * 64)
   }
+  test("ts_asof_nearest picks the closer marker, backward on ties") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // markers mirror the query: event_id % 10 == 0, max id per (user, ts)
+    val markers = ev.filter(_._3 % 10 == 0)
+      .groupBy(e => (e._1, e._2)).map { case ((u, t), es) => (u, t, es.map(_._3).max) }
+      .toSeq
+    val byUser = markers.groupBy(_._1)
+    val expect = ev.map { case (u, t, id) =>
+      val ms = byUser.getOrElse(u, Nil)
+      val back = ms.filter(_._2 <= t)
+        .sortBy(m => (m._2, m._3)).lastOption // latest ts; ties max id
+      val fwd = ms.filter(_._2 >= t)
+        .sortBy(m => (m._2, -m._3)).headOption // earliest ts; ties max id
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) Some((b._3, t - b._2)) else Some((f._3, -(f._2 - t)))
+        case (Some(b), None) => Some((b._3, t - b._2))
+        case (None, Some(f)) => Some((f._3, -(f._2 - t)))
+        case _ => None
+      }
+      id -> pick
+    }.toMap
+    val got = TimeSeriesQueries.tsAsofNearest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, p) => assert(got(id) == p, s"event $id") }
+  }
+
+  test("stats_bootstrap: exact Poisson-weight replay, sane n_eff and SE") {
+    val rows = Relational.statsBootstrap(spark, dir).collect()
+    assert(rows.length == 32)
+    val orders = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val t = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462)
+    def weight(key: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$b".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 13)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+      t.indexWhere(u < _) match { case -1 => 4L; case i => i.toLong }
+    }
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val nEff = orders.map(weight(_, b)).sum
+      assert(r.getLong(1) == nEff, s"replicate $b n_eff")
+      // Poisson(1) multiplicities: n_eff concentrates near n
+      assert(math.abs(nEff - orders.length).toDouble / orders.length < 0.1)
+    }
+    val se = rows.head.getDouble(3)
+    assert(se > 0.0 && rows.forall(_.getDouble(3) == se))
+  }
+
+  test("window_ranks: percent_rank and cume_dist equal their closed forms") {
+    val rows = TimeSeriesQueries.windowRanks(spark, dir).collect()
+      .map(r => (r.getString(1), r.getInt(3), r.getDouble(5), r.getDouble(6)))
+    val sizes = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    rows.foreach { case (p, rnk, prnk, cdist) =>
+      val n = sizes(p)
+      assert(prnk == (rnk - 1).toDouble / (n - 1).toDouble, s"$p rank $rnk")
+      // total order (unique key tiebreak) -> cume_dist = rank / n
+      assert(cdist == rnk.toDouble / n.toDouble, s"$p rank $rnk")
+    }
+  }
+
+  test("facet_gsets emits exactly the three requested marginals") {
+    val li = graft.Tables(spark, dir, "lineitem")
+    val nFlag = li.select("l_returnflag").distinct().count()
+    val nStatus = li.select("l_linestatus").distinct().count()
+    val rows = Relational.facetGsets(spark, dir).collect()
+    assert(rows.length == nFlag + nStatus + 1)
+    val grand = rows.filter(_.getLong(4) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(2) == li.count())
+  }
 }
 
 /** Collects the query result in a null-safe shape. */
