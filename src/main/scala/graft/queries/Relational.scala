@@ -1674,6 +1674,70 @@ object Relational {
       |SELECT node, deg FROM d4 WHERE deg >= 2 ORDER BY node""".stripMargin
   }
 
+  /** Per-source freshness / staleness report — the data-quality
+    * monitor a feed pipeline alerts on: last event time per type, lag
+    * behind the freshest source, and trailing-7-day volume vs total.
+    * One conditional-sum pass (the dq_report discipline) + a broadcast
+    * of the single global-max row; all integer ms arithmetic.
+    */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val g = ev.agg(max(col("ts_ms")).as("g_max"))
+    ev.crossJoin(broadcast(g))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        max(col("ts_ms")).as("last_ts_ms"),
+        max(col("g_max")).as("g_max"),
+        sum(when(col("ts_ms") >= col("g_max") - 604800000L, 1L).otherwise(0L))
+          .as("n_last7d"))
+      .select(col("event_type"), col("n_total"), col("last_ts_ms"),
+        (col("g_max") - col("last_ts_ms")).as("lag_ms"), col("n_last7d"))
+      .orderBy(col("event_type"))
+  }
+
+  val dqFreshnessSql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |g AS (SELECT MAX(ts_ms) AS g_max FROM ev)
+      |SELECT event_type, COUNT(*) AS n_total, MAX(ts_ms) AS last_ts_ms,
+      |  MAX(g_max) - MAX(ts_ms) AS lag_ms,
+      |  CAST(SUM(CASE WHEN ts_ms >= g_max - 604800000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_last7d
+      |FROM ev CROSS JOIN g GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Connected components of the co-supply graph — the canonical
+    * graph-partition query (supply-chain islands), via the same
+    * fixpoint min-label propagation the dedup plane uses
+    * ([[graft.operators.Dedup.clusters]] — per-round cost one
+    * join+agg on the edge set, label-sum convergence witness). The
+    * oracle computes TRUE components through a recursive-CTE
+    * transitive closure, so the iteration is certified exact, not
+    * just converged (the dedup_cluster / er_cluster convention, on
+    * the graph index).
+    */
+  def graphCc(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir).select(col("u").as("id_a"), col("v").as("id_b"))
+    val lbl = Dedup.clusters(edges, maxIter = 20)
+    val sizes = lbl.groupBy(col("cluster")).agg(count(lit(1)).as("component_size"))
+    lbl.join(sizes, "cluster")
+      .select(col("id").as("node"), col("cluster").as("component"),
+        col("component_size"))
+      .orderBy(col("node"))
+  }
+
+  val graphCcSql: String =
+    s"""WITH RECURSIVE $CoSupplyCtes,
+      |e2 AS (SELECT u AS id_a, v AS id_b FROM edges
+      |  UNION SELECT v, u FROM edges),
+      |reach(a, b) AS (
+      |  SELECT id_a, id_b FROM e2
+      |  UNION
+      |  SELECT r.a, e.id_b FROM reach r JOIN e2 e ON r.b = e.id_a),
+      |lbl AS (SELECT a AS id, least(a, MIN(b)) AS component FROM reach GROUP BY a),
+      |sz AS (SELECT component, COUNT(*) AS component_size FROM lbl GROUP BY component)
+      |SELECT id AS node, component, component_size
+      |FROM lbl JOIN sz USING (component) ORDER BY node""".stripMargin
+
   /** 2-D skyline (Pareto frontier) of the part table — cheapest price
     * vs largest size, the min/max dominance query. Exact without a
     * self-join: collapse to the best (max) size per distinct price,
@@ -2378,6 +2442,8 @@ object Relational {
     "stats_benford" -> (statsBenford _),
     "graph_labelprop" -> (graphLabelprop _),
     "graph_kcore" -> (graphKcore _),
+    "graph_cc" -> (graphCc _),
+    "dq_freshness" -> (dqFreshness _),
     "graph_modularity" -> (graphModularity _),
     "skyline_parts" -> (skylineParts _),
     "stats_corr" -> (statsCorr _),
@@ -2430,6 +2496,8 @@ object Relational {
     "stats_benford" -> statsBenfordSql,
     "graph_labelprop" -> graphLabelpropSql,
     "graph_kcore" -> graphKcoreSql,
+    "graph_cc" -> graphCcSql,
+    "dq_freshness" -> dqFreshnessSql,
     "graph_modularity" -> graphModularitySql,
     "skyline_parts" -> skylinePartsSql,
     "stats_corr" -> statsCorrSql,

@@ -352,4 +352,24 @@ class PlanSpec extends SparkSpec {
     assert("Exchange (hash|range)partitioning".r.findAllIn(lp).length <= 3,
       s"community-size join + output sort only:\n$lp")
   }
+
+  test("round-5 joins: knn graph, containment, nearest as-of ride equi-joins, never nested-loop") {
+    Seq(
+      graft.queries.DedupSim.simKnnGraph _,
+      graft.queries.DedupSim.dedupContainment _,
+      TimeSeriesQueries.tsAsofNearest _).foreach { q =>
+      val p = q(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"all round-5 pairing must be equi-join shaped:\n$p")
+    }
+  }
+
+  test("stats_bootstrap: replicate means partial-aggregate map-side (B counters per partition)") {
+    val p = Relational.statsBootstrap(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      s"the Poisson bootstrap's whole point is map-side B-counter combine:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      "CartesianProduct".r.findAllIn(p).length <= 2,
+      s"only the 1-row SE/mean broadcasts may cross-join:\n$p")
+  }
 }
