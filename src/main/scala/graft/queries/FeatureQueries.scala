@@ -114,6 +114,33 @@ object FeatureQueries {
       .select(col("v"), col("c"), col("cum"), col("n"))
   }
 
+  /** Grouped [[cumRanks]]: exact cumulative rank per distinct value
+    * WITHIN each group `g`, same two-level shape — per-(g,bucket)
+    * offsets prefix-summed in a window over ≤1024 rows per group, the
+    * within-bucket remainder in a (g,bucket)-keyed window. The offsets
+    * table is |groups|·1024 rows (broadcastable for any bounded group
+    * alphabet), so no per-group global sort exists at any corpus size.
+    * Input (g, v, c) → output (g, v, c, cum, n) with n = group total.
+    */
+  private[queries] def cumRanksBy(vals: DataFrame): DataFrame = {
+    val rng = vals.groupBy(col("g")).agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), sum(col("c")).as("n"))
+    val bucketed = vals.join(broadcast(rng), "g")
+      .withColumn("bucket",
+        least(floor((col("v") - col("lo")) * 1024.0 /
+          greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("g"), col("bucket"))
+      .agg(sum(col("c")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(
+        Window.partitionBy(col("g")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("g"), col("bucket"), col("off"))
+    val wb = Window.partitionBy(col("g"), col("bucket")).orderBy(col("v"))
+    bucketed.join(broadcast(offsets), Seq("g", "bucket"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wb))
+      .select(col("g"), col("v"), col("c"), col("cum"), col("n"))
+  }
+
   private def orderPriceCounts(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")
       .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("c"))

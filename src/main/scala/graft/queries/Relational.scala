@@ -454,6 +454,28 @@ object Relational {
 
   val streamKmvSql: String = sketchKmvSql
 
+  /** STREAMING exact first-seen dedup ([[graft.streaming.StreamingDedup]]
+    * — one marker bit of state per distinct key): every (type, user)
+    * key is emitted exactly once across all batches, so the per-type
+    * count of emissions equals the batch COUNT(DISTINCT) — the stream
+    * operator is oracle-equal by construction, any batch split.
+    * The multi-batch MemoryStream proof lives in StreamingDedupSpec.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = Tables(s, dir, "events")
+      .select(col("event_type").as("grp"), col("user_id").as("id"))
+      .as[graft.streaming.StreamingDedup.KeyIn]
+    graft.streaming.StreamingDedup.firstSeen(s, in).toDF()
+      .groupBy(col("grp").as("event_type"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val streamHllSql: String = {
     val lz = "CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END"
     val a = graft.functions.Sketches.HllAlphaM2
@@ -2245,16 +2267,30 @@ object Relational {
       0.9196986029286058, 0.9810118431238462)
       .map(t => f"${math.floor(t * 4294967296.0).toLong + 1L}%08x")
 
-  def statsBootstrap(s: SparkSession, dir: String): DataFrame = {
-    import Exact.Dec
+  /** The bootstrap's B×N→B aggregation, pre-barrier — all-LONG
+    * accumulation (the abc_parts cents trick): 2-decimal prices become
+    * exact integer cents, so the B×N aggregate is pure codegen'd long
+    * arithmetic — the decimal(38,·) formulation boxed a BigDecimal per
+    * row and dominated the query's cost. Exposed for the PlanSpec pin
+    * (map-side partial_sum): inside [[statsBootstrap]] it sits behind
+    * an eager localCheckpoint, which erases it from the final plan.
+    */
+  private[graft] def statsBootstrapMeans(rows: DataFrame): DataFrame =
+    rows.groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * round(col("v") * 100.0).cast("long")).as("sc"))
+      // ANSI guard: a replicate can draw all-zero weights only on a
+      // degenerate (near-empty) corpus — NULL mean, never a throw
+      .withColumn("mean_b",
+        when(col("n_eff") > 0,
+          (col("sc").cast("double") / lit(100.0)) / col("n_eff").cast("double")))
+
+  /** Poisson-weight inputs for [[statsBootstrapMeans]]; shared with the
+    * PlanSpec pin. */
+  private[graft] def statsBootstrapRows(s: SparkSession, dir: String): DataFrame = {
     val B = 32
     val cuts = PoissonHexCuts
-    // A/B note (measured, fresh plans ×3 at sf0.1): one-md5-per-draw
-    // with a flat explode runs 2.8-3.1s; a "quarter the hashes" variant
-    // (one md5 per 4 draws via bindOnce + posexplode) runs 3.8-5.7s —
-    // the Generate + nested-lambda overhead exceeds the md5 savings,
-    // so the flat form ships
-    val rows = Tables(s, dir, "orders")
+    Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice").as("v"))
       .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
       .withColumn("u", expr(
@@ -2263,22 +2299,22 @@ object Relational {
       .withColumn("w",
         when(col("u") < cuts(0), 0L).when(col("u") < cuts(1), 1L)
           .when(col("u") < cuts(2), 2L).when(col("u") < cuts(3), 3L).otherwise(4L))
-    // all-LONG accumulation (the abc_parts cents trick): 2-decimal
-    // prices become exact integer cents, so the B×N aggregate is pure
-    // codegen'd long arithmetic — the decimal(38,·) formulation boxed
-    // a BigDecimal per row and dominated the query's cost
-    val means = rows.groupBy(col("b"))
-      .agg(sum(col("w")).as("n_eff"),
-        sum(col("w") * round(col("v") * 100.0).cast("long")).as("sc"))
-      // ANSI guard: a replicate can draw all-zero weights only on a
-      // degenerate (near-empty) corpus — NULL mean, never a throw
-      .withColumn("mean_b",
-        when(col("n_eff") > 0,
-          (col("sc").cast("double") / lit(100.0)) / col("n_eff").cast("double")))
-      // 32-row barrier: means feeds the SE fold AND the final output —
-      // without it both consumers re-run the B×N md5/weight pipeline
-      // (the dq_psi lesson; measured 8.4s → 2.9s at sf0.1)
-      .localCheckpoint(true)
+  }
+
+  def statsBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    // A/B note (measured, fresh plans ×3 at sf0.1): one-md5-per-draw
+    // with a flat explode runs 2.8-3.1s; a "quarter the hashes" variant
+    // (one md5 per 4 draws via bindOnce + posexplode) runs 3.8-5.7s —
+    // the Generate + nested-lambda overhead exceeds the md5 savings,
+    // so the flat form ships
+    val rows = statsBootstrapRows(s, dir)
+    // 32-row barrier: means feeds the SE fold AND the final output —
+    // without it both consumers re-run the B×N md5/weight pipeline
+    // (the dq_psi lesson; measured 8.4s → 2.9s at sf0.1). The plan pin
+    // for the pre-barrier aggregate lives on [[statsBootstrapMeans]]
+    // (the barrier hides it behind a Scan ExistingRDD here).
+    val means = statsBootstrapMeans(rows).localCheckpoint(true)
     val se = means.agg(
         sort_array(collect_list(struct(col("b"), col("mean_b")))).as("ms"))
       .withColumn("mm",
@@ -2463,7 +2499,242 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** k-anonymity audit (k=5) over the quasi-identifier triple
+    * (event_type, weekday, value-bucket): class sizes are exact
+    * integer counts, so the report — smallest equivalence class,
+    * classes and rows below k — hashes exactly. The privacy gate a
+    * training pipeline runs before releasing derived tables; one
+    * keyed aggregation then a 1-row fold, the same plan at any scale.
+    * Weekday uses the engine-neutral (epoch_day+4) mod 7; the value
+    * bucket is floor(value/100), one IEEE divide+floor cross-engine.
+    */
+  def dqKanon(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long") + 4, lit(7)).as("dow"),
+        when(col("value").isNull, lit(-1L))
+          .otherwise(floor(col("value") / 100.0)).as("vb"))
+      .groupBy(col("event_type"), col("dow"), col("vb"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(lit(k.toLong).as("k"),
+        count(lit(1)).as("n_classes"),
+        min(col("cnt")).as("k_anonymity"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("rows_below_k"))
+  }
+
+  val dqKanonSql: String =
+    """WITH c AS (SELECT event_type,
+      |    (CAST(epoch_ms(ts) // 86400000 AS BIGINT) + 4) % 7 AS dow,
+      |    CASE WHEN value IS NULL THEN -1
+      |      ELSE CAST(floor(value / 100.0e0) AS BIGINT) END AS vb,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT CAST(5 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(cnt) AS BIGINT) AS k_anonymity,
+      |  CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+      |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k
+      |FROM c""".stripMargin
+
+  private val HitsIters = 3
+
+  /** Weighted HITS (Kleinberg hubs/authorities) over the event-type
+    * transition graph — the link-analysis companion to
+    * [[graphPagerank]], same scaled-integer discipline: scores ×10⁶,
+    * every iteration is (edge join → integer sum → L1 normalize via
+    * exact integral `div`), so the oracle REPLAYS all three unrolled
+    * iterations bit-for-bit. Normalization totals are exact integer
+    * sums (never a float reduction); `div` is Spark's integral
+    * division (no IEEE step, unlike the double-division intdiv trick,
+    * so 10¹⁸-scale numerators stay exact). Scale shape: per iteration
+    * two keyed edge joins + aggregates plus a broadcastable 1-row
+    * total — the pagerank shape; iterations fixed, never
+    * data-dependent.
+    */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    (1 to HitsIters).foreach { _ =>
+      val araw = nodes.join(
+          edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("ar")),
+          nodes("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+      auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("at"))))
+        .select(col("node"), expr("(ar * 1000000) div at").as("a"))
+      val hraw = nodes.join(
+          edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src")).agg(sum(col("w") * col("a")).as("hr")),
+          nodes("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+      hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("ht"))))
+        .select(col("node"), expr("(hr * 1000000) div ht").as("h"))
+    }
+    val out = hub.select(col("node"), col("h").as("hub_score"))
+      .join(auth.select(col("node"), col("a").as("auth_score")), "node")
+      .orderBy(col("node"))
+      .localCheckpoint(true)
+    graft.Caches.free(edges)
+    out
+  }
+
+  val graphHitsSql: String = {
+    val base =
+      """ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |nx AS (SELECT event_type AS src, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS dst FROM ev),
+        |edges AS (SELECT src, dst, COUNT(*) AS w FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)""".stripMargin
+    val iters = (1 to HitsIters).map { i =>
+      s"""a${i}r AS (SELECT n.node, COALESCE(CAST(SUM(e.w * h.h) AS BIGINT), 0) AS ar
+         |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN h${i - 1} h ON h.node = e.src GROUP BY n.node),
+         |a$i AS (SELECT node, (ar * 1000000) // (SELECT CAST(SUM(ar) AS BIGINT) FROM a${i}r) AS a FROM a${i}r),
+         |h${i}r AS (SELECT n.node, COALESCE(CAST(SUM(e.w * a.a) AS BIGINT), 0) AS hr
+         |  FROM nodes n LEFT JOIN edges e ON e.src = n.node
+         |  LEFT JOIN a$i a ON a.node = e.dst GROUP BY n.node),
+         |h$i AS (SELECT node, (hr * 1000000) // (SELECT CAST(SUM(hr) AS BIGINT) FROM h${i}r) AS h FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$iters
+       |SELECT node, h$HitsIters.h AS hub_score, a$HitsIters.a AS auth_score
+       |FROM h$HitsIters JOIN a$HitsIters USING (node) ORDER BY node""".stripMargin
+  }
+
+  /** Spearman rank correlation of quantity vs price per return flag —
+    * the robust companion to [[statsCorr]] (Pearson): identical moment
+    * machinery, but over EXACT average ranks. Ranks come from the
+    * grouped two-level cumulative ([[FeatureQueries.cumRanksBy]] — no
+    * per-group global sort at any scale); ties get the average rank,
+    * carried DOUBLED (2·cum − c + 1, an integer — min rank cum−c+1
+    * plus (c−1)/2, times two) so tied ranks stay integral and the
+    * constant factor cancels in the correlation. Moments accumulate in
+    * DECIMAL(38,0) and the rho arithmetic is the statsCorr IEEE chain,
+    * so the emitted double is bit-exact cross-engine.
+    */
+  def statsSpearman(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_extendedprice") * 100.0).cast("long").as("p"))
+    def ranks(v: String): DataFrame = FeatureQueries.cumRanksBy(
+        rows.groupBy(col("g"), col(v).as("v")).agg(count(lit(1)).as("c")))
+      .select(col("g"), col("v").as(v),
+        (lit(2L) * col("cum") - col("c") + lit(1L)).as(s"r_$v"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    rows.join(ranks("q"), Seq("g", "q")).join(ranks("p"), Seq("g", "p"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("r_q"), "sx"), dsum(col("r_p"), "sy"),
+        dsum(col("r_q") * col("r_p"), "sxy"),
+        dsum(col("r_q") * col("r_q"), "sxx"),
+        dsum(col("r_p") * col("r_p"), "syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("g").as("l_returnflag"), col("n").cast("long").as("n"),
+        when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
+          col("num") / (sqrt(col("vx")) * sqrt(col("vy")))).as("rho"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsSpearmanSql: String =
+    """WITH r0 AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS p FROM lineitem),
+      |rq AS (SELECT g, q AS v, COUNT(*) AS c FROM r0 GROUP BY 1, 2),
+      |rqr AS (SELECT g, v, 2 * CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - c + 1 AS r FROM rq),
+      |rp AS (SELECT g, p AS v, COUNT(*) AS c FROM r0 GROUP BY 1, 2),
+      |rpr AS (SELECT g, v, 2 * CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - c + 1 AS r FROM rp),
+      |j AS (SELECT r0.g, rqr.r AS rx, rpr.r AS ry FROM r0
+      |  JOIN rqr ON rqr.g = r0.g AND rqr.v = r0.q
+      |  JOIN rpr ON rpr.g = r0.g AND rpr.v = r0.p),
+      |m AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM j GROUP BY g),
+      |d AS (SELECT *, (n * sxy - sx * sy) AS num,
+      |    (n * sxx - sx * sx) AS vx, (n * syy - sy * sy) AS vy FROM m)
+      |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN vx <> 0 AND vy <> 0 THEN num / (sqrt(vx) * sqrt(vy)) END AS rho
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
+  /** Mann–Kendall monotonic-trend test per event type: S = Σ_{i<j}
+    * sign(y_j − y_i) over the DAILY count series, tau-b with the tie
+    * correction (days are unique so only the y side has ties). The
+    * pair expansion is a self-join on the daily aggregate — O(days²)
+    * per type, bounded by the CALENDAR (≤366²/2 pairs per type-year),
+    * not by corpus size, so the shape survives any scale-up. Every
+    * intermediate is an exact integer; tau is the single final IEEE
+    * chain S / (√D · √(D−T_y)), mirrored op-for-op by the oracle.
+    */
+  def statsKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("y").as("y2"))
+    val sStat = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("y2") > col("y1"), 1L)
+        .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("s_raw"))
+    val ties = daily.groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).as("n"), sum(expr("(t * (t - 1)) div 2")).as("ty"))
+    ties.join(sStat, Seq("event_type"), "left")
+      .withColumn("s_stat", coalesce(col("s_raw"), lit(0L)))
+      .withColumn("dd", expr("(n * (n - 1)) div 2"))
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        when(col("dd") > 0 && (col("dd") - col("ty")) > 0,
+          col("s_stat").cast("double") /
+            (sqrt(col("dd").cast("double")) *
+              sqrt((col("dd") - col("ty")).cast("double")))).as("tau"))
+      .orderBy(col("event_type"))
+  }
+
+  val statsKendallSql: String =
+    """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    COUNT(*) AS y FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_raw
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |t AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+      |    CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS ty
+      |  FROM (SELECT event_type, y, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |d AS (SELECT t.event_type, t.n, COALESCE(p.s_raw, 0) AS s_stat,
+      |    (t.n * (t.n - 1)) // 2 AS dd, t.ty
+      |  FROM t LEFT JOIN p USING (event_type))
+      |SELECT event_type, n AS n_days, s_stat,
+      |  CASE WHEN dd > 0 AND dd - ty > 0
+      |    THEN CAST(s_stat AS DOUBLE) / (sqrt(CAST(dd AS DOUBLE)) * sqrt(CAST(dd - ty AS DOUBLE))) END AS tau
+      |FROM d ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_spearman" -> (statsSpearman _),
+    "stats_kendall" -> (statsKendall _),
+    "graph_hits" -> (graphHits _),
+    "stream_dedup" -> (streamDedup _),
+    "dq_kanon" -> (dqKanon _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -2518,6 +2789,11 @@ object Relational {
     "temporal_region" -> (temporalRegion _))
 
   val oracles: Map[String, String] = Map(
+    "stats_spearman" -> statsSpearmanSql,
+    "stats_kendall" -> statsKendallSql,
+    "graph_hits" -> graphHitsSql,
+    "stream_dedup" -> streamDedupSql,
+    "dq_kanon" -> dqKanonSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

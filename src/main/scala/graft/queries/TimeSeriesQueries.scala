@@ -1615,7 +1615,67 @@ object TimeSeriesQueries {
       |  (st.s1 * 2.0e0 - st.s2) + (st.s1 - st.s2) AS forecast
       |FROM f ORDER BY user_id""".stripMargin
 
+  /** Seasonal-naive forecast with an in-query backtest: forecast(d) =
+    * y(d−7) on the per-type DAILY count series; the evaluation join is
+    * the series against itself shifted one season — one keyed
+    * equi-join at any scale. Error metrics stay exact: MAE and WAPE
+    * are single divisions of integer sums (never a float-per-row sum),
+    * and forecast_next is a SELECTED count (y at last_day−6, i.e. the
+    * seasonal-naive prediction for the day after the series ends).
+    * The baseline every forecasting pipeline must beat — worth having
+    * as the exact yardstick next to ts_holt/ts_decompose.
+    */
+  def tsForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val shifted = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("y").as("f"))
+    val err = daily.join(shifted, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("f"))).as("sae"),
+        sum(col("y")).as("sy"))
+    val last = daily.groupBy(col("event_type")).agg(max(col("day")).as("last_day"))
+    val nextDay = daily.select(col("event_type").as("et"), col("day").as("d"),
+      col("y").as("forecast_next"))
+    last.join(err, Seq("event_type"), "left")
+      .join(nextDay, last("event_type") === nextDay("et") &&
+        nextDay("d") === last("last_day") - 6, "left")
+      .select(col("event_type"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        when(col("n_eval") > 0,
+          col("sae").cast("double") / col("n_eval").cast("double")).as("mae"),
+        when(col("sy") > 0,
+          col("sae").cast("double") / col("sy").cast("double")).as("wape"),
+        col("forecast_next"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsForecastSql: String =
+    """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    COUNT(*) AS y FROM events GROUP BY 1, 2),
+      |j AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |    CAST(SUM(abs(a.y - b.y)) AS BIGINT) AS sae,
+      |    CAST(SUM(a.y) AS BIGINT) AS sy
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND b.day = a.day - 7
+      |  GROUP BY 1),
+      |lastd AS (SELECT event_type, CAST(MAX(day) AS BIGINT) AS last_day
+      |  FROM daily GROUP BY 1)
+      |SELECT l.event_type, COALESCE(j.n_eval, 0) AS n_eval,
+      |  CASE WHEN j.n_eval > 0
+      |    THEN CAST(j.sae AS DOUBLE) / CAST(j.n_eval AS DOUBLE) END AS mae,
+      |  CASE WHEN j.sy > 0
+      |    THEN CAST(j.sae AS DOUBLE) / CAST(j.sy AS DOUBLE) END AS wape,
+      |  n.y AS forecast_next
+      |FROM lastd l LEFT JOIN j USING (event_type)
+      |LEFT JOIN daily n ON n.event_type = l.event_type AND n.day = l.last_day - 6
+      |ORDER BY l.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_forecast" -> (tsForecast _),
     "ts_holt" -> (tsHolt _),
     "ts_decompose" -> (tsDecompose _),
     "ts_theilsen" -> (tsTheilsen _),
@@ -1658,6 +1718,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_forecast" -> tsForecastSql,
     "ts_holt" -> tsHoltSql,
     "ts_decompose" -> tsDecomposeSql,
     "ts_theilsen" -> tsTheilsenSql,

@@ -365,11 +365,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("stats_bootstrap: replicate means partial-aggregate map-side (B counters per partition)") {
-    val p = Relational.statsBootstrap(spark, dir).queryExecution.executedPlan.toString
+    // the means barrier (localCheckpoint) hides the aggregate behind a
+    // Scan ExistingRDD in the final plan — pin the PRE-barrier pipeline
+    val means = Relational.statsBootstrapMeans(
+      Relational.statsBootstrapRows(spark, dir))
+    val p = means.queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"),
       s"the Poisson bootstrap's whole point is map-side B-counter combine:\n$p")
-    assert(!p.contains("CartesianProduct") ||
-      "CartesianProduct".r.findAllIn(p).length <= 2,
-      s"only the 1-row SE/mean broadcasts may cross-join:\n$p")
+    val fin = Relational.statsBootstrap(spark, dir).queryExecution.executedPlan.toString
+    assert(!fin.contains("CartesianProduct") ||
+      "CartesianProduct".r.findAllIn(fin).length <= 2,
+      s"only the 1-row SE/mean broadcasts may cross-join:\n$fin")
   }
 }

@@ -296,6 +296,134 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("stats_spearman equals a plain-Scala average-rank Spearman per flag") {
+    val got = Relational.statsSpearman(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val rows = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100.0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      // doubled average ranks, then Pearson on ranks
+      def dranks(vs: Array[Long]): Map[Long, Double] = {
+        val sorted = vs.sorted
+        vs.distinct.map { v =>
+          val lo = sorted.indexWhere(_ == v) + 1
+          val c = sorted.count(_ == v)
+          v -> (2.0 * lo + c - 1)
+        }.toMap
+      }
+      val rq = dranks(rs.map(_._2)); val rp = dranks(rs.map(_._3))
+      val xs = rs.map(r => rq(r._2)); val ys = rs.map(r => rp(r._3))
+      val n = rs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      val num = n * sxy - sx * sy
+      val ref = num / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val (gn, grho) = got(flag)
+      assert(gn == rs.length, s"$flag n")
+      assert(math.abs(grho.get - ref) < 1e-9, s"$flag rho ${grho.get} vs $ref")
+    }
+  }
+
+  test("stats_kendall equals the O(n²) plain-Scala Mann-Kendall tau-b") {
+    val got = Relational.statsKendall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val daily = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), (unix_millis(col("ts")) / lit(86400000L)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .toSeq.map { case ((t, d), y) => (t, d, y) }
+    daily.groupBy(_._1).foreach { case (typ, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      var sStat = 0L
+      for (i <- ys.indices; j <- (i + 1) until ys.length)
+        sStat += java.lang.Long.signum(ys(j) - ys(i))
+      val n = ys.length.toLong
+      val d = n * (n - 1) / 2
+      val ty = ys.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+      val (gn, gs, gtau) = got(typ)
+      assert(gn == n && gs == sStat, s"$typ n/S")
+      if (d > 0 && d - ty > 0)
+        assert(math.abs(gtau.get - sStat / (math.sqrt(d.toDouble) * math.sqrt((d - ty).toDouble))) < 1e-12, typ)
+      else assert(gtau.isEmpty, typ)
+    }
+  }
+
+  test("graph_hits equals the plain-Scala scaled-integer replay exactly") {
+    val got = Relational.graphHits(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent replay of the same integer iteration on collected edges
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val edges = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val s = rs.sortBy(r => (r._3, r._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }.toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[String, Long]
+    (1 to 3).foreach { _ =>
+      val ar = nodes.map(n => n ->
+        edges.filter(_._2 == n).map(e => e._3 * h(e._1)).sum).toMap
+      val at = ar.values.sum
+      a = ar.map { case (n, v) => n -> (v * 1000000L) / at }
+      val hr = nodes.map(n => n ->
+        edges.filter(_._1 == n).map(e => e._3 * a(e._2)).sum).toMap
+      val ht = hr.values.sum
+      h = hr.map { case (n, v) => n -> (v * 1000000L) / ht }
+    }
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n => assert(got(n) == (h(n), a(n)), s"node $n") }
+    // L1 normalization holds up to div-truncation (< #nodes units)
+    assert(math.abs(got.values.map(_._1).sum - 1000000L) < nodes.length)
+  }
+
+  test("dq_kanon reports the true smallest class and below-k tallies") {
+    val r = Relational.dqKanon(spark, dir).collect().head
+    val sizes = graft.Tables(spark, dir, "events")
+      .select(col("event_type"),
+        pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long") + 4, lit(7)),
+        when(col("value").isNull, lit(-1L)).otherwise(floor(col("value") / 100.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).values.map(_.length.toLong).toSeq
+    assert(r.getLong(1) == sizes.length)
+    assert(r.getLong(2) == sizes.min)
+    assert(r.getLong(3) == sizes.count(_ < 5))
+    assert(r.getLong(4) == sizes.filter(_ < 5).sum)
+  }
+
+  test("ts_forecast: seasonal-naive backtest equals the closed form per type") {
+    val rows = TimeSeriesQueries.tsForecast(spark, dir).collect()
+    val daily = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), (unix_millis(col("ts")) / lit(86400000L)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = daily.groupBy(_._1._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = byType(t).map { case ((_, d), y) => d -> y }
+      val pairs = series.toSeq.flatMap { case (d, y) =>
+        series.get(d - 7).map(f => (y, f)) }
+      assert(r.getLong(1) == pairs.length, s"$t n_eval")
+      if (pairs.nonEmpty) {
+        val sae = pairs.map { case (y, f) => math.abs(y - f) }.sum
+        assert(r.getDouble(2) == sae.toDouble / pairs.length, s"$t mae")
+        assert(r.getDouble(3) == sae.toDouble / pairs.map(_._1).sum, s"$t wape")
+      }
+      val lastDay = series.keys.max
+      series.get(lastDay - 6) match {
+        case Some(y) => assert(r.getLong(4) == y, s"$t forecast_next")
+        case None => assert(r.isNullAt(4), s"$t forecast_next null")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
