@@ -901,6 +901,108 @@ object Relational {
       |WHERE levenshtein(a.c_name, b.c_name) <= 2
       |ORDER BY dist, id_a, id_b LIMIT 100""".stripMargin
 
+  /** ER with the Jaro–Winkler comparator — the string-similarity
+    * classic for name matching (Winkler 1990), as a native codegen
+    * Expression ([[graft.plans.NativeExpressions.JaroWinkler]])
+    * bit-compatible with DuckDB's `jaro_winkler_similarity`, so the
+    * emitted doubles hash cross-engine UNROUNDED. Same 16-char-prefix
+    * blocking as the er_match family (block ≤100 names — bounded
+    * quadratic), top-100 pairs by similarity with id tiebreaks.
+    */
+  def erJarowinkler(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        graft.plans.NativeExpressions.jaroWinkler(
+          col("a.c_name"), col("b.c_name")).as("jw"))
+      .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  val erJarowinklerSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+      |FROM customer a JOIN customer b
+      |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+      |  AND a.c_custkey < b.c_custkey
+      |ORDER BY jw DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  /** Deterministic sample-quantile sketch with IN-QUERY error
+    * certification: the sample is the K=1024 rows with the smallest
+    * md5(row-key) — a content-independent, partitioning-independent
+    * top-k (TakeOrderedAndProject: per-partition heaps, no global
+    * sort), the mergeable "bottom-k sample" that underlies KMV — and
+    * the report emits the sample quantiles NEXT TO the exact ones
+    * (two-level cumulative ranks) with their absolute errors, so every
+    * run certifies its own sketch accuracy. The oracle replays both
+    * sides. At 100 TB only the exact side grows; the sketch path stays
+    * one top-k + a 1024-row fold.
+    */
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 1024
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")).as("rk"))
+      .withColumn("h", md5(col("rk")))
+    val sample = li.orderBy(col("h"), col("rk"), col("v")).limit(K).select(col("v"))
+    // ≤1024 rows by construction — the single-partition window is the
+    // design, not an accident (the whole sample fits one task)
+    val sr = sample.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    def est(p: Double, out: String) = max(when(
+      col("rn") === floor(lit(p) * (col("m") - 1)).cast("long") + 1, col("v"))).as(out)
+    val estQ = sr.agg(est(0.5, "est_p50"), est(0.9, "est_p90"), est(0.99, "est_p99"))
+    val cm = FeatureQueries.cumRanks(
+      li.groupBy(col("v")).agg(count(lit(1)).as("c")))
+    def ex(p: Double, out: String) = min(when(
+      col("cum") >= floor(lit(p) * (col("n") - 1)).cast("long") + 1, col("v"))).as(out)
+    val exQ = cm.agg(max(col("n")).as("n"),
+      ex(0.5, "exact_p50"), ex(0.9, "exact_p90"), ex(0.99, "exact_p99"))
+    estQ.crossJoin(broadcast(exQ))
+      .select(lit(K.toLong).as("k"), col("n"),
+        col("est_p50"), col("exact_p50"),
+        abs(col("est_p50") - col("exact_p50")).as("err_p50"),
+        col("est_p90"), col("exact_p90"),
+        abs(col("est_p90") - col("exact_p90")).as("err_p90"),
+        col("est_p99"), col("exact_p99"),
+        abs(col("est_p99") - col("exact_p99")).as("err_p99"))
+  }
+
+  val sketchQuantileSql: String =
+    """WITH li AS (SELECT l_extendedprice AS v,
+      |    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR) AS rk
+      |  FROM lineitem),
+      |s AS (SELECT v FROM (SELECT v, rk, md5(rk) AS h FROM li)
+      |  ORDER BY h, rk, v LIMIT 1024),
+      |sr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+      |    COUNT(*) OVER () AS m FROM s),
+      |est AS (SELECT
+      |    MAX(CASE WHEN rn = CAST(floor(0.5e0 * (m - 1)) AS BIGINT) + 1 THEN v END) AS est_p50,
+      |    MAX(CASE WHEN rn = CAST(floor(0.9e0 * (m - 1)) AS BIGINT) + 1 THEN v END) AS est_p90,
+      |    MAX(CASE WHEN rn = CAST(floor(0.99e0 * (m - 1)) AS BIGINT) + 1 THEN v END) AS est_p99
+      |  FROM sr),
+      |vals AS (SELECT v, COUNT(*) AS c FROM li GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vals CROSS JOIN nn),
+      |ex AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |    MIN(CASE WHEN cum >= CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1 THEN v END) AS exact_p50,
+      |    MIN(CASE WHEN cum >= CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1 THEN v END) AS exact_p90,
+      |    MIN(CASE WHEN cum >= CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1 THEN v END) AS exact_p99
+      |  FROM cm)
+      |SELECT CAST(1024 AS BIGINT) AS k, n,
+      |  est_p50, exact_p50, abs(est_p50 - exact_p50) AS err_p50,
+      |  est_p90, exact_p90, abs(est_p90 - exact_p90) AS err_p90,
+      |  est_p99, exact_p99, abs(est_p99 - exact_p99) AS err_p99
+      |FROM est CROSS JOIN ex""".stripMargin
+
   /** Entity resolution, sorted-neighborhood shape (Hernández &
     * Stolfo): sort by the match key once, compare each record only to
     * its w following neighbors via lead() — LINEAR candidate count
@@ -2735,6 +2837,8 @@ object Relational {
     "graph_hits" -> (graphHits _),
     "stream_dedup" -> (streamDedup _),
     "dq_kanon" -> (dqKanon _),
+    "er_jarowinkler" -> (erJarowinkler _),
+    "sketch_quantile" -> (sketchQuantile _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -2794,6 +2898,8 @@ object Relational {
     "graph_hits" -> graphHitsSql,
     "stream_dedup" -> streamDedupSql,
     "dq_kanon" -> dqKanonSql,
+    "er_jarowinkler" -> erJarowinklerSql,
+    "sketch_quantile" -> sketchQuantileSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

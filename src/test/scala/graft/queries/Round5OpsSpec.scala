@@ -424,6 +424,51 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("jaro_winkler matches the literature values and both eval paths agree") {
+    import graft.plans.NativeExpressions.jaroWinkler
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("dwayne", "duane", 0.8400000000000001), // bonus applied (jaro > 0.7)
+      ("crate", "trace", 0.7333333333333334),  // prefix 0 -> no bonus
+      ("abcdef", "badcfe", 0.8333333333333334),
+      ("ab", "ba", 0.0),                       // window 0 -> no matches
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("a", "", 0.0), ("", "", 0.0)) // RapidFuzz both-empty = 0
+    val df = spark.createDataFrame(cases.map { case (a, b, _) => (a, b) }).toDF("a", "b")
+    // codegen path (projection over a DataFrame)
+    val got = df.select(jaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+    got.zip(cases).foreach { case (g, (a, b, want)) =>
+      assert(g == want, s"codegen jw($a,$b)")
+    }
+    // interpreted path (literal eval)
+    cases.foreach { case (a, b, want) =>
+      val e = graft.plans.NativeExpressions.jaroWinklerCompute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(e == want, s"eval jw($a,$b)")
+    }
+  }
+
+  test("sketch_quantile: exact side is the true selection; sample side within range") {
+    val r = Relational.sketchQuantile(spark, dir).collect().head
+    val vs = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    assert(r.getLong(1) == n)
+    def sel(p: Double) = vs((p * (n - 1)).floor.toInt)
+    assert(r.getDouble(3) == sel(0.5), "exact_p50")
+    assert(r.getDouble(6) == sel(0.9), "exact_p90")
+    assert(r.getDouble(9) == sel(0.99), "exact_p99")
+    // the 1024-sample estimates live inside the value range and the
+    // error columns are consistent
+    Seq((2, 3, 4), (5, 6, 7), (8, 9, 10)).foreach { case (e, x, err) =>
+      assert(r.getDouble(e) >= vs.head && r.getDouble(e) <= vs.last)
+      assert(r.getDouble(err) == math.abs(r.getDouble(e) - r.getDouble(x)))
+    }
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
