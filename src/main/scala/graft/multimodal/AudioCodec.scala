@@ -154,6 +154,59 @@ object AudioCodec {
     out.toByteArray
   }
 
+  /** Framewise feature extraction over mono 16-bit PCM: per frame of
+    * `frameLen` samples, (frame_idx, n, Σv², zero-crossings). Sums are
+    * exact longs (|v| ≤ 32767 ⇒ Σv² ≤ n·2³⁰, no overflow at any frame
+    * length a pipeline would use); the RMS division/sqrt happens at the
+    * call site so the engine-facing arithmetic stays a short IEEE
+    * chain. A zero crossing is a strict sign flip between adjacent
+    * samples WITHIN the frame. None for non-mono/non-16-bit payloads.
+    */
+  def frameFeatures(bytes: Array[Byte], frameLen: Int)
+      : Option[IndexedSeq[(Int, Int, Long, Int)]] = {
+    val meta = sniff(bytes).getOrElse(return None)
+    val (_, _, channels, bits, _) = meta
+    if (bits != 16 || channels != 1) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    var i = 12
+    var dataOff = -1; var dataLen = 0
+    var sane = true
+    while (sane && i + 8 <= bytes.length && dataOff < 0) {
+      val tag = new String(bytes, i, 4, "US-ASCII")
+      val len = le32(i + 4)
+      if (tag == "data") { dataOff = i + 8; dataLen = math.min(len, (bytes.length - i - 8).toLong).toInt }
+      if (len < 0 || len > bytes.length.toLong - i - 8) sane = false
+      else i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (dataOff < 0) return None
+    val nS = dataLen / 2
+    val samp = new Array[Int](nS)
+    var p = 0
+    while (p < nS) {
+      samp(p) = ((bytes(dataOff + 2 * p) & 0xff) | (bytes(dataOff + 2 * p + 1) << 8)).toShort.toInt
+      p += 1
+    }
+    val out = IndexedSeq.newBuilder[(Int, Int, Long, Int)]
+    var fi = 0
+    var s = 0
+    while (s < nS) {
+      val l = math.min(frameLen, nS - s)
+      var sumSq = 0L; var zc = 0
+      var j = s
+      while (j < s + l) {
+        val v = samp(j)
+        sumSq += v.toLong * v
+        if (j > s && ((samp(j - 1) < 0) != (v < 0))) zc += 1
+        j += 1
+      }
+      out += ((fi, l, sumSq, zc))
+      fi += 1; s += l
+    }
+    Some(out.result())
+  }
+
   // ---- Catalyst surface ----
 
   private val MetaStruct = StructType(Seq(

@@ -100,6 +100,26 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "frame")
   }
 
+  /** Framewise audio features through the same mapPartitions plumbing:
+    * one input payload fans out to one row per frame — (id, frame_idx,
+    * n, Σv², zero-crossings) from [[AudioCodec.frameFeatures]]. The
+    * flatMap shape matches [[sampleVideoFrames]]; non-decodable
+    * payloads contribute zero rows (filter, not poison).
+    */
+  def audioFrames(df: DataFrame, idCol: String, bytesCol: String,
+                  frameLen: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("string"), col(bytesCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          AudioCodec.frameFeatures(bytes, frameLen).getOrElse(IndexedSeq.empty)
+            .map { case (fi, n, sumSq, zc) => (id, fi, n, sumSq, zc) }
+        }
+      }
+      .toDF(idCol, "frame_idx", "n", "sum_sq", "zc")
+  }
+
   /** Batched decode plumbing — the Scala analogue of mapInPandas: rows
     * stream through mapPartitions in bounded batches so the codec can
     * amortize per-batch init while memory stays bounded by

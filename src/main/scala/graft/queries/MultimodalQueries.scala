@@ -272,7 +272,51 @@ object MultimodalQueries {
       |  COUNT(*) OVER (PARTITION BY phash) AS n_dup
       |FROM ph ORDER BY doc_id""".stripMargin
 
+  /** media_audio_features: REAL framewise DSP over the decoded PCM —
+    * RMS energy and zero-crossing rate per 100-sample frame, the two
+    * features every audio-curation pipeline computes first (silence/
+    * noise gating, speech-band heuristics). Sample sums are exact
+    * longs from [[graft.multimodal.AudioCodec.frameFeatures]]; the
+    * emitted RMS is sqrt(Σv²/n)/32768 — for the synthesized ±amp
+    * square wave Σv² = n·amp² exactly, so the chain collapses to the
+    * closed form amp/32768 the oracle states (sqrt of an exact square
+    * is exact). Zero crossings have the closed form
+    * floor((s+n−1)/hp) − floor(s/hp) for a wave flipping every hp
+    * samples — the oracle derives frames with range() and replays it.
+    */
+  def mediaAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("text").cast("binary"))
+    val media = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      (n % 200 + 50).cast("int").as("ns"),
+      (lit(8000) + (n % 4) * 4000).cast("int").as("rate"),
+      ((n * 37) % 32768).cast("int").as("amp"))
+      .withColumn("bytes", synthAudio(col("ns"), col("rate"), col("amp")))
+    Multimodal.audioFrames(media, "doc_id", "bytes", frameLen = 100)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("frame_idx"), col("n"),
+        (sqrt(col("sum_sq").cast("double") / col("n").cast("double"))
+          / lit(32768.0)).as("rms"),
+        col("zc"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mediaAudioFeaturesSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+      |p AS (SELECT doc_id, CAST(nb % 200 + 50 AS BIGINT) AS ns,
+      |    CAST(nb * 37 % 32768 AS BIGINT) AS amp FROM d),
+      |f AS (SELECT doc_id, ns, amp,
+      |    CAST(unnest(range(CAST((ns + 99) // 100 AS INT))) AS BIGINT) AS fi FROM p)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(LEAST(100, ns - fi * 100) AS INT) AS n,
+      |  CAST(amp AS DOUBLE) / 32768 AS rms,
+      |  CAST(CASE WHEN amp > 0
+      |    THEN (fi * 100 + LEAST(100, ns - fi * 100) - 1) // 25 - (fi * 100) // 25
+      |    ELSE 0 END AS INT) AS zc
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_audio_features" -> (mediaAudioFeatures _),
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
@@ -281,6 +325,7 @@ object MultimodalQueries {
     "media_phash" -> (mediaPhash _))
 
   val oracles: Map[String, String] = Map(
+    "media_audio_features" -> mediaAudioFeaturesSql,
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,

@@ -91,4 +91,26 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(ns == n)
     assert(peak == amp8 / 128.0 && mean == amp8 / 128.0)
   }
+
+  test("framewise features: exact RMS sums and boundary-only zero crossings") {
+    // 230 samples, hp=25 → frames [0,100) [100,200) [200,230)
+    val bytes = AudioCodec.encodePcm16(230, 8000, 1000, 25)
+    val Some(fs) = AudioCodec.frameFeatures(bytes, 100)
+    assert(fs.map(f => (f._1, f._2)) == IndexedSeq((0, 100), (1, 100), (2, 30)))
+    // Σv² = n · amp² exactly; crossings at k%25==0 strictly inside
+    assert(fs.forall { case (_, n, sumSq, _) => sumSq == n.toLong * 1000 * 1000 })
+    assert(fs.map(_._4) == IndexedSeq(3, 3, 1)) // 25/50/75; 125/150/175; 225
+    // silence: zero sums, zero crossings
+    val Some(fz) = AudioCodec.frameFeatures(AudioCodec.encodePcm16(120, 8000, 0, 25), 100)
+    assert(fz.map(f => (f._3, f._4)) == IndexedSeq((0L, 0), (0L, 0)))
+    // 8-bit payloads are refused (mono 16-bit only)
+    val out8 = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out8.write(v & 0xff); out8.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out8.write("RIFF".getBytes); w32(36 + 8); out8.write("WAVE".getBytes)
+    out8.write("fmt ".getBytes); w32(16); w16(1); w16(1); w32(8000); w32(8000); w16(1); w16(8)
+    out8.write("data".getBytes); w32(8)
+    (0 until 8).foreach(_ => out8.write(200))
+    assert(AudioCodec.frameFeatures(out8.toByteArray, 100).isEmpty)
+  }
 }
