@@ -1954,6 +1954,42 @@ object Relational {
       |FROM pairs JOIN ci ca ON ca.pk = pa JOIN ci cb ON cb.pk = pb
       |ORDER BY cosine DESC, pa, pb LIMIT 50""".stripMargin
 
+  /** Item-item JACCARD similarity over the same co-purchase baskets as
+    * [[recCosine]] — the set-overlap companion (|A∩B| / |A∪B|): one
+    * exact integer division per surviving pair, so scores hash without
+    * rounding. Same bounded in-basket pair expansion and ≥3-support
+    * prune; at 100 TB the candidate count stays linear in baskets.
+    */
+  def recJaccard(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val ci = b.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = b.as("a").join(b.as("b2"),
+        col("a.ok") === col("b2.ok") && col("a.pk") < col("b2.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b2.pk").as("pb"))
+      .agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= 3)
+    pairs
+      .join(ci.select(col("pk").as("pa"), col("c").as("ca")), "pa")
+      .join(ci.select(col("pk").as("pb"), col("c").as("cb")), "pb")
+      .withColumn("jaccard",
+        col("cij").cast("double") /
+          (col("ca") + col("cb") - col("cij")).cast("double"))
+      .select(col("pa"), col("pb"), col("cij"), col("ca"), col("cb"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("pa"), col("pb")).limit(50)
+  }
+
+  val recJaccardSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ci AS (SELECT pk, COUNT(*) AS c FROM b GROUP BY pk),
+      |pairs AS (SELECT a.pk AS pa, b2.pk AS pb, COUNT(*) AS cij
+      |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT pa, pb, cij, ca.c AS ca, cb.c AS cb,
+      |  CAST(cij AS DOUBLE) / CAST(ca.c + cb.c - cij AS DOUBLE) AS jaccard
+      |FROM pairs JOIN ci ca ON ca.pk = pa JOIN ci cb ON cb.pk = pb
+      |ORDER BY jaccard DESC, pa, pb LIMIT 50""".stripMargin
+
   /** Benford's-law conformance of order totals: observed leading-digit
     * counts vs expected n·log₁₀(1+1/d), with the χ² statistic folded
     * over the 9 digits in digit order (the stats_entropy fold). All
@@ -2639,6 +2675,77 @@ object Relational {
       |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k
       |FROM c""".stripMargin
 
+  private val PprIters = 5
+
+  /** PERSONALIZED PageRank from a data-derived seed (the highest
+    * out-weight event type, id tiebreak): restart mass returns to the
+    * SEED only — the "related to X" ranking a recommender runs, vs the
+    * global importance [[graphPagerank]] computes. Same scaled-integer
+    * discipline (rank ×10⁶, 85/100 damping via exact integral
+    * division), 5 unrolled replay iterations in the oracle; the seed
+    * is a 1-row broadcast carried through the loop, never a driver
+    * value — the plan is identical at any graph size.
+    */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wt"))
+    val seed = wout.orderBy(col("wt").desc, col("src")).limit(1)
+      .select(col("src").as("seed"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .crossJoin(broadcast(seed))
+    var ranks = nodes.withColumn("r",
+      when(col("node") === col("seed"), lit(1000000L)).otherwise(lit(0L)))
+    (1 to PprIters).foreach { _ =>
+      val contrib = edges.join(wout, "src")
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), intdiv(col("r") * col("w"), col("wt")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s2"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"), col("seed"),
+          (when(col("node") === col("seed"), lit(150000L)).otherwise(lit(0L)) +
+            intdiv(lit(85L) * coalesce(col("s2"), lit(0L)), lit(100L))).as("r"))
+    }
+    val out = ranks.select(col("node"), col("r")).orderBy(col("node"))
+      .localCheckpoint(true)
+    graft.Caches.free(edges)
+    out
+  }
+
+  val graphPprSql: String = {
+    val base =
+      """ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |nx AS (SELECT event_type AS src, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS dst FROM ev),
+        |edges AS (SELECT src, dst, COUNT(*) AS w FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM edges GROUP BY src),
+        |seed AS (SELECT src AS sn FROM wout ORDER BY wt DESC, src LIMIT 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CASE WHEN node = (SELECT sn FROM seed)
+        |    THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r FROM nodes)""".stripMargin
+    val iters = (1 to PprIters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |    CAST(CASE WHEN n.node = (SELECT sn FROM seed) THEN 150000 ELSE 0 END
+         |      + (85 * COALESCE(CAST(SUM((r.r * e.w) // w2.wt) AS BIGINT), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  LEFT JOIN wout w2 ON w2.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$iters
+       |SELECT node, r FROM r$PprIters ORDER BY node""".stripMargin
+  }
+
   private val HitsIters = 3
 
   /** Weighted HITS (Kleinberg hubs/authorities) over the event-type
@@ -2839,6 +2946,8 @@ object Relational {
     "dq_kanon" -> (dqKanon _),
     "er_jarowinkler" -> (erJarowinkler _),
     "sketch_quantile" -> (sketchQuantile _),
+    "graph_ppr" -> (graphPpr _),
+    "rec_jaccard" -> (recJaccard _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -2900,6 +3009,8 @@ object Relational {
     "dq_kanon" -> dqKanonSql,
     "er_jarowinkler" -> erJarowinklerSql,
     "sketch_quantile" -> sketchQuantileSql,
+    "graph_ppr" -> graphPprSql,
+    "rec_jaccard" -> recJaccardSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

@@ -469,6 +469,41 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_ppr equals the plain-Scala scaled-integer replay; mass concentrates at the seed") {
+    val got = Relational.graphPpr(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val edges = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val s = rs.sortBy(r => (r._3, r._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }.toSeq
+    val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val seed = wout.toSeq.sortBy { case (n, wt) => (-wt, n) }.head._1
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var r = nodes.map(n => n -> (if (n == seed) 1000000L else 0L)).toMap
+    (1 to 5).foreach { _ =>
+      val contrib = nodes.map(n => n -> edges.filter(_._2 == n)
+        .map(e => (r(e._1) * e._3) / wout(e._1)).sum).toMap
+      r = nodes.map(n => n ->
+        ((if (n == seed) 150000L else 0L) + (85L * contrib(n)) / 100L)).toMap
+    }
+    assert(got == r)
+    // personalization: the seed outranks every other node here
+    assert(got.keys.forall(n => n == seed || got(n) <= got(seed)))
+  }
+
+  test("rec_jaccard scores are the exact set-overlap ratios of rec_cosine's pairs") {
+    val rows = Relational.recJaccard(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cij, ca, cb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getDouble(5) == cij.toDouble / (ca + cb - cij).toDouble)
+      assert(cij >= 3 && cij <= math.min(ca, cb))
+    }
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
