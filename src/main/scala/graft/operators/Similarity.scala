@@ -62,6 +62,51 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversified-retrieval step a RAG pipeline runs on the
+    * ANN candidates: greedily pick `nSel` of the top-`kCand`, scoring
+    * each remaining candidate λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s).
+    * Every selection step is a keyed aggregate + top-1 window over the
+    * CANDIDATE set (bounded: queries × kCand rows, checkpointed once),
+    * so the loop cost is independent of corpus size — the corpus is
+    * touched only by the initial top-k. λ and 1−λ are passed as TWO
+    * literals (computing 1−0.7 at plan build would give
+    * 0.30000000000000004 and break oracle parity).
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, kCand: Int, nSel: Int,
+                lam: Double, oneMinusLam: Double): DataFrame = {
+    val cands = cosineTopK(corpus, queries, kCand)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("qid"), col("vec_id"), col("cos"), col("embedding"))
+      .localCheckpoint(true)
+    val pw = cands.as("x").join(cands.as("y"),
+        col("x.qid") === col("y.qid") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.qid").as("qid"), col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"), cosine(col("x.embedding"), col("y.embedding")).as("cab"))
+      .localCheckpoint(true)
+    val wSel = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    var out = cands
+      .withColumn("score", lit(lam) * col("cos"))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+      .select(col("qid"), lit(1).as("sel_rank"), col("vec_id"), col("score"))
+    (2 to nSel).foreach { step =>
+      val pen = pw.join(out.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("vec_id"))
+        .agg(max(col("cab")).as("pen"))
+      val si = cands
+        .join(out.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+        .join(pen, Seq("qid", "vec_id"))
+        .withColumn("score", lit(lam) * col("cos") - lit(oneMinusLam) * col("pen"))
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+        .select(col("qid"), lit(step).as("sel_rank"), col("vec_id"), col("score"))
+      out = out.union(si)
+    }
+    val res = out.orderBy(col("qid"), col("sel_rank")).localCheckpoint(true)
+    graft.Caches.free(cands)
+    graft.Caches.free(pw)
+    res
+  }
+
   /** Deterministic pseudo-random hyperplane component r[j][d] in [-1,1],
     * derived from md5 — reproducible in any engine, no RNG state.
     */

@@ -852,7 +852,68 @@ object DedupSim {
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** MMR diversified re-ranking: top-8 cosine candidates for queries
+    * vec_id < 4, then 3 greedy selections at λ=0.7 — the RAG
+    * re-ranker. The oracle replays all three unrolled selection steps;
+    * scores hash unrounded because every cosine is the shared
+    * sequential-fold dot and the λ-chain uses the same two literals.
+    */
+  def simMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 4),
+      kCand = 8, nSel = 3, lam = 0.7, oneMinusLam = 0.3)
+  }
+
+  val simMmrSql: String =
+    s"""WITH $NormCte,
+       |cs AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    ${sqlDot("q.embedding", "e.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |  FROM embeddings q, embeddings e, nrm a, nrm b
+       |  WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id
+       |    AND a.vec_id = q.vec_id AND b.vec_id = e.vec_id),
+       |cand AS (SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM cs)
+       |  WHERE rn <= 8),
+       |pw AS (SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+       |    ${sqlDot("ex.embedding", "ey.embedding")} / (sqrt(na.n2) * sqrt(nb.n2)) AS cab
+       |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.vec_id <> y.vec_id
+       |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+       |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+       |  JOIN nrm na ON na.vec_id = x.vec_id
+       |  JOIN nrm nb ON nb.vec_id = y.vec_id),
+       |s1 AS (SELECT qid, vec_id, score FROM (
+       |  SELECT qid, vec_id, 0.7e0 * cos AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY 0.7e0 * cos DESC, vec_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |r2 AS (SELECT c.qid, c.vec_id, 0.7e0 * c.cos - 0.3e0 * MAX(p.cab) AS score
+       |  FROM cand c
+       |  JOIN s1 ON s1.qid = c.qid AND c.vec_id <> s1.vec_id
+       |  JOIN pw p ON p.qid = c.qid AND p.a = c.vec_id AND p.b = s1.vec_id
+       |  GROUP BY c.qid, c.vec_id, c.cos),
+       |s2 AS (SELECT qid, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM r2)
+       |  WHERE rn = 1),
+       |sel12 AS (SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+       |r3 AS (SELECT c.qid, c.vec_id, 0.7e0 * c.cos - 0.3e0 * MAX(p.cab) AS score
+       |  FROM cand c
+       |  JOIN pw p ON p.qid = c.qid AND p.a = c.vec_id
+       |  JOIN sel12 sl ON sl.qid = c.qid AND sl.vec_id = p.b
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel12 z
+       |    WHERE z.qid = c.qid AND z.vec_id = c.vec_id)
+       |  GROUP BY c.qid, c.vec_id, c.cos),
+       |s3 AS (SELECT qid, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM r3)
+       |  WHERE rn = 1)
+       |SELECT qid, CAST(1 AS INT) AS sel_rank, vec_id, score FROM s1
+       |UNION ALL SELECT qid, CAST(2 AS INT), vec_id, score FROM s2
+       |UNION ALL SELECT qid, CAST(3 AS INT), vec_id, score FROM s3
+       |ORDER BY qid, sel_rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr" -> (simMmr _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_eval" -> (dedupEval _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -876,6 +937,7 @@ object DedupSim {
     "stream_neardup" -> (streamNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "sim_mmr" -> simMmrSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_eval" -> dedupEvalSql,
     "dedup_incremental" -> dedupIncrementalSql,

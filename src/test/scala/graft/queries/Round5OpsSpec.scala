@@ -504,6 +504,40 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_mmr equals the plain-Scala greedy MMR over brute-force cosines") {
+    val got = DedupSim.simMmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(emb(a), emb(b)) / (math.sqrt(dot(emb(a), emb(a))) * math.sqrt(dot(emb(b), emb(b))))
+    emb.keys.filter(_ < 4).foreach { q =>
+      val cands = emb.keys.filter(_ != q).toSeq
+        .map(v => v -> cos(q, v)).sortBy { case (v, c) => (-c, v) }.take(8)
+      var sel = List.empty[(Long, Double)]
+      (1 to 3).foreach { _ =>
+        val scored = cands.filterNot(c => sel.exists(_._1 == c._1)).map { case (v, cq) =>
+          val penTerm = if (sel.isEmpty) 0.7 * cq
+            else 0.7 * cq - 0.3 * sel.map(s => cos(v, s._1)).max
+          (v, penTerm)
+        }
+        sel = sel :+ scored.minBy { case (v, sc) => (-sc, v) }
+      }
+      sel.zipWithIndex.foreach { case ((v, sc), i) =>
+        val (gv, gs) = got((q, i + 1))
+        assert(gv == v, s"q=$q rank ${i + 1}")
+        assert(math.abs(gs - sc) < 1e-12, s"q=$q score ${i + 1}")
+      }
+    }
+    assert(got.size == emb.keys.count(_ < 4) * 3)
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
