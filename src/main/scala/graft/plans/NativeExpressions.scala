@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for hot-path operators (builder brief:
@@ -497,6 +497,48 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Hilbert curve index (Wikipedia xy2d): maps a (x, y) cell of the
+    * 2^bits × 2^bits grid to its position along the Hilbert curve.
+    * Pure integer rotate/reflect loop — exact in any engine; the
+    * oracle replays it as a 16-step packed-xy struct fold (x·65536+y
+    * in ONE slot, because the swap step is a 2-cycle that cannot be
+    * safely field-ordered under DuckDB's sequential struct_pack
+    * accumulator — the ts_cusum lesson).
+    */
+  def hilbertCompute(x0: Long, y0: Long, bits: Int): Long = {
+    val n = 1L << bits
+    val mask = n - 1L
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = mask - x; y = mask - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hilbert_index"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      hilbertCompute(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.plans.NativeExpressions.hilbertCompute($a, $b, $bits)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+        : HilbertIndex = copy(left = newLeft, right = newRight)
+  }
+
   /** Jaro–Winkler similarity, bit-compatible with DuckDB 1.0's
     * `jaro_winkler_similarity` (RapidFuzz semantics) — verified against
     * DuckDB over 4k+ randomized cases plus the classic literature
@@ -584,4 +626,7 @@ object NativeExpressions {
   def jaroWinkler(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       JaroWinkler(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column =
+    GraftColumnBridge.column(
+      HilbertIndex(GraftColumnBridge.expression(x), GraftColumnBridge.expression(y), bits))
 }

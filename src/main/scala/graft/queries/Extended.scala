@@ -208,7 +208,50 @@ object Extended {
     s"SELECT event_id, ($zExpr) AS z FROM events ORDER BY z, event_id"
   }
 
+  /** Hilbert-curve clustering key over the same (user × day) grid as
+    * [[layoutZorder]] — the layout with strictly better locality
+    * guarantees (every curve step is an ADJACENT cell, so range reads
+    * touch contiguous runs; Morton has diagonal jumps). Computed by
+    * the native integer rotate/reflect loop
+    * ([[graft.plans.NativeExpressions.hilbertCompute]]); the oracle
+    * replays the 16 unrolled steps as a packed-xy struct fold (the
+    * swap is a 2-cycle, so x and y travel in ONE accumulator slot —
+    * the ts_cusum sequential-struct_pack lesson).
+    */
+  def layoutHilbert(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+    ev.select(col("event_id"),
+        graft.plans.NativeExpressions.hilbertIndex(
+          col("user_id").bitwiseAND(lit(65535L)),
+          col("day").bitwiseAND(lit(65535L)), bits = 16).as("h"))
+      .orderBy(col("h"), col("event_id"))
+  }
+
+  val layoutHilbertSql: String = {
+    val steps = (0 until 16).map(i => (1L << (15 - i)).toString).mkString(", ")
+    s"""SELECT event_id, (list_reduce(
+       |  list_prepend(struct_pack(d := CAST(0 AS BIGINT),
+       |      xy := (user_id & 65535) * 65536 + ((epoch_ms(ts) // 86400000) & 65535)),
+       |    list_transform([$steps], s -> struct_pack(d := CAST(s AS BIGINT), xy := CAST(0 AS BIGINT)))),
+       |  (acc, el) -> struct_pack(
+       |    d := acc.d + el.d * el.d * (CASE
+       |      WHEN ((acc.xy // 65536) & el.d) <> 0 AND ((acc.xy % 65536) & el.d) <> 0 THEN 2
+       |      WHEN ((acc.xy // 65536) & el.d) <> 0 THEN 3
+       |      WHEN ((acc.xy % 65536) & el.d) <> 0 THEN 1
+       |      ELSE 0 END),
+       |    xy := (CASE WHEN ((acc.xy % 65536) & el.d) <> 0 THEN acc.xy // 65536
+       |        WHEN ((acc.xy // 65536) & el.d) <> 0 THEN 65535 - (acc.xy % 65536)
+       |        ELSE acc.xy % 65536 END) * 65536
+       |      + (CASE WHEN ((acc.xy % 65536) & el.d) <> 0 THEN acc.xy % 65536
+       |        WHEN ((acc.xy // 65536) & el.d) <> 0 THEN 65535 - (acc.xy // 65536)
+       |        ELSE acc.xy // 65536 END)))).d AS h
+       |FROM events ORDER BY h, event_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_hilbert" -> (layoutHilbert _),
     "layout_zorder" -> (layoutZorder _),
     "dedup_embedding" -> (dedupEmbedding _),
     "rule_rowslice" -> (ruleRowslice _),
@@ -218,6 +261,7 @@ object Extended {
     "kg_node_split" -> (kgNodeSplit _))
 
   val oracles: Map[String, String] = Map(
+    "layout_hilbert" -> layoutHilbertSql,
     "layout_zorder" -> layoutZorderSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "rule_rowslice" -> ruleRowsliceSql,

@@ -538,6 +538,28 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.size == emb.keys.count(_ < 4) * 3)
   }
 
+  test("hilbert index: bijective with unit-step adjacency (exhaustive 3/4-bit), codegen = eval") {
+    import graft.plans.NativeExpressions.{hilbertCompute, hilbertIndex}
+    Seq(3, 4).foreach { bits =>
+      val n = 1 << bits
+      val cells = (for (x <- 0 until n; y <- 0 until n)
+        yield hilbertCompute(x, y, bits) -> (x, y)).toMap
+      assert(cells.keySet == (0 until n * n).map(_.toLong).toSet, s"bits=$bits bijective")
+      (0 until n * n - 1).foreach { i =>
+        val (x1, y1) = cells(i.toLong); val (x2, y2) = cells(i + 1L)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"bits=$bits: step $i not adjacent") // THE Hilbert property
+      }
+    }
+    // codegen path through a projection equals the static function
+    val pts = spark.createDataFrame(Seq((3L, 9L), (100L, 200L), (65535L, 65535L), (0L, 0L)))
+      .toDF("x", "y")
+    val got = pts.select(hilbertIndex(col("x"), col("y"), 16)).collect().map(_.getLong(0))
+    val want = Seq((3L, 9L), (100L, 200L), (65535L, 65535L), (0L, 0L))
+      .map { case (x, y) => hilbertCompute(x, y, 16) }
+    assert(got.toSeq == want)
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
