@@ -62,6 +62,23 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Radius (range) similarity search: ALL corpus vectors with cosine
+    * ≥ τ of each query — the retrieval mode top-k can't express (a
+    * fixed quality bar, unknown result count). Same scale shape as
+    * [[cosineTopK]] minus the window: corpus stays partitioned,
+    * queries broadcast, and the τ filter runs inside the scan
+    * projection — NO shuffle at all in the whole plan.
+    */
+  def cosineRange(corpus: DataFrame, queries: DataFrame, tau: Double): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .filter(col("cos") >= tau)
+      .select(col("qid"), col("vec_id"), col("cos"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998) — the diversified-retrieval step a RAG pipeline runs on the
     * ANN candidates: greedily pick `nSel` of the top-`kCand`, scoring

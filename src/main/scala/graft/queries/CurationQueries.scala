@@ -957,7 +957,34 @@ object CurationQueries {
       |  CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
       |FROM flg GROUP BY source ORDER BY source""".stripMargin
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    * the sparse 64-bucket bag-of-words matrix the fastText-shaped
+    * classifier gate consumes — materialized as (doc, bucket, tf)
+    * rows. Bucket = md5-derived token hash mod 64, the EXACT hash the
+    * classifier's weight lookup uses, so this is its feature matrix,
+    * not a lookalike. Integer term frequencies; narrow
+    * explode→aggregate, one keyed shuffle at any scale. Restricted to
+    * doc_id < 100 to keep the certified output bounded.
+    */
+  def textHashFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substr(md5(col("tok")), lit(1), lit(8)), 16, 10).cast("long") % 64)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  val textHashFeaturesSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+      |  COUNT(*) AS tf
+      |FROM tk GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hash_features" -> (textHashFeatures _),
     "pipeline_split" -> (pipelineSplit _),
     "dedup_url" -> (dedupUrl _),
     "filter_gopher" -> (filterGopher _),
@@ -974,6 +1001,7 @@ object CurationQueries {
     "contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "text_hash_features" -> textHashFeaturesSql,
     "pipeline_split" -> pipelineSplitSql,
     "dedup_url" -> dedupUrlSql,
     "filter_gopher" -> filterGopherSql,

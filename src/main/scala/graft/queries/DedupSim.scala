@@ -852,6 +852,27 @@ object DedupSim {
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Radius search at τ=0.3 for queries vec_id < 4 — the quality-bar
+    * retrieval mode (unknown result count). The τ comparison happens
+    * on bit-identical doubles in both engines, so even boundary hits
+    * agree exactly.
+    */
+  def simRange(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.cosineRange(emb, emb.filter(col("vec_id") < 4), tau = 0.3)
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
+  val simRangeSql: String =
+    s"""WITH $NormCte
+       |SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |  ${sqlDot("q.embedding", "e.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |FROM embeddings q, embeddings e, nrm a, nrm b
+       |WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id
+       |  AND a.vec_id = q.vec_id AND b.vec_id = e.vec_id
+       |  AND ${sqlDot("q.embedding", "e.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3e0
+       |ORDER BY qid, vec_id""".stripMargin
+
   /** MMR diversified re-ranking: top-8 cosine candidates for queries
     * vec_id < 4, then 3 greedy selections at λ=0.7 — the RAG
     * re-ranker. The oracle replays all three unrolled selection steps;
@@ -914,6 +935,7 @@ object DedupSim {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_mmr" -> (simMmr _),
+    "sim_range" -> (simRange _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_eval" -> (dedupEval _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -938,6 +960,7 @@ object DedupSim {
 
   val oracles: Map[String, String] = Map(
     "sim_mmr" -> simMmrSql,
+    "sim_range" -> simRangeSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_eval" -> dedupEvalSql,
     "dedup_incremental" -> dedupIncrementalSql,

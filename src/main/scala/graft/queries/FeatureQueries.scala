@@ -51,6 +51,30 @@ object FeatureQueries {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** The inverse reshape: MELT the wide [[pivotEvents]] matrix back to
+    * long (user, event_type, cnt) rows through Spark's native `unpivot`
+    * (an Expand node — one pass, no join against a type table). The
+    * oracle is the direct long-form aggregate, so the query certifies
+    * pivot→unpivot as an exact roundtrip. Zero rows are kept (the
+    * unpivot contract: the wide matrix is dense) — dropping them would
+    * make the roundtrip lossy for absent (user, type) cells.
+    */
+  def reshapeUnpivot(s: SparkSession, dir: String): DataFrame =
+    pivotEvents(s, dir)
+      .unpivot(Array(col("user_id")),
+        EventTypes.map(t => col(s"n_$t")).toArray, "event_type", "cnt")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val reshapeUnpivotSql: String = {
+    val arms = EventTypes.map(t =>
+      s"SELECT user_id, '$t' AS event_type, CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS cnt FROM events GROUP BY user_id")
+      .mkString("\n      |UNION ALL ")
+    s"""SELECT * FROM (
+      |$arms)
+      |ORDER BY user_id, event_type""".stripMargin
+  }
+
   /** Smoothed target encoding (Micci-Barreca 2001): category →
     * (pos + m·prior) / (cnt + m) with m = 100, target = order status
     * 'F'. The high-cardinality-categorical workhorse. Everything up to
@@ -381,6 +405,7 @@ object FeatureQueries {
     "dq_psi" -> (dqPsi _),
     "rfm_scores" -> (rfmScores _),
     "pivot_events" -> (pivotEvents _),
+    "reshape_unpivot" -> (reshapeUnpivot _),
     "encode_target" -> (encodeTarget _),
     "encode_binning" -> (encodeBinning _),
     "encode_winsorize" -> (encodeWinsorize _))
@@ -389,6 +414,7 @@ object FeatureQueries {
     "dq_psi" -> dqPsiSql,
     "rfm_scores" -> rfmScoresSql,
     "pivot_events" -> pivotEventsSql,
+    "reshape_unpivot" -> reshapeUnpivotSql,
     "encode_target" -> encodeTargetSql,
     "encode_binning" -> encodeBinningSql,
     "encode_winsorize" -> encodeWinsorizeSql)

@@ -2776,12 +2776,21 @@ object Relational {
       .union(edges.select(col("dst").as("node"))).distinct()
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth: DataFrame = null
+    // unlike the pagerank loop (linear lineage), every HITS frame is
+    // consumed TWICE (once by its normalization total, once by the
+    // next join) — without a per-iteration barrier the plan doubles
+    // each round (measured: 8.7s for a 5-node graph; ~0.5s with the
+    // barriers). The raw frames are |nodes| rows, so the checkpoints
+    // are trivially small; they're freed with the session sweep.
+    val steps = scala.collection.mutable.Buffer.empty[DataFrame]
     (1 to HitsIters).foreach { _ =>
       val araw = nodes.join(
           edges.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("ar")),
           nodes("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+        .localCheckpoint(true)
+      steps += araw
       auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("at"))))
         .select(col("node"), expr("(ar * 1000000) div at").as("a"))
       val hraw = nodes.join(
@@ -2789,6 +2798,8 @@ object Relational {
             .groupBy(col("src")).agg(sum(col("w") * col("a")).as("hr")),
           nodes("node") === col("src"), "left")
         .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+        .localCheckpoint(true)
+      steps += hraw
       hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("ht"))))
         .select(col("node"), expr("(hr * 1000000) div ht").as("h"))
     }
@@ -2797,6 +2808,7 @@ object Relational {
       .orderBy(col("node"))
       .localCheckpoint(true)
     graft.Caches.free(edges)
+    steps.foreach(graft.Caches.free)
     out
   }
 

@@ -560,6 +560,52 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("reshape_unpivot is the exact pivot inverse: melt(pivot(x)) == direct counts") {
+    val got = FeatureQueries.reshapeUnpivot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = graft.Tables(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every present cell agrees; absent cells melt to explicit zeros
+    direct.foreach { case (k, v) => assert(got(k) == v, k) }
+    got.foreach { case (k, v) => if (!direct.contains(k)) assert(v == 0L, k) }
+    val users = graft.Tables(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(got.size == users * 5) // dense matrix: 5 event types per user
+  }
+
+  test("sim_range returns exactly the vectors at/above tau, per brute force") {
+    val got = DedupSim.simRange(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val want = for {
+      q <- emb.keys.filter(_ < 4); v <- emb.keys if v != q
+      c = dot(emb(q), emb(v)) / (math.sqrt(dot(emb(q), emb(q))) * math.sqrt(dot(emb(v), emb(v))))
+      if c >= 0.3
+    } yield (q, v)
+    assert(got.keySet == want.toSet)
+    assert(got.values.forall(_ >= 0.3))
+  }
+
+  test("text_hash_features: buckets in [0,64), tf sums equal token counts") {
+    val rows = CurationQueries.textHashFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall { case (_, b, tf) => b >= 0 && b < 64 && tf > 0 })
+    val tfSums = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tokCounts = graft.Tables(spark, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tfSums == tokCounts.filter(_._2 > 0))
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
