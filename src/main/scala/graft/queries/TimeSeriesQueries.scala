@@ -1674,7 +1674,48 @@ object TimeSeriesQueries {
       |LEFT JOIN daily n ON n.event_type = l.event_type AND n.day = l.last_day - 6
       |ORDER BY l.event_type""".stripMargin
 
+  /** EXACT rolling 7-day distinct users per type (DAU/WAU): sliding
+    * COUNT(DISTINCT) is the classic can't-window aggregate (distinct
+    * doesn't decompose over frames), so each active (type, user, day)
+    * is expanded to the ≤7 window-end days it can serve and de-duped —
+    * a BOUNDED ×7 fan-out of the (already distinct) activity table,
+    * then one keyed count. Three keyed shuffles, no window over users,
+    * exact at any scale — where the approximate alternative is the
+    * HLL-merge family ([[graft.queries.Relational.sketchHllMerge]]).
+    * Reported only for observed (type, day) pairs.
+    */
+  def tsWau(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = du
+      .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+      .select(col("event_type"), col("user_id"), col("wday").as("day"))
+      .distinct()
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("event_type", "day")) // observed days only
+      .select(col("event_type"), col("day"), col("dau"), col("wau"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsWauSql: String =
+    """WITH du AS (SELECT DISTINCT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    user_id FROM events),
+      |dau AS (SELECT event_type, day, COUNT(*) AS dau FROM du GROUP BY 1, 2),
+      |ex AS (SELECT DISTINCT event_type, user_id, day + g AS day
+      |  FROM du, (SELECT unnest(range(7)) AS g)),
+      |wau AS (SELECT event_type, day, COUNT(*) AS wau FROM ex GROUP BY 1, 2)
+      |SELECT event_type, day, dau, wau
+      |FROM dau JOIN wau USING (event_type, day)
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_wau" -> (tsWau _),
     "ts_forecast" -> (tsForecast _),
     "ts_holt" -> (tsHolt _),
     "ts_decompose" -> (tsDecompose _),
@@ -1718,6 +1759,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_wau" -> tsWauSql,
     "ts_forecast" -> tsForecastSql,
     "ts_holt" -> tsHoltSql,
     "ts_decompose" -> tsDecomposeSql,

@@ -606,6 +606,24 @@ class Round5OpsSpec extends SparkSpec {
     assert(tfSums == tokCounts.filter(_._2 > 0))
   }
 
+  test("ts_wau equals brute-force 7-day rolling distinct per observed day") {
+    val got = TimeSeriesQueries.tsWau(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val act = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), (unix_millis(col("ts")) / lit(86400000L)).cast("long"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val byType = act.groupBy(_._1)
+    got.foreach { case ((t, d), (dau, wau)) =>
+      val rows = byType(t)
+      assert(dau == rows.filter(_._2 == d).map(_._3).size, s"$t $d dau")
+      assert(wau == rows.filter(r => r._2 >= d - 6 && r._2 <= d).map(_._3).toSet.size,
+        s"$t $d wau")
+    }
+    val observed = act.map(r => (r._1, r._2))
+    assert(got.keySet == observed, "exactly the observed (type, day) pairs")
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
