@@ -2848,17 +2848,22 @@ object Relational {
     * so the emitted double is bit-exact cross-engine.
     */
   def statsSpearman(s: SparkSession, dir: String): DataFrame = {
+    // barrier: the projected triple feeds THREE consumers (the row
+    // stream plus both rank builds) — without it each re-runs the
+    // parquet scan + projection
     val rows = Tables(s, dir, "lineitem").select(
       col("l_returnflag").as("g"),
       col("l_quantity").cast("long").as("q"),
       round(col("l_extendedprice") * 100.0).cast("long").as("p"))
+      .localCheckpoint(true)
     def ranks(v: String): DataFrame = FeatureQueries.cumRanksBy(
         rows.groupBy(col("g"), col(v).as("v")).agg(count(lit(1)).as("c")))
       .select(col("g"), col("v").as(v),
         (lit(2L) * col("cum") - col("c") + lit(1L)).as(s"r_$v"))
     def dsum(c: org.apache.spark.sql.Column, out: String) =
       sum(c.cast("decimal(38,0)")).cast("double").as(out)
-    rows.join(ranks("q"), Seq("g", "q")).join(ranks("p"), Seq("g", "p"))
+    val joined = rows.join(ranks("q"), Seq("g", "q")).join(ranks("p"), Seq("g", "p"))
+    val out = joined
       .groupBy(col("g"))
       .agg(count(lit(1)).cast("double").as("n"),
         dsum(col("r_q"), "sx"), dsum(col("r_p"), "sy"),
@@ -2872,6 +2877,9 @@ object Relational {
         when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
           col("num") / (sqrt(col("vx")) * sqrt(col("vy")))).as("rho"))
       .orderBy(col("l_returnflag"))
+      .localCheckpoint(true)
+    graft.Caches.free(rows)
+    out
   }
 
   val statsSpearmanSql: String =
@@ -2896,6 +2904,91 @@ object Relational {
       |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
       |  CASE WHEN vx <> 0 AND vy <> 0 THEN num / (sqrt(vx) * sqrt(vy)) END AS rho
       |FROM d ORDER BY l_returnflag""".stripMargin
+
+  /** MULTIPLE linear regression (two features) by exact normal
+    * equations: price ~ quantity + discount per return flag, solved
+    * with Cramer's rule on the 3×3 moment matrix — the step up from
+    * the per-series simple slopes (ts_slope/ts_trend_fixed's 2×2).
+    * All ten moments are exact integers accumulated in DECIMAL(38,0)
+    * (quantity integral, price/discount exact cents), cast to double
+    * once; the determinant/solve/R² arithmetic is ONE fixed IEEE
+    * chain mirrored token-for-token by the oracle, so coefficients
+    * hash unrounded. One keyed aggregation — the same plan at any
+    * scale; R² from the SSE identity Σy² − βᵀXᵀy (no second pass).
+    */
+  def statsOls(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_discount") * 100.0).cast("long").as("d"),
+      round(col("l_extendedprice") * 100.0).cast("long").as("p"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    li.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("q"), "sq"), dsum(col("d"), "sd"), dsum(col("p"), "sp"),
+        dsum(col("q") * col("q"), "sqq"), dsum(col("q") * col("d"), "sqd"),
+        dsum(col("d") * col("d"), "sdd"), dsum(col("q") * col("p"), "sqp"),
+        dsum(col("d") * col("p"), "sdp"), dsum(col("p") * col("p"), "spp"))
+      .withColumn("det",
+        col("n") * (col("sqq") * col("sdd") - col("sqd") * col("sqd")) -
+          col("sq") * (col("sq") * col("sdd") - col("sqd") * col("sd")) +
+          col("sd") * (col("sq") * col("sqd") - col("sqq") * col("sd")))
+      // ANSI guard (the edge-corpus lesson): a degenerate group with a
+      // singular moment matrix NULLs out instead of throwing on /0
+      .withColumn("b0", when(col("det") =!= 0.0,
+        (col("sp") * (col("sqq") * col("sdd") - col("sqd") * col("sqd")) -
+          col("sq") * (col("sqp") * col("sdd") - col("sqd") * col("sdp")) +
+          col("sd") * (col("sqp") * col("sqd") - col("sqq") * col("sdp"))) / col("det")))
+      .withColumn("b1", when(col("det") =!= 0.0,
+        (col("n") * (col("sqp") * col("sdd") - col("sqd") * col("sdp")) -
+          col("sp") * (col("sq") * col("sdd") - col("sqd") * col("sd")) +
+          col("sd") * (col("sq") * col("sdp") - col("sqp") * col("sd"))) / col("det")))
+      .withColumn("b2", when(col("det") =!= 0.0,
+        (col("n") * (col("sqq") * col("sdp") - col("sqp") * col("sqd")) -
+          col("sq") * (col("sq") * col("sdp") - col("sqp") * col("sd")) +
+          col("sp") * (col("sq") * col("sqd") - col("sqq") * col("sd"))) / col("det")))
+      .withColumn("sse",
+        col("spp") - col("b0") * col("sp") - col("b1") * col("sqp") - col("b2") * col("sdp"))
+      .withColumn("sst", col("spp") - col("sp") * col("sp") / col("n"))
+      .select(col("g").as("l_returnflag"), col("n").cast("long").as("n"),
+        col("b0"), col("b1"), col("b2"),
+        when(col("sst") =!= 0.0, lit(1.0) - col("sse") / col("sst")).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsOlsSql: String =
+    """WITH m AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS DOUBLE) AS sqd,
+      |    CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+      |    CAST(SUM(CAST(d * p AS DECIMAL(38,0))) AS DOUBLE) AS sdp,
+      |    CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+      |      CAST(round(l_discount * 100.0e0) AS BIGINT) AS d,
+      |      CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS p FROM lineitem)
+      |  GROUP BY 1),
+      |c AS (SELECT *,
+      |    CASE WHEN n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+      |      + sd * (sq * sqd - sqq * sd) <> 0
+      |    THEN n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+      |      + sd * (sq * sqd - sqq * sd) END AS det FROM m),
+      |b AS (SELECT *,
+      |    (sp * (sqq * sdd - sqd * sqd) - sq * (sqp * sdd - sqd * sdp)
+      |      + sd * (sqp * sqd - sqq * sdp)) / det AS b0,
+      |    (n * (sqp * sdd - sqd * sdp) - sp * (sq * sdd - sqd * sd)
+      |      + sd * (sq * sdp - sqp * sd)) / det AS b1,
+      |    (n * (sqq * sdp - sqp * sqd) - sq * (sq * sdp - sqp * sd)
+      |      + sp * (sq * sqd - sqq * sd)) / det AS b2
+      |  FROM c),
+      |e AS (SELECT *, spp - b0 * sp - b1 * sqp - b2 * sdp AS sse,
+      |    spp - sp * sp / n AS sst FROM b)
+      |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, b0, b1, b2,
+      |  CASE WHEN sst <> 0 THEN 1.0e0 - sse / sst END AS r2
+      |FROM e ORDER BY l_returnflag""".stripMargin
 
   /** Mann–Kendall monotonic-trend test per event type: S = Σ_{i<j}
     * sign(y_j − y_i) over the DAILY count series, tau-b with the tie
@@ -2960,6 +3053,7 @@ object Relational {
     "sketch_quantile" -> (sketchQuantile _),
     "graph_ppr" -> (graphPpr _),
     "rec_jaccard" -> (recJaccard _),
+    "stats_ols" -> (statsOls _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3023,6 +3117,7 @@ object Relational {
     "sketch_quantile" -> sketchQuantileSql,
     "graph_ppr" -> graphPprSql,
     "rec_jaccard" -> recJaccardSql,
+    "stats_ols" -> statsOlsSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

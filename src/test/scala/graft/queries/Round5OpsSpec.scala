@@ -624,6 +624,30 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.keySet == observed, "exactly the observed (type, day) pairs")
   }
 
+  test("stats_ols: coefficients satisfy the normal equations; R² in [0,1]") {
+    val rows = Relational.statsOls(spark, dir).collect()
+    val data = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_discount") * 100.0).cast("long"),
+        round(col("l_extendedprice") * 100.0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val rs = data.filter(_._1 == g)
+      val n = rs.length.toDouble
+      def S(f: ((String, Long, Long, Long)) => Double) = rs.map(f).sum
+      val (sq, sd, sp) = (S(_._2.toDouble), S(_._3.toDouble), S(_._4.toDouble))
+      val (b0, b1, b2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // normal equation 1: Σ(p − b0 − b1 q − b2 d) ≈ 0 (residuals sum to 0)
+      val resid = sp - b0 * n - b1 * sq - b2 * sd
+      assert(math.abs(resid) / math.max(1.0, math.abs(sp)) < 1e-9, s"$g residual sum")
+      // R² well-formed
+      assert(!r.isNullAt(5) && r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, s"$g r2")
+      assert(r.getLong(1) == rs.length)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
