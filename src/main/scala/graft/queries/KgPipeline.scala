@@ -197,7 +197,42 @@ object KgPipeline {
       |FROM tf JOIN dfs USING (tok) CROSS JOIN stats JOIN lens USING (doc_id)
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Type-ahead suggestion (the search-UI completion endpoint): for
+    * each typed prefix, the top-5 KG keys per field ranked by document
+    * frequency. The prefix probe is an EQUI-join on the first
+    * character (never a LIKE scan / nested-loop — the filter_url
+    * blocklist discipline), over the already-aggregated (field, key,
+    * df) table, which is vocabulary-sized, not corpus-sized — the
+    * suggest index every search stack precomputes.
+    */
+  def kgSuggest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfTab = kg(s, dir).groupBy(col("field"), col("key"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("p1", substring(col("key"), 1, 1))
+    val px = s.createDataFrame(Seq("s", "f", "j").map(Tuple1(_))).toDF("prefix")
+    val w = Window.partitionBy(col("prefix"), col("field"))
+      .orderBy(col("df").desc, col("key"))
+    dfTab.join(broadcast(px), col("p1") === col("prefix"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("prefix"), col("field"), col("key"), col("df"), col("rank"))
+      .orderBy(col("prefix"), col("field"), col("rank"))
+  }
+
+  val kgSuggestSql: String =
+    s"""$KgCte,
+       |dfs AS (SELECT field, key, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY 1, 2),
+       |px AS (SELECT unnest(['s', 'f', 'j']) AS prefix),
+       |j AS (SELECT prefix, field, key, df FROM dfs JOIN px ON substr(key, 1, 1) = prefix)
+       |SELECT prefix, field, key, df, rank FROM (
+       |  SELECT prefix, field, key, df,
+       |    ROW_NUMBER() OVER (PARTITION BY prefix, field ORDER BY df DESC, key) AS rank
+       |  FROM j)
+       |WHERE rank <= 5 ORDER BY prefix, field, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_suggest" -> (kgSuggest _),
     "kg_facets" -> (kgFacets _),
     "kg_search" -> (kgSearch _),
     "kg_search_facets" -> (kgSearchFacets _),
@@ -205,6 +240,7 @@ object KgPipeline {
     "kg_bm25" -> (kgBm25 _))
 
   val oracles: Map[String, String] = Map(
+    "kg_suggest" -> kgSuggestSql,
     "kg_facets" -> kgFacetsSql,
     "kg_search" -> kgSearchSql,
     "kg_search_facets" -> kgSearchFacetsSql,
