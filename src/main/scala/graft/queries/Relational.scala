@@ -2675,6 +2675,133 @@ object Relational {
       |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k
       |FROM c""".stripMargin
 
+  /** Strongly connected components of the DIRECTED transition graph —
+    * the directed twin of [[graphCc]]: v,w share a component iff each
+    * reaches the other. Reachability closes by 3 unrolled DOUBLING
+    * rounds (covers path length 2³ ≥ any simple path in the type
+    * graph; the spec asserts round 3 IS the fixpoint), then
+    * scc_id(v) = min over the mutual-reach set. Every round is one
+    * self-join + distinct on the PAIR set — never a per-node frontier.
+    */
+  def graphScc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("a"), lead(col("event_type"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    var clo = edges
+    val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
+    (1 to SccRounds).foreach { _ =>
+      clo = clo.union(
+          clo.as("x").join(clo.as("y"), col("x.b") === col("y.a"))
+            .select(col("x.a").as("a"), col("y.b").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      rounds += clo
+    }
+    val both = clo.as("f")
+      .join(clo.as("r"), col("f.a") === col("r.b") && col("f.b") === col("r.a"))
+      .select(col("f.a").as("v"), col("f.b").as("w"))
+      .union(nodes.select(col("node").as("v"), col("node").as("w")))
+    val out = both.groupBy(col("v").as("node")).agg(min(col("w")).as("scc_id"))
+      .orderBy(col("node"))
+      .localCheckpoint(true)
+    graft.Caches.free(edges)
+    rounds.foreach(graft.Caches.free)
+    out
+  }
+
+  private val SccRounds = 3
+
+  val graphSccSql: String = {
+    val base =
+      """ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |nx AS (SELECT event_type AS a, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS b FROM ev),
+        |c0 AS (SELECT DISTINCT a, b FROM nx WHERE b IS NOT NULL),
+        |nodes AS (SELECT a AS node FROM c0 UNION SELECT b FROM c0)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT a, b FROM c${i - 1}
+         |  UNION SELECT x.a, y.b FROM c${i - 1} x JOIN c${i - 1} y ON x.b = y.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$rounds,
+       |mut AS (SELECT f.a AS v, f.b AS w FROM c3 f
+       |    JOIN c3 r ON f.a = r.b AND f.b = r.a
+       |  UNION SELECT node, node FROM nodes)
+       |SELECT v AS node, MIN(w) AS scc_id FROM mut GROUP BY v ORDER BY node""".stripMargin
+  }
+
+  /** Wald–Wolfowitz runs test on the DIRECTION of daily count changes
+    * per type (randomness check on a series' ups and downs): signs
+    * from day-over-day deltas (zeros dropped), R = sign flips + 1,
+    * and the normal approximation z = (R − μ)/σ — everything up to z
+    * is an exact integer, z is one fixed IEEE chain mirrored by the
+    * oracle. One keyed lag window + one aggregation.
+    */
+  def statsRuns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signs = daily
+      .withColumn("prev", lag(col("y"), 1).over(w))
+      .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+      .withColumn("sgn", when(col("y") > col("prev"), 1L).otherwise(-1L))
+      .withColumn("psgn", lag(col("sgn"), 1).over(w))
+    val agg = signs.groupBy(col("event_type")).agg(
+      sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_neg"),
+      (sum(when(col("psgn").isNotNull && col("sgn") =!= col("psgn"), 1L)
+        .otherwise(0L)) + lit(1L)).as("runs"))
+    agg
+      .withColumn("np", col("n_pos").cast("double"))
+      .withColumn("nn", col("n_neg").cast("double"))
+      .withColumn("nt", (col("n_pos") + col("n_neg")).cast("double"))
+      .withColumn("mu", lit(2.0) * col("np") * col("nn") / col("nt") + lit(1.0))
+      .withColumn("var",
+        (lit(2.0) * col("np") * col("nn") *
+          (lit(2.0) * col("np") * col("nn") - col("np") - col("nn"))) /
+          (col("nt") * col("nt") * (col("nt") - lit(1.0))))
+      .select(col("event_type"), col("n_pos"), col("n_neg"), col("runs"),
+        when(col("n_pos") > 0 && col("n_neg") > 0 && col("var") > 0.0,
+          (col("runs").cast("double") - col("mu")) / sqrt(col("var"))).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  val statsRunsSql: String =
+    """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    COUNT(*) AS y FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type, day, y,
+      |    lag(y) OVER (PARTITION BY event_type ORDER BY day) AS prev FROM daily),
+      |sg AS (SELECT event_type, day,
+      |    CASE WHEN y > prev THEN 1 ELSE -1 END AS sgn
+      |  FROM d WHERE prev IS NOT NULL AND y <> prev),
+      |sl AS (SELECT event_type, sgn,
+      |    lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS psgn FROM sg),
+      |a AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |    CAST(SUM(CASE WHEN psgn IS NOT NULL AND sgn <> psgn THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+      |  FROM sl GROUP BY 1),
+      |m AS (SELECT *, CAST(n_pos AS DOUBLE) AS np, CAST(n_neg AS DOUBLE) AS nn,
+      |    CAST(n_pos + n_neg AS DOUBLE) AS nt FROM a),
+      |v AS (SELECT *, 2.0e0 * np * nn / nt + 1.0e0 AS mu,
+      |    (2.0e0 * np * nn * (2.0e0 * np * nn - np - nn)) / (nt * nt * (nt - 1.0e0)) AS var
+      |  FROM m)
+      |SELECT event_type, n_pos, n_neg, runs,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 AND var > 0
+      |    THEN (CAST(runs AS DOUBLE) - mu) / sqrt(var) END AS z
+      |FROM v ORDER BY event_type""".stripMargin
+
   private val PprIters = 5
 
   /** PERSONALIZED PageRank from a data-derived seed (the highest
@@ -3054,6 +3181,8 @@ object Relational {
     "graph_ppr" -> (graphPpr _),
     "rec_jaccard" -> (recJaccard _),
     "stats_ols" -> (statsOls _),
+    "graph_scc" -> (graphScc _),
+    "stats_runs" -> (statsRuns _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3118,6 +3247,8 @@ object Relational {
     "graph_ppr" -> graphPprSql,
     "rec_jaccard" -> recJaccardSql,
     "stats_ols" -> statsOlsSql,
+    "graph_scc" -> graphSccSql,
+    "stats_runs" -> statsRunsSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

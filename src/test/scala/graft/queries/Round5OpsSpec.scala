@@ -648,6 +648,56 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("graph_scc: components equal mutual-reachability on the collected graph; round 3 is the fixpoint") {
+    val got = Relational.graphScc(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val edges = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val s = rs.sortBy(r => (r._3, r._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // run-to-convergence transitive closure (the TRUE fixpoint)
+    var clo = edges.toSet
+    var grew = true
+    var iters = 0
+    while (grew) {
+      val next = clo ++ (for ((a, b) <- clo; (c, d) <- clo if b == c) yield (a, d))
+      grew = next.size != clo.size
+      clo = next
+      iters += 1
+    }
+    assert(iters <= 4, "3 doubling rounds must cover the true closure")
+    val want = nodes.map { v =>
+      val mutual = nodes.filter(w => w == v || (clo((v, w)) && clo((w, v))))
+      v -> mutual.min
+    }.toMap
+    assert(got == want)
+  }
+
+  test("stats_runs: runs/sign counts equal the sequential scan per type") {
+    val got = Relational.statsRuns(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val daily = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), (unix_millis(col("ts")) / lit(86400000L)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    daily.groupBy(_._1._1).foreach { case (t, m) =>
+      val ys = m.toSeq.map { case ((_, d), y) => (d, y) }.sortBy(_._1).map(_._2)
+      val signs = ys.zip(ys.drop(1)).collect {
+        case (a, b) if b > a => 1L
+        case (a, b) if b < a => -1L
+      }
+      if (signs.nonEmpty) {
+        val runs = 1L + signs.zip(signs.drop(1)).count { case (a, b) => a != b }
+        val (np, nn, r) = got(t)
+        assert(np == signs.count(_ == 1L) && nn == signs.count(_ == -1L) && r == runs, t)
+      } else assert(!got.contains(t), t)
+    }
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
