@@ -3117,6 +3117,125 @@ object Relational {
       |  CASE WHEN sst <> 0 THEN 1.0e0 - sse / sst END AS r2
       |FROM e ORDER BY l_returnflag""".stripMargin
 
+  /** Kruskal–Wallis rank ANOVA (the non-parametric [[statsAnova]]):
+    * H over POOLED average ranks of quantity across return flags, with
+    * the tie correction — heavy ties are the point here (quantity has
+    * a small integer domain). Ranks come from the ungrouped two-level
+    * cumulative ([[FeatureQueries.cumRanks]]), carried DOUBLED so they
+    * stay integral; per-group rank sums accumulate in DECIMAL(38,0);
+    * the cross-group Σ n_g·R̄_g² folds in GROUP ORDER (the
+    * stats_entropy discipline — a 3-term double sum must still be
+    * ordered); tie term Σ(t³−t) is an exact integer. One pooled rank
+    * build + one keyed agg — no global sort at any scale.
+    */
+  def statsKruskal(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+    val vc = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val rk = FeatureQueries.cumRanks(vc)
+      .select(col("v"), col("c"), (lit(2L) * col("cum") - col("c") + lit(1L)).as("r2"))
+    val per = rows.join(rk.select(col("v"), col("r2")), "v")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("r2").cast("decimal(38,0)")).cast("double").as("s2"))
+    val tie = rk
+      .agg(sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)"))
+        .cast("double").as("t"))
+    per
+      .agg(sort_array(collect_list(struct(col("g"), col("n_g"), col("s2")))).as("gs"),
+        sum(col("n_g")).as("n"))
+      .crossJoin(broadcast(tie))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("sum_terms", aggregate(
+        transform(col("gs"), x =>
+          (x.getField("s2") / lit(2.0)) * (x.getField("s2") / lit(2.0)) /
+            x.getField("n_g").cast("double")),
+        lit(0.0), (a, b) => a + b))
+      .withColumn("h",
+        lit(12.0) / (col("nd") * (col("nd") + lit(1.0))) * col("sum_terms") -
+          lit(3.0) * (col("nd") + lit(1.0)))
+      .withColumn("c_tie",
+        lit(1.0) - col("t") / (col("nd") * col("nd") * col("nd") - col("nd")))
+      .select(col("n"), col("h"), col("c_tie"),
+        when(col("c_tie") > 0.0, col("h") / col("c_tie")).as("h_adj"))
+  }
+
+  val statsKruskalSql: String =
+    """WITH rows0 AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+      |vc AS (SELECT v, COUNT(*) AS c FROM rows0 GROUP BY 1),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vc),
+      |rk AS (SELECT v, c, 2 * cum - c + 1 AS r2 FROM cm),
+      |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM rows0 JOIN rk USING (v) GROUP BY g),
+      |tie AS (SELECT CAST(SUM(CAST(c * c * c - c AS DECIMAL(38,0))) AS DOUBLE) AS t FROM rk),
+      |agg AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+      |    CAST(list_reduce(list_prepend(0.0e0,
+      |      list_transform(list(struct_pack(n_g := n_g, s2 := s2) ORDER BY g),
+      |        x -> (x.s2 / 2.0e0) * (x.s2 / 2.0e0) / CAST(x.n_g AS DOUBLE))),
+      |      (a, b) -> a + b) AS DOUBLE) AS sum_terms
+      |  FROM per),
+      |m AS (SELECT n, CAST(n AS DOUBLE) AS nd, sum_terms, t FROM agg CROSS JOIN tie),
+      |h0 AS (SELECT n, nd, t,
+      |    12.0e0 / (nd * (nd + 1.0e0)) * sum_terms - 3.0e0 * (nd + 1.0e0) AS h
+      |  FROM m),
+      |c0 AS (SELECT n, h, 1.0e0 - t / (nd * nd * nd - nd) AS c_tie FROM h0)
+      |SELECT n, h, c_tie, CASE WHEN c_tie > 0 THEN h / c_tie END AS h_adj FROM c0""".stripMargin
+
+  /** Degree assortativity (Newman 2002) of the co-supply graph: the
+    * Pearson correlation of degrees across edge endpoints — do hubs
+    * attach to hubs? Edge ends symmetrized (each undirected edge
+    * contributes both orientations), degrees are exact integers, and
+    * the correlation is the [[statsCorr]] DECIMAL(38,0)-moment / IEEE
+    * chain over the 2|E| endpoint pairs. Two keyed degree joins + one
+    * global aggregate on the edge set only.
+    */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    sym
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("n_ends"),
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("du"), "sx"), dsum(col("dv"), "sy"),
+        dsum(col("du") * col("dv"), "sxy"),
+        dsum(col("du") * col("du"), "sxx"),
+        dsum(col("dv") * col("dv"), "syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("n_ends"),
+        when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
+          col("num") / (sqrt(col("vx")) * sqrt(col("vy")))).as("r"))
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH $CoSupplyCtes,
+       |deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+       |sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+       |pr AS (SELECT a.deg AS du, b.deg AS dv FROM sym
+       |  JOIN deg a ON a.node = sym.u JOIN deg b ON b.node = sym.v),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ends, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(du AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DOUBLE) AS syy
+       |  FROM pr),
+       |d AS (SELECT *, (n * sxy - sx * sy) AS num,
+       |    (n * sxx - sx * sx) AS vx, (n * syy - sy * sy) AS vy FROM m)
+       |SELECT n_ends,
+       |  CASE WHEN vx <> 0 AND vy <> 0 THEN num / (sqrt(vx) * sqrt(vy)) END AS r
+       |FROM d""".stripMargin
+
   /** Mann–Kendall monotonic-trend test per event type: S = Σ_{i<j}
     * sign(y_j − y_i) over the DAILY count series, tau-b with the tie
     * correction (days are unique so only the y side has ties). The
@@ -3183,6 +3302,8 @@ object Relational {
     "stats_ols" -> (statsOls _),
     "graph_scc" -> (graphScc _),
     "stats_runs" -> (statsRuns _),
+    "stats_kruskal" -> (statsKruskal _),
+    "graph_assortativity" -> (graphAssortativity _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3249,6 +3370,8 @@ object Relational {
     "stats_ols" -> statsOlsSql,
     "graph_scc" -> graphSccSql,
     "stats_runs" -> statsRunsSql,
+    "stats_kruskal" -> statsKruskalSql,
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

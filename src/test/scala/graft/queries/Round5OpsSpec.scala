@@ -698,6 +698,48 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("stats_kruskal equals the plain-Scala tie-corrected H") {
+    val r = Relational.statsKruskal(spark, dir).collect().head
+    val data = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val n = data.length
+    val counts = data.map(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val sorted = data.map(_._2).sorted
+    val avgRank = counts.keys.map { v =>
+      val lo = sorted.indexWhere(_ == v) + 1
+      v -> (lo + (counts(v) - 1) / 2.0)
+    }.toMap
+    val h = 12.0 / (n.toDouble * (n + 1)) * data.groupBy(_._1).map { case (_, rs) =>
+      val s = rs.map(x => avgRank(x._2)).sum
+      s * s / rs.length
+    }.sum - 3.0 * (n + 1)
+    val tieC = 1.0 - counts.values.map(c => c.toDouble * c * c - c).sum /
+      (n.toDouble * n * n - n)
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - h) < 1e-6, s"H ${r.getDouble(1)} vs $h")
+    assert(math.abs(r.getDouble(2) - tieC) < 1e-12)
+    assert(math.abs(r.getDouble(3) - h / tieC) < 1e-6)
+  }
+
+  test("graph_assortativity equals plain-Scala Pearson over symmetrized edge-end degrees") {
+    val r = Relational.graphAssortativity(spark, dir01).collect().head
+    val edges = Relational.graphBuild(spark, dir01)
+      .select("u", "v").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val deg = edges.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ends = edges.flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val n = ends.length.toDouble
+    val sx = ends.map(_._1.toDouble).sum; val sy = ends.map(_._2.toDouble).sum
+    val sxy = ends.map(e => e._1.toDouble * e._2).sum
+    val sxx = ends.map(e => e._1.toDouble * e._1).sum
+    val syy = ends.map(e => e._2.toDouble * e._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(r.getLong(0) == ends.length)
+    assert(math.abs(r.getDouble(1) - want) < 1e-9)
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
