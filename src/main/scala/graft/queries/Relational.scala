@@ -1418,6 +1418,113 @@ object Relational {
     * the recursion guard, then takes MIN(hop) — certifying the
     * iterative frontier discipline against a declarative closure.
     */
+  private val BcSeeds = 32
+  private val BcHops = 3
+
+  /** Betweenness centrality on the co-supply graph, made scale-shaped
+    * by BOTH standard compromises: SOURCE-PAIR SAMPLING (Brandes &
+    * Pich 2007 — restrict (s,t) to a deterministic salted-hash seed
+    * set, |S|=32, the sampleK convention) and a 3-HOP bound. The
+    * undirected symmetry σ(v→t) = σ(t→v) means the t-leg reuses the
+    * seed-sourced table REVERSED, so the only BFS run is |S| sources ×
+    * 3 level-synchronous rounds (frontier join + path-count aggregate,
+    * anti-joined against the visited accumulation) — never all-pairs.
+    * bc(v) = Σ_{s,t∈S} σ_st(v)/σ_st: σ are exact integers; each term
+    * is one double mul/div, and per-node terms fold in (s,t) ORDER so
+    * the emitted double is deterministic. The oracle replays all three
+    * levels and the same ordered fold.
+    */
+  def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val sym = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("s").as("node")).distinct()
+    val seeds = nodes
+      .orderBy(md5(concat(lit("bc:"), col("node").cast("string"))), col("node"))
+      .limit(BcSeeds)
+      .select(col("node").as("s"))
+    var cur = sym.join(broadcast(seeds), "s")
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("sigma"))
+      .withColumn("d", lit(1L))
+      .localCheckpoint(true)
+    var levels = List(cur)
+    val edge = sym.select(col("s").as("mid"), col("t").as("w"))
+    (2 to BcHops).foreach { h =>
+      val visited = levels.reduce(_ unionByName _).select(col("s"), col("t"))
+      val next = cur.join(edge, cur("t") === edge("mid"))
+        .filter(col("s") =!= col("w"))
+        .groupBy(col("s"), col("w")).agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("w", "t")
+        .join(visited, Seq("s", "t"), "left_anti")
+        .withColumn("d", lit(h.toLong))
+        .localCheckpoint(true)
+      levels = next :: levels
+      cur = next
+    }
+    val ap = levels.reduce(_ unionByName _)
+    val sv = ap.select(col("s"), col("t").as("node"), col("d").as("d1"),
+      col("sigma").as("s1"))
+    val vt = ap.select(col("t").as("node"), col("s").as("t2"),
+      col("d").as("d2"), col("sigma").as("s2")) // undirected: σ(v→t)=σ(t→v)
+    val st = ap.select(col("s"), col("t").as("t2"), col("d").as("dt"),
+      col("sigma").as("sg"))
+    val terms = sv.join(vt, "node")
+      .filter(col("s") =!= col("t2"))
+      .join(st, Seq("s", "t2"))
+      .filter(col("d1") + col("d2") === col("dt"))
+      .select(col("node"), col("s"), col("t2"),
+        (col("s1").cast("double") * col("s2").cast("double") /
+          col("sg").cast("double")).as("term"))
+    val bc = terms.groupBy(col("node"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("s"), col("t2"), col("term")))),
+          x => x.getField("term")),
+        lit(0.0), (a, b) => a + b).as("bc"))
+    val out = nodes.join(bc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
+      .orderBy(col("node"))
+      .localCheckpoint(true)
+    graft.Caches.free(sym)
+    levels.foreach(graft.Caches.free)
+    out
+  }
+
+  val graphBetweennessSql: String = {
+    val lvl = (2 to BcHops).map { h =>
+      val notSeen = (1 until h)
+        .map(p => s"AND NOT EXISTS (SELECT 1 FROM l$p p WHERE p.s = c.s AND p.t = e.t)")
+        .mkString(" ")
+      s"""l$h AS MATERIALIZED (SELECT c.s, e.t, CAST(SUM(c.sg) AS BIGINT) AS sg,
+         |    CAST($h AS BIGINT) AS d
+         |  FROM l${h - 1} c JOIN sym e ON c.t = e.s
+         |  WHERE c.s <> e.t $notSeen
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BcHops).map(h => s"SELECT * FROM l$h").mkString(" UNION ALL ")
+    s"""WITH $CoSupplyCtes,
+       |sym AS MATERIALIZED (SELECT u AS s, v AS t FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |nodes AS (SELECT DISTINCT s AS node FROM sym),
+       |seeds AS MATERIALIZED (SELECT node FROM nodes
+       |  ORDER BY md5('bc:' || CAST(node AS VARCHAR)), node LIMIT $BcSeeds),
+       |l1 AS MATERIALIZED (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS sg,
+       |    CAST(1 AS BIGINT) AS d
+       |  FROM sym JOIN seeds ON seeds.node = sym.s GROUP BY 1, 2),
+       |$lvl,
+       |ap AS MATERIALIZED ($union),
+       |tri AS (SELECT sv.t AS node, sv.s, vt.s AS t2,
+       |    CAST(sv.sg AS DOUBLE) * CAST(vt.sg AS DOUBLE) / CAST(st.sg AS DOUBLE) AS term
+       |  FROM ap sv JOIN ap vt ON vt.t = sv.t AND sv.s <> vt.s
+       |  JOIN ap st ON st.s = sv.s AND st.t = vt.s AND st.d = sv.d + vt.d),
+       |bc AS (SELECT node, CAST(list_reduce(list_prepend(0.0e0,
+       |    list_transform(list(struct_pack(s := s, t2 := t2, term := term) ORDER BY s, t2),
+       |      x -> x.term)), (a, b) -> a + b) AS DOUBLE) AS bc
+       |  FROM tri GROUP BY node)
+       |SELECT n.node, COALESCE(bc.bc, 0.0e0) AS bc
+       |FROM nodes n LEFT JOIN bc ON bc.node = n.node ORDER BY n.node""".stripMargin
+  }
+
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     val edges = coSupplyEdges(s, dir)
     val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
@@ -3304,6 +3411,7 @@ object Relational {
     "stats_runs" -> (statsRuns _),
     "stats_kruskal" -> (statsKruskal _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_betweenness" -> (graphBetweenness _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3372,6 +3480,7 @@ object Relational {
     "stats_runs" -> statsRunsSql,
     "stats_kruskal" -> statsKruskalSql,
     "graph_assortativity" -> graphAssortativitySql,
+    "graph_betweenness" -> graphBetweennessSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

@@ -740,6 +740,49 @@ class Round5OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - want) < 1e-9)
   }
 
+  test("graph_betweenness equals brute-force seed-pair 3-hop betweenness") {
+    val got = Relational.graphBetweenness(spark, dir01).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val edges = Relational.graphBuild(spark, dir01)
+      .select("u", "v").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = nodes.sortBy(n => (md5hex(s"bc:$n"), n)).take(32)
+    // BFS (σ, d) from each seed, depth ≤ 3
+    def paths(src: Long): Map[Long, (Int, Long)] = {
+      var res = Map(src -> (0, 1L))
+      var frontier = Map(src -> 1L)
+      (1 to 3).foreach { d =>
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach { case (n, sg) =>
+          adj.getOrElse(n, Set.empty).foreach { w =>
+            if (!res.contains(w)) next(w) = next.getOrElse(w, 0L) + sg
+          }
+        }
+        res ++= next.map { case (w, sg) => w -> (d, sg) }
+        frontier = next.toMap
+      }
+      res - src
+    }
+    val p = seeds.map(s => s -> paths(s)).toMap
+    val want = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- seeds; t <- seeds if s != t; stp <- p(s).get(t)) {
+      val (dst, sgst) = stp
+      nodes.foreach { v =>
+        if (v != s && v != t)
+          for ((d1, s1) <- p(s).get(v); (d2, s2) <- p(t).get(v) if d1 + d2 == dst)
+            want(v) += s1.toDouble * s2.toDouble / sgst.toDouble
+      }
+    }
+    nodes.foreach { n =>
+      assert(math.abs(got(n) - want(n)) < 1e-9, s"node $n: ${got(n)} vs ${want(n)}")
+    }
+    assert(got.values.exists(_ > 0.0), "some node should lie on a sampled shortest path")
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
