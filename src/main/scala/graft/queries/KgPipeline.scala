@@ -231,8 +231,58 @@ object KgPipeline {
        |  FROM j)
        |WHERE rank <= 5 ORDER BY prefix, field, rank""".stripMargin
 
+  /** More-like-this (the ES `more_like_this` analogue the reference's
+    * UI leans on): for each seed document, the top-3 neighbours by
+    * Jaccard over their KG key SETS — related-document retrieval
+    * through the structured index, not raw text. Candidates come from
+    * the shared-key inverted index (bounded: keys per doc ≤ the
+    * glossary size), scores are one exact integer division each.
+    */
+  def kgMlt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ks = kg(s, dir).select(col("doc_id"), col("field"), col("key")).distinct()
+    val sizes = ks.groupBy(col("doc_id")).agg(count(lit(1)).as("nk"))
+    val shared = ks.select(col("doc_id").as("qid"), col("field"), col("key"))
+      .filter(col("qid").cast("bigint") < 10)
+      .join(ks, Seq("field", "key"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("jaccard").desc, col("doc_id").cast("bigint"))
+    shared
+      .join(sizes.select(col("doc_id").as("qid"), col("nk").as("nq")), "qid")
+      .join(sizes, "doc_id")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("nq") + col("nk") - col("shared")).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid").cast("bigint").as("qid"),
+        col("doc_id").cast("bigint").as("doc_id"),
+        col("shared"), col("jaccard"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val kgMltSql: String =
+    s"""$KgCte,
+       |ks AS (SELECT DISTINCT doc_id, field, key FROM kg),
+       |sz AS (SELECT doc_id, COUNT(*) AS nk FROM ks GROUP BY 1),
+       |sh AS (SELECT a.doc_id AS qid, b.doc_id AS did, COUNT(*) AS shared
+       |  FROM ks a JOIN ks b ON a.field = b.field AND a.key = b.key
+       |    AND a.doc_id <> b.doc_id
+       |  WHERE CAST(a.doc_id AS BIGINT) < 10
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT qid, did, shared,
+       |    CAST(shared AS DOUBLE) / CAST(q.nk + d.nk - shared AS DOUBLE) AS jaccard
+       |  FROM sh JOIN sz q ON q.doc_id = sh.qid JOIN sz d ON d.doc_id = sh.did)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS doc_id,
+       |  shared, jaccard, rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY jaccard DESC, CAST(did AS BIGINT)) AS rank FROM sc)
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_suggest" -> (kgSuggest _),
+    "kg_mlt" -> (kgMlt _),
     "kg_facets" -> (kgFacets _),
     "kg_search" -> (kgSearch _),
     "kg_search_facets" -> (kgSearchFacets _),
@@ -241,6 +291,7 @@ object KgPipeline {
 
   val oracles: Map[String, String] = Map(
     "kg_suggest" -> kgSuggestSql,
+    "kg_mlt" -> kgMltSql,
     "kg_facets" -> kgFacetsSql,
     "kg_search" -> kgSearchSql,
     "kg_search_facets" -> kgSearchFacetsSql,

@@ -1525,6 +1525,86 @@ object Relational {
        |FROM nodes n LEFT JOIN bc ON bc.node = n.node ORDER BY n.node""".stripMargin
   }
 
+  /** Sampled-source closeness centrality: c(v) = reached(v) /
+    * Σ_{s∈S} d(s,v) over the same 32 salted-hash seeds and 3-hop
+    * level-synchronous BFS as [[graphBetweenness]] (undirected
+    * symmetry: distances from the seeds ARE distances to them). Sums
+    * are exact integers; the closeness ratio is one division. A node
+    * no seed reaches within the bound reports NULL (not 0 — "unknown",
+    * the honest value under sampling).
+    */
+  def graphCloseness(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val sym = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("s").as("node")).distinct()
+    val seeds = nodes
+      .orderBy(md5(concat(lit("bc:"), col("node").cast("string"))), col("node"))
+      .limit(BcSeeds)
+      .select(col("node").as("s"))
+    var cur = sym.join(broadcast(seeds), "s")
+      .select(col("s"), col("t")).distinct()
+      .withColumn("d", lit(1L))
+      .localCheckpoint(true)
+    var levels = List(cur)
+    val edge = sym.select(col("s").as("mid"), col("t").as("w"))
+    (2 to BcHops).foreach { h =>
+      val visited = levels.reduce(_ unionByName _).select(col("s"), col("t"))
+      val next = cur.join(edge, cur("t") === edge("mid"))
+        .filter(col("s") =!= col("w"))
+        .select(col("s"), col("w").as("t")).distinct()
+        .join(visited, Seq("s", "t"), "left_anti")
+        .withColumn("d", lit(h.toLong))
+        .localCheckpoint(true)
+      levels = next :: levels
+      cur = next
+    }
+    val ap = levels.reduce(_ unionByName _)
+    val agg = ap.groupBy(col("t").as("node"))
+      .agg(count(lit(1)).as("reached"), sum(col("d")).as("dist_sum"))
+    val out = nodes.join(agg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("reached"), lit(0L)).as("reached"),
+        coalesce(col("dist_sum"), lit(0L)).as("dist_sum"),
+        when(col("dist_sum") > 0,
+          col("reached").cast("double") / col("dist_sum").cast("double"))
+          .as("closeness"))
+      .orderBy(col("node"))
+      .localCheckpoint(true)
+    graft.Caches.free(sym)
+    levels.foreach(graft.Caches.free)
+    out
+  }
+
+  val graphClosenessSql: String = {
+    val lvl = (2 to BcHops).map { h =>
+      val notSeen = (1 until h)
+        .map(p => s"AND NOT EXISTS (SELECT 1 FROM l$p p WHERE p.s = c.s AND p.t = e.t)")
+        .mkString(" ")
+      s"""l$h AS MATERIALIZED (SELECT DISTINCT c.s, e.t, CAST($h AS BIGINT) AS d
+         |  FROM l${h - 1} c JOIN sym e ON c.t = e.s
+         |  WHERE c.s <> e.t $notSeen)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BcHops).map(h => s"SELECT * FROM l$h").mkString(" UNION ALL ")
+    s"""WITH $CoSupplyCtes,
+       |sym AS MATERIALIZED (SELECT u AS s, v AS t FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |nodes AS (SELECT DISTINCT s AS node FROM sym),
+       |seeds AS MATERIALIZED (SELECT node FROM nodes
+       |  ORDER BY md5('bc:' || CAST(node AS VARCHAR)), node LIMIT $BcSeeds),
+       |l1 AS MATERIALIZED (SELECT DISTINCT sym.s, sym.t, CAST(1 AS BIGINT) AS d
+       |  FROM sym JOIN seeds ON seeds.node = sym.s),
+       |$lvl,
+       |ap AS ($union),
+       |agg AS (SELECT t AS node, CAST(COUNT(*) AS BIGINT) AS reached,
+       |    CAST(SUM(d) AS BIGINT) AS dist_sum FROM ap GROUP BY t)
+       |SELECT n.node, COALESCE(agg.reached, 0) AS reached,
+       |  COALESCE(agg.dist_sum, 0) AS dist_sum,
+       |  CASE WHEN agg.dist_sum > 0
+       |    THEN CAST(agg.reached AS DOUBLE) / CAST(agg.dist_sum AS DOUBLE) END AS closeness
+       |FROM nodes n LEFT JOIN agg ON agg.node = n.node ORDER BY n.node""".stripMargin
+  }
+
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     val edges = coSupplyEdges(s, dir)
     val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
@@ -3412,6 +3492,7 @@ object Relational {
     "stats_kruskal" -> (statsKruskal _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_betweenness" -> (graphBetweenness _),
+    "graph_closeness" -> (graphCloseness _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3481,6 +3562,7 @@ object Relational {
     "stats_kruskal" -> statsKruskalSql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_betweenness" -> graphBetweennessSql,
+    "graph_closeness" -> graphClosenessSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

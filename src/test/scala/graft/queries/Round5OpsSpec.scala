@@ -783,6 +783,46 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.values.exists(_ > 0.0), "some node should lie on a sampled shortest path")
   }
 
+  test("graph_closeness equals brute-force sampled-source BFS distance sums") {
+    val got = Relational.graphCloseness(spark, dir01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val edges = Relational.graphBuild(spark, dir01)
+      .select("u", "v").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = nodes.sortBy(n => (md5hex(s"bc:$n"), n)).take(32)
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    seeds.foreach { s =>
+      var dist = Map(s -> 0)
+      var frontier = Set(s)
+      (1 to 3).foreach { d =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> d)
+      }
+      (dist - s).foreach { case (v, d) =>
+        val (r0, s0) = want(v); want(v) = (r0 + 1, s0 + d)
+      }
+    }
+    nodes.foreach(n => assert(got(n) == want(n), s"node $n"))
+  }
+
+  test("kg_mlt: jaccard consistent with shared/size counts, top-3 per seed") {
+    val rows = KgPipeline.kgMlt(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getLong(0))
+    perQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.sameElements(1 to rs.length) && rs.length <= 3)
+      // scores non-increasing in rank
+      val byRank = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+    }
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
