@@ -401,7 +401,143 @@ object FeatureQueries {
       |FROM ct CROSS JOIN ps ORDER BY bin""".stripMargin
   }
 
+  /** EXACT ROC AUC via the Mann–Whitney rank identity — the model-eval
+    * operator every classifier gate needs, computed at scale without
+    * the sort-and-sweep: AUC = (Σ 2R̄⁺ − n₁(n₁+1)) / (2 n₁ n₀) over
+    * DOUBLED average ranks from the two-level cumulative (ties
+    * handled exactly; no global sort). Everything is an exact integer
+    * until ONE final division. Predictor: order total (cents); label:
+    * status 'F'.
+    */
+  def evalAuc(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "orders").select(
+      round(col("o_totalprice") * 100.0).cast("long").as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val rk = cumRanks(rows.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .select(col("v"), (lit(2L) * col("cum") - col("c") + lit(1L)).as("r2"))
+    rows.join(rk, "v")
+      .agg(sum(col("y")).as("n_pos"),
+        sum(lit(1L) - col("y")).as("n_neg"),
+        sum(when(col("y") === 1L, col("r2")).otherwise(0L)
+          .cast("decimal(38,0)")).cast("double").as("s2pos"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("s2pos") -
+            (col("n_pos") * (col("n_pos") + 1)).cast("double")) /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
+  val evalAucSql: String =
+    """WITH r0 AS (SELECT CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |vc AS (SELECT v, COUNT(*) AS c FROM r0 GROUP BY 1),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vc),
+      |rk AS (SELECT v, 2 * cum - c + 1 AS r2 FROM cm),
+      |a AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+      |    CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+      |    CAST(SUM(CAST(CASE WHEN y = 1 THEN r2 ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS s2pos
+      |  FROM r0 JOIN rk USING (v))
+      |SELECT n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |    THEN (s2pos - CAST(n_pos * (n_pos + 1) AS DOUBLE))
+      |      / (2.0e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+      |FROM a""".stripMargin
+
+  /** Threshold confusion matrix + exact P/R/F1 at the EXACT median
+    * score (selection via the two-level cumulative — the
+    * encode_winsorize boundary convention): tp/fp/fn/tn are integer
+    * counts; precision and recall are one division each and F1 uses
+    * the single-division identity 2tp/(2tp+fp+fn) (never the p·r
+    * compound that would add float steps).
+    */
+  def evalConfusion(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "orders").select(
+      round(col("o_totalprice") * 100.0).cast("long").as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val thr = cumRanks(rows.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .agg(min(when(col("cum") >= floor(lit(0.5) * (col("n") - 1)).cast("long") + 1,
+        col("v"))).as("thr"))
+    rows.crossJoin(broadcast(thr))
+      .withColumn("pred", (col("v") >= col("thr")).cast("long"))
+      .agg(
+        sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0L && col("y") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")).as("f1"))
+  }
+
+  val evalConfusionSql: String =
+    """WITH r0 AS (SELECT CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |vc AS (SELECT v, COUNT(*) AS c FROM r0 GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vc CROSS JOIN nn),
+      |thr AS (SELECT MIN(CASE WHEN cum >= CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1
+      |    THEN v END) AS thr FROM cm),
+      |p AS (SELECT y, CASE WHEN v >= thr THEN 1 ELSE 0 END AS pred
+      |  FROM r0 CROSS JOIN thr),
+      |a AS (SELECT
+      |    CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM p)
+      |SELECT tp, fp, fn, tn,
+      |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+      |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+      |  CASE WHEN 2 * tp + fp + fn > 0
+      |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+      |FROM a""".stripMargin
+
+  /** Calibration curve over EXACT score deciles (the encode_binning
+    * discretizer): per-bin observed positive rate vs the overall base
+    * rate — the reliability diagram a gate classifier is audited
+    * with. All integers until one division per bin.
+    */
+  def evalCalibration(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "orders").select(
+      round(col("o_totalprice") * 100.0).cast("long").as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val rk = cumRanks(
+      rows.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .withColumn("bin", expr("(cum - 1) * 10 div n"))
+      .select(col("v"), col("bin"))
+    rows.join(rk, "v")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .withColumn("rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .orderBy(col("bin"))
+  }
+
+  val evalCalibrationSql: String =
+    """WITH r0 AS (SELECT CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |vc AS (SELECT v, COUNT(*) AS c FROM r0 GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vc CROSS JOIN nn),
+      |rk AS (SELECT v, ((cum - 1) * 10) // n AS bin FROM cm)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rate
+      |FROM r0 JOIN rk USING (v)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_auc" -> (evalAuc _),
+    "eval_confusion" -> (evalConfusion _),
+    "eval_calibration" -> (evalCalibration _),
     "dq_psi" -> (dqPsi _),
     "rfm_scores" -> (rfmScores _),
     "pivot_events" -> (pivotEvents _),
@@ -411,6 +547,9 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "eval_auc" -> evalAucSql,
+    "eval_confusion" -> evalConfusionSql,
+    "eval_calibration" -> evalCalibrationSql,
     "dq_psi" -> dqPsiSql,
     "rfm_scores" -> rfmScoresSql,
     "pivot_events" -> pivotEventsSql,

@@ -823,6 +823,41 @@ class Round5OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("eval_auc equals the brute-force pairwise win rate (ties half)") {
+    val r = FeatureQueries.evalAuc(spark, dir).collect().head
+    val data = graft.Tables(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100.0).cast("long"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pos = data.filter(_._2 == 1L).map(_._1)
+    val neg = data.filter(_._2 == 0L).map(_._1)
+    var wins = 0.0
+    pos.foreach(p => neg.foreach { n =>
+      if (p > n) wins += 1.0 else if (p == n) wins += 0.5
+    })
+    val want = wins / (pos.length.toDouble * neg.length)
+    assert(r.getLong(0) == pos.length && r.getLong(1) == neg.length)
+    assert(math.abs(r.getDouble(2) - want) < 1e-9, s"${r.getDouble(2)} vs $want")
+  }
+
+  test("eval_confusion: matrix totals and single-division F1 identity") {
+    val r = FeatureQueries.evalConfusion(spark, dir).collect().head
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val total = graft.Tables(spark, dir, "orders").count()
+    assert(tp + fp + fn + tn == total)
+    assert(r.getDouble(4) == tp.toDouble / (tp + fp))
+    assert(r.getDouble(5) == tp.toDouble / (tp + fn))
+    assert(r.getDouble(6) == 2.0 * tp / (2.0 * tp + fp + fn).toDouble)
+  }
+
+  test("eval_calibration: ten bins, counts sum to corpus, rates are exact ratios") {
+    val rows = FeatureQueries.evalCalibration(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    assert(rows.map(_.getLong(1)).sum == graft.Tables(spark, dir, "orders").count())
+    rows.foreach(r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble))
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
