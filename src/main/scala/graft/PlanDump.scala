@@ -83,7 +83,20 @@ object PlanDump {
       "rec_cosine", "stats_benford", "text_vocab", "rfm_scores",
       "ts_seasonal", "ts_attribution", "stream_tumbling", "abc_parts",
       // round 5: let-bound pairwise Theil-Sen, Bellman-Ford SSSP
-      "ts_theilsen", "graph_sssp")
+      "ts_theilsen", "graph_sssp",
+      // round 5 (cont.): rank stats over grouped two-level cumulatives,
+      // HITS/PPR/SCC/betweenness/closeness, native Jaro-Winkler ER,
+      // sample-quantile sketch, MMR re-rank, Hilbert layout, radius
+      // search, exact DAU/WAU, OLS, eval suite, suggest/MLT retrieval
+      "stats_spearman", "stats_kendall", "graph_hits", "graph_ppr",
+      "graph_scc", "graph_betweenness", "graph_closeness",
+      "er_jarowinkler", "sketch_quantile", "sim_mmr", "sim_range",
+      "layout_hilbert", "reshape_unpivot", "text_hash_features",
+      "ts_wau", "ts_forecast", "stats_ols", "stats_kruskal",
+      "graph_assortativity", "stream_dedup", "dq_kanon",
+      "media_audio_features", "eval_auc", "eval_confusion",
+      "eval_calibration", "kg_suggest", "kg_mlt", "stats_runs",
+      "rec_jaccard")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")
