@@ -1525,6 +1525,85 @@ object Relational {
        |FROM nodes n LEFT JOIN bc ON bc.node = n.node ORDER BY n.node""".stripMargin
   }
 
+  /** Reciprocity of the DIRECTED transition graph: the fraction of
+    * edges whose reverse also exists — the dyad-level symmetry
+    * statistic. One self-join on the distinct edge set + one
+    * division of exact integers.
+    */
+  def graphReciprocity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("a"), lead(col("event_type"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull && col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val rev = edges.select(col("b").as("a"), col("a").as("b"))
+    val out = edges
+      .agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(
+        edges.join(rev, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double") / col("n_edges").cast("double"))
+          .as("reciprocity"))
+      .localCheckpoint(true)
+    graft.Caches.free(edges)
+    out
+  }
+
+  val graphReciprocitySql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+      |nx AS (SELECT event_type AS a, lead(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS b FROM ev),
+      |e AS (SELECT DISTINCT a, b FROM nx WHERE b IS NOT NULL AND a <> b),
+      |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal FROM e
+      |  WHERE EXISTS (SELECT 1 FROM e x WHERE x.a = e.b AND x.b = e.a)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT n_edges, n_reciprocal,
+      |  CASE WHEN n_edges > 0
+      |    THEN CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) END AS reciprocity
+      |FROM n CROSS JOIN r""".stripMargin
+
+  /** One-row profile of the co-supply graph index — the summary every
+    * graph workload starts from: node/edge counts, density
+    * 2E/(n(n−1)), average and maximum degree. Exact integers plus two
+    * fixed division chains.
+    */
+  def graphSummary(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        when(col("n_nodes") > 1,
+          lit(2.0) * col("n_edges").cast("double") /
+            (col("n_nodes").cast("double") * (col("n_nodes").cast("double") - lit(1.0))))
+          .as("density"),
+        when(col("n_nodes") > 0,
+          lit(2.0) * col("n_edges").cast("double") / col("n_nodes").cast("double"))
+          .as("avg_degree"))
+  }
+
+  val graphSummarySql: String =
+    s"""WITH $CoSupplyCtes,
+       |deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+       |d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(MAX(deg) AS BIGINT) AS max_degree FROM deg),
+       |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+       |SELECT n_nodes, n_edges, max_degree,
+       |  CASE WHEN n_nodes > 1 THEN 2.0e0 * CAST(n_edges AS DOUBLE)
+       |    / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0e0)) END AS density,
+       |  CASE WHEN n_nodes > 0
+       |    THEN 2.0e0 * CAST(n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) END AS avg_degree
+       |FROM d CROSS JOIN e""".stripMargin
+
   /** Sampled-source closeness centrality: c(v) = reached(v) /
     * Σ_{s∈S} d(s,v) over the same 32 salted-hash seeds and 3-hop
     * level-synchronous BFS as [[graphBetweenness]] (undirected
@@ -3493,6 +3572,8 @@ object Relational {
     "graph_assortativity" -> (graphAssortativity _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_closeness" -> (graphCloseness _),
+    "graph_reciprocity" -> (graphReciprocity _),
+    "graph_summary" -> (graphSummary _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3563,6 +3644,8 @@ object Relational {
     "graph_assortativity" -> graphAssortativitySql,
     "graph_betweenness" -> graphBetweennessSql,
     "graph_closeness" -> graphClosenessSql,
+    "graph_reciprocity" -> graphReciprocitySql,
+    "graph_summary" -> graphSummarySql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

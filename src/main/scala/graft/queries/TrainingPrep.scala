@@ -367,7 +367,68 @@ object TrainingPrep {
       |  (w / z) / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS boost
       |FROM w CROSS JOIN z CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Token-budget greedy selection (the data-mixing allocator): rank
+    * documents by value density (distinct-token ratio — one division,
+    * bit-identical cross-engine) and keep the density-descending
+    * PREFIX whose cumulative token count fits the budget. The
+    * cumulative runs through the two-level bucket machinery (offsets
+    * over ≤1024 rows + per-bucket keyed windows — no global sort), the
+    * abc_parts shape with tokens as the weight. Report per source:
+    * docs/tokens available vs selected. All integers but the ordering
+    * key.
+    */
+  def pipelineBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 100000L
+    val docs = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.bindOnce(
+          graft.functions.TextFunctions.tokens(col("text"))) { t =>
+          struct(size(t).cast("long").as("tok"),
+            size(array_distinct(t)).cast("long").as("uniq"))
+        }.as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.tok").as("tok"), col("c.uniq").as("uniq"))
+      .filter(col("tok") > 0)
+      .withColumn("density", col("uniq").cast("double") / col("tok").cast("double"))
+    val rng = docs.agg(min(-col("density")).as("lo"), max(-col("density")).as("hi"))
+    val bucketed = docs.withColumn("v", -col("density"))
+      .crossJoin(broadcast(rng))
+      .withColumn("bucket", least(floor((col("v") - col("lo")) * 1024.0 /
+        greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("tok")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"), col("doc_id"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("off") + sum(col("tok")).over(wb))
+      .withColumn("sel", col("cum") <= B)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tokens_all"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("sel"), col("tok")).otherwise(0L)).as("tokens_sel"))
+      .orderBy(col("source"))
+  }
+
+  val pipelineBudgetSql: String =
+    """WITH tk AS (SELECT doc_id, source,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |d AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS tok,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS uniq
+      |  FROM tk WHERE len(t) > 0),
+      |dd AS (SELECT *, CAST(uniq AS DOUBLE) / CAST(tok AS DOUBLE) AS density FROM d),
+      |cm AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY density DESC, doc_id) AS BIGINT) AS cum
+      |  FROM dd)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens_all,
+      |  CAST(SUM(CASE WHEN cum <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+      |  CAST(SUM(CASE WHEN cum <= 100000 THEN tok ELSE 0 END) AS BIGINT) AS tokens_sel
+      |FROM cm GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_budget" -> (pipelineBudget _),
     "pipeline_temperature" -> (pipelineTemperature _),
     "pipeline_sample" -> ((s: SparkSession, dir: String) => sampleK(s, dir)),
     "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
@@ -378,6 +439,7 @@ object TrainingPrep {
     "pipeline_mix" -> ((s: SparkSession, dir: String) => mixSources(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_budget" -> pipelineBudgetSql,
     "pipeline_temperature" -> pipelineTemperatureSql,
     "pipeline_sample" -> sampleKSql,
     "pipeline_shuffle" -> shuffleOrderSql,

@@ -858,6 +858,56 @@ class Round5OpsSpec extends SparkSpec {
       assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble))
   }
 
+  test("pipeline_budget: selected tokens are the exact density-descending prefix") {
+    val rows = TrainingPrep.pipelineBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"),
+        size(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(_._3 > 0)
+    val ordered = docs.sortBy { case (id, _, tok, uniq) =>
+      (-(uniq.toDouble / tok.toDouble), id) }
+    var cum = 0L
+    val sel = ordered.takeWhile { d => cum += d._3; cum <= 100000L }
+    val bySrcSel = sel.groupBy(_._2)
+    rows.foreach { case (src, nd, ta, ns, ts2) =>
+      val all = docs.filter(_._2 == src)
+      assert(nd == all.length && ta == all.map(_._3).sum, src)
+      val s2 = bySrcSel.getOrElse(src, Array.empty[(Long, String, Long, Long)])
+      assert(ns == s2.length && ts2 == s2.map(_._3).sum, src)
+    }
+    assert(rows.map(_._4).sum == sel.length && sel.nonEmpty)
+  }
+
+  test("graph_reciprocity equals brute force on the collected transition edges") {
+    val r = Relational.graphReciprocity(spark, dir).collect().head
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")), col("event_id"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val edges = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val s = rs.sortBy(x => (x._3, x._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.filter(e => e._1 != e._2).distinct.toSet
+    val recip = edges.count(e => edges((e._2, e._1)))
+    assert(r.getLong(0) == edges.size && r.getLong(1) == recip)
+    assert(r.getDouble(2) == recip.toDouble / edges.size)
+  }
+
+  test("graph_summary identities: density and avg degree from n/E, max degree real") {
+    val r = Relational.graphSummary(spark, dir01).collect().head
+    val edges = Relational.graphBuild(spark, dir01)
+      .select("u", "v").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val degs = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    assert(r.getLong(0) == degs.size && r.getLong(1) == edges.length)
+    assert(r.getLong(2) == degs.values.max)
+    val n = degs.size.toDouble
+    assert(r.getDouble(3) == 2.0 * edges.length / (n * (n - 1.0)))
+    assert(r.getDouble(4) == 2.0 * edges.length / n)
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
