@@ -1003,6 +1003,58 @@ object Relational {
       |  est_p99, exact_p99, abs(est_p99 - exact_p99) AS err_p99
       |FROM est CROSS JOIN ex""".stripMargin
 
+  /** Blocking-quality evaluation (the ER-survey metrics): REDUCTION
+    * RATIO (how many pairs blocking prunes) and PAIR COMPLETENESS
+    * (what fraction of true matches survive the prune) for the
+    * 16-char-prefix blocker against a ground truth of levenshtein≤2
+    * pairs. Ground truth requires the quadratic — so the universe is
+    * BOUNDED BY CONSTRUCTION (custkey < 1000, ~500k pairs at ANY
+    * scale factor), the documented cartesian exception: this query
+    * measures a blocker, the blockers themselves never pay it.
+    * Integer tallies, two final divisions.
+    */
+  def erBlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables(s, dir, "customer").filter(col("c_custkey") < 1000)
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      .localCheckpoint(true)
+    val out = u.as("a").join(u.as("b"), col("a.id") < col("b.id"))
+      .select(
+        (levenshtein(col("a.nm"), col("b.nm"), 2) =!= -1).cast("long").as("is_match"),
+        (substring(col("a.nm"), 1, 16) === substring(col("b.nm"), 1, 16))
+          .cast("long").as("in_block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("is_match")).as("n_matches"),
+        sum(col("in_block")).as("n_candidates"),
+        sum(col("is_match") * col("in_block")).as("n_captured"))
+      .select(col("n_pairs"), col("n_matches"), col("n_candidates"), col("n_captured"),
+        (lit(1.0) - col("n_candidates").cast("double") / col("n_pairs").cast("double"))
+          .as("reduction_ratio"),
+        when(col("n_matches") > 0,
+          col("n_captured").cast("double") / col("n_matches").cast("double"))
+          .as("pair_completeness"))
+      .localCheckpoint(true)
+    graft.Caches.free(u)
+    out
+  }
+
+  val erBlockingEvalSql: String =
+    """WITH u AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+      |  WHERE c_custkey < 1000),
+      |p AS (SELECT
+      |    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 1 ELSE 0 END AS is_match,
+      |    CASE WHEN substr(a.nm, 1, 16) = substr(b.nm, 1, 16) THEN 1 ELSE 0 END AS in_block
+      |  FROM u a JOIN u b ON a.id < b.id),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(is_match) AS BIGINT) AS n_matches,
+      |    CAST(SUM(in_block) AS BIGINT) AS n_candidates,
+      |    CAST(SUM(is_match * in_block) AS BIGINT) AS n_captured
+      |  FROM p)
+      |SELECT n_pairs, n_matches, n_candidates, n_captured,
+      |  1.0e0 - CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS reduction_ratio,
+      |  CASE WHEN n_matches > 0
+      |    THEN CAST(n_captured AS DOUBLE) / CAST(n_matches AS DOUBLE) END AS pair_completeness
+      |FROM t""".stripMargin
+
   /** Entity resolution, sorted-neighborhood shape (Hernández &
     * Stolfo): sort by the match key once, compare each record only to
     * its w following neighbors via lead() — LINEAR candidate count
@@ -3574,6 +3626,7 @@ object Relational {
     "graph_closeness" -> (graphCloseness _),
     "graph_reciprocity" -> (graphReciprocity _),
     "graph_summary" -> (graphSummary _),
+    "er_blocking_eval" -> (erBlockingEval _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3646,6 +3699,7 @@ object Relational {
     "graph_closeness" -> graphClosenessSql,
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_summary" -> graphSummarySql,
+    "er_blocking_eval" -> erBlockingEvalSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,
