@@ -59,7 +59,18 @@ object GraftExtensions {
           "array of struct(n, gram, cnt, frac); ties to the smallest gram"),
       (args: Seq[Expression]) => NativeExpressions.TopNgrams(args.head,
         litInt("top_ngrams", "minN", args(1)),
-        litInt("top_ngrams", "maxN", args(2)))))
+        litInt("top_ngrams", "maxN", args(2)))),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity, bit-compatible with " +
+          "DuckDB's jaro_winkler_similarity (RapidFuzz semantics)"),
+      (args: Seq[Expression]) => NativeExpressions.JaroWinkler(args(0), args(1))),
+    (FunctionIdentifier("hilbert_index"),
+      info("hilbert_index",
+        "hilbert_index(x, y, bits) - position of the (x, y) cell on the " +
+          "2^bits-square Hilbert curve (clustering layout key)"),
+      (args: Seq[Expression]) => NativeExpressions.HilbertIndex(args(0), args(1),
+        litInt("hilbert_index", "bits", args(2)))))
 
   /** Install into a live session's function registry. */
   def register(spark: SparkSession): Unit =

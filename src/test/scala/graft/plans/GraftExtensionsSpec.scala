@@ -39,6 +39,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.exists(_._1 == 3))
   }
 
+  test("jaro_winkler and hilbert_index are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS jw,
+        |  hilbert_index(3L, 9L, 16) AS h""".stripMargin).collect().head
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.getLong(1) == NativeExpressions.hilbertCompute(3L, 9L, 16))
+    // non-literal bits parameter fails with the clear shape error
+    val err = intercept[Exception] {
+      spark.sql("SELECT hilbert_index(1L, 2L, CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("literal integer")
+      || String.valueOf(err.getCause).contains("literal integer"))
+  }
+
   test("registration is idempotent and survives re-registration") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
