@@ -2955,6 +2955,35 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** STREAMING daily distinct users ([[graft.streaming.StreamingDedup]]
+    * keyed by (type:day, user)): each (type, day, user) emits exactly
+    * once on first arrival, so per-(type, day) emission counts equal
+    * the batch DAU for ANY batch split — the streaming twin of
+    * [[graft.queries.TimeSeriesQueries.tsWau]]'s DAU leg. State is one
+    * marker bit per active (key, day) pair; with a watermark the day
+    * dimension ages out (documented: the bounded-state production
+    * variant is dropDuplicatesWithinWatermark).
+    */
+  def streamDau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = Tables(s, dir, "events")
+      .select(concat(col("event_type"), lit(":"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").cast("string")).as("grp"),
+        col("user_id").as("id"))
+      .as[graft.streaming.StreamingDedup.KeyIn]
+    graft.streaming.StreamingDedup.firstSeen(s, in).toDF()
+      .withColumn("event_type", substring_index(col("grp"), ":", 1))
+      .withColumn("day", substring_index(col("grp"), ":", -1).cast("long"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val streamDauSql: String =
+    """SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |  COUNT(DISTINCT user_id) AS dau
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   /** k-anonymity audit (k=5) over the quasi-identifier triple
     * (event_type, weekday, value-bucket): class sizes are exact
     * integer counts, so the report — smallest equivalence class,
@@ -3627,6 +3656,7 @@ object Relational {
     "graph_reciprocity" -> (graphReciprocity _),
     "graph_summary" -> (graphSummary _),
     "er_blocking_eval" -> (erBlockingEval _),
+    "stream_dau" -> (streamDau _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3700,6 +3730,7 @@ object Relational {
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_summary" -> graphSummarySql,
     "er_blocking_eval" -> erBlockingEvalSql,
+    "stream_dau" -> streamDauSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,

@@ -1714,7 +1714,62 @@ object TimeSeriesQueries {
       |FROM dau JOIN wau USING (event_type, day)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Forecast model selection by backtest: PERSISTENCE (f = y(d−1))
+    * vs SEASONAL-NAIVE (f = y(d−7)) on the shared evaluation window
+    * (days where BOTH forecasts exist), per type — the honest
+    * comparison needs one window, not each model's own. WAPE per
+    * model is one division of integer sums; the winner is a string
+    * CASE on exact integers (cross-multiplied — never compare two
+    * rounded ratios). Two shifted self-joins, all keyed.
+    */
+  def tsBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val s1 = daily.select(col("event_type"), (col("day") + 1).as("day"),
+      col("y").as("f1"))
+    val s7 = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("y").as("f7"))
+    daily.join(s1, Seq("event_type", "day"))
+      .join(s7, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("f1"))).as("sae1"),
+        sum(abs(col("y") - col("f7"))).as("sae7"),
+        sum(col("y")).as("sy"))
+      .select(col("event_type"), col("n_eval"),
+        when(col("sy") > 0,
+          col("sae1").cast("double") / col("sy").cast("double")).as("wape_persist"),
+        when(col("sy") > 0,
+          col("sae7").cast("double") / col("sy").cast("double")).as("wape_seasonal"),
+        // winner on exact integers: sae1/sy vs sae7/sy ⇔ sae1 vs sae7
+        when(col("sae7") < col("sae1"), "seasonal")
+          .when(col("sae1") < col("sae7"), "persistence")
+          .otherwise("tie").as("winner"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsBacktestSql: String =
+    """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    COUNT(*) AS y FROM events GROUP BY 1, 2),
+      |j AS (SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |    CAST(SUM(abs(d.y - p.y)) AS BIGINT) AS sae1,
+      |    CAST(SUM(abs(d.y - w.y)) AS BIGINT) AS sae7,
+      |    CAST(SUM(d.y) AS BIGINT) AS sy
+      |  FROM daily d
+      |  JOIN daily p ON p.event_type = d.event_type AND p.day = d.day - 1
+      |  JOIN daily w ON w.event_type = d.event_type AND w.day = d.day - 7
+      |  GROUP BY 1)
+      |SELECT event_type, n_eval,
+      |  CASE WHEN sy > 0 THEN CAST(sae1 AS DOUBLE) / CAST(sy AS DOUBLE) END AS wape_persist,
+      |  CASE WHEN sy > 0 THEN CAST(sae7 AS DOUBLE) / CAST(sy AS DOUBLE) END AS wape_seasonal,
+      |  CASE WHEN sae7 < sae1 THEN 'seasonal'
+      |       WHEN sae1 < sae7 THEN 'persistence' ELSE 'tie' END AS winner
+      |FROM j ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_backtest" -> (tsBacktest _),
     "ts_wau" -> (tsWau _),
     "ts_forecast" -> (tsForecast _),
     "ts_holt" -> (tsHolt _),
@@ -1760,6 +1815,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_wau" -> tsWauSql,
+    "ts_backtest" -> tsBacktestSql,
     "ts_forecast" -> tsForecastSql,
     "ts_holt" -> tsHoltSql,
     "ts_decompose" -> tsDecomposeSql,
