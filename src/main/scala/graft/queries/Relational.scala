@@ -1013,11 +1013,18 @@ object Relational {
     * measures a blocker, the blockers themselves never pay it.
     * Integer tallies, two final divisions.
     */
-  def erBlockingEval(s: SparkSession, dir: String): DataFrame = {
-    val u = Tables(s, dir, "customer").filter(col("c_custkey") < 1000)
+  /** The bounded ground-truth pair universe — exposed for the PlanSpec
+    * pin (the final query hides it behind the result checkpoint). */
+  private[graft] def erBlockingUniverse(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").filter(col("c_custkey") < 1000)
       .select(col("c_custkey").as("id"), col("c_name").as("nm"))
-      .localCheckpoint(true)
-    val out = u.as("a").join(u.as("b"), col("a.id") < col("b.id"))
+
+  private[graft] def erBlockingPairs(u: DataFrame): DataFrame =
+    u.as("a").join(u.as("b"), col("a.id") < col("b.id"))
+
+  def erBlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val u = erBlockingUniverse(s, dir).localCheckpoint(true)
+    val out = erBlockingPairs(u)
       .select(
         (levenshtein(col("a.nm"), col("b.nm"), 2) =!= -1).cast("long").as("is_match"),
         (substring(col("a.nm"), 1, 16) === substring(col("b.nm"), 1, 16))

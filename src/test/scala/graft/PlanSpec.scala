@@ -364,6 +364,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cosineRange is shuffle-free: queries broadcast, filter in the scan projection") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(graft.operators.Similarity.cosineRange(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4), 0.3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"radius search must not shuffle the corpus:\n$p")
+  }
+
+  test("reshape_unpivot runs as one Expand pass, no join against a type table") {
+    val p = plan(graft.queries.FeatureQueries.reshapeUnpivot(spark, dir))
+    assert(p.contains("Expand"), s"native unpivot should lower to Expand:\n$p")
+    assert(!p.contains("Join") || !p.split("Expand").head.contains("Join"),
+      s"no join should feed the unpivot:\n$p")
+  }
+
+  test("ts_wau and eval_auc avoid window functions entirely (bounded fan-out / rank join-backs)") {
+    Seq(TimeSeriesQueries.tsWau _, graft.queries.FeatureQueries.evalAuc _).foreach { q =>
+      val p = plan(q(spark, dir))
+      assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+        s"these operators are designed window-free:\n$p")
+    }
+  }
+
+  test("sampled centralities never go nested-loop; er_blocking_eval is the one documented cartesian") {
+    Seq(Relational.graphBetweenness _, Relational.graphCloseness _).foreach { q =>
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"),
+        s"seeded BFS must stay equi-join shaped:\n$p")
+    }
+    // the blocking evaluator's bounded ground-truth quadratic IS a
+    // nested-loop by design — pin the pre-checkpoint pair join (the
+    // final query hides it behind the result barrier) so an accidental
+    // equi-key rewrite (silently changing the universe) fails loudly
+    val pe = plan(Relational.erBlockingPairs(
+      Relational.erBlockingUniverse(spark, dir)))
+    assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("CartesianProduct"),
+      s"er_blocking_eval's ground truth is the documented bounded quadratic:\n$pe")
+  }
+
   test("stats_bootstrap: replicate means partial-aggregate map-side (B counters per partition)") {
     // the means barrier (localCheckpoint) hides the aggregate behind a
     // Scan ExistingRDD in the final plan — pin the PRE-barrier pipeline
