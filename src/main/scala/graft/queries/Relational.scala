@@ -2962,6 +2962,82 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** Incremental view maintenance, certified: the per-flag pricing
+    * aggregate maintained as BASE (orderkey < midpoint) plus a DELTA
+    * batch, merged by adding partial counts/sums — and emitted NEXT TO
+    * nothing else, because the ORACLE computes the direct aggregate,
+    * so the merge is proven equal to recomputation (sum/count are the
+    * associative pieces; avg re-derives from them at merge time, the
+    * one IVM rule people get wrong). Decimal partials keep the sums
+    * exact, so merged == direct bit-for-bit, not approximately.
+    */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    import Exact.dsum
+    val li = Tables(s, dir, "lineitem")
+    val mid = 3000000L // fixed split key: base/delta shape, any value works
+    def part(df: DataFrame) = df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+    val base = part(li.filter(col("l_orderkey") < mid))
+      .select(col("l_returnflag"), col("cnt").as("bc"), col("sum_qty").as("bs"))
+    val delta = part(li.filter(col("l_orderkey") >= mid))
+      .select(col("l_returnflag"), col("cnt").as("dc"), col("sum_qty").as("ds"))
+    base.join(delta, Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cnt"),
+        (coalesce(col("bs"), lit(0.0)) + coalesce(col("ds"), lit(0.0))).as("sum_qty"))
+      .withColumn("avg_qty", col("sum_qty") / col("cnt").cast("double"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggIncrementalSql: String =
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Right-to-be-forgotten audit (GDPR erasure propagation): for a
+    * deterministic salted-hash user cohort, the rows each table holds
+    * BEFORE erasure and the rows an anti-join erasure would remove —
+    * the report a deletion pipeline emits for sign-off. All integer
+    * counts; the cohort derives from the same md5 discipline as every
+    * sampler, so the oracle replays it.
+    */
+  def dqErasure(s: SparkSession, dir: String): DataFrame = {
+    val cohort = Tables(s, dir, "events").select(col("user_id")).distinct()
+      .filter(substring(md5(concat(lit("gdpr:"), col("user_id").cast("string"))), 1, 2) === "00")
+    val ev = Tables(s, dir, "events")
+    val affectedEv = ev.join(broadcast(cohort), Seq("user_id"), "left_semi")
+    val cust = Tables(s, dir, "customer")
+    val affectedCust = cust.join(broadcast(cohort.select(col("user_id").as("c_custkey"))),
+      Seq("c_custkey"), "left_semi")
+    val a = affectedEv.agg(count(lit(1)).as("v")).select(lit("events").as("table_name"),
+      lit("rows_to_erase").as("measure"), col("v"))
+    val b = ev.agg(count(lit(1)).as("v")).select(lit("events").as("table_name"),
+      lit("rows_total").as("measure"), col("v"))
+    val c = affectedCust.agg(count(lit(1)).as("v")).select(lit("customer").as("table_name"),
+      lit("rows_to_erase").as("measure"), col("v"))
+    val d = cust.agg(count(lit(1)).as("v")).select(lit("customer").as("table_name"),
+      lit("rows_total").as("measure"), col("v"))
+    val e = cohort.agg(count(lit(1)).as("v")).select(lit("cohort").as("table_name"),
+      lit("users").as("measure"), col("v"))
+    a.unionAll(b).unionAll(c).unionAll(d).unionAll(e)
+      .orderBy(col("table_name"), col("measure"))
+  }
+
+  val dqErasureSql: String =
+    """WITH cohort AS (SELECT DISTINCT user_id FROM events
+      |  WHERE substr(md5('gdpr:' || CAST(user_id AS VARCHAR)), 1, 2) = '00')
+      |SELECT * FROM (
+      |  SELECT 'events' AS table_name, 'rows_to_erase' AS measure,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events
+      |    WHERE user_id IN (SELECT user_id FROM cohort)
+      |  UNION ALL SELECT 'events', 'rows_total', CAST(COUNT(*) AS BIGINT) FROM events
+      |  UNION ALL SELECT 'customer', 'rows_to_erase', CAST(COUNT(*) AS BIGINT)
+      |    FROM customer WHERE c_custkey IN (SELECT user_id FROM cohort)
+      |  UNION ALL SELECT 'customer', 'rows_total', CAST(COUNT(*) AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'cohort', 'users', CAST(COUNT(*) AS BIGINT) FROM cohort)
+      |ORDER BY table_name, measure""".stripMargin
+
   /** STREAMING daily distinct users ([[graft.streaming.StreamingDedup]]
     * keyed by (type:day, user)): each (type, day, user) emits exactly
     * once on first arrival, so per-(type, day) emission counts equal
@@ -3664,6 +3740,8 @@ object Relational {
     "graph_summary" -> (graphSummary _),
     "er_blocking_eval" -> (erBlockingEval _),
     "stream_dau" -> (streamDau _),
+    "agg_incremental" -> (aggIncremental _),
+    "dq_erasure" -> (dqErasure _),
     "facet_gsets" -> (facetGsets _),
     "graph_sssp" -> (graphSssp _),
     "stats_mi" -> (statsMi _),
@@ -3738,6 +3816,8 @@ object Relational {
     "graph_summary" -> graphSummarySql,
     "er_blocking_eval" -> erBlockingEvalSql,
     "stream_dau" -> streamDauSql,
+    "agg_incremental" -> aggIncrementalSql,
+    "dq_erasure" -> dqErasureSql,
     "graph_sssp" -> graphSsspSql,
     "stats_mi" -> statsMiSql,
     "facet_rollup" -> facetRollupSql,
