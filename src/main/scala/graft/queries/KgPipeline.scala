@@ -197,6 +197,57 @@ object KgPipeline {
       |FROM tf JOIN dfs USING (tok) CROSS JOIN stats JOIN lens USING (doc_id)
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack et al. 2009 —
+    * the standard way a modern stack combines lexical and vector
+    * legs): the BM25 top-50 fused with the cosine top-50 of a probe
+    * embedding via Σ 1/(60 + rank). Ranks are exact integers from the
+    * two certified legs, each RRF term is one division, and the fusion
+    * is a full-outer join of two ALREADY-BOUNDED lists (≤50 rows per
+    * leg — the fusion cost never grows with the corpus). The 50-row
+    * re-rank window is single-partition by construction.
+    */
+  def kgHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = kgBm25(s, dir)
+      .withColumn("r_text",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_text"))
+    val emb = Tables(s, dir, "embeddings")
+    val vec = graft.operators.Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id") === 0), k = 50)
+      .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_text").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_vec").cast("double")), lit(0.0)))
+      .select(col("doc_id"), col("r_text"), col("r_vec"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val kgHybridSql: String = {
+    val dot = "list_reduce(list_transform(range(len(q.embedding)), i -> " +
+      "CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    val n2 = "list_reduce(list_transform(range(len(embedding)), i -> " +
+      "CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    s"""WITH bm AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_text
+       |  FROM ($kgBm25Sql)),
+       |nrm AS (SELECT vec_id, $n2 AS n2 FROM embeddings),
+       |cs AS (SELECT e.vec_id, $dot / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |  FROM embeddings q, embeddings e, nrm a, nrm b
+       |  WHERE q.vec_id = 0 AND e.vec_id <> 0
+       |    AND a.vec_id = q.vec_id AND b.vec_id = e.vec_id),
+       |vec AS (SELECT vec_id AS doc_id, r_vec FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_vec FROM cs)
+       |  WHERE r_vec <= 50)
+       |SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id, bm.r_text, vec.r_vec,
+       |  COALESCE(1.0e0 / (60.0e0 + CAST(bm.r_text AS DOUBLE)), 0.0e0)
+       |    + COALESCE(1.0e0 / (60.0e0 + CAST(vec.r_vec AS DOUBLE)), 0.0e0) AS rrf
+       |FROM bm FULL OUTER JOIN vec ON vec.doc_id = bm.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Type-ahead suggestion (the search-UI completion endpoint): for
     * each typed prefix, the top-5 KG keys per field ranked by document
     * frequency. The prefix probe is an EQUI-join on the first
@@ -283,6 +334,7 @@ object KgPipeline {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_suggest" -> (kgSuggest _),
     "kg_mlt" -> (kgMlt _),
+    "kg_hybrid" -> (kgHybrid _),
     "kg_facets" -> (kgFacets _),
     "kg_search" -> (kgSearch _),
     "kg_search_facets" -> (kgSearchFacets _),
@@ -292,6 +344,7 @@ object KgPipeline {
   val oracles: Map[String, String] = Map(
     "kg_suggest" -> kgSuggestSql,
     "kg_mlt" -> kgMltSql,
+    "kg_hybrid" -> kgHybridSql,
     "kg_facets" -> kgFacetsSql,
     "kg_search" -> kgSearchSql,
     "kg_search_facets" -> kgSearchFacetsSql,
