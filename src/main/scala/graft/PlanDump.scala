@@ -96,7 +96,12 @@ object PlanDump {
       "graph_assortativity", "stream_dedup", "dq_kanon",
       "media_audio_features", "eval_auc", "eval_confusion",
       "eval_calibration", "kg_suggest", "kg_mlt", "stats_runs",
-      "rec_jaccard")
+      "rec_jaccard",
+      // round 5 (cont.): fusion retrieval, budget allocator, IVM,
+      // erasure audit, blocking eval, graph profile, streaming DAU
+      "kg_hybrid", "pipeline_budget", "agg_incremental", "dq_erasure",
+      "er_blocking_eval", "graph_reciprocity", "graph_summary",
+      "stream_dau", "ts_backtest")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")
