@@ -908,6 +908,76 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 2.0 * edges.length / n)
   }
 
+  test("kg_hybrid: RRF scores equal the rank identity; both legs bounded") {
+    val rows = KgPipeline.kgHybrid(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val t = if (r.isNullAt(1)) 0.0 else 1.0 / (60.0 + r.getInt(1))
+      val v = if (r.isNullAt(2)) 0.0 else 1.0 / (60.0 + r.getInt(2))
+      assert(r.getDouble(3) == t + v, s"doc ${r.getLong(0)}")
+      assert(r.isNullAt(1) || (r.getInt(1) >= 1 && r.getInt(1) <= 50))
+      assert(r.isNullAt(2) || (r.getInt(2) >= 1 && r.getInt(2) <= 50))
+    }
+    // fused order is non-increasing
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("agg_incremental: the base+delta merge equals the direct aggregate") {
+    val merged = Relational.aggIncremental(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val direct = graft.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (g, (cnt, s, avg)) =>
+      val (dc, ds) = direct(g)
+      assert(cnt == dc && s == ds, s"$g merge must equal recompute exactly")
+      assert(avg == s / cnt.toDouble, g)
+    }
+  }
+
+  test("dq_erasure: cohort and per-table tallies match a direct recount") {
+    val rows = Relational.dqErasure(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def inCohort(u: Long): Boolean = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"gdpr:$u".getBytes("UTF-8")).take(1).head == 0
+    val ev = graft.Tables(spark, dir, "events").select(col("user_id"))
+      .collect().map(_.getLong(0))
+    val cohort = ev.distinct.filter(inCohort).toSet
+    assert(rows(("cohort", "users")) == cohort.size)
+    assert(rows(("events", "rows_total")) == ev.length)
+    assert(rows(("events", "rows_to_erase")) == ev.count(cohort))
+    val ck = graft.Tables(spark, dir, "customer").select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    assert(rows(("customer", "rows_total")) == ck.length)
+    assert(rows(("customer", "rows_to_erase")) == ck.count(cohort))
+  }
+
+  test("stream_dau bounded mode equals batch daily COUNT(DISTINCT)") {
+    val got = Relational.streamDau(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+  }
+
+  test("ts_backtest: winner agrees with the reported WAPEs") {
+    val rows = TimeSeriesQueries.tsBacktest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wp, ws, win) = (r.getDouble(2), r.getDouble(3), r.getString(4))
+      if (ws < wp) assert(win == "seasonal")
+      else if (wp < ws) assert(win == "persistence")
+      else assert(win == "tie")
+    }
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
