@@ -534,7 +534,68 @@ object FeatureQueries {
       |FROM r0 JOIN rk USING (v)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Cumulative gains / lift chart over DESCENDING score deciles —
+    * the targeting chart next to [[evalCalibration]]'s reliability
+    * curve: gain = cumulative share of positives captured, lift =
+    * gain over cumulative population share. Bins are the exact
+    * equi-depth deciles; cumulatives run in a 10-ROW window (the
+    * domain is the decile alphabet — single-partition by
+    * construction, the cumRanks-offsets precedent); every ratio is a
+    * short mirrored IEEE chain over exact integers.
+    */
+  def evalLift(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "orders").select(
+      round(col("o_totalprice") * 100.0).cast("long").as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val rk = cumRanks(rows.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .withColumn("bin", expr("(cum - 1) * 10 div n"))
+      .select(col("v"), (lit(9L) - col("bin")).as("dbin")) // 0 = top scores
+    val bins = rows.join(rk, "v")
+      .groupBy(col("dbin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("dbin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("tot_n"),
+        sum(col("y")).as("tot_pos"))))
+      .select(col("dbin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        when(col("tot_pos") > 0,
+          col("cum_pos").cast("double") / col("tot_pos").cast("double")).as("gain"),
+        when(col("tot_pos") > 0 && col("cum_n") > 0,
+          (col("cum_pos").cast("double") / col("tot_pos").cast("double")) /
+            (col("cum_n").cast("double") / col("tot_n").cast("double"))).as("lift"))
+      .orderBy(col("dbin"))
+  }
+
+  val evalLiftSql: String =
+    """WITH r0 AS (SELECT CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |vc AS (SELECT v, COUNT(*) AS c FROM r0 GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vc CROSS JOIN nn),
+      |rk AS (SELECT v, 9 - ((cum - 1) * 10) // n AS dbin FROM cm),
+      |bins AS (SELECT dbin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS n_pos
+      |  FROM r0 JOIN rk USING (v) GROUP BY dbin),
+      |cum AS (SELECT dbin, n, n_pos,
+      |    CAST(SUM(n) OVER (ORDER BY dbin) AS BIGINT) AS cum_n,
+      |    CAST(SUM(n_pos) OVER (ORDER BY dbin) AS BIGINT) AS cum_pos
+      |  FROM bins),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_n,
+      |    CAST(SUM(y) AS BIGINT) AS tot_pos FROM r0)
+      |SELECT dbin, n, n_pos, cum_n, cum_pos,
+      |  CASE WHEN tot_pos > 0
+      |    THEN CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END AS gain,
+      |  CASE WHEN tot_pos > 0 AND cum_n > 0
+      |    THEN (CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE))
+      |      / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS lift
+      |FROM cum CROSS JOIN tot ORDER BY dbin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_lift" -> (evalLift _),
     "eval_auc" -> (evalAuc _),
     "eval_confusion" -> (evalConfusion _),
     "eval_calibration" -> (evalCalibration _),
@@ -547,6 +608,7 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "eval_lift" -> evalLiftSql,
     "eval_auc" -> evalAucSql,
     "eval_confusion" -> evalConfusionSql,
     "eval_calibration" -> evalCalibrationSql,

@@ -978,6 +978,24 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("eval_lift: cumulatives telescope, final gain is 1, lift consistent") {
+    val rows = FeatureQueries.evalLift(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    var (cn, cp) = (0L, 0L)
+    rows.foreach { r =>
+      cn += r.getLong(1); cp += r.getLong(2)
+      assert(r.getLong(3) == cn && r.getLong(4) == cp, s"dbin ${r.getLong(0)}")
+    }
+    val totPos = rows.map(_.getLong(2)).sum
+    val totN = rows.map(_.getLong(1)).sum
+    assert(rows.last.getDouble(5) == 1.0, "all positives captured at decile 9")
+    rows.foreach { r =>
+      val gain = r.getLong(4).toDouble / totPos.toDouble
+      assert(r.getDouble(5) == gain)
+      assert(r.getDouble(6) == gain / (r.getLong(3).toDouble / totN.toDouble))
+    }
+  }
+
   test("facet_gsets emits exactly the three requested marginals") {
     val li = graft.Tables(spark, dir, "lineitem")
     val nFlag = li.select("l_returnflag").distinct().count()
