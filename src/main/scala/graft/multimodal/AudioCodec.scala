@@ -164,6 +164,10 @@ object AudioCodec {
     */
   def frameFeatures(bytes: Array[Byte], frameLen: Int)
       : Option[IndexedSeq[(Int, Int, Long, Int)]] = {
+    // frameLen <= 0 would make the frame loop a non-advancing spin
+    // (min(frameLen, remaining) = 0) that grows the builder forever —
+    // fail fast on the executor instead of hanging it.
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
     val meta = sniff(bytes).getOrElse(return None)
     val (_, _, channels, bits, _) = meta
     if (bits != 16 || channels != 1) return None

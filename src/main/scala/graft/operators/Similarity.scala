@@ -92,6 +92,12 @@ object Similarity {
     */
   def mmrSelect(corpus: DataFrame, queries: DataFrame, kCand: Int, nSel: Int,
                 lam: Double, oneMinusLam: Double): DataFrame = {
+    // Both weights are caller-written literals (so 1−λ stays a source
+    // literal for oracle parity); exact double equality is therefore
+    // the right consistency check — an inconsistent pair would silently
+    // compute a non-MMR score.
+    require(lam + oneMinusLam == 1.0,
+      s"lam ($lam) + oneMinusLam ($oneMinusLam) must equal 1.0 exactly")
     val cands = cosineTopK(corpus, queries, kCand)
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("qid"), col("vec_id"), col("cos"), col("embedding"))

@@ -62,8 +62,9 @@ object GraftExtensions {
         litInt("top_ngrams", "maxN", args(2)))),
     (FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler",
-        "jaro_winkler(a, b) - Jaro-Winkler similarity, bit-compatible with " +
-          "DuckDB's jaro_winkler_similarity (RapidFuzz semantics)"),
+        "jaro_winkler(a, b) - Jaro-Winkler similarity over UTF-8 bytes, " +
+          "bit-compatible with DuckDB's jaro_winkler_similarity " +
+          "(RapidFuzz semantics) for all input including non-ASCII"),
       (args: Seq[Expression]) => NativeExpressions.JaroWinkler(args(0), args(1))),
     (FunctionIdentifier("hilbert_index"),
       info("hilbert_index",

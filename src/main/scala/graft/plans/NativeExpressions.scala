@@ -548,11 +548,16 @@ object NativeExpressions {
     * (prefix capped at 4), and BOTH-empty → 0.0 (RapidFuzz's edge
     * choice, not the textbook 1.0). The op ORDER matters: it is the
     * exact IEEE sequence the C++ runs, so emitted doubles hash
-    * cross-engine without rounding.
+    * cross-engine without rounding. Match units are UTF-8 BYTES of the
+    * UTF8String — DuckDB's C++ walks the raw UTF-8 buffer, so a
+    * code-unit (UTF-16) walk diverges on any non-ASCII pair (e.g.
+    * jaro_winkler_similarity('😀x','x😀') = 0.8667 over bytes but 0.0
+    * over UTF-16 units); operating on bytes keeps the bit-compat claim
+    * true for ALL input, not just the ASCII the oracle exercises.
     */
   def jaroWinklerCompute(au: UTF8String, bu: UTF8String): Double = {
-    val a = au.toString
-    val b = bu.toString
+    val a = au.getBytes
+    val b = bu.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -566,7 +571,7 @@ object NativeExpressions {
       var j = math.max(0, i - window)
       var done = false
       while (j < hi && !done) {
-        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bm(j) && a(i) == b(j)) {
           am(i) = true; bm(j) = true; m += 1; done = true
         }
         j += 1
@@ -580,7 +585,7 @@ object NativeExpressions {
     while (i < la) {
       if (am(i)) {
         while (!bm(j)) j += 1
-        if (a.charAt(i) != b.charAt(j)) t += 1
+        if (a(i) != b(j)) t += 1
         j += 1
       }
       i += 1
@@ -593,7 +598,7 @@ object NativeExpressions {
     if (sim > 0.7) {
       var p = 0
       val maxP = math.min(math.min(la, lb), 4)
-      while (p < maxP && a.charAt(p) == b.charAt(p)) p += 1
+      while (p < maxP && a(p) == b(p)) p += 1
       sim += 0.1 * p * (1.0 - sim)
     }
     sim

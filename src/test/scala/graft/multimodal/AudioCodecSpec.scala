@@ -112,5 +112,8 @@ class AudioCodecSpec extends AnyFunSuite {
     out8.write("data".getBytes); w32(8)
     (0 until 8).foreach(_ => out8.write(200))
     assert(AudioCodec.frameFeatures(out8.toByteArray, 100).isEmpty)
+    // non-positive frameLen fails fast instead of spinning the frame loop
+    intercept[IllegalArgumentException](AudioCodec.frameFeatures(bytes, 0))
+    intercept[IllegalArgumentException](AudioCodec.frameFeatures(bytes, -4))
   }
 }

@@ -435,6 +435,11 @@ class Round5OpsSpec extends SparkSpec {
       ("abcdef", "badcfe", 0.8333333333333334),
       ("ab", "ba", 0.0),                       // window 0 -> no matches
       ("abc", "abc", 1.0),
+      // non-ASCII: UTF-8 BYTE semantics (DuckDB walks the raw buffer).
+      // "😀x" = bytes F0 9F 98 80 78 vs 78 F0 9F 98 80:
+      // window 1, m=4, t=0, prefix 0 -> (4/5 + 4/5 + 4/4)/3. A UTF-16
+      // code-unit walk would give 0.0 here — this pins the byte walk.
+      ("😀x", "x😀", 0.8666666666666667),
       ("", "abc", 0.0), ("a", "", 0.0), ("", "", 0.0)) // RapidFuzz both-empty = 0
     val df = spark.createDataFrame(cases.map { case (a, b, _) => (a, b) }).toDF("a", "b")
     // codegen path (projection over a DataFrame)
@@ -536,6 +541,10 @@ class Round5OpsSpec extends SparkSpec {
       }
     }
     assert(got.size == emb.keys.count(_ < 4) * 3)
+    // inconsistent (λ, 1−λ) pairs are rejected, not silently scored
+    val emb2 = graft.Tables(spark, dir, "embeddings")
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.mmrSelect(emb2, emb2.limit(1), 8, 3, 0.7, 0.4))
   }
 
   test("hilbert index: bijective with unit-step adjacency (exhaustive 3/4-bit), codegen = eval") {
