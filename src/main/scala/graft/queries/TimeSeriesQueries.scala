@@ -271,6 +271,122 @@ object TimeSeriesQueries {
       |  ROUND(s.sse, 4) AS ssr
       |FROM coef c JOIN ssr s USING (user_id) ORDER BY c.user_id""".stripMargin
 
+  /** T7/T8 search-layer certification (round 6, r5 VERDICT #1 — the
+    * registry's last no-oracle residual): a deterministic coarse-grid
+    * break SEARCH over the same range-normalized design as
+    * [[tsTrendFixed]], replayed candidate-for-candidate in DuckDB via
+    * the already-certified 3×3 Cramer normal-equations SQL (the
+    * text_bpe_train unrolled-replay convention — here the "unroll" is a
+    * data-independent candidate table CROSS JOINed against the points).
+    * Candidates: the 1-segment OLS plus one 2-segment continuous-PWL
+    * fit per interior break in {1/8 … 7/8} — exact binary literals, so
+    * both engines see bit-identical grids. Selection is the T8 cost
+    * `ssr / n / yRange² + 0.02·segments` (linear_fit.py:13,149-175),
+    * argmin with a (cost, n_seg, brk) tiebreak. The Spark side runs the
+    * REAL Breeze QR solver per candidate ([[graft.ts.TrendFit
+    * .fitFixedBreaks]] — the exact code path ts_trend's search calls);
+    * QR-vs-Cramer SSR agreement is ~1e-12 relative on the normalized
+    * (condition ~10) design while distinct candidates' costs differ at
+    * data scale, so the argmin is stable across engines and the emitted
+    * ssr/cost carry the usual 4/6-dp rounding. With this row green the
+    * whole T6–T8 stack is oracle-certified: solver (ts_trend_fixed),
+    * search+model-selection (here); ts_trend itself stays rows-only
+    * only because its refinement grid is data-dependent (x-quantiles).
+    */
+  val TrendSearchGrid: Array[Double] =
+    Array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+
+  def tsTrendSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = TrendSearchGrid
+    val grouped = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"), col("value"))))
+        .as("pts"))
+      .as[(Long, Seq[(Long, Long, Double)])]
+    grouped
+      .flatMap { case (uid, pts) =>
+        val mn = pts.head._1
+        val mx = pts.last._1
+        if (pts.size < 8 || mx == mn) Nil
+        else {
+          val span = (mx - mn).toDouble
+          val u = pts.map(p => (p._1 - mn).toDouble / span).toArray
+          val y = pts.map(_._3).toArray
+          val n = u.length
+          val yr = math.max(1e-12, y.max - y.min)
+          // the T8 op order, verbatim (TrendFit.fitSeries.cost)
+          def cost(ssr: Double, segs: Int): Double =
+            ssr / n / (yr * yr) + 0.02 * segs
+          val one = graft.ts.TrendFit.fitFixedBreaks(u, y, Array(0.0, 1.0)).ssr
+          val cands: Seq[(Int, Option[Double], Double)] =
+            (1, Option.empty[Double], one) +: grid.toSeq.map { c =>
+              (2, Some(c),
+                graft.ts.TrendFit.fitFixedBreaks(u, y, Array(0.0, c, 1.0)).ssr)
+            }
+          val (nSeg, brk, ssr) = cands.minBy { case (k, c, sse) =>
+            (cost(sse, k), k, c.getOrElse(-1.0))
+          }
+          Seq((uid, nSeg, brk, ssr, cost(ssr, nSeg)))
+        }
+      }
+      .toDF("user_id", "n_seg", "brk", "ssrr", "costr")
+      .select(col("user_id"), col("n_seg"), col("brk"),
+        round(col("ssrr"), 4).as("ssr"),
+        round(col("costr"), 6).as("cost"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsTrendSearchSql: String =
+    """WITH pts AS (SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms, value
+      |  FROM events),
+      |spans AS (SELECT user_id, MIN(ts_ms) AS mn, MAX(ts_ms) AS mx
+      |  FROM pts GROUP BY user_id HAVING COUNT(*) >= 8 AND MAX(ts_ms) > MIN(ts_ms)),
+      |uv AS (SELECT p.user_id,
+      |    CAST(p.ts_ms - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE) AS u,
+      |    p.value AS y
+      |  FROM pts p JOIN spans s USING (user_id)),
+      |meta AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    greatest(1e-12, MAX(y) - MIN(y)) AS yrange FROM uv GROUP BY user_id),
+      |cand AS (SELECT CAST(c AS DOUBLE) AS c FROM (VALUES
+      |  (0.125),(0.25),(0.375),(0.5),(0.625),(0.75),(0.875)) t(c)),
+      |uvr AS (SELECT v.user_id, t.c, v.u, v.y, greatest(v.u - t.c, 0) AS r
+      |  FROM uv v CROSS JOIN cand t),
+      |sums AS (SELECT user_id, c,
+      |    CAST(COUNT(*) AS DOUBLE) AS n, SUM(u) AS su, SUM(r) AS sr,
+      |    SUM(u*u) AS suu, SUM(u*r) AS sur, SUM(r*r) AS srr,
+      |    SUM(y) AS sy, SUM(u*y) AS suy, SUM(r*y) AS sry
+      |  FROM uvr GROUP BY user_id, c),
+      |coef AS (SELECT user_id, c,
+      |    (sy*(suu*srr - sur*sur) - su*(suy*srr - sur*sry) + sr*(suy*sur - suu*sry))
+      |      / (n*(suu*srr - sur*sur) - su*(su*srr - sur*sr) + sr*(su*sur - suu*sr)) AS c0,
+      |    (n*(suy*srr - sur*sry) - sy*(su*srr - sur*sr) + sr*(su*sry - suy*sr))
+      |      / (n*(suu*srr - sur*sur) - su*(su*srr - sur*sr) + sr*(su*sur - suu*sr)) AS c1,
+      |    (n*(suu*sry - suy*sur) - su*(su*sry - suy*sr) + sy*(su*sur - suu*sr))
+      |      / (n*(suu*srr - sur*sur) - su*(su*srr - sur*sr) + sr*(su*sur - suu*sr)) AS c2
+      |  FROM sums),
+      |sse2 AS (SELECT v.user_id, v.c,
+      |    SUM((v.y - (k.c0 + k.c1*v.u + k.c2*v.r)) * (v.y - (k.c0 + k.c1*v.u + k.c2*v.r))) AS sse
+      |  FROM uvr v JOIN coef k ON v.user_id = k.user_id AND v.c = k.c
+      |  GROUP BY v.user_id, v.c),
+      |s1sums AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n, SUM(u) AS su,
+      |    SUM(u*u) AS suu, SUM(y) AS sy, SUM(u*y) AS suy FROM uv GROUP BY user_id),
+      |s1coef AS (SELECT user_id,
+      |    (sy*suu - su*suy) / (n*suu - su*su) AS b0,
+      |    (n*suy - su*sy) / (n*suu - su*su) AS b1 FROM s1sums),
+      |s1sse AS (SELECT v.user_id,
+      |    SUM((v.y - (k.b0 + k.b1*v.u)) * (v.y - (k.b0 + k.b1*v.u))) AS sse
+      |  FROM uv v JOIN s1coef k USING (user_id) GROUP BY v.user_id),
+      |allc AS (SELECT user_id, 1 AS n_seg, CAST(NULL AS DOUBLE) AS brk, sse FROM s1sse
+      |  UNION ALL SELECT user_id, 2 AS n_seg, c AS brk, sse FROM sse2),
+      |scored AS (SELECT a.user_id, a.n_seg, a.brk, a.sse,
+      |    a.sse / m.n / (m.yrange * m.yrange) + 0.02 * a.n_seg AS cost
+      |  FROM allc a JOIN meta m USING (user_id)),
+      |pick AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY cost, n_seg, brk ASC NULLS FIRST) AS rk FROM scored)
+      |SELECT user_id, n_seg, brk, ROUND(sse, 4) AS ssr, ROUND(cost, 6) AS cost
+      |FROM pick WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   /** T10+T9+T11 connect-the-dots trend on short series, DuckDB-checkable:
     * the ≤6-point path of [[graft.ts.TrendFit.fitSeries]] is pure
     * arithmetic (consecutive-point segments + scaled-slope description),
@@ -1811,6 +1927,7 @@ object TimeSeriesQueries {
     "ts_emission" -> (tsEmission _),
     "ts_trend" -> (tsTrend _),
     "ts_trend_fixed" -> (tsTrendFixed _),
+    "ts_trend_search" -> (tsTrendSearch _),
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
@@ -1855,9 +1972,11 @@ object TimeSeriesQueries {
     "ts_numeric_gate" -> tsNumericGateSql,
     "ts_emission" -> tsEmissionSql,
     "ts_trend_fixed" -> tsTrendFixedSql,
+    "ts_trend_search" -> tsTrendSearchSql,
     "ts_trend_dots" -> tsTrendDotsSql)
-    // ts_trend: the break SEARCH is not SQL-expressible -> rows-only
-    // check; its SOLVER is oracle-certified via ts_trend_fixed
-    // plus the golden-fixture e2e spec (TrendFitSpec) asserting exact
-    // segments on a hand-derived piecewise series.
+    // ts_trend: rows-only check — but each LAYER of its composition is
+    // now oracle-certified separately: the solver via ts_trend_fixed,
+    // the grid search + T8 cost selection via ts_trend_search, the
+    // small-series path via ts_trend_dots, plus the golden-fixture e2e
+    // spec (TrendFitSpec) on a hand-derived piecewise series.
 }

@@ -265,4 +265,53 @@ class TrendQueryGoldenSpec extends graft.SparkSpec {
     assert(within / n >= 0.7,
       s"segment counts diverge by >4 for ${n - within} of $n series")
   }
+
+  /** ts_trend_search (round 6): the distributed grid search must equal a
+    * driver-side brute force over the same candidates — pins the query's
+    * grouping/gating/argmin/rounding wiring independently of the DuckDB
+    * oracle (which certifies the solver arithmetic cross-engine).
+    */
+  test("ts_trend_search equals a driver-side brute force over sf0.01 events") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.queries.TimeSeriesQueries.tsTrendSearch(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getDouble(3), r.getDouble(4))).toMap
+    val series = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+        col("value")))).as("pts"))
+      .collect()
+    var checked = 0
+    series.foreach { r =>
+      val uid = r.getLong(0)
+      val pts = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getDouble(2)))
+      val mn = pts.head._1; val mx = pts.last._1
+      if (pts.size >= 8 && mx != mn) {
+        checked += 1
+        val span = (mx - mn).toDouble
+        val u = pts.map(p => (p._1 - mn).toDouble / span).toArray
+        val y = pts.map(_._2).toArray
+        val yr = math.max(1e-12, y.max - y.min)
+        def cost(ssr: Double, k: Int): Double = ssr / u.length / (yr * yr) + 0.02 * k
+        val cands = (1, Option.empty[Double],
+            TrendFit.fitFixedBreaks(u, y, Array(0.0, 1.0)).ssr) +:
+          graft.queries.TimeSeriesQueries.TrendSearchGrid.toSeq.map { c =>
+            (2, Some(c), TrendFit.fitFixedBreaks(u, y, Array(0.0, c, 1.0)).ssr)
+          }
+        val (k, b, ssr) = cands.minBy { case (k0, c0, s0) =>
+          (cost(s0, k0), k0, c0.getOrElse(-1.0)) }
+        val (gk, gb, gssr, gcost) = got(uid)
+        assert(gk == k && gb == b, s"uid=$uid candidate")
+        assert(gssr == math.rint(ssr * 1e4) / 1e4 ||
+          math.abs(gssr - ssr) < 1e-3, s"uid=$uid ssr")
+        assert(math.abs(gcost - cost(ssr, k)) < 1e-5, s"uid=$uid cost")
+      } else assert(!got.contains(uid), s"uid=$uid should be gated out")
+    }
+    assert(checked > 0 && got.size == checked)
+  }
 }
