@@ -614,8 +614,8 @@ object Relational {
     * representable integer is exact — so the double division below
     * cannot round, and DuckDB's `//` reproduces it bit-for-bit.
     */
-  private def intdiv(a: org.apache.spark.sql.Column,
-                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[queries] def intdiv(a: org.apache.spark.sql.Column,
+                              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     ((a - pmod(a, b)) / b).cast("long")
 
   private val PrIters = 5
@@ -1671,7 +1671,13 @@ object Relational {
     * no seed reaches within the bound reports NULL (not 0 — "unknown",
     * the honest value under sampling).
     */
-  def graphCloseness(s: SparkSession, dir: String): DataFrame = {
+  /** The 32-seed, 3-hop distinct-(s,t) level-synchronous BFS shared by
+    * [[graphCloseness]] and [[graphBcCoverage]]. Returns (sym, nodes,
+    * seeds, levels); the CALLER frees sym and every level once its own
+    * result is checkpointed.
+    */
+  private def seededReachLevels(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, List[DataFrame]) = {
     val edges = coSupplyEdges(s, dir)
     val sym = edges.select(col("u").as("s"), col("v").as("t"))
       .unionAll(edges.select(col("v").as("s"), col("u").as("t")))
@@ -1698,6 +1704,11 @@ object Relational {
       levels = next :: levels
       cur = next
     }
+    (sym, nodes, seeds, levels)
+  }
+
+  def graphCloseness(s: SparkSession, dir: String): DataFrame = {
+    val (sym, nodes, _, levels) = seededReachLevels(s, dir)
     val ap = levels.reduce(_ unionByName _)
     val agg = ap.groupBy(col("t").as("node"))
       .agg(count(lit(1)).as("reached"), sum(col("d")).as("dist_sum"))
@@ -1741,6 +1752,63 @@ object Relational {
        |  CASE WHEN agg.dist_sum > 0
        |    THEN CAST(agg.reached AS DOUBLE) / CAST(agg.dist_sum AS DOUBLE) END AS closeness
        |FROM nodes n LEFT JOIN agg ON agg.node = n.node ORDER BY n.node""".stripMargin
+  }
+
+  /** Seed-coverage diagnostic for the SAMPLED centralities (r5 VERDICT
+    * #2): the fraction of graph nodes the 32-seed, 3-hop BFS behind
+    * [[graphBetweenness]]/[[graphCloseness]] actually reaches. The
+    * fixed (seeds, hops) sample is oracle-certified as implemented, but
+    * at 100× the graph's diameter and mixing change and its coverage
+    * silently decays — this row makes the truncation MEASURABLE (a
+    * pipeline alerts when coverage drops) instead of silent. A seed
+    * counts as reached (it is covered by the sample by construction);
+    * everything is exact integer counting plus one IEEE division.
+    */
+  def graphBcCoverage(s: SparkSession, dir: String): DataFrame = {
+    val (sym, nodes, seeds, levels) = seededReachLevels(s, dir)
+    val ap = levels.reduce(_ unionByName _)
+    val reached = ap.select(col("t").as("node"))
+      .union(seeds.select(col("s").as("node"))).distinct()
+    val out = nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(seeds.agg(count(lit(1)).as("n_seeds"))))
+      .crossJoin(broadcast(reached.agg(count(lit(1)).as("n_reached"))))
+      .select(col("n_nodes"), col("n_seeds"), col("n_reached"),
+        (col("n_reached").cast("double") / col("n_nodes").cast("double"))
+          .as("coverage"))
+      .localCheckpoint(true)
+    graft.Caches.free(sym)
+    levels.foreach(graft.Caches.free)
+    out
+  }
+
+  val graphBcCoverageSql: String = {
+    val lvl = (2 to BcHops).map { h =>
+      val notSeen = (1 until h)
+        .map(p => s"AND NOT EXISTS (SELECT 1 FROM l$p p WHERE p.s = c.s AND p.t = e.t)")
+        .mkString(" ")
+      s"""l$h AS MATERIALIZED (SELECT DISTINCT c.s, e.t
+         |  FROM l${h - 1} c JOIN sym e ON c.t = e.s
+         |  WHERE c.s <> e.t $notSeen)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BcHops).map(h => s"SELECT s, t FROM l$h").mkString(" UNION ALL ")
+    s"""WITH $CoSupplyCtes,
+       |sym AS MATERIALIZED (SELECT u AS s, v AS t FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |nodes AS (SELECT DISTINCT s AS node FROM sym),
+       |seeds AS MATERIALIZED (SELECT node FROM nodes
+       |  ORDER BY md5('bc:' || CAST(node AS VARCHAR)), node LIMIT $BcSeeds),
+       |l1 AS MATERIALIZED (SELECT DISTINCT sym.s, sym.t
+       |  FROM sym JOIN seeds ON seeds.node = sym.s),
+       |$lvl,
+       |reach AS (SELECT t AS node FROM ($union) UNION SELECT node FROM seeds),
+       |cnts AS (SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       |  (SELECT COUNT(*) FROM seeds) AS n_seeds,
+       |  (SELECT COUNT(*) FROM reach) AS n_reached)
+       |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(n_seeds AS BIGINT) AS n_seeds,
+       |  CAST(n_reached AS BIGINT) AS n_reached,
+       |  CAST(n_reached AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS coverage
+       |FROM cnts""".stripMargin
   }
 
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
@@ -3736,6 +3804,7 @@ object Relational {
     "graph_assortativity" -> (graphAssortativity _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_closeness" -> (graphCloseness _),
+    "graph_bc_coverage" -> (graphBcCoverage _),
     "graph_reciprocity" -> (graphReciprocity _),
     "graph_summary" -> (graphSummary _),
     "er_blocking_eval" -> (erBlockingEval _),
@@ -3812,6 +3881,7 @@ object Relational {
     "graph_assortativity" -> graphAssortativitySql,
     "graph_betweenness" -> graphBetweennessSql,
     "graph_closeness" -> graphClosenessSql,
+    "graph_bc_coverage" -> graphBcCoverageSql,
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_summary" -> graphSummarySql,
     "er_blocking_eval" -> erBlockingEvalSql,
