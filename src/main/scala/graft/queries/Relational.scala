@@ -1356,14 +1356,41 @@ object Relational {
     * itemizes the build as `graph_build` so per-query timings measure
     * the query plane, not a rebuild of the same index.
     */
+  /** LRU-bounded (r5 VERDICT #5): the bench/driver lifecycle only ever
+    * sees one (session, dir) pair, but a long-lived multi-tenant
+    * session scanning many directories would otherwise accrete one
+    * checkpointed edge index per dir without bound. Beyond
+    * [[EdgeCacheMax]] entries the least-recently-USED index is evicted
+    * and its storage blocks freed (access-ordered map; eviction runs
+    * under the same lock as lookup). Evicting a checkpointed index is
+    * safe for cached-index consumers: the next graphBuild for that key
+    * simply rebuilds.
+    */
+  private val EdgeCacheMax = 4
   private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        if (size() > EdgeCacheMax) { graft.Caches.free(e.getValue); true }
+        else false
+    }
+
+  /** Current number of memoized edge indexes (spec hook). */
+  private[queries] def edgeCacheSize: Int =
+    edgeCache.synchronized(edgeCache.size())
 
   /** Force-build (or reuse) the memoized edge index; returns it. */
   def graphBuild(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir,
-      _ => buildCoSupplyEdges(s, dir))
+    edgeCache.synchronized {
+      val key = System.identityHashCode(s) + "|" + dir
+      val hit = edgeCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = buildCoSupplyEdges(s, dir)
+        edgeCache.put(key, built)
+        built
+      }
+    }
 
   private def coSupplyEdges(s: SparkSession, dir: String): DataFrame =
     graphBuild(s, dir)
