@@ -539,6 +539,71 @@ object NativeExpressions {
         : HilbertIndex = copy(left = newLeft, right = newRight)
   }
 
+  /** Poisson(1) CDF thresholds as floor(t·2³²)+1 — the numeric twin of
+    * statsBootstrap's 8-hex-char string cuts: for a draw v (unsigned
+    * 32-bit), hex(v) < hex(cut) ⟺ v < cut (equal-width lowercase hex
+    * compares lexicographically as numerically).
+    */
+  private val PoissonCutLongs: Array[Long] =
+    Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462)
+      .map(t => math.floor(t * 4294967296.0).toLong + 1L)
+
+  /** All `b` Poisson-bootstrap weights for one row in a single tight
+    * loop (stats_bootstrap, r5 VERDICT #3): b/4 md5 digests of
+    * "key:group", each yielding four unsigned 32-bit draws (big-endian
+    * 4-byte slices — the numeric value of the composed formulation's
+    * 8-hex-char substring), inverted through the Poisson(1) CDF. Bit-
+    * identical to substring(md5(concat(key,':',b div 4)),(b%4)*8+1,8)
+    * compared against the hex cuts — the DuckDB oracle replays THAT
+    * form unchanged. The win over the composed expression tree: one
+    * digest instance, zero string allocations, 32 integer compares —
+    * instead of 32 concat+md5+substring evaluations per row.
+    */
+  def bootstrapWeightsCompute(key: Long, b: Int): ArrayData = {
+    val md = Md5.get()
+    val out = new Array[Long](b)
+    val groups = b / 4
+    var g = 0
+    while (g < groups) {
+      val h = md.digest((key.toString + ":" + g)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      while (i < 4) {
+        val o = i * 4
+        val v = ((h(o) & 0xffL) << 24) | ((h(o + 1) & 0xffL) << 16) |
+          ((h(o + 2) & 0xffL) << 8) | (h(o + 3) & 0xffL)
+        out(g * 4 + i) =
+          if (v < PoissonCutLongs(0)) 0L
+          else if (v < PoissonCutLongs(1)) 1L
+          else if (v < PoissonCutLongs(2)) 2L
+          else if (v < PoissonCutLongs(3)) 3L
+          else 4L
+        i += 1
+      }
+      g += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  case class BootstrapWeights(child: Expression, b: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(b % 4 == 0 && b > 0, s"b must be a positive multiple of 4, got $b")
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bootstrap_weights"
+    override protected def nullSafeEval(input: Any): Any =
+      bootstrapWeightsCompute(input.asInstanceOf[Long], b)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.NativeExpressions.bootstrapWeightsCompute($c, $b)")
+    override protected def withNewChildInternal(newChild: Expression): BootstrapWeights =
+      copy(child = newChild)
+  }
+
+  def bootstrapWeights(c: Column, b: Int): Column =
+    GraftColumnBridge.column(BootstrapWeights(GraftColumnBridge.expression(c), b))
+
   /** Jaro–Winkler similarity, bit-compatible with DuckDB 1.0's
     * `jaro_winkler_similarity` (RapidFuzz semantics) — verified against
     * DuckDB over 4k+ randomized cases plus the classic literature

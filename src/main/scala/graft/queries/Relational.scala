@@ -2844,28 +2844,34 @@ object Relational {
           (col("sc").cast("double") / lit(100.0)) / col("n_eff").cast("double")))
 
   /** Poisson-weight inputs for [[statsBootstrapMeans]]; shared with the
-    * PlanSpec pin. */
+    * PlanSpec pin. All B weights for a row come from ONE native-
+    * expression call ([[graft.plans.NativeExpressions.BootstrapWeights]]
+    * — b/4 digests, direct byte→unsigned-int compares against
+    * ⌊t·2³²⌋+1), bit-identical to the composed
+    * substring(md5(key:b div 4)) < hex-cut formulation the oracle
+    * still replays verbatim.
+    */
   private[graft] def statsBootstrapRows(s: SparkSession, dir: String): DataFrame = {
     val B = 32
-    val cuts = PoissonHexCuts
     Tables(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice").as("v"))
-      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
-      .withColumn("u", expr(
-        "substring(md5(concat(cast(o_orderkey as string), ':', " +
-          "cast(b div 4 as string))), (b % 4) * 8 + 1, 8)"))
-      .withColumn("w",
-        when(col("u") < cuts(0), 0L).when(col("u") < cuts(1), 1L)
-          .when(col("u") < cuts(2), 2L).when(col("u") < cuts(3), 3L).otherwise(4L))
+      .select(col("o_totalprice").as("v"),
+        posexplode(graft.plans.NativeExpressions.bootstrapWeights(
+          col("o_orderkey"), B)))
+      .withColumnRenamed("pos", "b")
+      .withColumnRenamed("col", "w")
   }
 
   def statsBootstrap(s: SparkSession, dir: String): DataFrame = {
     val B = 32
-    // A/B note (measured, fresh plans ×3 at sf0.1): one-md5-per-draw
-    // with a flat explode runs 2.8-3.1s; a "quarter the hashes" variant
-    // (one md5 per 4 draws via bindOnce + posexplode) runs 3.8-5.7s —
-    // the Generate + nested-lambda overhead exceeds the md5 savings,
-    // so the flat form ships
+    // A/B note (measured, fresh plans ×3 at sf0.1, identical outputs):
+    // r4: one-md5-per-draw flat explode 2.8-3.1s; one md5 per 4 draws
+    // via bindOnce + posexplode 3.8-5.7s (Generate + nested-lambda
+    // overhead exceeds the md5 savings). r6 (VERDICT #3 follow-up):
+    // concat-8-md5-before-explode 4.46s (the 256-char payload through
+    // the explode costs more than the saved hashes); NATIVE expression
+    // computing all 32 weights per order row in one loop (8 digests,
+    // no string allocs) 1.11s vs the flat form's 3.42s on the same
+    // day's hardware — 3.1x, ships below.
     val rows = statsBootstrapRows(s, dir)
     // 32-row barrier: means feeds the SE fold AND the final output —
     // without it both consumers re-run the B×N md5/weight pipeline
