@@ -29,9 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * WAV whose peak/mean amplitude has a closed form, so the DuckDB
   * oracle can state expected stats without any codec (the
   * extract_tables / media_decode pattern). Compressed codecs (MP3,
-  * AAC, Vorbis) are NOT in the JDK: those remain the documented stub
-  * boundary; their container metadata would slot into [[sniff]]'s
-  * signature unchanged.
+  * AAC, Vorbis) are NOT in the JDK: their sample DECODE remains the
+  * documented [[ExternalDecoder]] boundary — but their container
+  * METADATA does not need one: round 6 folds the [[Mp3Header]] frame
+  * walk (MP3 family + ADTS AAC) into [[audioMetaCompute]]'s battery.
   */
 object AudioCodec {
 
@@ -220,12 +221,22 @@ object AudioCodec {
     StructField("bits", IntegerType),
     StructField("n_samples", LongType)))
 
-  /** Static entry for codegen: header sniff → InternalRow or null. */
+  /** Static entry for codegen: header sniff → InternalRow or null.
+    * Battery: RIFF/WAVE first, then the compressed-container walk
+    * ([[Mp3Header]]: MP3 family + ADTS AAC — r5 VERDICT #6). For
+    * compressed codecs `bits` is 0 (no PCM word size without decode);
+    * n_samples comes from the frame walk, so duration is
+    * n_samples/sample_rate with zero decode work.
+    */
   def audioMetaCompute(bytes: Array[Byte]): InternalRow =
     sniff(bytes) match {
       case Some((c, r, ch, b, n)) =>
         InternalRow(UTF8String.fromString(c), r, ch, b, n)
-      case None => null
+      case None => Mp3Header.sniff(bytes) match {
+        case Some(m) =>
+          InternalRow(UTF8String.fromString(m.codec), m.sampleRate, m.channels, 0, m.nSamples)
+        case None => null
+      }
     }
 
   /** `audio_meta(binary) → struct<codec,sample_rate,channels,bits,
@@ -250,4 +261,51 @@ object AudioCodec {
 
   def audioMeta(c: Column): Column =
     GraftColumnBridge.column(AudioMeta(GraftColumnBridge.expression(c)))
+
+  // ---- Compressed-container metadata (MP3 family / ADTS AAC) ----
+
+  private val CompressedMetaStruct = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("kbps", IntegerType)))
+
+  /** Static entry for codegen: [[Mp3Header.sniff]] → InternalRow or
+    * null. Richer than [[audioMetaCompute]] (frame count + exact
+    * whole-stream average bitrate), still header-only.
+    */
+  def compressedAudioMetaCompute(bytes: Array[Byte]): InternalRow =
+    Mp3Header.sniff(bytes) match {
+      case Some(m) => InternalRow(UTF8String.fromString(m.codec),
+        m.sampleRate, m.channels, m.nFrames, m.nSamples, m.bitrateKbps)
+      case None => null
+    }
+
+  /** `compressed_audio_meta(binary) → struct<codec,sample_rate,
+    * channels,n_frames,n_samples,kbps>` — MP3/ADTS frame-header walk,
+    * codegen'd, null for anything else. Duration is
+    * n_samples/sample_rate; no decode happens anywhere.
+    */
+  case class CompressedAudioMeta(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = CompressedMetaStruct
+    override def nullable: Boolean = true
+    override def prettyName: String = "compressed_audio_meta"
+    override protected def nullSafeEval(input: Any): Any =
+      compressedAudioMetaCompute(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        InternalRow ${ev.value}_r = graft.multimodal.AudioCodec.compressedAudioMetaCompute($c);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r; }
+      """)
+    override protected def withNewChildInternal(newChild: Expression): CompressedAudioMeta =
+      copy(child = newChild)
+  }
+
+  def compressedAudioMeta(c: Column): Column =
+    GraftColumnBridge.column(CompressedAudioMeta(GraftColumnBridge.expression(c)))
 }

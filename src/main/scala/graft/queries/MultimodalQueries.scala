@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
+import graft.multimodal.{AudioCodec, ImageCodec, Mp3Header, Multimodal, VideoCodec}
 
 /** Multimodal-column queries over REAL image decode (round 3; r2's
   * deterministic fakes are gone). Each row synthesizes a real image
@@ -315,8 +315,76 @@ object MultimodalQueries {
       |    ELSE 0 END AS INT) AS zc
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Synthesis UDF for the compressed-audio path: a real CBR MP3 or
+    * ADTS-AAC stream with closed-form frame structure (zero payload —
+    * the header walk never looks at payload bytes, exactly the point).
+    */
+  private val synthCompressed = udf { (n: Int) =>
+    if (n % 2 == 0)
+      Mp3Header.encodeMp3(nFrames = n % 6 + 2,
+        bitrateIdx = (n % 4) * 3 + 2, rateIdx = n % 3)
+    else
+      Mp3Header.encodeAdts(nFrames = n % 6 + 2,
+        freqIdx = 4 + n % 3, chanConf = 2, payloadLen = n % 50 + 10)
+  }
+
+  /** media_mp3: REAL compressed-audio container metadata (r5 VERDICT
+    * #6) — MP3 / ADTS-AAC frame-header walk via the codegen'd
+    * [[AudioCodec.compressedAudioMeta]], no decode anywhere. Every
+    * field is a closed form of the synthesis parameters: frame length
+    * is the ISO integer formula, the average bitrate's frame count
+    * cancels exactly (floor((nf·len·8·r)/(nf·spf·1000)) =
+    * floor((len·8·r)/(spf·1000))), and duration is
+    * n_samples·1000 div rate. Scale: narrow codegen'd map over the
+    * payload column — a metadata scan of a 100 TB audio lake reads
+    * headers only.
+    */
+  def mediaMp3(s: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("text").cast("binary"))
+    val media = Tables(s, dir, "documents")
+      .select(col("doc_id"), n.cast("int").as("n"))
+      .withColumn("bytes", synthCompressed(col("n")))
+    val m = AudioCodec.compressedAudioMeta(col("bytes"))
+    media.select(
+        col("doc_id"),
+        m.getField("codec").as("codec"),
+        m.getField("sample_rate").as("sample_rate"),
+        m.getField("channels").as("channels"),
+        m.getField("n_frames").as("n_frames"),
+        m.getField("n_samples").as("n_samples"),
+        m.getField("kbps").as("kbps"))
+      .withColumn("duration_ms",
+        expr("n_samples * 1000L div sample_rate").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaMp3Sql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |p AS (SELECT doc_id, n % 2 AS fam, n % 6 + 2 AS nf,
+      |    CASE n % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS mrate,
+      |    CASE n % 4 WHEN 0 THEN 40 WHEN 1 THEN 64 WHEN 2 THEN 112 ELSE 192 END AS mkbps,
+      |    CASE n % 3 WHEN 0 THEN 44100 WHEN 1 THEN 32000 ELSE 24000 END AS arate,
+      |    n % 50 + 17 AS aflen
+      |  FROM d),
+      |q AS (SELECT doc_id, fam, nf,
+      |    CASE fam WHEN 0 THEN mrate ELSE arate END AS rate,
+      |    CASE fam WHEN 0 THEN nf * 1152 ELSE nf * 1024 END AS nsamp,
+      |    CASE fam WHEN 0 THEN ((144000 * mkbps) // mrate) * 8 * mrate // 1152000
+      |         ELSE aflen * 8 * arate // 1024000 END AS kbps
+      |  FROM p)
+      |SELECT doc_id,
+      |  CASE fam WHEN 0 THEN 'mp3' ELSE 'aac' END AS codec,
+      |  CAST(rate AS INT) AS sample_rate,
+      |  CAST(CASE fam WHEN 0 THEN 1 ELSE 2 END AS INT) AS channels,
+      |  CAST(nf AS INT) AS n_frames,
+      |  CAST(nsamp AS BIGINT) AS n_samples,
+      |  CAST(kbps AS INT) AS kbps,
+      |  CAST(nsamp * 1000 // rate AS BIGINT) AS duration_ms
+      |FROM q ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_audio_features" -> (mediaAudioFeatures _),
+    "media_mp3" -> (mediaMp3 _),
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
@@ -326,6 +394,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "media_audio_features" -> mediaAudioFeaturesSql,
+    "media_mp3" -> mediaMp3Sql,
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,
