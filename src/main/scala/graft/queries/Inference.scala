@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical-inference completions for the analytics plane: the
+  * remaining classical hypothesis tests a metrics platform reaches for
+  * once [[Relational]]'s t-test/ANOVA/KS/χ²/Kruskal–Wallis family
+  * exists — the two-sample rank test (Mann–Whitney U), the variance-
+  * homogeneity gate ANOVA assumes (Brown–Forsythe / median-centered
+  * Levene), and the moment-based normality check (Jarque–Bera).
+  * Beyond-reference scope (the reference ships no stats layer); same
+  * determinism discipline as the rest of the suite: every emitted
+  * double is an exact integer escaped to double through DECIMAL(38,0)
+  * sums, or a short fixed IEEE chain mirrored token-for-token by the
+  * DuckDB oracle — bit-exact without rounding.
+  *
+  * Scale notes: both rank tests ride [[FeatureQueries.cumRanks]] /
+  * `cumRanksBy` (two-level cumulative ranks — per-bucket offsets in a
+  * ≤1024-row window, remainders in a bucket-keyed window), so no
+  * global sort exists at any corpus size; the moment tests are one
+  * keyed aggregation each.
+  */
+object Inference {
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) on `l_quantity`, returned
+    * ('A') vs refused ('R') lineitems — the non-parametric two-sample
+    * location test, with the large-sample tie-corrected normal
+    * approximation. Pooled average ranks come from the two-level
+    * cumulative carried DOUBLED (2·cum − c + 1) so they stay integral;
+    * the per-group rank sum accumulates in DECIMAL(38,0); the tie term
+    * Σ(t³−t) is an exact integer. U, μ_U, σ²_U and z are one fixed
+    * IEEE chain (no continuity correction — documented choice, and the
+    * oracle replays the identical chain). One pooled rank build + one
+    * keyed agg; the final combine is a 2-row pivot.
+    */
+  def statsMannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+    val vc = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val rk = FeatureQueries.cumRanks(vc)
+      .select(col("v"), col("c"), (lit(2L) * col("cum") - col("c") + lit(1L)).as("r2"))
+    val per = rows.join(rk.select(col("v"), col("r2")), "v")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("r2").cast("decimal(38,0)")).cast("double").as("s2"))
+    val tie = rk
+      .agg(sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)"))
+        .cast("double").as("t"))
+    per
+      .agg(max(when(col("g") === "A", col("n_g"))).as("n_a"),
+        max(when(col("g") === "R", col("n_g"))).as("n_r"),
+        max(when(col("g") === "A", col("s2"))).as("s2a"))
+      .crossJoin(broadcast(tie))
+      .withColumn("na", col("n_a").cast("double"))
+      .withColumn("nr", col("n_r").cast("double"))
+      .withColumn("n", col("na") + col("nr"))
+      .withColumn("u_a",
+        col("s2a") / lit(2.0) - col("na") * (col("na") + lit(1.0)) / lit(2.0))
+      .withColumn("var_u",
+        col("na") * col("nr") / lit(12.0) *
+          ((col("n") + lit(1.0)) - col("t") / (col("n") * (col("n") - lit(1.0)))))
+      .select(col("n_a"), col("n_r"), col("u_a"),
+        when(col("var_u") > 0.0,
+          (col("u_a") - col("na") * col("nr") / lit(2.0)) / sqrt(col("var_u"))).as("z"))
+  }
+
+  val statsMannwhitneySql: String =
+    """WITH rows0 AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      |vc AS (SELECT v, COUNT(*) AS c FROM rows0 GROUP BY 1),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vc),
+      |rk AS (SELECT v, c, 2 * cum - c + 1 AS r2 FROM cm),
+      |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM rows0 JOIN rk USING (v) GROUP BY g),
+      |tie AS (SELECT CAST(SUM(CAST(c * c * c - c AS DECIMAL(38,0))) AS DOUBLE) AS t FROM rk),
+      |piv AS (SELECT MAX(CASE WHEN g = 'A' THEN n_g END) AS n_a,
+      |    MAX(CASE WHEN g = 'R' THEN n_g END) AS n_r,
+      |    MAX(CASE WHEN g = 'A' THEN s2 END) AS s2a FROM per),
+      |m AS (SELECT n_a, n_r, s2a, CAST(n_a AS DOUBLE) AS na,
+      |    CAST(n_r AS DOUBLE) AS nr, t FROM piv CROSS JOIN tie),
+      |u AS (SELECT *, na + nr AS n,
+      |    s2a / 2.0e0 - na * (na + 1.0e0) / 2.0e0 AS u_a FROM m),
+      |v2 AS (SELECT *, na * nr / 12.0e0 *
+      |    ((n + 1.0e0) - t / (n * (n - 1.0e0))) AS var_u FROM u)
+      |SELECT n_a, n_r, u_a,
+      |  CASE WHEN var_u > 0 THEN (u_a - na * nr / 2.0e0) / sqrt(var_u) END AS z
+      |FROM v2""".stripMargin
+
+  /** Brown–Forsythe test (Levene with median centers) for variance
+    * homogeneity of `l_quantity` across return flags — the gate a
+    * careful analyst runs before trusting [[Relational.statsAnova]]'s
+    * pooled-variance F. Per-group LOWER medians are rank selections on
+    * the grouped two-level cumulative (no per-group sort: the median is
+    * the smallest value whose cumulative count reaches ⌈n/2⌉ — a
+    * value-selection, deterministic under ties by construction);
+    * absolute deviations |v − med| are exact integers, so the one-way
+    * ANOVA on them runs on DECIMAL(38,0) moments. The only doubles are
+    * the SSW/SSB folds — both ordered group-by-group (sort_array fold,
+    * the stats_entropy discipline) — and the final F chain. Two keyed
+    * aggregations + one ≤|flags|-row combine.
+    */
+  def statsLevene(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+    val vc = rows.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val med = FeatureQueries.cumRanksBy(vc)
+      .filter(col("cum") >= (col("n") + 1) / 2 &&
+        col("cum") - col("c") < (col("n") + 1) / 2)
+      .select(col("g"), col("v").as("med"))
+    val per = rows.join(broadcast(med), "g")
+      .withColumn("d", abs(col("v") - col("med")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("d").cast("decimal(38,0)")).cast("double").as("s1"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).cast("double").as("s2"))
+    per
+      .agg(sort_array(collect_list(struct(col("g"), col("n_g"), col("s1"), col("s2")))).as("gs"),
+        sum(col("n_g")).as("n"), count(lit(1)).as("k"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("gs1", aggregate(
+        transform(col("gs"), x => x.getField("s1")), lit(0.0), (a, b) => a + b))
+      .withColumn("gm", col("gs1") / col("nd"))
+      .withColumn("ssw", aggregate(
+        transform(col("gs"), x =>
+          x.getField("s2") -
+            x.getField("s1") * x.getField("s1") / x.getField("n_g").cast("double")),
+        lit(0.0), (a, b) => a + b))
+      .withColumn("ssb", aggregate(
+        transform(col("gs"), x =>
+          x.getField("n_g").cast("double") *
+            (x.getField("s1") / x.getField("n_g").cast("double") - col("gm")) *
+            (x.getField("s1") / x.getField("n_g").cast("double") - col("gm"))),
+        lit(0.0), (a, b) => a + b))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        when(col("ssw") > 0.0 && col("nd") > col("kd") && col("kd") > 1.0,
+          (col("ssb") / (col("kd") - lit(1.0))) / (col("ssw") / (col("nd") - col("kd"))))
+          .as("f"))
+  }
+
+  val statsLeveneSql: String =
+    """WITH rows0 AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+      |vc AS (SELECT g, v, COUNT(*) AS c FROM rows0 GROUP BY 1, 2),
+      |cm AS (SELECT g, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM vc),
+      |med AS (SELECT g, v AS med FROM cm
+      |  WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2),
+      |per AS (SELECT r.g, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(CAST(abs(v - med) AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(abs(v - med) * abs(v - med) AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM rows0 r JOIN med USING (g) GROUP BY r.g),
+      |agg AS (SELECT list(struct_pack(g := g, n_g := n_g, s1 := s1, s2 := s2) ORDER BY g) AS gs,
+      |    CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM per),
+      |c1 AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+      |    CAST(list_reduce(list_prepend(0.0e0,
+      |      list_transform(gs, x -> x.s1)), (a, b) -> a + b) AS DOUBLE) AS gs1
+      |  FROM agg),
+      |c2 AS (SELECT *, gs1 / nd AS gm FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(list_reduce(list_prepend(0.0e0, list_transform(gs,
+      |      x -> x.s2 - x.s1 * x.s1 / CAST(x.n_g AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) AS ssw,
+      |    CAST(list_reduce(list_prepend(0.0e0, list_transform(gs,
+      |      x -> CAST(x.n_g AS DOUBLE) *
+      |        (x.s1 / CAST(x.n_g AS DOUBLE) - gm) *
+      |        (x.s1 / CAST(x.n_g AS DOUBLE) - gm))), (a, b) -> a + b) AS DOUBLE) AS ssb
+      |  FROM c2)
+      |SELECT k, n, ssb, ssw,
+      |  CASE WHEN ssw > 0 AND nd > kd AND kd > 1
+      |    THEN (ssb / (kd - 1.0e0)) / (ssw / (nd - kd)) END AS f
+      |FROM c3""".stripMargin
+
+  /** Jarque–Bera normality check of `l_quantity` per return flag:
+    * sample skewness and excess-kurtosis-free kurtosis from the first
+    * four raw moments, JB = n/6·(S² + (K−3)²/4). Quantity is a small
+    * integer so q⁴ sums stay minuscule in DECIMAL(38,0) — all four
+    * moments are exact integers escaped to double once; the central-
+    * moment expansion, S, K and JB are one fixed IEEE chain (sqrt only,
+    * never pow — pow is not correctly rounded) mirrored token-for-token
+    * by the oracle. One keyed aggregation; identical plan at any scale.
+    */
+  def statsJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    li.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), count(lit(1)).cast("double").as("n"),
+        dsum(col("v"), "s1"), dsum(col("v") * col("v"), "s2"),
+        dsum(col("v") * col("v") * col("v"), "s3"),
+        dsum(col("v") * col("v") * col("v") * col("v"), "s4"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3",
+        col("s3") / col("n") - lit(3.0) * col("mean") * (col("s2") / col("n")) +
+          lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4",
+        col("s4") / col("n") - lit(4.0) * col("mean") * (col("s3") / col("n")) +
+          lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .withColumn("skew",
+        when(col("m2") > 0.0, col("m3") / (col("m2") * sqrt(col("m2")))))
+      .withColumn("kurt",
+        when(col("m2") > 0.0, col("m4") / (col("m2") * col("m2"))))
+      .select(col("g").as("l_returnflag"), col("n_g").as("n"),
+        col("skew"), col("kurt"),
+        when(col("m2") > 0.0,
+          col("n") / lit(6.0) *
+            (col("skew") * col("skew") +
+              (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0))).as("jb"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsJarqueBeraSql: String =
+    """WITH m AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(v * v * v AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(v * v * v * v AS DECIMAL(38,0))) AS DOUBLE) AS s4
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v FROM lineitem)
+      |  GROUP BY 1),
+      |c1 AS (SELECT *, s1 / n AS mean FROM m),
+      |c2 AS (SELECT *, s2 / n - mean * mean AS m2,
+      |    s3 / n - 3.0e0 * mean * (s2 / n) + 2.0e0 * mean * mean * mean AS m3,
+      |    s4 / n - 4.0e0 * mean * (s3 / n) + 6.0e0 * mean * mean * (s2 / n)
+      |      - 3.0e0 * mean * mean * mean * mean AS m4
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
+      |    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt
+      |  FROM c2)
+      |SELECT g AS l_returnflag, n_g AS n, skew, kurt,
+      |  CASE WHEN m2 > 0 THEN n / 6.0e0 *
+      |    (skew * skew + (kurt - 3.0e0) * (kurt - 3.0e0) / 4.0e0) END AS jb
+      |FROM c3 ORDER BY l_returnflag""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mannwhitney" -> (statsMannwhitney _),
+    "stats_levene" -> (statsLevene _),
+    "stats_jarque_bera" -> (statsJarqueBera _))
+
+  val oracles: Map[String, String] = Map(
+    "stats_mannwhitney" -> statsMannwhitneySql,
+    "stats_levene" -> statsLeveneSql,
+    "stats_jarque_bera" -> statsJarqueBeraSql)
+}

@@ -1799,8 +1799,11 @@ object Relational {
     val out = nodes.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(broadcast(seeds.agg(count(lit(1)).as("n_seeds"))))
       .crossJoin(broadcast(reached.agg(count(lit(1)).as("n_reached"))))
+      // ANSI guard (the edge-corpus discipline): an empty graph NULLs
+      // out instead of throwing on /0
       .select(col("n_nodes"), col("n_seeds"), col("n_reached"),
-        (col("n_reached").cast("double") / col("n_nodes").cast("double"))
+        when(col("n_nodes") > 0L,
+          col("n_reached").cast("double") / col("n_nodes").cast("double"))
           .as("coverage"))
       .localCheckpoint(true)
     graft.Caches.free(sym)
@@ -1834,7 +1837,8 @@ object Relational {
        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        |  CAST(n_seeds AS BIGINT) AS n_seeds,
        |  CAST(n_reached AS BIGINT) AS n_reached,
-       |  CAST(n_reached AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS coverage
+       |  CASE WHEN n_nodes > 0
+       |    THEN CAST(n_reached AS DOUBLE) / CAST(n_nodes AS DOUBLE) END AS coverage
        |FROM cnts""".stripMargin
   }
 
