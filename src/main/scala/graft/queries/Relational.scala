@@ -1437,7 +1437,7 @@ object Relational {
   /** Oracle CTE block mirroring [[coSupplyEdges]] (MATERIALIZED — see
     * the triangle-oracle note below).
     */
-  private val CoSupplyCtes: String =
+  private[queries] val CoSupplyCtes: String =
     """ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
       |pairs AS MATERIALIZED (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
       |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
