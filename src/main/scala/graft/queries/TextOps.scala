@@ -765,7 +765,128 @@ object TextOps {
        |  CAST(s_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS herfindahl
        |FROM m ORDER BY source""".stripMargin
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores deg/freq where
+    * deg sums the lengths of phrases containing it (within-phrase
+    * co-occurrence incl. itself) and freq counts its occurrences; a
+    * phrase scores the sum of its word scores. Top-20 phrases by
+    * (score desc, phrase). Everything is integer until the deg/freq
+    * divisions, and the per-phrase word-score sum folds in WORD ORDER
+    * (sort_array ≡ list ORDER BY position) so the emitted doubles hash
+    * bit-for-bit. Phrase ids come from a running stopword count in a
+    * per-doc keyed window — docs are bounded, no global sort; word
+    * stats are one vocabulary-sized aggregate.
+    */
+  def textRake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "w")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val ph = toks
+      .withColumn("pid",
+        sum(when($"w".isin(Stopwords: _*), 1L).otherwise(0L)).over(w))
+      .filter(!$"w".isin(Stopwords: _*))
+    val phrases = ph.groupBy($"doc_id", $"pid")
+      .agg(sort_array(collect_list(struct($"pos", $"w"))).as("ws"))
+      .select($"doc_id", $"pid",
+        transform($"ws", x => x.getField("w")).as("words"))
+      .withColumn("len", size($"words").cast("long"))
+      .withColumn("phrase", concat_ws(" ", $"words"))
+    val wordStats = phrases
+      .select(explode($"words").as("w"), $"len")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+    val pw = phrases.select($"doc_id", $"pid", $"phrase", posexplode($"words"))
+      .withColumnRenamed("col", "w").withColumnRenamed("pos", "wi")
+    pw.join(wordStats, "w")
+      .groupBy($"doc_id", $"pid", $"phrase")
+      .agg(sort_array(collect_list(struct($"wi", $"deg", $"freq"))).as("xs"))
+      .withColumn("score", aggregate(
+        transform($"xs", x =>
+          x.getField("deg").cast("double") / x.getField("freq").cast("double")),
+        lit(0.0), (a, b) => a + b))
+      .groupBy($"phrase")
+      .agg(count(lit(1)).as("cnt"), max($"score").as("score"))
+      .orderBy($"score".desc, $"phrase")
+      .limit(20)
+      .select($"phrase", $"cnt", $"score")
+  }
+
+  val textRakeSql: String =
+    s"""WITH tk AS (SELECT doc_id, $TokSql AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, i AS pos, t[i+1] AS w
+       |  FROM tk, UNNEST(range(len(t))) AS u(i)),
+       |st AS (SELECT doc_id, pos, w,
+       |    CASE WHEN w IN ($stopListSql) THEN 1 ELSE 0 END AS is_stop FROM tok),
+       |pid0 AS (SELECT *, CAST(SUM(is_stop) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS BIGINT) AS pid FROM st),
+       |ph AS (SELECT doc_id, pid, list(w ORDER BY pos) AS words
+       |  FROM pid0 WHERE is_stop = 0 GROUP BY doc_id, pid),
+       |ph2 AS (SELECT doc_id, pid, words, CAST(len(words) AS BIGINT) AS len,
+       |    array_to_string(words, ' ') AS phrase FROM ph),
+       |ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(SUM(len) AS BIGINT) AS deg FROM (
+       |    SELECT unnest(words) AS w, len FROM ph2) GROUP BY w),
+       |pw AS (SELECT doc_id, pid, phrase, i AS wi, words[i+1] AS w
+       |  FROM ph2, UNNEST(range(len(words))) AS u(i)),
+       |sc AS (SELECT p.doc_id, p.pid, p.phrase,
+       |    CAST(list_reduce(list_prepend(0.0e0,
+       |      list_transform(list(struct_pack(i := wi, d := deg, f := freq) ORDER BY wi),
+       |        x -> CAST(x.d AS DOUBLE) / CAST(x.f AS DOUBLE))),
+       |      (a, b) -> a + b) AS DOUBLE) AS score
+       |  FROM pw p JOIN ws ON ws.w = p.w GROUP BY p.doc_id, p.pid, p.phrase),
+       |agg AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    MAX(score) AS score FROM sc GROUP BY phrase)
+       |SELECT phrase, cnt, score FROM agg
+       |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+
+  /** Signed-lexicon scoring (the AFINN/VADER-style shape, weights
+    * configurable; demo lexicon over this corpus's performance
+    * vocabulary): per-doc positive/negative hit mass and net polarity =
+    * net/token-count. Integer sums until ONE division — the narrow
+    * scan-bound shape of the rest of the text suite.
+    */
+  def textSentiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+    val wt = when($"w" === "fast", 2L).when($"w" === "big", 1L)
+      .when($"w" === "slow", -2L).when($"w" === "small", -1L)
+      .when($"w" === "dup", -2L).otherwise(0L)
+    toks.withColumn("wt", wt)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"wt" > 0L, $"wt").otherwise(0L)).as("pos_sum"),
+        sum(when($"wt" < 0L, -$"wt").otherwise(0L)).as("neg_sum"),
+        sum($"wt").as("net"))
+      .select($"doc_id", $"n_tokens", $"pos_sum", $"neg_sum", $"net",
+        ($"net".cast("double") / $"n_tokens".cast("double")).as("polarity"))
+      .orderBy($"doc_id")
+  }
+
+  val textSentimentSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($TokSql) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |wt AS (SELECT doc_id, CASE WHEN w = 'fast' THEN 2 WHEN w = 'big' THEN 1
+       |    WHEN w = 'slow' THEN -2 WHEN w = 'small' THEN -1
+       |    WHEN w = 'dup' THEN -2 ELSE 0 END AS wt FROM tok),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN wt > 0 THEN wt ELSE 0 END) AS BIGINT) AS pos_sum,
+       |    CAST(SUM(CASE WHEN wt < 0 THEN -wt ELSE 0 END) AS BIGINT) AS neg_sum,
+       |    CAST(SUM(wt) AS BIGINT) AS net
+       |  FROM wt GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, pos_sum, neg_sum, net,
+       |  CAST(net AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS polarity
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake" -> (textRake _),
+    "text_sentiment" -> (textSentiment _),
     "text_zipf" -> (textZipf _),
     "text_diversity" -> (textDiversity _),
     "text_vocab" -> (textVocab _),
@@ -790,6 +911,8 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_rake" -> textRakeSql,
+    "text_sentiment" -> textSentimentSql,
     "text_zipf" -> textZipfSql,
     "text_diversity" -> textDiversitySql,
     "text_vocab" -> textVocabSql,
