@@ -594,7 +594,86 @@ object FeatureQueries {
       |      / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS lift
       |FROM cum CROSS JOIN tot ORDER BY dbin""".stripMargin
 
+  /** The three classic feature scalers side by side — z-score, min-max
+    * and robust (median/IQR) — per event type, emitted for a
+    * deterministic keyed sample of rows (event_id % 47 = 0; the stats
+    * themselves aggregate over ALL rows). Values ride as exact cents;
+    * mean/std come from DECIMAL(38,0) moments (σ via sqrt only), the
+    * quartiles are rank SELECTIONS off the grouped two-level cumulative
+    * (floor-division ranks, clamped — the stats_levene discipline), so
+    * every emitted double is one short fixed IEEE chain. Two keyed
+    * aggregations + a broadcast join back to the sampled rows.
+    */
+  def featureScale(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type").as("g"),
+        round(col("value") * 100.0).cast("long").as("v"), col("value"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    val mom = ev.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("v"), "s1"), dsum(col("v") * col("v"), "s2"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("std", sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+    val vc = ev.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val cr = cumRanksBy(vc)
+    def selAt(rank: org.apache.spark.sql.Column, out: String) =
+      cr.filter(col("cum") >= rank && col("cum") - col("c") < rank)
+        .select(col("g"), col("v").as(out))
+    val r1 = greatest(((col("n") + 1) / 4).cast("long"), lit(1L))
+    val r2 = ((col("n") + 1) / 2).cast("long")
+    val r3 = least(((lit(3L) * (col("n") + 1)) / 4).cast("long"), col("n"))
+    val qs = selAt(r1, "q1").join(selAt(r2, "q2"), "g").join(selAt(r3, "q3"), "g")
+    ev.filter(pmod(col("event_id"), lit(47L)) === 0L)
+      .join(broadcast(mom.select(col("g"), col("mean"), col("std"),
+        col("vmin"), col("vmax"))), "g")
+      .join(broadcast(qs), "g")
+      .select(col("event_id"), col("g").as("event_type"), col("value"),
+        when(col("std") > 0.0,
+          (col("v").cast("double") - col("mean")) / col("std")).as("z"),
+        when(col("vmax") > col("vmin"),
+          (col("v") - col("vmin")).cast("double") /
+            (col("vmax") - col("vmin")).cast("double")).as("minmax"),
+        when(col("q3") > col("q1"),
+          (col("v").cast("double") - col("q2").cast("double")) /
+            (col("q3") - col("q1")).cast("double")).as("robust"))
+      .orderBy(col("event_id"))
+  }
+
+  val featureScaleSql: String =
+    """WITH ev AS (SELECT event_id, event_type AS g,
+      |    CAST(round(value * 100.0e0) AS BIGINT) AS v, value
+      |  FROM events WHERE value IS NOT NULL),
+      |mom AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+      |    MIN(v) AS vmin, MAX(v) AS vmax
+      |  FROM ev GROUP BY g),
+      |m2 AS (SELECT *, s1 / n AS mean,
+      |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std FROM mom),
+      |vc AS (SELECT g, v, COUNT(*) AS c FROM ev GROUP BY g, v),
+      |cm AS (SELECT g, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM vc),
+      |q1 AS (SELECT g, v AS q1 FROM cm
+      |  WHERE cum >= greatest((n + 1) // 4, 1) AND cum - c < greatest((n + 1) // 4, 1)),
+      |q2 AS (SELECT g, v AS q2 FROM cm
+      |  WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2),
+      |q3 AS (SELECT g, v AS q3 FROM cm
+      |  WHERE cum >= least((3 * (n + 1)) // 4, n) AND cum - c < least((3 * (n + 1)) // 4, n))
+      |SELECT ev.event_id, ev.g AS event_type, ev.value,
+      |  CASE WHEN std > 0 THEN (CAST(v AS DOUBLE) - mean) / std END AS z,
+      |  CASE WHEN vmax > vmin THEN CAST(v - vmin AS DOUBLE) / CAST(vmax - vmin AS DOUBLE) END AS minmax,
+      |  CASE WHEN q3.q3 > q1.q1 THEN (CAST(v AS DOUBLE) - CAST(q2.q2 AS DOUBLE))
+      |    / CAST(q3.q3 - q1.q1 AS DOUBLE) END AS robust
+      |FROM ev JOIN m2 USING (g) JOIN q1 USING (g) JOIN q2 USING (g) JOIN q3 USING (g)
+      |WHERE ev.event_id % 47 = 0
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_scale" -> (featureScale _),
     "eval_lift" -> (evalLift _),
     "eval_auc" -> (evalAuc _),
     "eval_confusion" -> (evalConfusion _),
@@ -608,6 +687,7 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "feature_scale" -> featureScaleSql,
     "eval_lift" -> evalLiftSql,
     "eval_auc" -> evalAucSql,
     "eval_confusion" -> evalConfusionSql,

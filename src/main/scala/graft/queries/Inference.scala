@@ -108,9 +108,11 @@ object Inference {
     val rows = Tables(s, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
     val vc = rows.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // rank arithmetic must be FLOOR division on both sides ((n+1)//2):
+    // Spark's `/` on longs is double division, so cast the truncation
+    val rank = ((col("n") + 1) / 2).cast("long")
     val med = FeatureQueries.cumRanksBy(vc)
-      .filter(col("cum") >= (col("n") + 1) / 2 &&
-        col("cum") - col("c") < (col("n") + 1) / 2)
+      .filter(col("cum") >= rank && col("cum") - col("c") < rank)
       .select(col("g"), col("v").as("med"))
     val per = rows.join(broadcast(med), "g")
       .withColumn("d", abs(col("v") - col("med")))

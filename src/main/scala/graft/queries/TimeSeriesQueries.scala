@@ -1884,7 +1884,101 @@ object TimeSeriesQueries {
       |       WHEN sae1 < sae7 THEN 'persistence' ELSE 'tie' END AS winner
       |FROM j ORDER BY event_type""".stripMargin
 
+  /** Position-based (U-shaped 40/20/40) multi-touch attribution — the
+    * model beside [[tsAttribution]]'s last-touch: each purchase's path
+    * is the stopword-free run of preceding non-purchase touches since
+    * the prior purchase (gaps-and-islands on a running purchase count);
+    * first and last touch get 0.4, the middle splits 0.2 evenly
+    * (single-touch 1.0, two-touch 0.5/0.5). Channel credit is
+    * decomposed into exact INTEGER counts per (class, path-length) so
+    * the only doubles are three literal products plus a path-length-
+    * ordered fold of cnt·(0.2/(n−2)) — deterministic at any scale.
+    * One keyed window pass + two keyed aggregations.
+    */
+  def attributionPosition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val marked = ev
+      .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
+      .withColumn("cum_p", sum(col("is_p")).over(w))
+    val tot = marked.groupBy(col("user_id")).agg(sum(col("is_p")).as("tot_p"))
+    val touches = marked.filter(col("is_p") === 0L)
+      .join(tot, "user_id")
+      .filter(col("cum_p") < col("tot_p"))
+    val pw = Window.partitionBy(col("user_id"), col("cum_p"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val pos = touches
+      .withColumn("pos", row_number().over(pw).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("user_id"), col("cum_p"))))
+    val classed = pos.select(col("event_type").as("channel"), col("n"),
+      when(col("n") === 1L, lit("single"))
+        .when(col("pos") === 1L, lit("first"))
+        .when(col("pos") === col("n"), lit("last"))
+        .otherwise(lit("middle")).as("cls"))
+    val cnts = classed.groupBy(col("channel"), col("cls"), col("n"))
+      .agg(count(lit(1)).as("c"))
+    val base = cnts.groupBy(col("channel")).agg(
+      sum(col("c")).as("n_touches"),
+      sum(when(col("cls") === "single", col("c")).otherwise(0L)).as("n_single"),
+      sum(when(col("cls").isin("first", "last") && col("n") === 2L, col("c"))
+        .otherwise(0L)).as("n_half"),
+      sum(when(col("cls").isin("first", "last") && col("n") >= 3L, col("c"))
+        .otherwise(0L)).as("n_edge"))
+    val mids = cnts.filter(col("cls") === "middle")
+      .groupBy(col("channel"))
+      .agg(sort_array(collect_list(struct(col("n"), col("c")))).as("ms"))
+      .select(col("channel"), aggregate(
+        transform(col("ms"), x =>
+          x.getField("c").cast("double") *
+            (lit(0.2) / (x.getField("n").cast("double") - lit(2.0)))),
+        lit(0.0), (a, b) => a + b).as("mid_credit"))
+    base.join(mids, Seq("channel"), "left")
+      .select(col("channel"), col("n_touches"), col("n_single"),
+        col("n_half"), col("n_edge"),
+        (col("n_single").cast("double") * lit(1.0) +
+          col("n_half").cast("double") * lit(0.5) +
+          col("n_edge").cast("double") * lit(0.4) +
+          coalesce(col("mid_credit"), lit(0.0))).as("credit"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionPositionSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p FROM events),
+      |mk AS (SELECT *, CAST(SUM(is_p) OVER (PARTITION BY user_id
+      |    ORDER BY ts_ms, event_id) AS BIGINT) AS cum_p FROM ev),
+      |tot AS (SELECT user_id, CAST(SUM(is_p) AS BIGINT) AS tot_p FROM ev GROUP BY user_id),
+      |tch AS (SELECT mk.* FROM mk JOIN tot USING (user_id)
+      |  WHERE mk.is_p = 0 AND mk.cum_p < tot.tot_p),
+      |pos AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id, cum_p
+      |      ORDER BY ts_ms, event_id) AS BIGINT) AS pos,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id, cum_p) AS BIGINT) AS n FROM tch),
+      |cl AS (SELECT event_type AS channel, n,
+      |    CASE WHEN n = 1 THEN 'single' WHEN pos = 1 THEN 'first'
+      |      WHEN pos = n THEN 'last' ELSE 'middle' END AS cls FROM pos),
+      |cnts AS (SELECT channel, cls, n, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM cl GROUP BY channel, cls, n),
+      |base AS (SELECT channel, CAST(SUM(c) AS BIGINT) AS n_touches,
+      |    CAST(SUM(CASE WHEN cls = 'single' THEN c ELSE 0 END) AS BIGINT) AS n_single,
+      |    CAST(SUM(CASE WHEN cls IN ('first', 'last') AND n = 2 THEN c ELSE 0 END) AS BIGINT) AS n_half,
+      |    CAST(SUM(CASE WHEN cls IN ('first', 'last') AND n >= 3 THEN c ELSE 0 END) AS BIGINT) AS n_edge
+      |  FROM cnts GROUP BY channel),
+      |mids AS (SELECT channel,
+      |    CAST(list_reduce(list_prepend(0.0e0,
+      |      list_transform(list(struct_pack(n := n, c := c) ORDER BY n),
+      |        x -> CAST(x.c AS DOUBLE) * (0.2e0 / (CAST(x.n AS DOUBLE) - 2.0e0)))),
+      |      (a, b) -> a + b) AS DOUBLE) AS mid_credit
+      |  FROM cnts WHERE cls = 'middle' GROUP BY channel)
+      |SELECT b.channel AS channel, n_touches, n_single, n_half, n_edge,
+      |  CAST(n_single AS DOUBLE) * 1.0e0 + CAST(n_half AS DOUBLE) * 0.5e0
+      |    + CAST(n_edge AS DOUBLE) * 0.4e0 + COALESCE(mid_credit, 0.0e0) AS credit
+      |FROM base b LEFT JOIN mids m ON m.channel = b.channel
+      |ORDER BY channel""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution_position" -> (attributionPosition _),
     "ts_backtest" -> (tsBacktest _),
     "ts_wau" -> (tsWau _),
     "ts_forecast" -> (tsForecast _),
@@ -1931,6 +2025,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "attribution_position" -> attributionPositionSql,
     "ts_wau" -> tsWauSql,
     "ts_backtest" -> tsBacktestSql,
     "ts_forecast" -> tsForecastSql,
