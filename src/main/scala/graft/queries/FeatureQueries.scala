@@ -672,7 +672,75 @@ object FeatureQueries {
       |WHERE ev.event_id % 47 = 0
       |ORDER BY event_id""".stripMargin
 
+  /** Qini (uplift) curve — [[evalLift]]'s sibling for treatment-effect
+    * targeting: a salted-hash 50/50 treatment split (the pipeline_split
+    * convention, so assignment is deterministic and replayable), exact
+    * descending score deciles shared with the lift chart, and per-bin
+    * cumulative qini = Y_t − Y_c·(N_t/N_c) — integer counts until one
+    * product and two divisions per bin. 10-row cumulative window; the
+    * same one-pass shape as eval_lift at any scale.
+    */
+  def evalQini(s: SparkSession, dir: String): DataFrame = {
+    val rows = graft.Tables(s, dir, "orders").select(
+      round(col("o_totalprice") * 100.0).cast("long").as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"),
+      pmod(conv(substr(md5(concat(lit("up:"), col("o_orderkey").cast("string"))),
+        lit(1), lit(8)), 16, 10).cast("long"), lit(2)).as("t"))
+    val rk = cumRanks(rows.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .withColumn("bin", expr("(cum - 1) * 10 div n"))
+      .select(col("v"), (lit(9L) - col("bin")).as("dbin"))
+    val bins = rows.join(rk, "v")
+      .groupBy(col("dbin"))
+      .agg(sum(col("t")).as("n_t"), sum(lit(1L) - col("t")).as("n_c"),
+        sum(when(col("t") === 1L, col("y")).otherwise(0L)).as("y_t"),
+        sum(when(col("t") === 0L, col("y")).otherwise(0L)).as("y_c"))
+    val w = Window.orderBy(col("dbin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_nt", sum(col("n_t")).over(w))
+      .withColumn("cum_nc", sum(col("n_c")).over(w))
+      .withColumn("cum_yt", sum(col("y_t")).over(w))
+      .withColumn("cum_yc", sum(col("y_c")).over(w))
+      .select(col("dbin"), col("n_t"), col("n_c"), col("y_t"), col("y_c"),
+        col("cum_nt"), col("cum_nc"), col("cum_yt"), col("cum_yc"),
+        when(col("cum_nc") > 0L,
+          col("cum_yt").cast("double") -
+            col("cum_yc").cast("double") *
+              (col("cum_nt").cast("double") / col("cum_nc").cast("double")))
+          .as("qini"))
+      .orderBy(col("dbin"))
+  }
+
+  val evalQiniSql: String =
+    """WITH r0 AS (SELECT CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |    CAST(concat('0x', substr(md5('up:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 2 AS t
+      |  FROM orders),
+      |vc AS (SELECT v, COUNT(*) AS c FROM r0 GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vc CROSS JOIN nn),
+      |rk AS (SELECT v, 9 - ((cum - 1) * 10) // n AS dbin FROM cm),
+      |bins AS (SELECT dbin, CAST(SUM(t) AS BIGINT) AS n_t,
+      |    CAST(SUM(1 - t) AS BIGINT) AS n_c,
+      |    CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+      |    CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+      |  FROM r0 JOIN rk USING (v) GROUP BY dbin),
+      |cum AS (SELECT dbin, n_t, n_c, y_t, y_c,
+      |    CAST(SUM(n_t) OVER (ORDER BY dbin) AS BIGINT) AS cum_nt,
+      |    CAST(SUM(n_c) OVER (ORDER BY dbin) AS BIGINT) AS cum_nc,
+      |    CAST(SUM(y_t) OVER (ORDER BY dbin) AS BIGINT) AS cum_yt,
+      |    CAST(SUM(y_c) OVER (ORDER BY dbin) AS BIGINT) AS cum_yc
+      |  FROM bins)
+      |SELECT dbin, n_t, n_c, y_t, y_c, cum_nt, cum_nc, cum_yt, cum_yc,
+      |  CASE WHEN cum_nc > 0 THEN CAST(cum_yt AS DOUBLE)
+      |    - CAST(cum_yc AS DOUBLE) * (CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE))
+      |  END AS qini
+      |FROM cum ORDER BY dbin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_qini" -> (evalQini _),
     "feature_scale" -> (featureScale _),
     "eval_lift" -> (evalLift _),
     "eval_auc" -> (evalAuc _),
@@ -687,6 +755,7 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "eval_qini" -> evalQiniSql,
     "feature_scale" -> featureScaleSql,
     "eval_lift" -> evalLiftSql,
     "eval_auc" -> evalAucSql,

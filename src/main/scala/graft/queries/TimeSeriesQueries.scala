@@ -1977,7 +1977,77 @@ object TimeSeriesQueries {
       |FROM base b LEFT JOIN mids m ON m.channel = b.channel
       |ORDER BY channel""".stripMargin
 
+  /** Lead–lag cross-correlation: Pearson r between the daily click
+    * series and the purchase series shifted 0..7 days — does activity
+    * lead conversion, and by how much? Both series live on a complete
+    * day spine (missing days are real zeros, not absent rows — the
+    * difference matters for correlation), counts are exact integers,
+    * and each lag's r is the [[Relational.statsCorr]] DECIMAL-moment /
+    * fixed-IEEE chain. The 8 lags fan out via a broadcast literal; one
+    * keyed join + one keyed aggregation per plan, never a self-join
+    * per lag.
+    */
+  def tsXcorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("day", (col("ts_ms") / lit(86400000L)).cast("long"))
+    val x0 = ev.filter(col("event_type") === "click")
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val y0 = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val s2 = spine.join(x0, Seq("day"), "left").join(y0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val lags = s.range(1)
+      .select(explode(array((0 to 7).map(i => lit(i.toLong)): _*)).as("lag"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    s2.select(col("day"), col("x")).crossJoin(broadcast(lags))
+      .withColumn("yday", col("day") + col("lag"))
+      .join(s2.select(col("day").as("yday"), col("y")), "yday")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"), count(lit(1)).cast("double").as("n"),
+        dsum(col("x"), "sx"), dsum(col("y"), "sy"),
+        dsum(col("x") * col("y"), "sxy"),
+        dsum(col("x") * col("x"), "sxx"), dsum(col("y") * col("y"), "syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("lag"), col("n_days"),
+        when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
+          col("num") / (sqrt(col("vx")) * sqrt(col("vy")))).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val tsXcorrSql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+      |rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |spine AS (SELECT d0 + i AS day FROM rng, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+      |x0 AS (SELECT day, COUNT(*) AS x FROM ev WHERE event_type = 'click' GROUP BY day),
+      |y0 AS (SELECT day, COUNT(*) AS y FROM ev WHERE event_type = 'purchase' GROUP BY day),
+      |s2 AS (SELECT day, CAST(COALESCE(x, 0) AS BIGINT) AS x,
+      |    CAST(COALESCE(y, 0) AS BIGINT) AS y
+      |  FROM spine LEFT JOIN x0 USING (day) LEFT JOIN y0 USING (day)),
+      |lags AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS lag),
+      |pr AS (SELECT lag, a.x, b.y FROM s2 a CROSS JOIN lags
+      |  JOIN s2 b ON b.day = a.day + lag),
+      |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM pr GROUP BY lag),
+      |d AS (SELECT *, (n * sxy - sx * sy) AS num,
+      |    (n * sxx - sx * sx) AS vx, (n * syy - sy * sy) AS vy FROM m)
+      |SELECT lag, n_days,
+      |  CASE WHEN vx <> 0 AND vy <> 0 THEN num / (sqrt(vx) * sqrt(vy)) END AS r
+      |FROM d ORDER BY lag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_xcorr" -> (tsXcorr _),
     "attribution_position" -> (attributionPosition _),
     "ts_backtest" -> (tsBacktest _),
     "ts_wau" -> (tsWau _),
@@ -2025,6 +2095,7 @@ object TimeSeriesQueries {
     "ts_trend_dots" -> (tsTrendDots _))
 
   val oracles: Map[String, String] = Map(
+    "ts_xcorr" -> tsXcorrSql,
     "attribution_position" -> attributionPositionSql,
     "ts_wau" -> tsWauSql,
     "ts_backtest" -> tsBacktestSql,
