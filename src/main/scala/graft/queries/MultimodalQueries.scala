@@ -382,7 +382,62 @@ object MultimodalQueries {
       |  CAST(nsamp * 1000 // rate AS BIGINT) AS duration_ms
       |FROM q ORDER BY doc_id""".stripMargin
 
+  private val synthExif =
+    udf((n: Int) => graft.multimodal.ExifReader.encode(
+      bigEndian = n % 2 == 1, wrapJpeg = n % 3 == 0,
+      width = n % 24 + 8, height = n % 16 + 8, orientation = n % 8 + 1,
+      make = "cam" + (n % 5), iso = (n % 16 + 1) * 100,
+      fnumNum = (n % 40 + 10).toLong, fnumDen = 10L))
+
+  /** media_exif: REAL TIFF/EXIF metadata via the codegen'd
+    * [[graft.multimodal.ExifMeta.exifMeta]] header walk — both byte
+    * orders (doc-derived), bare TIFF and JPEG-APP1-wrapped streams,
+    * IFD0 scalars, an ASCII tag behind an offset, and the EXIF sub-IFD
+    * with an unsigned RATIONAL (f-number). Every emitted field is a
+    * closed form of the synthesis parameter n, so the oracle states the
+    * answer with no image library; f_stop is the rational's ONE
+    * division. Scale: header-only narrow map — the 100 TB photo-lake
+    * metadata scan that never touches pixel data.
+    */
+  def mediaExif(s: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("text").cast("binary"))
+    val media = Tables(s, dir, "documents")
+      .select(col("doc_id"), n.cast("int").as("n"))
+      .withColumn("bytes", synthExif(col("n")))
+    val m = graft.multimodal.ExifMeta.exifMeta(col("bytes"))
+    media.select(
+        col("doc_id"),
+        m.getField("endian").as("endian"),
+        m.getField("wrapped").as("wrapped"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"),
+        m.getField("orientation").as("orientation"),
+        m.getField("make").as("make"),
+        m.getField("iso").as("iso"),
+        m.getField("fnum_num").as("fnum_num"),
+        m.getField("fnum_den").as("fnum_den"))
+      .withColumn("f_stop",
+        col("fnum_num").cast("double") / col("fnum_den").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaExifSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN n % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+      |  CAST(CASE WHEN n % 3 = 0 THEN 1 ELSE 0 END AS INT) AS wrapped,
+      |  CAST(n % 24 + 8 AS INT) AS width,
+      |  CAST(n % 16 + 8 AS INT) AS height,
+      |  CAST(n % 8 + 1 AS INT) AS orientation,
+      |  'cam' || CAST(n % 5 AS VARCHAR) AS make,
+      |  CAST((n % 16 + 1) * 100 AS INT) AS iso,
+      |  CAST(n % 40 + 10 AS BIGINT) AS fnum_num,
+      |  CAST(10 AS BIGINT) AS fnum_den,
+      |  CAST(n % 40 + 10 AS DOUBLE) / CAST(10 AS DOUBLE) AS f_stop
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_exif" -> (mediaExif _),
     "media_audio_features" -> (mediaAudioFeatures _),
     "media_mp3" -> (mediaMp3 _),
     "media_meta" -> (mediaMeta _),
@@ -393,6 +448,7 @@ object MultimodalQueries {
     "media_phash" -> (mediaPhash _))
 
   val oracles: Map[String, String] = Map(
+    "media_exif" -> mediaExifSql,
     "media_audio_features" -> mediaAudioFeaturesSql,
     "media_mp3" -> mediaMp3Sql,
     "media_meta" -> mediaMetaSql,
