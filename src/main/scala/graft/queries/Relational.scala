@@ -3172,6 +3172,37 @@ object Relational {
       |  COUNT(DISTINCT user_id) AS dau
       |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 
+  /** Streaming daily top-3 heavy hitters via the bounded SpaceSaving
+    * state ([[graft.streaming.StreamingTopK]], ≤8 counters per day):
+    * the event-type alphabet (5) fits the capacity, so the summary is
+    * the exact multiset and the batch oracle certifies it — the
+    * stream_dau convention. The top-3 rank runs per day (keyed window
+    * over ≤8 summary rows), ties broken by item.
+    */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val in = Tables(s, dir, "events")
+      .select((unix_millis(col("ts")) / lit(86400000L)).cast("long").as("win"),
+        col("event_type").as("item"))
+      .as[graft.streaming.StreamingTopK.In]
+    val sm = graft.streaming.StreamingTopK.summaries(s, in).toDF()
+    val w = Window.partitionBy(col("win")).orderBy(col("cnt").desc, col("item"))
+    sm.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3L)
+      .select(col("win").as("day"), col("rk"), col("item").as("event_type"),
+        col("cnt"), col("err"))
+      .orderBy(col("day"), col("rk"))
+  }
+
+  val streamTopkSql: String =
+    """WITH c AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+      |    COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+      |r AS (SELECT day, event_type, cnt, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY day ORDER BY cnt DESC, event_type) AS BIGINT) AS rk FROM c)
+      |SELECT day, rk, event_type, cnt, CAST(0 AS BIGINT) AS err
+      |FROM r WHERE rk <= 3 ORDER BY day, rk""".stripMargin
+
   /** k-anonymity audit (k=5) over the quasi-identifier triple
     * (event_type, weekday, value-bucket): class sizes are exact
     * integer counts, so the report — smallest equivalence class,
@@ -3846,6 +3877,7 @@ object Relational {
     "graph_summary" -> (graphSummary _),
     "er_blocking_eval" -> (erBlockingEval _),
     "stream_dau" -> (streamDau _),
+    "stream_topk" -> (streamTopk _),
     "agg_incremental" -> (aggIncremental _),
     "dq_erasure" -> (dqErasure _),
     "facet_gsets" -> (facetGsets _),
@@ -3923,6 +3955,7 @@ object Relational {
     "graph_summary" -> graphSummarySql,
     "er_blocking_eval" -> erBlockingEvalSql,
     "stream_dau" -> streamDauSql,
+    "stream_topk" -> streamTopkSql,
     "agg_incremental" -> aggIncrementalSql,
     "dq_erasure" -> dqErasureSql,
     "graph_sssp" -> graphSsspSql,
