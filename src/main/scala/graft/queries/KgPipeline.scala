@@ -331,7 +331,74 @@ object KgPipeline {
        |    ORDER BY jaccard DESC, CAST(did AS BIGINT)) AS rank FROM sc)
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** SymSpell-style spelling correction (Garbe's deletion-neighborhood
+    * indexing, the log.count-free variant): vocabulary words and query
+    * terms each expand to {self} ∪ 1-deletions; an equi-join on the
+    * shared deletion key finds EVERY candidate within edit distance 1
+    * (the SymSpell completeness property for d=1) without a LIKE scan
+    * or an all-pairs distance pass; candidates are verified with the
+    * thresholded levenshtein and ranked by (corpus frequency desc,
+    * word). Query terms here are deterministic single-deletion
+    * misspellings of the vocabulary itself, so recall is auditable.
+    * Scale: the index is Σ|w| keys — linear in vocabulary size, keyed
+    * join, never quadratic.
+    */
+  def kgSpellfix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // deletion neighborhood: the word plus every 1-deletion
+    def delKeys(c: org.apache.spark.sql.Column) =
+      array_union(array(c), transform(sequence(lit(1), length(c)),
+        i => concat(substr(c, lit(1), i - 1), substr(c, i + 1, lit(1000)))))
+    val qterms = vocab.filter(length(col("w")) >= 3)
+      .withColumn("p", length(col("w")) % 3 + 1)
+      .select(concat(substr(col("w"), lit(1), col("p") - 1),
+        substr(col("w"), col("p") + 1, lit(1000))).as("q"))
+      .distinct()
+    val qIdx = qterms.select(col("q"), explode(delKeys(col("q"))).as("k")).distinct()
+    val vIdx = vocab.select(col("w"), col("freq"), explode(delKeys(col("w"))).as("k"))
+      .distinct()
+    val cand = qIdx.join(vIdx, "k")
+      .select(col("q"), col("w"), col("freq")).distinct()
+      .withColumn("dist", levenshtein(col("q"), col("w"), 1))
+      .filter(col("dist") =!= -1)
+    val w = Window.partitionBy(col("q")).orderBy(col("freq").desc, col("w"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3L)
+      .select(col("q"), col("rk"), col("w").as("suggestion"),
+        col("freq"), col("dist"))
+      .orderBy(col("q"), col("rk"))
+  }
+
+  val kgSpellfixSql: String =
+    """WITH vocab AS (SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |    FROM documents) GROUP BY w),
+      |qt AS (SELECT DISTINCT
+      |    substr(w, 1, (length(w) % 3 + 1) - 1) || substr(w, (length(w) % 3 + 1) + 1) AS q
+      |  FROM vocab WHERE length(w) >= 3),
+      |qi AS (SELECT DISTINCT q, k FROM (
+      |    SELECT q, q AS k FROM qt
+      |    UNION ALL
+      |    SELECT q, substr(q, 1, i) || substr(q, i + 2) AS k
+      |    FROM qt, UNNEST(range(length(q))) AS u(i))),
+      |vi AS (SELECT DISTINCT w, freq, k FROM (
+      |    SELECT w, freq, w AS k FROM vocab
+      |    UNION ALL
+      |    SELECT w, freq, substr(w, 1, i) || substr(w, i + 2) AS k
+      |    FROM vocab, UNNEST(range(length(w))) AS u(i))),
+      |cand AS (SELECT DISTINCT q, w, freq FROM qi JOIN vi USING (k)),
+      |ok AS (SELECT q, w, freq, levenshtein(q, w) AS dist FROM cand
+      |  WHERE levenshtein(q, w) <= 1),
+      |rk AS (SELECT q, w, freq, dist, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY q ORDER BY freq DESC, w) AS BIGINT) AS rk FROM ok)
+      |SELECT q, rk, w AS suggestion, freq, CAST(dist AS INT) AS dist
+      |FROM rk WHERE rk <= 3 ORDER BY q, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_spellfix" -> (kgSpellfix _),
     "kg_suggest" -> (kgSuggest _),
     "kg_mlt" -> (kgMlt _),
     "kg_hybrid" -> (kgHybrid _),
@@ -342,6 +409,7 @@ object KgPipeline {
     "kg_bm25" -> (kgBm25 _))
 
   val oracles: Map[String, String] = Map(
+    "kg_spellfix" -> kgSpellfixSql,
     "kg_suggest" -> kgSuggestSql,
     "kg_mlt" -> kgMltSql,
     "kg_hybrid" -> kgHybridSql,

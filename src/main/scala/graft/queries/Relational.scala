@@ -108,6 +108,37 @@ object Relational {
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |WHERE p_size > 25 GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Salted skew join as a REGISTERED, oracle-held operator: events
+    * (5 hot power-law keys) equi-joined to a per-type dimension through
+    * [[graft.operators.Skew.saltedJoin]] — the big side salts 8 ways by
+    * a hash of its row identity (no RNG), the small side replicates, so
+    * each hot key spreads over 8 reducers instead of one straggler.
+    * The oracle is the PLAIN join: salting must be invisible in the
+    * result, and this row proves it stays so. The salts knob trades
+    * small-side duplication for reducer fan-out; 8 is sized to the
+    * local lane, a cluster would size it to executor count.
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("long"))
+    graft.operators.Skew.saltedJoin(ev, dim, "event_type", salts = 8,
+        bigIdCols = Seq(col("event_id")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), max(col("weight")).as("weight"))
+      .withColumn("weighted", col("cnt") * col("weight"))
+      .orderBy(col("event_type"))
+  }
+
+  val joinSaltedSql: String =
+    """WITH dim AS (SELECT DISTINCT event_type,
+      |    CAST(length(event_type) AS BIGINT) AS weight FROM events)
+      |SELECT e.event_type, COUNT(*) AS cnt, MAX(weight) AS weight,
+      |  COUNT(*) * MAX(weight) AS weighted
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
   /** O2 per-group quota (per-TLD `desired` enqueue quota,
     * docs/index.md:108-114): row_number window partitioned by the group
     * key. One shuffle on the partition key; no global sort.
@@ -3878,6 +3909,7 @@ object Relational {
     "er_blocking_eval" -> (erBlockingEval _),
     "stream_dau" -> (streamDau _),
     "stream_topk" -> (streamTopk _),
+    "join_salted" -> (joinSalted _),
     "agg_incremental" -> (aggIncremental _),
     "dq_erasure" -> (dqErasure _),
     "facet_gsets" -> (facetGsets _),
@@ -3956,6 +3988,7 @@ object Relational {
     "er_blocking_eval" -> erBlockingEvalSql,
     "stream_dau" -> streamDauSql,
     "stream_topk" -> streamTopkSql,
+    "join_salted" -> joinSaltedSql,
     "agg_incremental" -> aggIncrementalSql,
     "dq_erasure" -> dqErasureSql,
     "graph_sssp" -> graphSsspSql,
