@@ -739,7 +739,62 @@ object FeatureQueries {
       |  END AS qini
       |FROM cum ORDER BY dbin""".stripMargin
 
+  /** Regression-metric suite (MAE / RMSE / bias / R²) for a numeric
+    * forecaster — here the seasonal-naive predictor (count(d) ≈
+    * count(d−7)) over per-type daily volumes, the [[TimeSeriesQueries
+    * .tsBacktest]] champion scored with the metrics a model card
+    * reports. Actuals and predictions are exact integers, so SSE/SAE
+    * are DECIMAL(38,0) sums and every metric is one or two IEEE ops;
+    * R²'s SST comes from the same moment trick as the variance chain.
+    * Two keyed aggregations (daily counts, then per-type metrics) —
+    * one 7-day shifted self-join, no window.
+    */
+  def evalRegression(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables(s, dir, "events")
+      .withColumn("day", (unix_millis(col("ts")) / lit(86400000L)).cast("long"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val pred = daily.select(col("event_type"), (col("day") + 7L).as("day"),
+      col("cnt").as("p"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), count(lit(1)).cast("double").as("n"),
+        dsum(abs(col("cnt") - col("p")), "sae"),
+        dsum((col("cnt") - col("p")) * (col("cnt") - col("p")), "sse"),
+        dsum(col("cnt") - col("p"), "sdiff"),
+        dsum(col("cnt"), "s1"), dsum(col("cnt") * col("cnt"), "s2"))
+      .withColumn("sst", col("s2") - col("s1") * col("s1") / col("n"))
+      .select(col("event_type"), col("n_days"),
+        (col("sae") / col("n")).as("mae"),
+        sqrt(col("sse") / col("n")).as("rmse"),
+        (col("sdiff") / col("n")).as("bias"),
+        when(col("sst") > 0.0, lit(1.0) - col("sse") / col("sst")).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val evalRegressionSql: String =
+    """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      |j AS (SELECT a.event_type, a.cnt, p.cnt AS p
+      |  FROM daily a JOIN daily p
+      |    ON p.event_type = a.event_type AND p.day + 7 = a.day),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(abs(cnt - p) AS DECIMAL(38,0))) AS DOUBLE) AS sae,
+      |    CAST(SUM(CAST((cnt - p) * (cnt - p) AS DECIMAL(38,0))) AS DOUBLE) AS sse,
+      |    CAST(SUM(CAST(cnt - p AS DECIMAL(38,0))) AS DOUBLE) AS sdiff,
+      |    CAST(SUM(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM j GROUP BY event_type),
+      |t AS (SELECT *, s2 - s1 * s1 / n AS sst FROM m)
+      |SELECT event_type, n_days, sae / n AS mae, sqrt(sse / n) AS rmse,
+      |  sdiff / n AS bias,
+      |  CASE WHEN sst > 0 THEN 1.0e0 - sse / sst END AS r2
+      |FROM t ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_regression" -> (evalRegression _),
     "eval_qini" -> (evalQini _),
     "feature_scale" -> (featureScale _),
     "eval_lift" -> (evalLift _),
@@ -755,6 +810,7 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "eval_regression" -> evalRegressionSql,
     "eval_qini" -> evalQiniSql,
     "feature_scale" -> featureScaleSql,
     "eval_lift" -> evalLiftSql,

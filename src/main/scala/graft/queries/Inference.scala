@@ -242,12 +242,127 @@ object Inference {
       |    (skew * skew + (kurt - 3.0e0) * (kurt - 3.0e0) / 4.0e0) END AS jb
       |FROM c3 ORDER BY l_returnflag""".stripMargin
 
+  /** Cohen's d (+ Hedges' g small-sample correction) for returned vs
+    * refused quantity — the effect size a metrics review demands next
+    * to [[Relational.statsTtest]]'s p-value. Sample variances from
+    * DECIMAL(38,0) moments, pooled s by the (n−1)-weighted formula,
+    * d and the g correction one sqrt-only IEEE chain. One keyed
+    * aggregation + a 2-row pivot.
+    */
+  def statsCohensD(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+    def dsum(c: org.apache.spark.sql.Column, out: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(out)
+    rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), count(lit(1)).cast("double").as("n"),
+        dsum(col("v"), "s1"), dsum(col("v") * col("v"), "s2"))
+      .withColumn("m", col("s1") / col("n"))
+      .withColumn("ss", col("s2") - col("s1") * col("s1") / col("n"))
+      .agg(max(when(col("g") === "A", col("n"))).as("na"),
+        max(when(col("g") === "R", col("n"))).as("nr"),
+        max(when(col("g") === "A", col("m"))).as("ma"),
+        max(when(col("g") === "R", col("m"))).as("mr"),
+        max(when(col("g") === "A", col("ss"))).as("ssa"),
+        max(when(col("g") === "R", col("ss"))).as("ssr"))
+      .withColumn("sp",
+        sqrt((col("ssa") + col("ssr")) / (col("na") + col("nr") - lit(2.0))))
+      .withColumn("d", when(col("sp") > 0.0, (col("ma") - col("mr")) / col("sp")))
+      .select(col("na").cast("long").as("n_a"), col("nr").cast("long").as("n_r"),
+        col("ma").as("mean_a"), col("mr").as("mean_r"), col("sp").as("s_pooled"),
+        col("d"),
+        (col("d") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("na") + col("nr")) - lit(9.0)))).as("g_hedges"))
+  }
+
+  val statsCohensDSql: String =
+    """WITH m AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
+      |    FROM lineitem WHERE l_returnflag IN ('A', 'R')) GROUP BY 1),
+      |c AS (SELECT g, n, s1 / n AS mean, s2 - s1 * s1 / n AS ss FROM m),
+      |p AS (SELECT MAX(CASE WHEN g = 'A' THEN n END) AS na,
+      |    MAX(CASE WHEN g = 'R' THEN n END) AS nr,
+      |    MAX(CASE WHEN g = 'A' THEN mean END) AS ma,
+      |    MAX(CASE WHEN g = 'R' THEN mean END) AS mr,
+      |    MAX(CASE WHEN g = 'A' THEN ss END) AS ssa,
+      |    MAX(CASE WHEN g = 'R' THEN ss END) AS ssr FROM c),
+      |q AS (SELECT *, sqrt((ssa + ssr) / (na + nr - 2.0e0)) AS sp FROM p),
+      |r AS (SELECT *, CASE WHEN sp > 0 THEN (ma - mr) / sp END AS d FROM q)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+      |  ma AS mean_a, mr AS mean_r, sp AS s_pooled, d,
+      |  d * (1.0e0 - 3.0e0 / (4.0e0 * (na + nr) - 9.0e0)) AS g_hedges
+      |FROM r""".stripMargin
+
+  /** Cramér's V — the effect size for the (returnflag × linestatus)
+    * contingency: observed counts are integers, expected counts and the
+    * χ² fold run in CELL ORDER (sort_array — the stats_entropy
+    * discipline), V = sqrt(χ²/(n·min(r−1,c−1))). One keyed count
+    * aggregation; the fold is over the ≤|r|·|c| cell list.
+    */
+  def statsCramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("r"), col("l_linestatus").as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("r")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("c")).agg(sum(col("o")).as("ct"))
+    cells.join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .agg(sum(col("o")).as("n"),
+        countDistinct(col("r")).as("nr"), countDistinct(col("c")).as("nc"),
+        sort_array(collect_list(struct(col("r"), col("c"), col("o"),
+          col("rt"), col("ct")))).as("cs"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("chi2", aggregate(
+        transform(col("cs"), x => {
+          val e = x.getField("rt").cast("double") *
+            x.getField("ct").cast("double") / col("nd")
+          (x.getField("o").cast("double") - e) *
+            (x.getField("o").cast("double") - e) / e
+        }),
+        lit(0.0), (a, b) => a + b))
+      .select(col("n"), col("nr"), col("nc"), col("chi2"),
+        when(least(col("nr"), col("nc")) > 1L,
+          sqrt(col("chi2") / (col("nd") *
+            (least(col("nr"), col("nc")) - lit(1L)).cast("double")))).as("v"))
+  }
+
+  val statsCramersVSql: String =
+    """WITH cells AS (SELECT l_returnflag AS r, l_linestatus AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2),
+      |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+      |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+      |j AS (SELECT cells.r, cells.c, o, rt.rt, ct.ct
+      |  FROM cells JOIN rt USING (r) JOIN ct USING (c)),
+      |agg AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+      |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nc,
+      |    list(struct_pack(r := r, c := c, o := o, rt := rt, ct := ct)
+      |      ORDER BY r, c) AS cs
+      |  FROM j),
+      |f AS (SELECT n, nr, nc, CAST(n AS DOUBLE) AS nd,
+      |    CAST(list_reduce(list_prepend(0.0e0, list_transform(cs,
+      |      x -> (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * CAST(x.ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * CAST(x.ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(x.rt AS DOUBLE) * CAST(x.ct AS DOUBLE) / CAST(n AS DOUBLE)))),
+      |      (a, b) -> a + b) AS DOUBLE) AS chi2
+      |  FROM agg)
+      |SELECT n, nr, nc, chi2,
+      |  CASE WHEN least(nr, nc) > 1
+      |    THEN sqrt(chi2 / (nd * CAST(least(nr, nc) - 1 AS DOUBLE))) END AS v
+      |FROM f""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cohens_d" -> (statsCohensD _),
+    "stats_cramers_v" -> (statsCramersV _),
     "stats_mannwhitney" -> (statsMannwhitney _),
     "stats_levene" -> (statsLevene _),
     "stats_jarque_bera" -> (statsJarqueBera _))
 
   val oracles: Map[String, String] = Map(
+    "stats_cohens_d" -> statsCohensDSql,
+    "stats_cramers_v" -> statsCramersVSql,
     "stats_mannwhitney" -> statsMannwhitneySql,
     "stats_levene" -> statsLeveneSql,
     "stats_jarque_bera" -> statsJarqueBeraSql)

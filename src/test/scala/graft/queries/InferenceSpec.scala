@@ -68,6 +68,73 @@ class InferenceSpec extends SparkSpec {
       s"f ${r.getAs[Double]("f")} vs $f")
   }
 
+  test("stats_cohens_d equals the plain-Scala pooled effect size") {
+    val r = Inference.statsCohensD(spark, dir).collect().head
+    val data = quantities().filter(d => d._1 == "A" || d._1 == "R")
+    def stats(g: String): (Int, Double, Double) = {
+      val vs = data.filter(_._1 == g).map(_._2.toDouble)
+      val m = vs.sum / vs.length
+      (vs.length, m, vs.map(v => (v - m) * (v - m)).sum)
+    }
+    val (na, ma, ssa) = stats("A"); val (nr, mr, ssr) = stats("R")
+    val sp = math.sqrt((ssa + ssr) / (na + nr - 2.0))
+    val d = (ma - mr) / sp
+    val g = d * (1.0 - 3.0 / (4.0 * (na + nr) - 9.0))
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_r") == nr)
+    assert(math.abs(r.getAs[Double]("d") - d) < 1e-9, "d")
+    assert(math.abs(r.getAs[Double]("g_hedges") - g) < 1e-9, "g")
+  }
+
+  test("stats_cramers_v equals the plain-Scala chi2/V") {
+    val r = Inference.statsCramersV(spark, dir).collect().head
+    val cells = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    val n = cells.length.toDouble
+    val obs = cells.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val rt = cells.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val chi2 = obs.map { case ((a, b), o) =>
+      val e = rt(a) * ct(b) / n; (o - e) * (o - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n * (math.min(rt.size, ct.size) - 1)))
+    assert(r.getAs[Long]("n") == cells.length)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-9 * (1 + chi2), "chi2")
+    assert(math.abs(r.getAs[Double]("v") - v) < 1e-9, "v")
+  }
+
+  test("eval_regression equals the plain-Scala seasonal-naive metrics") {
+    val daily = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = daily.groupBy(_._1._1)
+    val got = FeatureQueries.evalRegression(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    var checked = 0
+    byType.foreach { case (t, m) =>
+      val days = m.map(_._1._2)
+      val pairs = days.toSeq.filter(d => m.contains((t, d - 7)))
+        .map(d => (m((t, d)).toDouble, m((t, d - 7)).toDouble))
+      if (pairs.nonEmpty && got.contains(t)) {
+        val n = pairs.length.toDouble
+        val mae = pairs.map(p => math.abs(p._1 - p._2)).sum / n
+        val rmse = math.sqrt(pairs.map(p => (p._1 - p._2) * (p._1 - p._2)).sum / n)
+        val mean = pairs.map(_._1).sum / n
+        val sst = pairs.map(p => (p._1 - mean) * (p._1 - mean)).sum
+        val sse = pairs.map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+        val r = got(t)
+        assert(r.getAs[Long]("n_days") == pairs.length, s"$t n")
+        assert(math.abs(r.getAs[Double]("mae") - mae) < 1e-9, s"$t mae")
+        assert(math.abs(r.getAs[Double]("rmse") - rmse) < 1e-9, s"$t rmse")
+        if (sst > 0)
+          assert(math.abs(r.getAs[Double]("r2") - (1.0 - sse / sst)) < 1e-9, s"$t r2")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
   test("stats_jarque_bera equals the plain-Scala moment chain") {
     val rows = Inference.statsJarqueBera(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
