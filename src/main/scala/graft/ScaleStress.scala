@@ -135,7 +135,14 @@ object ScaleStress {
   final case class Row(name: String, t1: Double, tN: Double, exponent: Double)
 
   def measure(spark: SparkSession, dir: String, names: Seq[String], k: Int,
-              keepRdds: => Set[Int]): Seq[(String, Double)] =
+              keepRdds: => Set[Int]): Seq[(String, Double)] = {
+    // Pre-existing session state (memoized indexes built by EARLIER
+    // callers) is always protected, whatever keep-set the caller
+    // passes — sweeping a shared index's blocks out from under its
+    // still-live cache entry poisons every later consumer (the
+    // full-suite CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND lesson). The sweep
+    // still frees everything the measured queries themselves create.
+    val protect = Caches.persistentIds(spark) ++ keepRdds
     names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -144,8 +151,9 @@ object ScaleStress {
         (System.nanoTime() - t0) / 1e9
       }
       try name -> (1 to k).map(_ => once()).min
-      finally Caches.sweep(spark, keepRdds)
+      finally Caches.sweep(spark, protect)
     }
+  }
 
   def exponents(base: Seq[(String, Double)], big: Seq[(String, Double)],
                 copies: Int): Seq[Row] = {

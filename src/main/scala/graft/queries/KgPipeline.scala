@@ -39,7 +39,13 @@ object KgPipeline {
   private val kgCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def kg(s: SparkSession, dir: String): DataFrame =
+  def kg(s: SparkSession, dir: String): DataFrame = kgCache.synchronized {
+    // Self-healing (the graphBuild discipline): an external sweep can
+    // free the checkpoint blocks without touching this map — serving
+    // the stale frame fails every later consumer.
+    kgCache.get((s, dir)).foreach { hit =>
+      if (!Relational.blocksAlive(s, hit)) kgCache.remove((s, dir))
+    }
     kgCache.getOrElseUpdate((s, dir), {
       val docs = Tables(s, dir, "documents")
       // Tokenize ONCE behind a cache barrier: three glossary fields read
@@ -66,6 +72,7 @@ object KgPipeline {
       tokenized.unpersist()
       built
     })
+  }
 
   /** Q8 index routing made physical (type_index_mappings.json:1 — the
     * reference routes each typed field to its own ES index): persist

@@ -39,4 +39,16 @@ class EdgeCacheSpec extends graft.SparkSpec {
     assert(!(rebuilt eq first))
     assert(rebuilt.columns.toSeq == Seq("u", "v", "shared"))
   }
+
+  test("a cache hit whose blocks were externally swept self-heals instead of serving a stale frame") {
+    val dir = "/root/testdata/sf0.001"
+    val before = Relational.graphBuild(spark, dir)
+    before.count() // materialize
+    // an external janitor frees EVERYTHING (the ScaleStress-spec
+    // full-suite poisoning scenario)
+    graft.Caches.sweep(spark, Set.empty)
+    val after = Relational.graphBuild(spark, dir)
+    assert(!(after eq before), "stale swept frame must not be served")
+    assert(after.count() > 0) // and the rebuilt index actually computes
+  }
 }
