@@ -793,7 +793,68 @@ object FeatureQueries {
       |  CASE WHEN sst > 0 THEN 1.0e0 - sse / sst END AS r2
       |FROM t ORDER BY event_type""".stripMargin
 
+  /** Referential-integrity audit over the star schema's five foreign
+    * keys — the DQ gate a warehouse load runs before anything else
+    * (orphan children mean a broken upstream join). One row per
+    * relationship: child row count, distinct child keys, and orphan
+    * rows (child keys with no parent). Orphans via a left join +
+    * parent-null count, NOT a driver-side anti-join loop; on a real
+    * cluster the small parents (nation/customer/supplier/part)
+    * broadcast and orders↔lineitem shuffles on its key once. All
+    * counts integral.
+    */
+  def dqReferential(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val p = parent.select(col(pk).as("__pk"), lit(1L).as("__hit"))
+      child.select(col(ck).as("__ck"))
+        .join(p, col("__ck") === col("__pk"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          count_distinct(col("__ck")).as("distinct_keys"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("orphan_rows"))
+        .select(lit(name).as("relationship"), col("child_rows"),
+          col("distinct_keys"), col("orphan_rows"))
+    }
+    val t = (n: String) => Tables(s, dir, n)
+    rel("customer->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey")
+      .unionAll(rel("lineitem->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"))
+      .unionAll(rel("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"))
+      .unionAll(rel("lineitem->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"))
+      .unionAll(rel("orders->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"))
+      .orderBy(col("relationship"))
+  }
+
+  val dqReferentialSql: String =
+    """WITH r AS (
+      |  SELECT 'customer->nation' AS relationship,
+      |    CAST(COUNT(*) AS BIGINT) AS child_rows,
+      |    CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS distinct_keys,
+      |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+      |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT),
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT),
+      |    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT),
+      |    CAST(SUM(CASE WHEN su.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  UNION ALL
+      |  SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT * FROM r ORDER BY relationship""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_referential" -> (dqReferential _),
     "eval_regression" -> (evalRegression _),
     "eval_qini" -> (evalQini _),
     "feature_scale" -> (featureScale _),
@@ -810,6 +871,7 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "dq_referential" -> dqReferentialSql,
     "eval_regression" -> evalRegressionSql,
     "eval_qini" -> evalQiniSql,
     "feature_scale" -> featureScaleSql,

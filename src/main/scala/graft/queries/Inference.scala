@@ -353,7 +353,89 @@ object Inference {
       |    THEN sqrt(chi2 / (nd * CAST(least(nr, nc) - 1 AS DOUBLE))) END AS v
       |FROM f""".stripMargin
 
+  /** Ljung–Box white-noise test (Q over lags 1..5) on each user's
+    * event-value series — the autocorrelation portmanteau diagnostic
+    * that gates residual analysis after [[TimeSeriesQueries]]'s
+    * forecast/backtest family; extends the lag-1 `ts_autocorr` to the
+    * full statistic. Users with n ≥ 12 (so n−k stays comfortably
+    * positive). ρ_k shares ts_autocorr's mean-centered fold shape
+    * (zip_with over shifted slices, left-to-right sum starting at 0.0
+    * ≡ DuckDB's list_reduce — 0.0+x is exact); Q is one fixed IEEE
+    * chain with the lag terms summed left-associatively k=1..5,
+    * mirrored token-for-token by the oracle. Scale: one per-user
+    * aggregation; the arrays distribute over users (ts_theilsen
+    * shape).
+    */
+  def tsLjungbox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val base = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+        col("value")))).as("arr"))
+      .withColumn("vs", transform(col("arr"), x => x.getField("value")))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 12)
+      .withColumn("m",
+        aggregate(col("vs"), lit(0.0), (a, v) => a + v) / col("n").cast("double"))
+      .withColumn("den", aggregate(
+        transform(col("vs"), v => (v - col("m")) * (v - col("m"))),
+        lit(0.0), (a, v) => a + v))
+    val withR = (1 to 5).foldLeft(base) { (df, k) =>
+      df.withColumn(s"r$k", aggregate(
+        zip_with(slice(col("vs"), lit(1), col("n") - k),
+          slice(col("vs"), lit(k + 1), col("n") - k),
+          (a, b) => (a - col("m")) * (b - col("m"))),
+        lit(0.0), (a, v) => a + v) / col("den"))
+    }
+    withR
+      .withColumn("nd", col("n").cast("double"))
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(col("nd") * (col("nd") + lit(2.0)) *
+            (col("r1") * col("r1") / (col("nd") - lit(1.0)) +
+             col("r2") * col("r2") / (col("nd") - lit(2.0)) +
+             col("r3") * col("r3") / (col("nd") - lit(3.0)) +
+             col("r4") * col("r4") / (col("nd") - lit(4.0)) +
+             col("r5") * col("r5") / (col("nd") - lit(5.0)))).as("q5"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsLjungboxSql: String =
+    """WITH s AS (SELECT user_id, list(value ORDER BY epoch_ms(ts), event_id) AS vs
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |st AS (SELECT user_id, vs, len(vs) AS n,
+      |    list_reduce(list_prepend(0.0e0, vs), (a, v) -> a + v)
+      |      / CAST(len(vs) AS DOUBLE) AS m
+      |  FROM s WHERE len(vs) >= 12),
+      |dn AS (SELECT user_id, vs, n, m,
+      |    list_reduce(list_prepend(0.0e0,
+      |      list_transform(vs, v -> (v - m) * (v - m))), (a, v) -> a + v) AS den
+      |  FROM st),
+      |rs AS (SELECT user_id, n, den,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 1 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 1] - m))), (a, v) -> a + v) / den AS r1,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 2 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 2] - m))), (a, v) -> a + v) / den AS r2,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 3 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 3] - m))), (a, v) -> a + v) / den AS r3,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 4 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 4] - m))), (a, v) -> a + v) / den AS r4,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 5 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 5] - m))), (a, v) -> a + v) / den AS r5
+      |  FROM dn)
+      |SELECT user_id, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN den = 0.0e0 THEN NULL ELSE
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0e0) *
+      |    (r1 * r1 / (CAST(n AS DOUBLE) - 1.0e0) +
+      |     r2 * r2 / (CAST(n AS DOUBLE) - 2.0e0) +
+      |     r3 * r3 / (CAST(n AS DOUBLE) - 3.0e0) +
+      |     r4 * r4 / (CAST(n AS DOUBLE) - 4.0e0) +
+      |     r5 * r5 / (CAST(n AS DOUBLE) - 5.0e0)) END AS q5
+      |FROM rs ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ljungbox" -> (tsLjungbox _),
     "stats_cohens_d" -> (statsCohensD _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_mannwhitney" -> (statsMannwhitney _),
@@ -361,6 +443,7 @@ object Inference {
     "stats_jarque_bera" -> (statsJarqueBera _))
 
   val oracles: Map[String, String] = Map(
+    "ts_ljungbox" -> tsLjungboxSql,
     "stats_cohens_d" -> statsCohensDSql,
     "stats_cramers_v" -> statsCramersVSql,
     "stats_mannwhitney" -> statsMannwhitneySql,

@@ -1731,6 +1731,134 @@ object TimeSeriesQueries {
       |  (st.s1 * 2.0e0 - st.s2) + (st.s1 - st.s2) AS forecast
       |FROM f ORDER BY user_id""".stripMargin
 
+  /** Additive Holt–Winters (triple exponential smoothing, weekly
+    * season, α=0.3 β=0.1 γ=0.2) over each type's zero-filled DAILY
+    * count series — the seasonal upgrade of [[tsHolt]] and the model
+    * `ts_forecast`'s seasonal-naive baseline exists to be beaten by.
+    *
+    * Cross-engine determinism: the recurrence state is a 9-slot
+    * DOUBLE LIST `[level, trend, s₀..s₆]` (seasonal indexed by
+    * day-of-week), folded with Spark `aggregate` ≡ DuckDB
+    * `list_reduce`. A list accumulator — NOT a struct — is the point:
+    * DuckDB 1.0 evaluates struct_pack fields sequentially against a
+    * MUTATING accumulator (the ts_cusum hazard), which no field order
+    * can survive here (level′/trend′/s′ all read all three old
+    * slots); a fresh list literal, measured here, folds functionally
+    * ([acc[1]+v, acc[2]+acc[1]] over [1,2,3] → s=4, the old-value
+    * trace). Every new slot references only `acc[...]` and the
+    * element, with the level′ expression inlined token-identically
+    * wherever trend′/s′ need it. Init: level = first-week mean
+    * (left-assoc 7-term chain), trend 0, s_d = v_d − level. Smoothing
+    * pairs (0.3,0.7), (0.1,0.9), (0.2,0.8) are paired source literals
+    * (the sim_mmr lesson: never compute 1−α at plan build).
+    *
+    * Scale: one keyed daily aggregation, then per-type arrays — the
+    * fold distributes over series (event types; any real deployment's
+    * metric×entity key), day spine is calendar-bounded.
+    */
+  def tsHoltwinters(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = rng.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val z = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).cast("double").as("v"))
+    val base = z.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .filter(col("n") >= 14)
+      .withColumn("vs", transform(col("arr"), x => x.getField("v")))
+      .withColumn("d0", element_at(col("arr"), 1).getField("day"))
+      .withColumn("d1", element_at(col("arr"), col("n")).getField("day"))
+      .withColumn("lv0",
+        (element_at(col("vs"), 1) + element_at(col("vs"), 2) +
+          element_at(col("vs"), 3) + element_at(col("vs"), 4) +
+          element_at(col("vs"), 5) + element_at(col("vs"), 6) +
+          element_at(col("vs"), 7)) / lit(7.0))
+    val acc0 = array(
+      (Seq(col("lv0"), lit(0.0)) ++ (0 to 6).map { d =>
+        element_at(col("vs"),
+          (pmod(lit(d.toLong) - col("d0"), lit(7L)) + 1L).cast("int")) - col("lv0")
+      }): _*)
+    val rest = slice(
+      transform(col("arr"), x => struct(
+        x.getField("v").as("v"),
+        pmod(x.getField("day"), lit(7L)).cast("int").as("dw"))),
+      lit(8), col("n") - 7)
+    val step = (acc: Column, e: Column) => {
+      val v = e.getField("v")
+      val dw = e.getField("dw")
+      val sOld = element_at(acc, dw + 3)
+      def lvN = lit(0.3) * (v - sOld) +
+        lit(0.7) * (element_at(acc, 1) + element_at(acc, 2))
+      val trN = lit(0.1) * (lvN - element_at(acc, 1)) +
+        lit(0.9) * element_at(acc, 2)
+      array((Seq(lvN, trN) ++ (0 to 6).map { d =>
+        when(dw === d, lit(0.2) * (v - lvN) + lit(0.8) * sOld)
+          .otherwise(element_at(acc, d + 3))
+      }): _*)
+    }
+    base.withColumn("st", aggregate(rest, acc0, step))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2) +
+          element_at(col("st"),
+            (pmod(col("d1") + 1L, lit(7L)) + 3L).cast("int"))).as("forecast"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsHoltwintersSql: String = {
+    // lvN inlined wherever trend'/seasonal' need the new level — the
+    // Spark side duplicates the identical expression tree
+    val dwI = "CAST(x[2] AS INT)"
+    val lvN = s"0.3e0 * (x[1] - acc[$dwI + 3]) + 0.7e0 * (acc[1] + acc[2])"
+    val sSlots = (0 to 6).map { d =>
+      s"vs[CAST((($d - d0) % 7 + 7) % 7 + 1 AS INT)] - lv0"
+    }.mkString(",\n       |      ")
+    val newSlots = (0 to 6).map { d =>
+      s"""CASE WHEN $dwI = $d
+         |        THEN 0.2e0 * (x[1] - ($lvN)) + 0.8e0 * acc[$dwI + 3]
+         |        ELSE acc[${d + 3}] END""".stripMargin
+    }.mkString(",\n       |      ")
+    s"""WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+       |daily AS (SELECT event_type, day, COUNT(*) AS y FROM ev GROUP BY 1, 2),
+       |rng AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+       |spine AS (SELECT event_type, d0 + i AS day
+       |  FROM rng, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+       |z AS (SELECT s.event_type, s.day, CAST(COALESCE(y, 0) AS DOUBLE) AS v
+       |  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day),
+       |ar AS (SELECT event_type,
+       |    list(struct_pack(day := day, v := v) ORDER BY day) AS arr
+       |  FROM z GROUP BY event_type),
+       |base AS (SELECT event_type, arr, len(arr) AS n,
+       |    list_transform(arr, x -> x.v) AS vs,
+       |    arr[1].day AS d0, arr[len(arr)].day AS d1
+       |  FROM ar WHERE len(arr) >= 14),
+       |ini AS (SELECT *,
+       |    (vs[1] + vs[2] + vs[3] + vs[4] + vs[5] + vs[6] + vs[7]) / 7.0e0 AS lv0
+       |  FROM base),
+       |st AS (SELECT event_type, n, d1,
+       |    list_reduce(list_prepend(
+       |      [lv0, 0.0e0,
+       |      $sSlots]::DOUBLE[],
+       |      list_transform(arr[8:],
+       |        e -> [e.v, CAST(CAST(e.day % 7 AS INT) AS DOUBLE)]::DOUBLE[])),
+       |      (acc, x) -> [$lvN,
+       |      0.1e0 * (($lvN) - acc[1]) + 0.9e0 * acc[2],
+       |      $newSlots]::DOUBLE[]) AS hw
+       |  FROM ini)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       |  hw[1] AS level, hw[2] AS trend,
+       |  hw[1] + hw[2] + hw[CAST((d1 + 1) % 7 AS INT) + 3] AS forecast
+       |FROM st ORDER BY event_type""".stripMargin
+  }
+
   /** Seasonal-naive forecast with an in-query backtest: forecast(d) =
     * y(d−7) on the per-type DAILY count series; the evaluation join is
     * the series against itself shifted one season — one keyed
@@ -2053,6 +2181,7 @@ object TimeSeriesQueries {
     "ts_wau" -> (tsWau _),
     "ts_forecast" -> (tsForecast _),
     "ts_holt" -> (tsHolt _),
+    "ts_holtwinters" -> (tsHoltwinters _),
     "ts_decompose" -> (tsDecompose _),
     "ts_theilsen" -> (tsTheilsen _),
     "ts_gaps" -> (tsGaps _),
@@ -2101,6 +2230,7 @@ object TimeSeriesQueries {
     "ts_backtest" -> tsBacktestSql,
     "ts_forecast" -> tsForecastSql,
     "ts_holt" -> tsHoltSql,
+    "ts_holtwinters" -> tsHoltwintersSql,
     "ts_decompose" -> tsDecomposeSql,
     "ts_theilsen" -> tsTheilsenSql,
     "ts_gaps" -> tsGapsSql,
