@@ -434,7 +434,92 @@ object Inference {
       |     r5 * r5 / (CAST(n AS DOUBLE) - 5.0e0)) END AS q5
       |FROM rs ORDER BY user_id""".stripMargin
 
+  /** Partial autocorrelations at lags 1–3 (Durbin–Levinson closed
+    * forms) per user series — the Box–Jenkins AR-order diagnostic that
+    * pairs with [[tsLjungbox]]: PACF cutting off after lag p suggests
+    * AR(p). ρ₁..ρ₃ share the ljungbox fold shape; φ11=ρ1,
+    * φ22=(ρ2−ρ1²)/(1−ρ1²), φ21=ρ1·(1−φ22), and
+    * φ33=(ρ3−φ21ρ2−φ22ρ1)/(1−φ21ρ1−φ22ρ2) are fixed IEEE chains
+    * mirrored token-for-token (zero denominators → NULL). Same scale
+    * shape as ts_autocorr: one per-user aggregation.
+    */
+  def tsPacf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val base = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+        col("value")))).as("arr"))
+      .withColumn("vs", transform(col("arr"), x => x.getField("value")))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 12)
+      .withColumn("m",
+        aggregate(col("vs"), lit(0.0), (a, v) => a + v) / col("n").cast("double"))
+      .withColumn("den", aggregate(
+        transform(col("vs"), v => (v - col("m")) * (v - col("m"))),
+        lit(0.0), (a, v) => a + v))
+    val withR = (1 to 3).foldLeft(base) { (df, k) =>
+      df.withColumn(s"r$k", aggregate(
+        zip_with(slice(col("vs"), lit(1), col("n") - k),
+          slice(col("vs"), lit(k + 1), col("n") - k),
+          (a, b) => (a - col("m")) * (b - col("m"))),
+        lit(0.0), (a, v) => a + v) / col("den"))
+    }
+    withR
+      .withColumn("p22den", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("p22",
+        when(col("p22den") === 0.0, lit(null).cast("double"))
+          .otherwise((col("r2") - col("r1") * col("r1")) / col("p22den")))
+      .withColumn("p21", col("r1") * (lit(1.0) - col("p22")))
+      .withColumn("p33den",
+        lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2"))
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(col("r1")).as("pacf1"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(col("p22")).as("pacf2"),
+        when(col("den") === 0.0 || col("p33den") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("r3") - col("p21") * col("r2") -
+            col("p22") * col("r1")) / col("p33den")).as("pacf3"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsPacfSql: String =
+    """WITH s AS (SELECT user_id, list(value ORDER BY epoch_ms(ts), event_id) AS vs
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |st AS (SELECT user_id, vs, len(vs) AS n,
+      |    list_reduce(list_prepend(0.0e0, vs), (a, v) -> a + v)
+      |      / CAST(len(vs) AS DOUBLE) AS m
+      |  FROM s WHERE len(vs) >= 12),
+      |dn AS (SELECT user_id, vs, n, m,
+      |    list_reduce(list_prepend(0.0e0,
+      |      list_transform(vs, v -> (v - m) * (v - m))), (a, v) -> a + v) AS den
+      |  FROM st),
+      |rs AS (SELECT user_id, n, den,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 1 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 1] - m))), (a, v) -> a + v) / den AS r1,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 2 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 2] - m))), (a, v) -> a + v) / den AS r2,
+      |    list_reduce(list_prepend(0.0e0, list_transform(range(1, n - 3 + 1),
+      |      i -> (vs[i] - m) * (vs[i + 3] - m))), (a, v) -> a + v) / den AS r3
+      |  FROM dn),
+      |p2 AS (SELECT *, 1.0e0 - r1 * r1 AS p22den FROM rs),
+      |p3 AS (SELECT *,
+      |    CASE WHEN p22den = 0.0e0 THEN NULL
+      |         ELSE (r2 - r1 * r1) / p22den END AS p22
+      |  FROM p2),
+      |p4 AS (SELECT *, r1 * (1.0e0 - p22) AS p21 FROM p3),
+      |p5 AS (SELECT *, 1.0e0 - p21 * r1 - p22 * r2 AS p33den FROM p4)
+      |SELECT user_id, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN den = 0.0e0 THEN NULL ELSE r1 END AS pacf1,
+      |  CASE WHEN den = 0.0e0 THEN NULL ELSE p22 END AS pacf2,
+      |  CASE WHEN den = 0.0e0 OR p33den = 0.0e0 THEN NULL
+      |       ELSE (r3 - p21 * r2 - p22 * r1) / p33den END AS pacf3
+      |FROM p5 ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_pacf" -> (tsPacf _),
     "ts_ljungbox" -> (tsLjungbox _),
     "stats_cohens_d" -> (statsCohensD _),
     "stats_cramers_v" -> (statsCramersV _),
@@ -443,6 +528,7 @@ object Inference {
     "stats_jarque_bera" -> (statsJarqueBera _))
 
   val oracles: Map[String, String] = Map(
+    "ts_pacf" -> tsPacfSql,
     "ts_ljungbox" -> tsLjungboxSql,
     "stats_cohens_d" -> statsCohensDSql,
     "stats_cramers_v" -> statsCramersVSql,

@@ -884,7 +884,144 @@ object TextOps {
        |  CAST(net AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS polarity
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** RAG-style document chunking: greedy word-budget packing (chunk ≤
+    * 120 chars including joining spaces, at least one word per chunk) —
+    * the retrieval-side complement of `pipeline_pack` (which packs
+    * whole docs into training sequences; this SPLITS docs into
+    * indexable chunks). Emits one row per chunk with its exact
+    * reassembled text's md5, so the oracle certifies byte-identical
+    * chunk boundaries AND content. The greedy scan is a per-doc list
+    * fold (all-integer state `[cur_len, chunk_idx, assignment…]` —
+    * appended assignments make the fold emit per-word output, not just
+    * final state); chunk reassembly is a bounded per-doc transform.
+    * Scale: embarrassingly parallel over docs, zero shuffles before
+    * the final sort.
+    */
+  def textChunks(s: SparkSession, dir: String): DataFrame = {
+    val B = 120L
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("lens", transform(col("ws"), w => length(w).cast("long")))
+    val folded = docs.withColumn("acc",
+      aggregate(col("lens"), array(lit(0L), lit(0L)), (acc, l) => {
+        val cur = element_at(acc, 1)
+        val idx = element_at(acc, 2)
+        val newChunk = cur > 0L && cur + 1L + l > lit(B)
+        val idxN = when(newChunk, idx + 1L).otherwise(idx)
+        val curN = when(newChunk, l)
+          .otherwise(when(cur === 0L, l).otherwise(cur + 1L + l))
+        concat(array(curN, idxN),
+          slice(acc, lit(3), size(acc) - 2), array(idxN))
+      }))
+      .withColumn("asg", slice(col("acc"), lit(3), size(col("acc")) - 2))
+    val chunks = folded
+      .withColumn("pairs", zip_with(col("ws"), col("asg"),
+        (w, a) => struct(w.as("w"), a.as("a"))))
+      .withColumn("chunks",
+        transform(sequence(lit(0L), element_at(col("asg"), size(col("asg")))),
+          k => array_join(
+            transform(filter(col("pairs"), p => p.getField("a") === k),
+              p => p.getField("w")), " ")))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(split(col("col"), " ")).cast("long").as("n_words"),
+        length(col("col")).cast("long").as("n_chars"),
+        md5(col("col")).as("chunk_md5"))
+    chunks.orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val textChunksSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |l AS (SELECT doc_id, ws,
+      |    list_transform(ws, w -> CAST(length(w) AS BIGINT)) AS lens FROM d),
+      |f AS (SELECT doc_id, ws,
+      |    list_reduce(list_prepend([0, 0]::BIGINT[],
+      |        list_transform(lens, x -> [x, 0]::BIGINT[])),
+      |      (acc, x) -> [
+      |        CASE WHEN acc[1] > 0 AND acc[1] + 1 + x[1] > 120 THEN x[1]
+      |             WHEN acc[1] = 0 THEN x[1]
+      |             ELSE acc[1] + 1 + x[1] END,
+      |        acc[2] + CASE WHEN acc[1] > 0 AND acc[1] + 1 + x[1] > 120
+      |                      THEN 1 ELSE 0 END]::BIGINT[]
+      |        || acc[3:]
+      |        || [acc[2] + CASE WHEN acc[1] > 0 AND acc[1] + 1 + x[1] > 120
+      |                          THEN 1 ELSE 0 END]) AS acc
+      |  FROM l),
+      |a AS (SELECT doc_id, ws, acc[3:] AS asg FROM f),
+      |c AS (SELECT doc_id, list_transform(range(0, asg[len(asg)] + 1),
+      |    k -> struct_pack(ci := k,
+      |      c := array_to_string(list_transform(
+      |        list_filter(list_zip(ws, asg), p -> p[2] = k),
+      |        p -> p[1]), ' '))) AS cl
+      |  FROM a),
+      |x AS (SELECT doc_id, unnest(cl) AS u FROM c)
+      |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+      |  CAST(len(string_split(u.c, ' ')) AS BIGINT) AS n_words,
+      |  CAST(length(u.c) AS BIGINT) AS n_chars,
+      |  md5(u.c) AS chunk_md5
+      |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Phonetic blocking for entity resolution: simplified Soundex over
+    * every part-name word, with per-block sizes — the classic
+    * cheap blocking key (Odell–Russell) that survives spelling noise
+    * where `er_match`'s exact blocks and `kg_spellfix`'s edit
+    * neighborhood don't. Variant implemented (documented): h/w are
+    * treated like vowels (code 0 resets the adjacent-duplicate merge)
+    * — the common "simplified Soundex"; classic examples still hold
+    * (robert→r163), and on the driver vocabulary red/rod genuinely
+    * collide into one r300 block (n_words=2) — the cross-spelling
+    * recall exact blocking misses. The letter→digit map is ONE `translate` call
+    * (identical semantics both engines); the adjacent-dedup runs as a
+    * per-word 2-slot VARCHAR list fold. Scale: narrow map + one keyed
+    * aggregation; as a join key it blocks candidate pairs exactly like
+    * `er_match`'s blocked join.
+    */
+  def erSoundex(s: SparkSession, dir: String): DataFrame = {
+    val codeMap = "01230120022455012623010202"
+    val base = Tables(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("w0"))
+      .withColumn("w", lower(col("w0")))
+      .withColumn("cs",
+        translate(col("w"), "abcdefghijklmnopqrstuvwxyz", codeMap))
+      .withColumn("folded", aggregate(
+        transform(sequence(lit(2), greatest(length(col("cs")), lit(2))),
+          i => col("cs").substr(i, lit(1))),
+        array(lit(""), substring(col("cs"), 1, 1)),
+        (acc, c) => array(
+          concat(element_at(acc, 1),
+            when(c =!= element_at(acc, 2) && c =!= "0" && c =!= "", c)
+              .otherwise(lit(""))),
+          c)))
+      .withColumn("sdx", concat(substring(col("w"), 1, 1),
+        rpad(substring(element_at(col("folded"), 1), 1, 3), 3, "0")))
+    base.groupBy(col("sdx"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("w")).as("n_words"))
+      .orderBy(col("sdx"))
+  }
+
+  val erSoundexSql: String =
+    """WITH b AS (SELECT lower(unnest(string_split(p_name, ' '))) AS w FROM part),
+      |cs AS (SELECT w, translate(w, 'abcdefghijklmnopqrstuvwxyz',
+      |    '01230120022455012623010202') AS cs FROM b),
+      |f AS (SELECT w, list_reduce(list_prepend(
+      |      ['', substr(cs, 1, 1)]::VARCHAR[],
+      |      list_transform(range(2, greatest(length(cs), 2) + 1),
+      |        i -> [substr(cs, CAST(i AS INT), 1), '']::VARCHAR[])),
+      |    (acc, x) -> [acc[1] ||
+      |        CASE WHEN x[1] <> acc[2] AND x[1] <> '0' AND x[1] <> ''
+      |             THEN x[1] ELSE '' END,
+      |      x[1]]::VARCHAR[]) AS folded
+      |  FROM cs),
+      |k AS (SELECT w, substr(w, 1, 1) || rpad(substr(folded[1], 1, 3), 3, '0') AS sdx
+      |  FROM f)
+      |SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+      |FROM k GROUP BY sdx ORDER BY sdx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_soundex" -> (erSoundex _),
+    "text_chunks" -> (textChunks _),
     "text_rake" -> (textRake _),
     "text_sentiment" -> (textSentiment _),
     "text_zipf" -> (textZipf _),
@@ -911,6 +1048,8 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "er_soundex" -> erSoundexSql,
+    "text_chunks" -> textChunksSql,
     "text_rake" -> textRakeSql,
     "text_sentiment" -> textSentimentSql,
     "text_zipf" -> textZipfSql,
