@@ -914,6 +914,11 @@ object TextOps {
           slice(acc, lit(3), size(acc) - 2), array(idxN))
       }))
       .withColumn("asg", slice(col("acc"), lit(3), size(col("acc")) - 2))
+      // cache barrier: stops CollapseProject re-inlining the assignment
+      // fold into every element of the per-chunk reassembly transforms
+      // below (measured 32 s → ~1 s at sf0.1)
+      .select(col("doc_id"), col("ws"), col("asg"))
+      .cache()
     val chunks = folded
       .withColumn("pairs", zip_with(col("ws"), col("asg"),
         (w, a) => struct(w.as("w"), a.as("a"))))

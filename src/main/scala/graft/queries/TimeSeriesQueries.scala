@@ -1859,6 +1859,330 @@ object TimeSeriesQueries {
        |FROM st ORDER BY event_type""".stripMargin
   }
 
+  /** Self-join matrix profile (Yeh et al. 2016, ICDM — the UCR matrix
+    * profile) over each type's zero-filled daily count series:
+    * for every length-7 subsequence, the z-normalized Euclidean
+    * distance to its nearest non-trivial neighbor (exclusion zone
+    * |i−j| ≤ 3 = m/2) plus that neighbor's index — the primitive
+    * behind motif discovery and discord (anomaly) detection. Brute
+    * O(n²m) per series with a deterministic argmin (strict <, so the
+    * smallest j wins ties), exact cross-engine: z-windows are
+    * precomputed ONCE per series as a list-of-lists (μ/σ folds
+    * left-assoc, σ=0 windows normalize to 0 — documented), distances
+    * are ordered squared-diff folds under one sqrt, and the min-fold
+    * carries `[best_d, best_j]` as a 2-slot DOUBLE list (functional on
+    * both engines). Scale: quadratic in SERIES LENGTH only,
+    * distributed over series — the classic many-short-series shape
+    * (ts_theilsen note applies); the corpus-scale work is one daily
+    * keyed aggregation.
+    */
+  def tsMatrixProfile(s: SparkSession, dir: String): DataFrame = {
+    val m = 7
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = rng.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val z = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).cast("double").as("v"))
+    val base = z.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
+      .withColumn("vs", transform(col("arr"), x => x.getField("v")))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 2 * m)
+      .withColumn("ns", (col("n") - (m - 1)).cast("int"))
+    def winMean(win: Column): Column =
+      aggregate(win, lit(0.0), (a, v) => a + v) / lit(7.0)
+    // cache barrier: without it CollapseProject re-inlines the whole
+    // zs construction into EVERY element access of the O(ns²) distance
+    // folds below (measured 166 s at sf0.1 for 5 rows; 0.5 s with the
+    // barrier — the shingles/simhash lesson)
+    val withZ = base.withColumn("zs",
+      transform(sequence(lit(1), col("ns")), i => {
+        val win = slice(col("vs"), i, lit(m))
+        val mu = winMean(win)
+        val sd = sqrt(aggregate(transform(win, x => (x - mu) * (x - mu)),
+          lit(0.0), (a, v) => a + v) / lit(7.0))
+        transform(win, x =>
+          when(sd === 0.0, lit(0.0)).otherwise((x - mu) / sd))
+      }))
+      .select(col("event_type"), col("ns"), col("zs"))
+      .cache()
+    val mp = withZ.withColumn("mp",
+      transform(sequence(lit(1), col("ns")), i =>
+        aggregate(sequence(lit(1), col("ns")),
+          array(lit(1e18), lit(-1.0)),
+          (acc, j) => {
+            val d = sqrt(aggregate(
+              zip_with(element_at(col("zs"), i), element_at(col("zs"), j),
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0), (x, v) => x + v))
+            when(abs(i - j) > m / 2 && d < element_at(acc, 1),
+              array(d, j.cast("double"))).otherwise(acc)
+          })))
+      .select(col("event_type"), posexplode(col("mp")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("sub_idx"),
+        when(element_at(col("col"), 2) < 0.0, lit(null).cast("long"))
+          .otherwise(element_at(col("col"), 2).cast("long")).as("nn_idx"),
+        when(element_at(col("col"), 2) < 0.0, lit(null).cast("double"))
+          .otherwise(element_at(col("col"), 1)).as("nn_dist"))
+    mp.orderBy(col("event_type"), col("sub_idx"))
+  }
+
+  val tsMatrixProfileSql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+      |daily AS (SELECT event_type, day, COUNT(*) AS y FROM ev GROUP BY 1, 2),
+      |rng AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+      |spine AS (SELECT event_type, d0 + i AS day
+      |  FROM rng, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+      |z AS (SELECT s.event_type, s.day, CAST(COALESCE(y, 0) AS DOUBLE) AS v
+      |  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day),
+      |ar AS (SELECT event_type, list(v ORDER BY day) AS vs FROM z GROUP BY event_type),
+      |base AS (SELECT event_type, vs, len(vs) AS n,
+      |    CAST(len(vs) - 6 AS INT) AS ns
+      |  FROM ar WHERE len(vs) >= 14),
+      |zw AS (SELECT event_type, ns, list_transform(range(1, ns + 1), i ->
+      |    list_transform(vs[i:i+6], x ->
+      |      CASE WHEN sqrt(list_reduce(list_prepend(0.0e0,
+      |            list_transform(vs[i:i+6], y -> (y - list_reduce(list_prepend(0.0e0, vs[i:i+6]), (a, v) -> a + v) / 7.0e0)
+      |              * (y - list_reduce(list_prepend(0.0e0, vs[i:i+6]), (a, v) -> a + v) / 7.0e0))),
+      |          (a, v) -> a + v) / 7.0e0) = 0.0e0 THEN 0.0e0
+      |        ELSE (x - list_reduce(list_prepend(0.0e0, vs[i:i+6]), (a, v) -> a + v) / 7.0e0)
+      |          / sqrt(list_reduce(list_prepend(0.0e0,
+      |            list_transform(vs[i:i+6], y -> (y - list_reduce(list_prepend(0.0e0, vs[i:i+6]), (a, v) -> a + v) / 7.0e0)
+      |              * (y - list_reduce(list_prepend(0.0e0, vs[i:i+6]), (a, v) -> a + v) / 7.0e0))),
+      |          (a, v) -> a + v) / 7.0e0) END)) AS zs
+      |  FROM base),
+      |mp AS (SELECT event_type, ns, zs, list_transform(range(1, ns + 1), i ->
+      |    list_reduce(list_prepend([1.0e18, -1.0e0]::DOUBLE[],
+      |        list_transform(range(1, ns + 1), j -> [CAST(j AS DOUBLE), 0.0e0]::DOUBLE[])),
+      |      (acc, x) -> CASE WHEN abs(i - CAST(x[1] AS BIGINT)) > 3
+      |          AND sqrt(list_reduce(list_prepend(0.0e0,
+      |              list_transform(range(1, 7 + 1), k ->
+      |                (zs[i][k] - zs[CAST(x[1] AS INT)][k]) * (zs[i][k] - zs[CAST(x[1] AS INT)][k]))),
+      |            (a, v) -> a + v)) < acc[1]
+      |        THEN [sqrt(list_reduce(list_prepend(0.0e0,
+      |              list_transform(range(1, 7 + 1), k ->
+      |                (zs[i][k] - zs[CAST(x[1] AS INT)][k]) * (zs[i][k] - zs[CAST(x[1] AS INT)][k]))),
+      |            (a, v) -> a + v)), x[1]]::DOUBLE[]
+      |        ELSE acc END)) AS mps
+      |  FROM zw),
+      |ex AS (SELECT event_type, CAST(u.i AS BIGINT) AS sub_idx,
+      |    mps[CAST(u.i AS INT)] AS best
+      |  FROM mp, UNNEST(range(1, ns + 1)) AS u(i))
+      |SELECT event_type, sub_idx,
+      |  CASE WHEN best[2] < 0.0e0 THEN NULL ELSE CAST(best[2] AS BIGINT) END AS nn_idx,
+      |  CASE WHEN best[2] < 0.0e0 THEN NULL ELSE best[1] END AS nn_dist
+      |FROM ex ORDER BY event_type, sub_idx""".stripMargin
+
+  /** SAX symbolization (Lin et al. 2003): each type's daily count
+    * series z-normalized, PAA-compressed into length-5 segments, and
+    * quantized to a 4-letter alphabet at the standard-normal
+    * quartile breakpoints ±0.6745 (source literals, parse-identical
+    * both engines; boundary convention: strict `<`, so 0 → 'c') — the
+    * indexable symbolic form behind SAX motif/discord mining, the
+    * discrete sibling of [[tsMatrixProfile]]. σ=0 series normalize to
+    * 0 (all-'c' word). Scale: one keyed daily aggregation, then a
+    * per-series linear scan.
+    */
+  def tsSax(s: SparkSession, dir: String): DataFrame = {
+    val L = 5
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = rng.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val z = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).cast("double").as("v"))
+    z.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
+      .withColumn("vs", transform(col("arr"), x => x.getField("v")))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= L)
+      .withColumn("mu",
+        aggregate(col("vs"), lit(0.0), (a, v) => a + v) / col("n").cast("double"))
+      .withColumn("sd", sqrt(
+        aggregate(transform(col("vs"), x => (x - col("mu")) * (x - col("mu"))),
+          lit(0.0), (a, v) => a + v) / col("n").cast("double")))
+      .withColumn("word", array_join(
+        transform(sequence(lit(1L), (col("n") / L).cast("long")), k => {
+          val seg = slice(col("vs"), ((k - 1L) * L + 1L).cast("int"), lit(L))
+          val paa = aggregate(seg,
+            lit(0.0), (a, x) => a +
+              when(col("sd") === 0.0, lit(0.0))
+                .otherwise((x - col("mu")) / col("sd"))) / lit(5.0)
+          when(paa < -0.6745, "a").when(paa < 0.0, "b")
+            .when(paa < 0.6745, "c").otherwise("d")
+        }), ""))
+      .select(col("event_type"), col("n").cast("long").as("n_days"), col("word"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsSaxSql: String = {
+    val zv = "CASE WHEN sd = 0.0e0 THEN 0.0e0 ELSE (x - mu) / sd END"
+    s"""WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+       |daily AS (SELECT event_type, day, COUNT(*) AS y FROM ev GROUP BY 1, 2),
+       |rng AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+       |spine AS (SELECT event_type, d0 + i AS day
+       |  FROM rng, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+       |z AS (SELECT s.event_type, s.day, CAST(COALESCE(y, 0) AS DOUBLE) AS v
+       |  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day),
+       |ar AS (SELECT event_type, list(v ORDER BY day) AS vs FROM z GROUP BY event_type),
+       |b1 AS (SELECT event_type, vs, len(vs) AS n FROM ar WHERE len(vs) >= 5),
+       |b2 AS (SELECT *, list_reduce(list_prepend(0.0e0, vs), (a, v) -> a + v)
+       |      / CAST(n AS DOUBLE) AS mu FROM b1),
+       |b3 AS (SELECT *, sqrt(list_reduce(list_prepend(0.0e0,
+       |      list_transform(vs, x -> (x - mu) * (x - mu))), (a, v) -> a + v)
+       |      / CAST(n AS DOUBLE)) AS sd FROM b2),
+       |w AS (SELECT event_type, n, array_to_string(
+       |    list_transform(range(1, (n // 5) + 1), k ->
+       |      CASE WHEN (list_reduce(list_prepend(0.0e0,
+       |            list_transform(list_slice(vs, (k - 1) * 5 + 1, (k - 1) * 5 + 5),
+       |              x -> $zv)), (a, v) -> a + v) / 5.0e0) < -0.6745
+       |        THEN 'a'
+       |        WHEN (list_reduce(list_prepend(0.0e0,
+       |            list_transform(list_slice(vs, (k - 1) * 5 + 1, (k - 1) * 5 + 5),
+       |              x -> $zv)), (a, v) -> a + v) / 5.0e0) < 0.0e0
+       |        THEN 'b'
+       |        WHEN (list_reduce(list_prepend(0.0e0,
+       |            list_transform(list_slice(vs, (k - 1) * 5 + 1, (k - 1) * 5 + 5),
+       |              x -> $zv)), (a, v) -> a + v) / 5.0e0) < 0.6745
+       |        THEN 'c' ELSE 'd' END), '') AS word
+       |  FROM b3)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days, word
+       |FROM w ORDER BY event_type""".stripMargin
+  }
+
+  /** Optimal-partitioning changepoint DP (Jackson et al. 2005; the
+    * exact objective PELT prunes): per type's daily count series,
+    * F(t) = min over split s of F(s) + SSE(s,t) + β with
+    * β = SSE(0,n)/8 (data-derived penalty — no transcendental BIC
+    * term crosses engines). Emits the FULL DP table (F and the argmin
+    * backpointer per t, first-smallest on ties) — the certified
+    * object from which the changepoint set is a trivial backward
+    * walk, done in the spec against a brute-force DP. Exactness:
+    * prefix sums of counts and squared counts are integer-valued
+    * doubles, SSE one fixed chain, the two folds (prefix build,
+    * nested min-DP) left-assoc on both engines. Scale: quadratic in
+    * SERIES LENGTH only (calendar-bounded), distributed over series.
+    */
+  def tsChangepoints(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = rng.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val z = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).cast("double").as("v"))
+    def prefix(src: Column): Column =
+      aggregate(src, array(lit(0.0), lit(0.0)), (acc, x) =>
+        concat(array(element_at(acc, 1) + x),
+          slice(acc, lit(2), size(acc) - 1),
+          array(element_at(acc, 1) + x)))
+    val base = z.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
+      .withColumn("vs", transform(col("arr"), x => x.getField("v")))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 8)
+      .withColumn("pxa", prefix(col("vs")))
+      .withColumn("px", slice(col("pxa"), lit(2), size(col("pxa")) - 1))
+      .withColumn("px2a", prefix(transform(col("vs"), x => x * x)))
+      .withColumn("px2", slice(col("px2a"), lit(2), size(col("px2a")) - 1))
+    // SSE(s,t) over px/px2 (p_k at list position k+1, p_0 = 0)
+    def sse(sI: Column, tI: Column): Column =
+      (element_at(col("px2"), (tI + 1L).cast("int")) -
+        element_at(col("px2"), (sI + 1L).cast("int"))) -
+        (element_at(col("px"), (tI + 1L).cast("int")) -
+          element_at(col("px"), (sI + 1L).cast("int"))) *
+        (element_at(col("px"), (tI + 1L).cast("int")) -
+          element_at(col("px"), (sI + 1L).cast("int"))) /
+        (tI - sI).cast("double")
+    val withBeta = base.withColumn("beta",
+      sse(lit(0L), col("n").cast("long")) / lit(8.0))
+    val dp = withBeta.withColumn("dp",
+      aggregate(sequence(lit(1L), col("n").cast("long")),
+        array(lit(0.0), lit(0.0)),
+        (acc, t) => concat(acc,
+          aggregate(sequence(lit(0L), t - 1L), array(lit(1e18), lit(-1.0)),
+            (best, sI) => {
+              val v = element_at(acc, (lit(2L) * sI + 1L).cast("int")) +
+                sse(sI, t) + col("beta")
+              when(v < element_at(best, 1), array(v, sI.cast("double")))
+                .otherwise(best)
+            }))))
+    dp.select(col("event_type"), col("n").cast("long").as("nd"), col("dp"))
+      .select(col("event_type"),
+        explode(transform(sequence(lit(1L), col("nd")), t => struct(
+          t.as("t"),
+          element_at(col("dp"), (lit(2L) * t + 1L).cast("int")).as("f"),
+          element_at(col("dp"), (lit(2L) * t + 2L).cast("int")).as("bp")))).as("u"))
+      .select(col("event_type"), col("u.t").as("t"), col("u.f").as("f"),
+        col("u.bp").cast("long").as("bp"))
+      .orderBy(col("event_type"), col("t"))
+  }
+
+  /** Oracle note (DuckDB 1.0 hazard, measured): a list_reduce NESTED
+    * inside a growing-accumulator list_reduce silently corrupts once
+    * the outer accumulator passes ~26 elements (denormal garbage in
+    * the appended slots) — minimal repros pass, the real column-
+    * capturing DP broke. The argmin therefore uses
+    * list_transform → list_aggregate('min') → list_position (first
+    * occurrence = the smallest s, identical to Spark's strict-< fold).
+    */
+  val tsChangepointsSql: String = {
+    def sseS(sI: String, tI: String): String =
+      s"(px2[CAST($tI + 1 AS INT)] - px2[CAST($sI + 1 AS INT)]) - " +
+        s"(px[CAST($tI + 1 AS INT)] - px[CAST($sI + 1 AS INT)]) * " +
+        s"(px[CAST($tI + 1 AS INT)] - px[CAST($sI + 1 AS INT)]) / " +
+        s"CAST($tI - $sI AS DOUBLE)"
+    val candVals = "list_transform(range(0, CAST(te[1] AS BIGINT)), " +
+      "si -> acc[CAST(2 * CAST(si AS DOUBLE) + 1 AS INT)] + " +
+      s"(${sseS("CAST(si AS DOUBLE)", "te[1]")}) + beta)"
+    s"""WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+       |daily AS (SELECT event_type, day, COUNT(*) AS y FROM ev GROUP BY 1, 2),
+       |rng AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+       |spine AS (SELECT event_type, d0 + i AS day
+       |  FROM rng, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+       |z AS (SELECT s.event_type, s.day, CAST(COALESCE(y, 0) AS DOUBLE) AS v
+       |  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day),
+       |ar AS (SELECT event_type, list(v ORDER BY day) AS vs FROM z GROUP BY event_type),
+       |b1 AS (SELECT event_type, vs, len(vs) AS n FROM ar WHERE len(vs) >= 8),
+       |b2 AS (SELECT *,
+       |    list_reduce(list_prepend([0.0e0, 0.0e0]::DOUBLE[],
+       |        list_transform(vs, x -> [x]::DOUBLE[])),
+       |      (acc, e) -> [acc[1] + e[1]] || acc[2:] || [acc[1] + e[1]]) AS pxa,
+       |    list_reduce(list_prepend([0.0e0, 0.0e0]::DOUBLE[],
+       |        list_transform(list_transform(vs, x -> x * x), x -> [x]::DOUBLE[])),
+       |      (acc, e) -> [acc[1] + e[1]] || acc[2:] || [acc[1] + e[1]]) AS px2a
+       |  FROM b1),
+       |b3 AS (SELECT event_type, vs, n, pxa[2:] AS px, px2a[2:] AS px2 FROM b2),
+       |b4 AS (SELECT *, (${sseS("0", "n")}) / 8.0e0 AS beta FROM b3),
+       |dp AS (SELECT event_type, n,
+       |    list_reduce(list_prepend([0.0e0, 0.0e0]::DOUBLE[],
+       |        list_transform(range(1, n + 1), t -> [CAST(t AS DOUBLE)]::DOUBLE[])),
+       |      (acc, te) -> acc || [list_aggregate($candVals, 'min'),
+       |        CAST(list_position($candVals,
+       |          list_aggregate($candVals, 'min')) - 1 AS DOUBLE)]::DOUBLE[]) AS dp
+       |  FROM b4)
+       |SELECT event_type, CAST(u.t AS BIGINT) AS t,
+       |  dp[CAST(2 * u.t + 1 AS INT)] AS f,
+       |  CAST(dp[CAST(2 * u.t + 2 AS INT)] AS BIGINT) AS bp
+       |FROM dp, UNNEST(range(1, n + 1)) AS u(t)
+       |ORDER BY event_type, t""".stripMargin
+  }
+
   /** Seasonal-naive forecast with an in-query backtest: forecast(d) =
     * y(d−7) on the per-type DAILY count series; the evaluation join is
     * the series against itself shifted one season — one keyed
@@ -2182,6 +2506,9 @@ object TimeSeriesQueries {
     "ts_forecast" -> (tsForecast _),
     "ts_holt" -> (tsHolt _),
     "ts_holtwinters" -> (tsHoltwinters _),
+    "ts_matrix_profile" -> (tsMatrixProfile _),
+    "ts_sax" -> (tsSax _),
+    "ts_changepoints" -> (tsChangepoints _),
     "ts_decompose" -> (tsDecompose _),
     "ts_theilsen" -> (tsTheilsen _),
     "ts_gaps" -> (tsGaps _),
@@ -2231,6 +2558,9 @@ object TimeSeriesQueries {
     "ts_forecast" -> tsForecastSql,
     "ts_holt" -> tsHoltSql,
     "ts_holtwinters" -> tsHoltwintersSql,
+    "ts_matrix_profile" -> tsMatrixProfileSql,
+    "ts_sax" -> tsSaxSql,
+    "ts_changepoints" -> tsChangepointsSql,
     "ts_decompose" -> tsDecomposeSql,
     "ts_theilsen" -> tsTheilsenSql,
     "ts_gaps" -> tsGapsSql,
