@@ -608,7 +608,131 @@ object Inference {
        |FROM o ORDER BY user_id""".stripMargin
   }
 
+  /** Two-proportion z-test on the ERROR RATE (error events over all
+    * events), weekend against weekday traffic — the A/B-testing
+    * workhorse applied as an ops regression gate. Day-of-week via the
+    * engine-neutral integer convention `(day+4) mod 7` (ts_seasonal;
+    * 1970-01-01 was a Thursday, so +4 makes 0=Sunday). Everything up
+    * to the four counts is integer-exact (successes ⊆ trials by
+    * construction); p̂s, the pooled p, and z are one fixed sqrt-only
+    * IEEE chain mirrored token-for-token. One conditional-count
+    * aggregation.
+    */
+  def statsPropZtest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        pmod((unix_millis(col("ts")) / lit(86400000L)).cast("long") + 4L, lit(7L))
+          .as("dow"))
+      .withColumn("wk", col("dow").isin(0L, 6L))
+    ev.agg(
+      sum(when(col("wk"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("wk") && col("event_type") === "error", 1L).otherwise(0L)).as("x_a"),
+      sum(when(!col("wk"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("wk") && col("event_type") === "error", 1L).otherwise(0L)).as("x_b"))
+      .withColumn("p_a", col("x_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("p_b", col("x_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p", (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("p_a"), col("p_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("p") > 0.0 && col("p") < 1.0,
+          (col("p_a") - col("p_b")) /
+            sqrt(col("p") * (lit(1.0) - col("p")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))).as("z"))
+  }
+
+  val statsPropZtestSql: String =
+    """WITH ev AS (SELECT event_type,
+      |    ((epoch_ms(ts) // 86400000 + 4) % 7 + 7) % 7 AS dow
+      |  FROM events),
+      |c AS (SELECT
+      |    CAST(SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN dow IN (0, 6) AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(SUM(CASE WHEN dow NOT IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN dow NOT IN (0, 6) AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM ev),
+      |p AS (SELECT *,
+      |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+      |  FROM c)
+      |SELECT n_a, x_a, n_b, x_b, p_a, p_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0.0e0 AND p < 1.0e0
+      |    THEN (p_a - p_b) / sqrt(p * (1.0e0 - p) *
+      |      (1.0e0 / CAST(n_a AS DOUBLE) + 1.0e0 / CAST(n_b AS DOUBLE)))
+      |  END AS z
+      |FROM p""".stripMargin
+
+  /** CUPED variance reduction (Deng et al. 2013, WSDM — "Improving the
+    * Sensitivity of Online Controlled Experiments"): split each user's
+    * activity at day 15 into a pre-period covariate X and an
+    * experiment metric Y (summed `value`, exact via DECIMAL(38,2);
+    * cross-moments DECIMAL(38,4) — scaled units stay well under 2^53
+    * at bench scale), then θ* = cov(X,Y)/var(X) and the achieved
+    * variance-reduction fraction ρ² = cov²/(var·var) — exactly what an
+    * experimentation platform reports when deciding whether CUPED pays
+    * for a metric. SS forms (n·Σxy − ΣxΣy etc.) keep every double one
+    * fixed chain from exact decimal sums. One keyed per-user
+    * aggregation + a 1-row moment combine.
+    */
+  def evalCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("user_id"), col("value"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val per = ev.crossJoin(broadcast(d0))
+      .withColumn("pre", col("day") < col("d0") + 15L)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("value")).otherwise(lit(0.0))
+          .cast("decimal(38,2)")).as("x"),
+        sum(when(!col("pre"), col("value")).otherwise(lit(0.0))
+          .cast("decimal(38,2)")).as("y"))
+    per.agg(count(lit(1)).as("n_users"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,4)")).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,4)")).cast("double").as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,4)")).cast("double").as("sxy"))
+      .withColumn("nd", col("n_users").cast("double"))
+      .withColumn("cov_ss", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vx_ss", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy_ss", col("nd") * col("syy") - col("sy") * col("sy"))
+      .select(col("n_users"),
+        when(col("vx_ss") > 0.0, col("cov_ss") / col("vx_ss")).as("theta"),
+        when(col("vx_ss") > 0.0 && col("vy_ss") > 0.0,
+          col("cov_ss") * col("cov_ss") / (col("vx_ss") * col("vy_ss")))
+          .as("var_reduction"))
+  }
+
+  val evalCupedSql: String =
+    """WITH ev AS (SELECT user_id, value, epoch_ms(ts) // 86400000 AS day
+      |  FROM events WHERE value IS NOT NULL),
+      |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+      |per AS (SELECT user_id,
+      |    SUM(CAST(CASE WHEN day < d0 + 15 THEN value ELSE 0.0e0 END AS DECIMAL(38,2))) AS x,
+      |    SUM(CAST(CASE WHEN NOT (day < d0 + 15) THEN value ELSE 0.0e0 END AS DECIMAL(38,2))) AS y
+      |  FROM ev CROSS JOIN d0 GROUP BY user_id),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      |  FROM per),
+      |ss AS (SELECT *, CAST(n_users AS DOUBLE) AS nd FROM m),
+      |f AS (SELECT *, nd * sxy - sx * sy AS cov_ss,
+      |    nd * sxx - sx * sx AS vx_ss, nd * syy - sy * sy AS vy_ss
+      |  FROM ss)
+      |SELECT n_users,
+      |  CASE WHEN vx_ss > 0.0e0 THEN cov_ss / vx_ss END AS theta,
+      |  CASE WHEN vx_ss > 0.0e0 AND vy_ss > 0.0e0
+      |    THEN cov_ss * cov_ss / (vx_ss * vy_ss) END AS var_reduction
+      |FROM f""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_prop_ztest" -> (statsPropZtest _),
+    "eval_cuped" -> (evalCuped _),
     "stats_hurst" -> (statsHurst _),
     "ts_pacf" -> (tsPacf _),
     "ts_ljungbox" -> (tsLjungbox _),
@@ -619,6 +743,8 @@ object Inference {
     "stats_jarque_bera" -> (statsJarqueBera _))
 
   val oracles: Map[String, String] = Map(
+    "stats_prop_ztest" -> statsPropZtestSql,
+    "eval_cuped" -> evalCupedSql,
     "ts_pacf" -> tsPacfSql,
     "stats_hurst" -> statsHurstSql,
     "ts_ljungbox" -> tsLjungboxSql,
