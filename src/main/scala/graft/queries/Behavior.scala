@@ -129,11 +129,24 @@ object Behavior {
       |  CAST(CASE WHEN l3 THEN 3 WHEN l2 THEN 2 WHEN l1 THEN 1 ELSE 0 END AS BIGINT) AS level
       |FROM lv ORDER BY user_id""".stripMargin
 
+  /** Bounded-mode run of [[graft.streaming.StreamingFunnel]] — the
+    * stateful streaming twin, certified against the SAME oracle as
+    * `window_funnel` (bounded mode processes each user's history in
+    * one group pass and must reproduce the batch funnel exactly; the
+    * multi-batch incremental path is pinned by StreamingFunnelSpec).
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingFunnel.levels(s, Tables(s, dir, "events"))
+      .toDF()
+      .orderBy(col("user_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> (sessionize _),
-    "window_funnel" -> (windowFunnel _))
+    "window_funnel" -> (windowFunnel _),
+    "stream_funnel" -> (streamFunnel _))
 
   val oracles: Map[String, String] = Map(
     "sessionize" -> sessionizeSql,
-    "window_funnel" -> windowFunnelSql)
+    "window_funnel" -> windowFunnelSql,
+    "stream_funnel" -> windowFunnelSql)
 }
