@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Collaborative-filtering model training as a certified query:
+  * alternating least squares (Koren/Bell/Volinsky 2009; Zhou et al.
+  * 2008) on the customer×part purchase matrix, rank 2, ridge λ=0.1 —
+  * the `text_bpe_train` / `sim_ivf_t` convention taken to its logical
+  * end: the TRAINING LOOP ITSELF is replayed by the DuckDB oracle, so
+  * the learned factors hash bit-exactly cross-engine.
+  *
+  * Determinism: item factors initialize from md5 of the item id
+  * (salted-hash, no RNG); each ALS solve is a 5-slot
+  * `[a11, a12, a22, b1, b2]` DOUBLE-list fold over the entity's
+  * ratings IN COUNTERPART-KEY ORDER, closed by the 2×2 Cramer
+  * inverse — a fixed IEEE chain. Two user solves with an item solve
+  * between (p¹ ← q⁰, q¹ ← p¹, p² ← q¹), then a per-user training SSE
+  * fold. Every stage is one keyed aggregation + one equi-join — the
+  * genuine distributed-ALS dataflow (factors co-partition with
+  * ratings by the solving side's key at any scale).
+  */
+object RecSys {
+
+  private val Lambda = 0.1
+
+  /** ratings (u, i, r): per customer×part summed quantities. */
+  private def ratings(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("i"),
+        col("l_quantity").cast("long").as("q"))
+    val ords = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("u"))
+    li.join(ords, "ok")
+      .groupBy(col("u"), col("i"))
+      .agg(sum(col("q")).cast("double").as("r"))
+  }
+
+  /** Seeded factor for key k, component c: 0.5 + (md5 mod 1000)/2000 ∈
+    * [0.5, 1) — positive and bounded away from 0 so the first solves
+    * are well-conditioned.
+    */
+  private def seed(k: Column, c: Int): Column =
+    lit(0.5) + (pmod(conv(substring(md5(concat(k.cast("string"), lit(s":$c"))),
+      1, 8), 16, 10).cast("long"), lit(1000L)).cast("double") / lit(2000.0))
+
+  /** One ALS half-step: solve factors for `key` from counterpart
+    * factors (f1, f2) joined onto the ratings. Fold runs in `other`
+    * order; ridge on the diagonal via the fold init.
+    */
+  private def solveFor(rat: DataFrame, key: String, other: String): DataFrame = {
+    val arr = rat.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(other).as("o"),
+        col("f1"), col("f2"), col("r")))).as("xs"))
+    arr.withColumn("s", aggregate(col("xs"),
+        array(lit(Lambda), lit(0.0), lit(Lambda), lit(0.0), lit(0.0)),
+        (acc, x) => {
+          val (q1, q2, r) = (x.getField("f1"), x.getField("f2"), x.getField("r"))
+          array(
+            element_at(acc, 1) + q1 * q1,
+            element_at(acc, 2) + q1 * q2,
+            element_at(acc, 3) + q2 * q2,
+            element_at(acc, 4) + r * q1,
+            element_at(acc, 5) + r * q2)
+        }))
+      .withColumn("det",
+        element_at(col("s"), 1) * element_at(col("s"), 3) -
+          element_at(col("s"), 2) * element_at(col("s"), 2))
+      .select(col(key),
+        ((element_at(col("s"), 3) * element_at(col("s"), 4) -
+          element_at(col("s"), 2) * element_at(col("s"), 5)) / col("det")).as("f1"),
+        ((element_at(col("s"), 1) * element_at(col("s"), 5) -
+          element_at(col("s"), 2) * element_at(col("s"), 4)) / col("det")).as("f2"))
+  }
+
+  /** Rank-2 ALS (q⁰ seeded → p¹ → q¹ → p²) with per-user training SSE.
+    * Emits one row per customer: factors and reconstruction error.
+    */
+  def recAls(s: SparkSession, dir: String): DataFrame = {
+    val rat = ratings(s, dir).cache() // consumed by 4 stages
+    val q0 = rat.select(col("i")).distinct()
+      .select(col("i"), seed(col("i"), 1).as("f1"), seed(col("i"), 2).as("f2"))
+    val p1 = solveFor(rat.join(q0, "i"), "u", "i")
+    val q1 = solveFor(rat.join(p1, "u"), "i", "u")
+    val p2 = solveFor(rat.join(q1, "i"), "u", "i")
+    val joined = rat.join(q1, "i")
+      .join(p2.select(col("u"), col("f1").as("p1"), col("f2").as("p2")), "u")
+    joined.groupBy(col("u"))
+      .agg(count(lit(1)).as("n_items"),
+        max(col("p1")).as("p1"), max(col("p2")).as("p2"),
+        sort_array(collect_list(struct(col("i"), col("f1"), col("f2"),
+          col("r"), col("p1").as("pp1"), col("p2").as("pp2")))).as("xs"))
+      .withColumn("sse", aggregate(col("xs"), lit(0.0), (a, x) => {
+        val e = x.getField("r") -
+          (x.getField("pp1") * x.getField("f1") +
+            x.getField("pp2") * x.getField("f2"))
+        a + e * e
+      }))
+      .select(col("u").as("custkey"), col("n_items"),
+        col("p1"), col("p2"), col("sse"))
+      .orderBy(col("custkey"))
+  }
+
+  val recAlsSql: String = {
+    def seedS(k: String, c: Int): String =
+      s"0.5e0 + (CAST(CAST(concat('0x', substr(md5(CAST($k AS VARCHAR) || ':$c'), 1, 8)) AS BIGINT) " +
+        s"% 1000 AS DOUBLE) / 2000.0e0)"
+    // one ALS half-step as SQL: group `src` by key, fold 5 sums, Cramer
+    def solveS(src: String, key: String, other: String): String =
+      s"""SELECT $key, (s[3] * s[4] - s[2] * s[5]) / (s[1] * s[3] - s[2] * s[2]) AS f1,
+         |    (s[1] * s[5] - s[2] * s[4]) / (s[1] * s[3] - s[2] * s[2]) AS f2
+         |  FROM (SELECT $key, list_reduce(list_prepend(
+         |      [0.1e0, 0.0e0, 0.1e0, 0.0e0, 0.0e0]::DOUBLE[],
+         |      list_transform(list(struct_pack(o := $other, q1 := f1, q2 := f2, r := r)
+         |          ORDER BY $other),
+         |        x -> [x.q1, x.q2, x.r, 0.0e0, 0.0e0]::DOUBLE[])),
+         |    (acc, x) -> [acc[1] + x[1] * x[1], acc[2] + x[1] * x[2],
+         |      acc[3] + x[2] * x[2], acc[4] + x[3] * x[1],
+         |      acc[5] + x[3] * x[2]]::DOUBLE[]) AS s
+         |  FROM $src GROUP BY $key)""".stripMargin
+    s"""WITH rat AS (SELECT o.o_custkey AS u, l.l_partkey AS i,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS r
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |q0 AS (SELECT i, ${seedS("i", 1)} AS f1, ${seedS("i", 2)} AS f2
+       |  FROM (SELECT DISTINCT i FROM rat)),
+       |p1 AS (${solveS("(SELECT rat.*, q0.f1, q0.f2 FROM rat JOIN q0 USING (i))", "u", "i")}),
+       |q1 AS (${solveS("(SELECT rat.*, p1.f1, p1.f2 FROM rat JOIN p1 USING (u))", "i", "u")}),
+       |p2 AS (${solveS("(SELECT rat.*, q1.f1, q1.f2 FROM rat JOIN q1 USING (i))", "u", "i")}),
+       |j AS (SELECT rat.u, rat.i, rat.r, q1.f1, q1.f2, p2.f1 AS pp1, p2.f2 AS pp2
+       |  FROM rat JOIN q1 USING (i) JOIN p2 USING (u))
+       |SELECT u AS custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  MAX(pp1) AS p1, MAX(pp2) AS p2,
+       |  list_reduce(list_prepend(0.0e0,
+       |    list_transform(list(struct_pack(i := i, f1 := f1, f2 := f2, r := r,
+       |        pp1 := pp1, pp2 := pp2) ORDER BY i),
+       |      x -> (x.r - (x.pp1 * x.f1 + x.pp2 * x.f2))
+       |        * (x.r - (x.pp1 * x.f1 + x.pp2 * x.f2)))),
+       |    (a, v) -> a + v) AS sse
+       |FROM j GROUP BY u ORDER BY custkey""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rec_als" -> (recAls _))
+
+  val oracles: Map[String, String] = Map(
+    "rec_als" -> recAlsSql)
+}
