@@ -853,7 +853,158 @@ object FeatureQueries {
       |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
       |SELECT * FROM r ORDER BY relationship""".stripMargin
 
+  /** Decision-stump training (the depth-1 CART split, Breiman et al.
+    * 1984) as a certified query: the best threshold on `l_quantity`
+    * for predicting `l_returnflag = 'R'`, chosen by weighted Gini
+    * impurity over every distinct feature value. Emits the FULL
+    * candidate table (threshold, side counts, impurity) with the
+    * argmin flagged — the shape a boosted-stump trainer scans.
+    *
+    * Determinism: side counts come from one integer histogram fold
+    * in ascending feature order; each candidate's Gini is a fixed
+    * 11-op IEEE chain over exact int→double casts, identical in the
+    * oracle, so even ties resolve identically (argmin tiebreak =
+    * lowest threshold, computed on exact values, not rounded ones).
+    *
+    * Scale: one map-side-combinable histogram groupBy; the fold runs
+    * over the feature's VALUE ALPHABET (50 here), never the corpus —
+    * the classic "train on sufficient statistics" factorization.
+    */
+  def mlStump(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("q")).agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val one = hist.agg(sum(col("n")).as("nn"), sum(col("p")).as("pp"),
+      sort_array(collect_list(struct(col("q"), col("n"), col("p")))).as("xs"))
+    val outT = "array<struct<t:bigint,nl:bigint,pl:bigint,nr:bigint,pr:bigint,gini:double>>"
+    val cand = one.select(col("nn"), aggregate(col("xs"),
+      struct(array().cast(outT).as("out"), lit(0L).as("cl"), lit(0L).as("cp")),
+      (acc, x) => {
+        val nl2 = acc.getField("cl") + x.getField("n")
+        val pl2 = acc.getField("cp") + x.getField("p")
+        val nr2 = col("nn") - nl2
+        val pr2 = col("pp") - pl2
+        val plf = pl2.cast("double") / nl2.cast("double")
+        val prf = pr2.cast("double") / when(nr2 > 0, nr2).otherwise(1L).cast("double")
+        val gl = lit(1.0) - plf * plf - (lit(1.0) - plf) * (lit(1.0) - plf)
+        val gr = lit(1.0) - prf * prf - (lit(1.0) - prf) * (lit(1.0) - prf)
+        val g = nl2.cast("double") / col("nn").cast("double") * gl +
+          nr2.cast("double") / col("nn").cast("double") * gr
+        struct(
+          when(nr2 > 0, concat(acc.getField("out"), array(struct(
+            x.getField("q").as("t"), nl2.as("nl"), pl2.as("pl"),
+            nr2.as("nr"), pr2.as("pr"), g.as("gini")))))
+            .otherwise(acc.getField("out")).as("out"),
+          nl2.as("cl"), pl2.as("cp"))
+      }).getField("out").as("out"))
+    cand
+      .withColumn("best_g", array_min(transform(col("out"), r => r.getField("gini"))))
+      .withColumn("best_t", array_min(transform(
+        filter(col("out"), r => r.getField("gini") === col("best_g")),
+        r => r.getField("t"))))
+      .select(explode(col("out")).as("r"), col("best_g"), col("best_t"))
+      .select(col("r.t").as("threshold"), col("r.nl").as("n_left"),
+        col("r.pl").as("pos_left"), col("r.nr").as("n_right"),
+        col("r.pr").as("pos_right"), col("r.gini").as("gini"),
+        (col("r.gini") === col("best_g") && col("r.t") === col("best_t"))
+          .as("is_best"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Oracle: the identical per-candidate Gini chain, with the
+    * cumulative side counts from integer window sums (DuckDB 1.0
+    * cannot grow a list inside a struct accumulator, and integer
+    * cumsums are order-independent, so the windowed form is the
+    * faithful value-level replay of the Spark fold).
+    */
+  val mlStumpSql: String =
+    """WITH hist AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp FROM hist),
+      |cum AS (SELECT q, CAST(SUM(n) OVER (ORDER BY q) AS BIGINT) AS nl,
+      |    CAST(SUM(p) OVER (ORDER BY q) AS BIGINT) AS pl
+      |  FROM hist),
+      |sides AS (SELECT q, nl, pl, nn - nl AS nr, pp - pl AS pr, nn
+      |  FROM cum, tot WHERE nn - nl > 0),
+      |gini AS (SELECT q, nl, pl, nr, pr,
+      |    CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ((1.0e0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+      |            * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+      |         - (1.0e0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+      |            * (1.0e0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+      |    + CAST(nr AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ((1.0e0 - (CAST(pr AS DOUBLE) / CAST(CASE WHEN nr > 0 THEN nr ELSE 1 END AS DOUBLE))
+      |            * (CAST(pr AS DOUBLE) / CAST(CASE WHEN nr > 0 THEN nr ELSE 1 END AS DOUBLE)))
+      |         - (1.0e0 - CAST(pr AS DOUBLE) / CAST(CASE WHEN nr > 0 THEN nr ELSE 1 END AS DOUBLE))
+      |            * (1.0e0 - CAST(pr AS DOUBLE) / CAST(CASE WHEN nr > 0 THEN nr ELSE 1 END AS DOUBLE)))
+      |      AS g
+      |  FROM sides),
+      |best AS (SELECT MIN(g) AS best_g FROM gini),
+      |bestt AS (SELECT MIN(q) AS best_t FROM gini, best WHERE g = best_g)
+      |SELECT q AS threshold, nl AS n_left, pl AS pos_left,
+      |  nr AS n_right, pr AS pos_right, g AS gini,
+      |  (g = best_g AND q = best_t) AS is_best
+      |FROM gini, best, bestt
+      |ORDER BY threshold""".stripMargin
+
+  /** Weight-of-evidence categorical encoding with the information
+    * value per category (Siddiqi 2006, the credit-scorecard
+    * standard): for customer nation vs the urgent-order target,
+    * woe = ln(((pos+½)/P) / ((neg+½)/N)) with the ½ Laplace
+    * smoothing, iv_term = (pos/P − neg/N)·woe. Complements
+    * `encode_target` (mean encoding) for log-odds models.
+    *
+    * Cross-engine ln: the `text_pmi` convention — the ratio is an
+    * exact short chain, the emitted woe/iv are rounded to 4 decimals
+    * (ln's 1-ulp wobble cannot flip a 4dp boundary on this data, and
+    * iv multiplies the ROUNDED woe so it inherits determinism).
+    */
+  def encodeWoe(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(col("o_custkey"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+    val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val agg0 = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val tot = agg0.agg(sum(col("pos")).as("tp"), sum(col("neg")).as("tn"))
+    agg0.crossJoin(broadcast(tot))
+      .withColumn("woe", round(log(
+        ((col("pos").cast("double") + lit(0.5)) * col("tn").cast("double")) /
+          ((col("neg").cast("double") + lit(0.5)) * col("tp").cast("double"))), 4))
+      .select(col("n_name").as("nation"), col("pos"), col("neg"),
+        col("woe"),
+        round((col("pos").cast("double") / col("tp").cast("double") -
+          col("neg").cast("double") / col("tn").cast("double")) * col("woe"), 4)
+          .as("iv_term"))
+      .orderBy(col("nation"))
+  }
+
+  val encodeWoeSql: String =
+    """WITH agg0 AS (SELECT n.n_name,
+      |    CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn FROM agg0),
+      |w AS (SELECT n_name, pos, neg,
+      |    round(ln(((CAST(pos AS DOUBLE) + 0.5e0) * CAST(tn AS DOUBLE))
+      |      / ((CAST(neg AS DOUBLE) + 0.5e0) * CAST(tp AS DOUBLE))), 4) AS woe,
+      |    tp, tn
+      |  FROM agg0, tot)
+      |SELECT n_name AS nation, pos, neg, woe,
+      |  round((CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)
+      |    - CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE)) * woe, 4) AS iv_term
+      |FROM w ORDER BY nation""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_stump" -> (mlStump _),
+    "encode_woe" -> (encodeWoe _),
     "dq_referential" -> (dqReferential _),
     "eval_regression" -> (evalRegression _),
     "eval_qini" -> (evalQini _),
@@ -871,6 +1022,8 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "ml_stump" -> mlStumpSql,
+    "encode_woe" -> encodeWoeSql,
     "dq_referential" -> dqReferentialSql,
     "eval_regression" -> evalRegressionSql,
     "eval_qini" -> evalQiniSql,

@@ -629,10 +629,13 @@ object Inference {
       sum(when(col("wk") && col("event_type") === "error", 1L).otherwise(0L)).as("x_a"),
       sum(when(!col("wk"), 1L).otherwise(0L)).as("n_b"),
       sum(when(!col("wk") && col("event_type") === "error", 1L).otherwise(0L)).as("x_b"))
-      .withColumn("p_a", col("x_a").cast("double") / col("n_a").cast("double"))
-      .withColumn("p_b", col("x_b").cast("double") / col("n_b").cast("double"))
-      .withColumn("p", (col("x_a") + col("x_b")).cast("double") /
-        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("p_a", when(col("n_a") > 0,
+        col("x_a").cast("double") / col("n_a").cast("double")))
+      .withColumn("p_b", when(col("n_b") > 0,
+        col("x_b").cast("double") / col("n_b").cast("double")))
+      .withColumn("p", when(col("n_a") + col("n_b") > 0,
+        (col("x_a") + col("x_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")))
       .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
         col("p_a"), col("p_b"),
         when(col("n_a") > 0 && col("n_b") > 0 &&
@@ -654,9 +657,10 @@ object Inference {
       |    CAST(SUM(CASE WHEN dow NOT IN (0, 6) AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x_b
       |  FROM ev),
       |p AS (SELECT *,
-      |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
-      |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-      |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+      |    CASE WHEN n_a > 0 THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+      |    CASE WHEN n_b > 0 THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+      |    CASE WHEN n_a + n_b > 0
+      |      THEN CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) END AS p
       |  FROM c)
       |SELECT n_a, x_a, n_b, x_b, p_a, p_b,
       |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0.0e0 AND p < 1.0e0
@@ -730,7 +734,100 @@ object Inference {
       |    THEN cov_ss * cov_ss / (vx_ss * vy_ss) END AS var_reduction
       |FROM f""".stripMargin
 
+  /** Fisher's exact test (1935), one-sided upper tail, on the
+    * per-nation 2×2 table (mktsegment = BUILDING) × (acctbal > 5000)
+    * over customers — the small-sample independence test a z-test
+    * misleads on. P(X ≥ a) under Hypergeometric(N, K, n), computed
+    * without factorials: pmf(0) = Π (N−K−i)/(N−i), then the
+    * ascending-k recurrence pmf(k+1) = pmf(k)·(K−k)(n−k) /
+    * ((k+1)(N−K−n+k+1)) accumulated into the tail — every step one
+    * exact int product and one double divide in a fixed order, so the
+    * oracle replays the chain bit-for-bit.
+    *
+    * Validity domain: the recurrence starts at k=0, i.e. it assumes
+    * n + K ≤ N (true by construction here — the two margins are
+    * ~20%/~45% minorities); outside it the guarded chain still runs
+    * identically on both engines (robustness, not inference). Scale:
+    * one customer-scan groupBy; the per-nation fold is bounded by the
+    * margin min(n, K), never the corpus.
+    */
+  def statsFisher(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("x"),
+        when(col("c_acctbal") > 5000.0, 1L).otherwise(0L).as("y"))
+    val tab = c.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("nn"), sum(col("x")).as("kk"),
+        sum(col("y")).as("n1"), sum(col("x") * col("y")).as("a"))
+    val hi = least(col("n1"), col("kk"))
+    tab
+      .withColumn("p0", when(col("n1") > 0,
+        aggregate(sequence(lit(0L), col("n1") - 1), lit(1.0), (acc, i) =>
+          acc * ((col("nn") - col("kk") - i).cast("double") /
+            (col("nn") - i).cast("double")))).otherwise(lit(1.0)))
+      .withColumn("p_value", when(hi > 0,
+        aggregate(sequence(lit(0L), hi - 1),
+          struct(col("p0").as("cur"),
+            (when(col("a") <= 0, col("p0")).otherwise(lit(0.0))).as("tail")),
+          (acc, k) => {
+            val den = (k + 1) * (col("nn") - col("kk") - col("n1") + k + 1)
+            val nxt = when(den > 0,
+              acc.getField("cur") *
+                (((col("kk") - k) * (col("n1") - k)).cast("double") /
+                  den.cast("double"))).otherwise(lit(0.0))
+            struct(nxt.as("cur"),
+              (acc.getField("tail") +
+                when(k + 1 >= col("a"), nxt).otherwise(lit(0.0))).as("tail"))
+          }).getField("tail"))
+        .otherwise(when(col("a") <= 0, col("p0")).otherwise(lit(0.0))))
+      .select(col("n_name").as("nation"), col("nn").as("n_total"),
+        col("kk").as("k_building"), col("n1").as("n_highbal"),
+        col("a").as("a_both"), col("p_value"))
+      .orderBy(col("nation"))
+  }
+
+  val statsFisherSql: String =
+    """WITH c AS (SELECT n.n_name,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS x,
+      |    CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS y
+      |  FROM customer JOIN nation n ON c_nationkey = n.n_nationkey),
+      |tab AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS nn,
+      |    CAST(SUM(x) AS BIGINT) AS kk, CAST(SUM(y) AS BIGINT) AS n1,
+      |    CAST(SUM(x * y) AS BIGINT) AS a
+      |  FROM c GROUP BY 1),
+      |p0 AS (SELECT *, CASE WHEN n1 > 0 THEN
+      |    list_reduce(list_prepend(1.0e0, list_transform(range(n1),
+      |      i -> CAST(nn - kk - i AS DOUBLE) / CAST(nn - i AS DOUBLE))),
+      |      (acc, t) -> acc * t)
+      |    ELSE 1.0e0 END AS p0
+      |  FROM tab),
+      |pv AS (SELECT *, CASE WHEN least(n1, kk) > 0 THEN
+      |    list_reduce(list_prepend(
+      |      {'tail': CASE WHEN a <= 0 THEN p0 ELSE 0.0e0 END, 'cur': p0, 'k': CAST(-1 AS BIGINT)},
+      |      list_transform(range(least(n1, kk)),
+      |        k -> {'tail': 0.0e0, 'cur': 0.0e0, 'k': k})),
+      |      (acc, x2) -> {'tail': acc.tail + CASE WHEN x2.k + 1 >= a THEN
+      |            (CASE WHEN (x2.k + 1) * (nn - kk - n1 + x2.k + 1) > 0
+      |              THEN acc.cur * (CAST((kk - x2.k) * (n1 - x2.k) AS DOUBLE)
+      |                / CAST((x2.k + 1) * (nn - kk - n1 + x2.k + 1) AS DOUBLE))
+      |              ELSE 0.0e0 END)
+      |          ELSE 0.0e0 END,
+      |        'cur': CASE WHEN (x2.k + 1) * (nn - kk - n1 + x2.k + 1) > 0
+      |          THEN acc.cur * (CAST((kk - x2.k) * (n1 - x2.k) AS DOUBLE)
+      |            / CAST((x2.k + 1) * (nn - kk - n1 + x2.k + 1) AS DOUBLE))
+      |          ELSE 0.0e0 END,
+      |        'k': x2.k}).tail
+      |    ELSE CASE WHEN a <= 0 THEN p0 ELSE 0.0e0 END END AS p_value
+      |  FROM p0)
+      |SELECT n_name AS nation, nn AS n_total, kk AS k_building,
+      |  n1 AS n_highbal, a AS a_both, p_value
+      |FROM pv ORDER BY nation""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_fisher" -> (statsFisher _),
     "stats_prop_ztest" -> (statsPropZtest _),
     "eval_cuped" -> (evalCuped _),
     "stats_hurst" -> (statsHurst _),
@@ -744,6 +841,7 @@ object Inference {
 
   val oracles: Map[String, String] = Map(
     "stats_prop_ztest" -> statsPropZtestSql,
+    "stats_fisher" -> statsFisherSql,
     "eval_cuped" -> evalCupedSql,
     "ts_pacf" -> tsPacfSql,
     "stats_hurst" -> statsHurstSql,

@@ -142,9 +142,76 @@ object RecSys {
        |FROM j GROUP BY u ORDER BY custkey""".stripMargin
   }
 
+  /** Weighted Slope One (Lemire & Maclachlan 2005) scoped to order
+    * baskets: item-pair rating deviations dev(j,i) = avg(r_j − r_i)
+    * over orders containing both parts, then a leave-the-target-out
+    * prediction of every observed (order, part) quantity from the
+    * order's other parts, weighted by pair support. Emits per-part
+    * prediction count and SSE. Pair expansion runs INSIDE order
+    * baskets (≤7 parts in TPC-H), so candidates stay linear in
+    * orders at any scale; deviations are exact int/int divisions and
+    * every double sum is a keyed sequential fold (counterpart-key
+    * order), replayed verbatim by the oracle.
+    */
+  def recSlopeOne(s: SparkSession, dir: String): DataFrame = {
+    val rat = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("i"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("ok"), col("i")).agg(sum(col("q")).as("r"))
+    val pairs = rat.select(col("ok"), col("i").as("j"), col("r").as("rj"))
+      .join(rat.select(col("ok"), col("i"), col("r").as("ri")), Seq("ok"))
+      .where(col("j") =!= col("i"))
+    val dev = pairs.groupBy(col("j"), col("i"))
+      .agg(count(lit(1)).as("c"), sum(col("rj") - col("ri")).as("sdiff"))
+      .withColumn("dev", col("sdiff").cast("double") / col("c").cast("double"))
+      .select(col("j"), col("i"), col("c"), col("dev"))
+    val pred = pairs.join(dev, Seq("j", "i"))
+      .groupBy(col("ok"), col("j"), col("rj"))
+      .agg(sum(col("c")).as("den"),
+        sort_array(collect_list(struct(col("i"), col("c"),
+          col("ri"), col("dev")))).as("xs"))
+      .withColumn("num", aggregate(col("xs"), lit(0.0), (a, x) =>
+        a + x.getField("c").cast("double") *
+          (x.getField("ri").cast("double") + x.getField("dev"))))
+      .select(col("ok"), col("j"),
+        (col("num") / col("den").cast("double") - col("rj").cast("double")).as("e"))
+    pred.groupBy(col("j").as("partkey"))
+      .agg(count(lit(1)).as("n_pred"),
+        sort_array(collect_list(struct(col("ok"), col("e")))).as("es"))
+      .withColumn("sse", aggregate(col("es"), lit(0.0), (a, x) =>
+        a + x.getField("e") * x.getField("e")))
+      .select(col("partkey"), col("n_pred"), col("sse"))
+      .orderBy(col("partkey"))
+  }
+
+  val recSlopeOneSql: String =
+    """WITH rat AS (SELECT l_orderkey AS ok, l_partkey AS i,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS r FROM lineitem GROUP BY 1, 2),
+      |pairs AS (SELECT a.ok, a.i AS j, a.r AS rj, b.i, b.r AS ri
+      |  FROM rat a JOIN rat b ON a.ok = b.ok AND a.i <> b.i),
+      |dev AS (SELECT j, i, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(rj - ri) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dev
+      |  FROM pairs GROUP BY 1, 2),
+      |pred AS (SELECT p.ok, p.j,
+      |    list_reduce(list_prepend(0.0e0,
+      |      list_transform(list(struct_pack(i := p.i, c := d.c, ri := p.ri,
+      |          dev := d.dev) ORDER BY p.i),
+      |        x -> CAST(x.c AS DOUBLE) * (CAST(x.ri AS DOUBLE) + x.dev))),
+      |      (a, v) -> a + v) / CAST(SUM(d.c) AS DOUBLE)
+      |      - CAST(MAX(p.rj) AS DOUBLE) AS e
+      |  FROM pairs p JOIN dev d ON p.j = d.j AND p.i = d.i
+      |  GROUP BY p.ok, p.j)
+      |SELECT j AS partkey, CAST(COUNT(*) AS BIGINT) AS n_pred,
+      |  list_reduce(list_prepend(0.0e0,
+      |    list_transform(list(struct_pack(ok := ok, e := e) ORDER BY ok),
+      |      x -> x.e * x.e)), (a, v) -> a + v) AS sse
+      |FROM pred GROUP BY 1 ORDER BY partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rec_als" -> (recAls _))
+    "rec_als" -> (recAls _),
+    "rec_slopeone" -> (recSlopeOne _))
 
   val oracles: Map[String, String] = Map(
-    "rec_als" -> recAlsSql)
+    "rec_als" -> recAlsSql,
+    "rec_slopeone" -> recSlopeOneSql)
 }

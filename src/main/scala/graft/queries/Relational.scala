@@ -2334,6 +2334,108 @@ object Relational {
       |SELECT id AS node, component, component_size
       |FROM lbl JOIN sz USING (component) ORDER BY node""".stripMargin
 
+  /** Minimum spanning forest of the co-supply graph by distributed
+    * Borůvka (1926; the parallel-MST workhorse — see also Chung &
+    * Condon 1996): every component picks its best incident edge
+    * (maximum `shared`, then lowest (u,v) — a STRICT total order on
+    * edges, which makes the MSF unique), picked edges join the
+    * forest, and components contract via the hash-min
+    * [[graft.operators.Dedup.clusters]] fixpoint. Rounds halve the
+    * component count, so the driver loop runs ≤ log₂(V)+1 times
+    * (capped at 24), each round a pair of keyed joins + one
+    * aggregation — the genuinely distributed dataflow at any scale.
+    *
+    * Certification: BECAUSE the edge order is total, Borůvka and
+    * Kruskal produce the identical forest — the oracle replays
+    * Kruskal as one union–find fold over edges in (shared DESC, u, v)
+    * order, a completely different algorithm arriving at the same
+    * rows. Edge weights are integers; no IEEE anywhere.
+    */
+  def graphMst(s: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(s, dir).select(col("u"), col("v"), col("shared"))
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    var labels = nodes.withColumn("comp", col("node")).localCheckpoint(true)
+    var forest = edges.filter(lit(false)).localCheckpoint(true)
+    var done = false
+    var round = 0
+    while (!done && round < 24) {
+      val e2 = edges
+        .join(labels.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(labels.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint(true)
+      if (e2.isEmpty) { done = true; graft.Caches.free(e2) }
+      else {
+        val cand = struct((-col("shared")).as("neg"), col("u"), col("v"),
+          col("cu"), col("cv"))
+        val picked = e2.select(col("cu").as("comp"), cand.as("e"))
+          .union(e2.select(col("cv").as("comp"), cand.as("e")))
+          .groupBy(col("comp")).agg(min(col("e")).as("b"))
+          .select(col("b.u").as("u"), col("b.v").as("v"),
+            (-col("b.neg")).as("shared"), col("b.cu").as("cu"),
+            col("b.cv").as("cv"))
+          .distinct()
+          .localCheckpoint(true)
+        forest = forest
+          .union(picked.select(col("u"), col("v"), col("shared")))
+          .localCheckpoint(true)
+        val relabel = graft.operators.Dedup.clusters(
+          picked.select(col("cu").as("id_a"), col("cv").as("id_b")), maxIter = 64)
+        val updated = labels
+          .join(relabel.withColumnRenamed("id", "comp"), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("cluster"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        graft.Caches.free(labels); graft.Caches.free(e2); graft.Caches.free(picked)
+        labels = updated
+      }
+      round += 1
+    }
+    graft.Caches.free(labels)
+    forest.orderBy(col("u"), col("v"))
+  }
+
+  /** Kruskal replay: union–find as a single left-to-right fold over
+    * the totally ordered edge list. The accumulator is ONE flat
+    * kind-tagged list (kind 0 = (node, label) rows, kind 1 = accepted
+    * edges) because DuckDB 1.0's mutating list_reduce accumulator
+    * drops list growth nested inside a struct field — a flat list
+    * grows and transforms correctly (the ts_cusum hazard's sibling;
+    * measured repro in NOTES.md "DuckDB fold semantics"). V is supplier-sized, so the
+    * label segment stays tiny at oracle scale.
+    */
+  val graphMstSql: String =
+    s"""WITH $CoSupplyCtes,
+      |nodes AS (SELECT DISTINCT x AS n FROM
+      |  (SELECT u AS x FROM edges UNION SELECT v FROM edges)),
+      |folded AS (SELECT list_reduce(list_prepend(
+      |    (SELECT list({'kind': CAST(0 AS BIGINT), 'a': n, 'b': n,
+      |        'w': CAST(0 AS BIGINT)} ORDER BY n) FROM nodes),
+      |    (SELECT list_transform(
+      |        list(struct_pack(u := u, v := v, shared := shared)
+      |          ORDER BY shared DESC, u, v),
+      |        e -> [{'kind': CAST(1 AS BIGINT), 'a': e.u, 'b': e.v,
+      |               'w': e.shared}])
+      |      FROM edges)),
+      |  (acc, x) -> CASE WHEN
+      |      list_filter(acc, r -> r.kind = 0 AND r.a = x[1].a)[1].b
+      |        = list_filter(acc, r -> r.kind = 0 AND r.a = x[1].b)[1].b
+      |    THEN acc
+      |    ELSE list_concat(list_transform(acc, r ->
+      |        CASE WHEN r.kind = 0 AND r.b = greatest(
+      |              list_filter(acc, r2 -> r2.kind = 0 AND r2.a = x[1].a)[1].b,
+      |              list_filter(acc, r2 -> r2.kind = 0 AND r2.a = x[1].b)[1].b)
+      |          THEN {'kind': r.kind, 'a': r.a, 'b': least(
+      |              list_filter(acc, r2 -> r2.kind = 0 AND r2.a = x[1].a)[1].b,
+      |              list_filter(acc, r2 -> r2.kind = 0 AND r2.a = x[1].b)[1].b),
+      |            'w': r.w}
+      |          ELSE r END),
+      |      [x[1]]) END) AS f
+      |  FROM (SELECT 1))
+      |SELECT r.a AS u, r.b AS v, r.w AS shared
+      |FROM (SELECT UNNEST(list_filter(f, r -> r.kind = 1)) AS r FROM folded)
+      |ORDER BY u, v""".stripMargin
+
   /** 2-D skyline (Pareto frontier) of the part table — cheapest price
     * vs largest size, the min/max dominance query. Exact without a
     * self-join: collapse to the best (max) size per distinct price,
@@ -3943,6 +4045,7 @@ object Relational {
     "graph_labelprop" -> (graphLabelprop _),
     "graph_kcore" -> (graphKcore _),
     "graph_cc" -> (graphCc _),
+    "graph_mst" -> (graphMst _),
     "dq_freshness" -> (dqFreshness _),
     "graph_modularity" -> (graphModularity _),
     "skyline_parts" -> (skylineParts _),
@@ -4022,6 +4125,7 @@ object Relational {
     "graph_labelprop" -> graphLabelpropSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_cc" -> graphCcSql,
+    "graph_mst" -> graphMstSql,
     "dq_freshness" -> dqFreshnessSql,
     "graph_modularity" -> graphModularitySql,
     "skyline_parts" -> skylinePartsSql,

@@ -2498,8 +2498,91 @@ object TimeSeriesQueries {
       |  CASE WHEN vx <> 0 AND vy <> 0 THEN num / (sqrt(vx) * sqrt(vy)) END AS r
       |FROM d ORDER BY lag""".stripMargin
 
+  /** Dynamic-time-warping distance (Sakoe & Chiba 1978) between every
+    * unordered pair of event-type daily-count series, zero-filled on
+    * the shared day spine. The classic elastic-alignment measure for
+    * "do these two activity curves have the same shape, allowing
+    * local time shifts" — ts_xcorr's fixed-lag complement.
+    *
+    * Determinism: counts are integers, the |a−b| cell cost, min, and
+    * running sums all stay in BIGINT — the whole DP is exact integer
+    * arithmetic, no IEEE chain at all. The unreachable-cell sentinel
+    * (10^15) can accrete at most (n+m)·maxcost ≪ 2^63 before a finite
+    * path dominates, so no overflow.
+    *
+    * Scale: the distributed axis is series PAIRS (alphabet²/2, never
+    * corpus-sized); each pair's O(L²) fold runs inside one row with
+    * L bounded by the observation span in days. Series build = one
+    * keyed count + a broadcast type×spine grid; no global sort.
+    */
+  def tsDtw(s: SparkSession, dir: String): DataFrame = {
+    val Inf = 1000000000000000L
+    val ev = events(s, dir)
+      .withColumn("day", (col("ts_ms") / lit(86400000L)).cast("long"))
+    val cnts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(spine))
+      .join(cnts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val ser = grid.groupBy(col("event_type"))
+      .agg(transform(sort_array(collect_list(struct(col("day"), col("x")))),
+        e => e.getField("x")).as("v"))
+    val pairs = ser.select(col("event_type").as("type_a"), col("v").as("va"))
+      .join(ser.select(col("event_type").as("type_b"), col("v").as("vb")),
+        col("type_a") < col("type_b"))
+    pairs
+      .withColumn("row0",
+        concat(array(lit(0L)), transform(col("vb"), _ => lit(Inf))))
+      .withColumn("last_row", aggregate(col("va"), col("row0"),
+        // the DP row accumulators are BARE arrays (j = current length):
+        // DuckDB 1.0's mutating fold drops list growth nested inside a
+        // struct field, and the bare form needs no index slot anyway
+        (prev, a) => aggregate(col("vb"), array(lit(Inf)),
+          (cur, b) => {
+            val j = size(cur)
+            concat(cur, array(abs(a - b) + least(element_at(prev, j + 1),
+              element_at(prev, j), element_at(cur, j))))
+          })))
+      .select(col("type_a"), col("type_b"), size(col("va")).as("n_days"),
+        element_at(col("last_row"), size(col("vb")) + 1).as("dtw"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val tsDtwSql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+      |rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |spine AS (SELECT d0 + i AS day FROM rng, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+      |cnts AS (SELECT event_type, day, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, s.day, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN spine s
+      |  LEFT JOIN cnts c ON c.event_type = t.event_type AND c.day = s.day),
+      |ser AS (SELECT event_type,
+      |    list_transform(list(struct_pack(day := day, x := x) ORDER BY day),
+      |      e -> e.x) AS v
+      |  FROM grid GROUP BY 1),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.v AS va, b.v AS vb FROM ser a JOIN ser b ON a.event_type < b.event_type),
+      |dp AS (SELECT type_a, type_b, va, vb,
+      |  list_reduce(list_prepend(
+      |      list_concat([CAST(0 AS BIGINT)],
+      |        list_transform(vb, y -> CAST(1000000000000000 AS BIGINT))),
+      |      list_transform(va, e -> [e])),
+      |    (prev, ax) -> list_reduce(list_prepend(
+      |        [CAST(1000000000000000 AS BIGINT)],
+      |        list_transform(vb, bx -> [bx])),
+      |      (cur, x) -> list_concat(cur,
+      |        [abs(ax[1] - x[1]) + least(prev[len(cur) + 1], prev[len(cur)],
+      |          cur[len(cur)])]))) AS last_row
+      |  FROM pr)
+      |SELECT type_a, type_b, CAST(len(va) AS INTEGER) AS n_days,
+      |  last_row[len(vb) + 1] AS dtw
+      |FROM dp ORDER BY type_a, type_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_xcorr" -> (tsXcorr _),
+    "ts_dtw" -> (tsDtw _),
     "attribution_position" -> (attributionPosition _),
     "ts_backtest" -> (tsBacktest _),
     "ts_wau" -> (tsWau _),
@@ -2552,6 +2635,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_xcorr" -> tsXcorrSql,
+    "ts_dtw" -> tsDtwSql,
     "attribution_position" -> attributionPositionSql,
     "ts_wau" -> tsWauSql,
     "ts_backtest" -> tsBacktestSql,

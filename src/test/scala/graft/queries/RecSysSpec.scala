@@ -78,4 +78,43 @@ class RecSysSpec extends SparkSpec {
       assert(obj2 <= obj1 + 1e-9, s"u=$u ALS step increased the objective")
     }
   }
+
+  test("rec_slopeone equals a plain-Scala weighted Slope One replay") {
+    val rat = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).map { case ((ok, i), g) => (ok, i, g.map(_._3).sum) }
+      .toSeq
+    val byOrder = rat.groupBy(_._1)
+    val pairs = byOrder.values.flatMap { items =>
+      for (a <- items; b <- items if a._2 != b._2)
+        yield (a._2, b._2, a._3, b._3) // (j, i, rj, ri)
+    }.toSeq
+    val dev = pairs.groupBy(p => (p._1, p._2)).map { case ((j, i), g) =>
+      (j, i) -> (g.size.toLong, g.map(p => p._3 - p._4).sum.toDouble / g.size.toDouble)
+    }
+    val errByTarget = byOrder.toSeq.flatMap { case (ok, items) =>
+      items.flatMap { case (_, j, rj) =>
+        val ns = items.filter(_._2 != j).sortBy(_._2)
+        if (ns.isEmpty) None else {
+          var num = 0.0; var den = 0L
+          ns.foreach { case (_, i, ri) =>
+            val (c, d) = dev((j, i)); num += c.toDouble * (ri.toDouble + d); den += c
+          }
+          Some((j, ok, num / den.toDouble - rj.toDouble))
+        }
+      }
+    }
+    val want = errByTarget.groupBy(_._1).map { case (j, g) =>
+      j -> (g.size.toLong, g.sortBy(_._2).foldLeft(0.0)((a, e) => a + e._3 * e._3))
+    }
+    val got = RecSys.recSlopeOne(spark, dir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, sse) = want(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - sse) <= 1e-9 * math.max(1.0, sse),
+        s"part=${r.getLong(0)}")
+    }
+  }
 }
