@@ -2580,9 +2580,214 @@ object TimeSeriesQueries {
       |  last_row[len(vb) + 1] AS dtw
       |FROM dp ORDER BY type_a, type_b""".stripMargin
 
+  /** One-dimensional Kalman filter (local-level model: random-walk
+    * state + observation noise, Kalman 1960) over each user's value
+    * series — the optimal online smoother whose steady-state gain the
+    * EWMA above only approximates. Process noise q = 0.25 and
+    * observation noise r = 1.0 are exactly-representable literals.
+    *
+    * Per step: p_pred = p + q; gain k = p_pred/(p_pred + r);
+    * x ← x + k·(v − x); p ← (1 − k)·p_pred. Every step is a fixed
+    * 7-op IEEE chain (each op rounds once), so the left-to-right fold
+    * is bit-identical cross-engine. The oracle's struct accumulator
+    * orders fields (x, p) with p reading only acc.p — safe under both
+    * DuckDB's sequential struct mutation and functional semantics
+    * (the ts_cusum field-order rule).
+    *
+    * Scale: per-user bounded arrays, users distribute; the same
+    * recurrence runs unbounded in mapGroupsWithState with two doubles
+    * of state per key.
+    */
+  def tsKalman(s: SparkSession, dir: String): DataFrame = {
+    val q = 0.25
+    val r = 1.0
+    val ev = events(s, dir).filter(col("value").isNotNull)
+    ev.groupBy(col("user_id"))
+      .agg(transform(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+        col("value")))), e => e.getField("value")).as("vs"))
+      .withColumn("n", size(col("vs")))
+      .withColumn("st", aggregate(
+        slice(col("vs"), lit(2), col("n") - 1),
+        struct(element_at(col("vs"), 1).as("x"), lit(1.0).as("p")),
+        (acc, v) => {
+          val pPred = acc.getField("p") + lit(q)
+          val k = pPred / (pPred + lit(r))
+          struct(
+            (acc.getField("x") + k * (v - acc.getField("x"))).as("x"),
+            ((lit(1.0) - k) * pPred).as("p"))
+        }))
+      .select(col("user_id"), col("n"),
+        col("st.x").as("x_hat"), col("st.p").as("p_hat"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsKalmanSql: String =
+    """WITH s AS (SELECT user_id,
+      |    list(value ORDER BY epoch_ms(ts), event_id) AS vs
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |f AS (SELECT user_id, len(vs) AS n,
+      |    list_reduce(list_prepend(
+      |        struct_pack(x := vs[1], p := 1.0e0),
+      |        list_transform(vs[2:], v -> struct_pack(x := v, p := 0.0e0))),
+      |      (acc, e) -> struct_pack(
+      |        x := acc.x + ((acc.p + 0.25e0) / (acc.p + 0.25e0 + 1.0e0))
+      |               * (e.x - acc.x),
+      |        p := (1.0e0 - (acc.p + 0.25e0) / (acc.p + 0.25e0 + 1.0e0))
+      |               * (acc.p + 0.25e0))) AS st
+      |  FROM s)
+      |SELECT user_id, CAST(n AS INTEGER) AS n, st.x AS x_hat, st.p AS p_hat
+      |FROM f ORDER BY user_id""".stripMargin
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    * each event type's zero-filled daily-count series to ≤12 visually
+    * representative points — the standard dashboard decimation that
+    * preserves spikes a stride-sample would miss.
+    *
+    * First/last points are always kept; the middle n−2 points split
+    * into 10 buckets by INTEGER floor division (j·10 div (n−2) —
+    * deterministic, no float bucket edges). Each bucket keeps the
+    * point maximizing the triangle area against the previously
+    * selected point and the NEXT bucket's centroid (last bucket: the
+    * final point). Areas are |cross product|/2-free comparisons
+    * (halving dropped — monotone); centroid = exact int sums with one
+    * division each; tie on equal area → earliest day. The selection
+    * fold carries a BARE growing list (the DuckDB struct-accumulator
+    * list-growth hazard), and the in-bucket argmax is
+    * transform→array_min/max→first-position, never a nested growing
+    * fold (the NOTES nested-fold corruption workaround).
+    *
+    * Scale: the distributed axis is series (event types); per-series
+    * work is O(n) in span days, inside one row. The grid build is the
+    * ts_dtw broadcast spine.
+    */
+  def tsLttb(s: SparkSession, dir: String): DataFrame = {
+    val B = 12
+    val ev = events(s, dir)
+      .withColumn("day", (col("ts_ms") / lit(86400000L)).cast("long"))
+    val cnts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(spine))
+      .join(cnts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val ser = grid.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
+      .withColumn("n", size(col("pts")))
+    // middle points bucketed by integer division; per-bucket centroid of
+    // the FOLLOWING bucket precomputed so the selection fold is linear
+    val mids = ser
+      .withColumn("mid", slice(col("pts"), lit(2), greatest(col("n") - 2, lit(0))))
+      .withColumn("bk", transform(col("mid"), (e, j) => {
+        // exact floor division (the levene floor rule): numerator minus
+        // its mod is exactly divisible, so the double division is exact
+        val num = j.cast("long") * lit((B - 2).toLong)
+        val den = (col("n") - 2).cast("long")
+        struct(((num - pmod(num, den)) / den).cast("long").as("b"),
+          e.getField("day").as("day"), e.getField("x").as("x"))
+      }))
+    val sel = mids
+      .withColumn("buckets", transform(sequence(lit(0), lit(B - 3)), bi =>
+        filter(col("bk"), p => p.getField("b") === bi.cast("long"))))
+      .withColumn("cents", transform(sequence(lit(0), lit(B - 3)), bi => {
+        val nxt = when(bi === lit(B - 3),
+          array(struct(element_at(col("pts"), col("n")).getField("day").as("day"),
+            element_at(col("pts"), col("n")).getField("x").as("x"))))
+          .otherwise(transform(
+            filter(col("bk"), p => p.getField("b") === bi.cast("long") + 1L),
+            p => struct(p.getField("day").as("day"), p.getField("x").as("x"))))
+        struct(
+          (aggregate(nxt, lit(0L), (a, p) => a + p.getField("day")).cast("double") /
+            greatest(size(nxt), lit(1)).cast("double")).as("cx"),
+          (aggregate(nxt, lit(0L), (a, p) => a + p.getField("x")).cast("double") /
+            greatest(size(nxt), lit(1)).cast("double")).as("cy"))
+      }))
+      .withColumn("chosen", aggregate(
+        sequence(lit(0), lit(B - 3)),
+        array(struct(element_at(col("pts"), 1).getField("day").as("day"),
+          element_at(col("pts"), 1).getField("x").as("x"))),
+        (acc, bi) => {
+          val prev = element_at(acc, size(acc))
+          val cand = element_at(col("buckets"), bi + 1)
+          val cent = element_at(col("cents"), bi + 1)
+          val areas = transform(cand, p =>
+            abs((prev.getField("day") - cent.getField("cx").cast("double")) *
+              (p.getField("x") - prev.getField("x")).cast("double") -
+              (prev.getField("day") - p.getField("day")).cast("double") *
+              (cent.getField("cy") - prev.getField("x").cast("double"))))
+          val amax = array_max(areas)
+          val best = array_min(transform(
+            filter(zip_with(cand, areas, (p, a) => struct(p.getField("day").as("day"),
+              p.getField("x").as("x"), a.as("a"))),
+              e => e.getField("a") === amax),
+            e => struct(e.getField("day").as("day"), e.getField("x").as("x"))))
+          when(size(cand) > 0, concat(acc, array(best))).otherwise(acc)
+        }))
+      .withColumn("out", concat(col("chosen"),
+        array(struct(element_at(col("pts"), col("n")).getField("day").as("day"),
+          element_at(col("pts"), col("n")).getField("x").as("x")))))
+    sel.select(col("event_type"), explode(col("out")).as("p"))
+      .select(col("event_type"), col("p.day").as("day"), col("p.x").as("x"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsLttbSql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+      |rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |spine AS (SELECT d0 + i AS day FROM rng, UNNEST(range(d1 - d0 + 1)) AS u(i)),
+      |cnts AS (SELECT event_type, day, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, s.day, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN spine s
+      |  LEFT JOIN cnts c ON c.event_type = t.event_type AND c.day = s.day),
+      |ser AS (SELECT event_type,
+      |    list(struct_pack(day := day, x := x) ORDER BY day) AS pts,
+      |    CAST(COUNT(*) AS INTEGER) AS n
+      |  FROM grid GROUP BY 1),
+      |mids AS (SELECT event_type, pts, n,
+      |    list_transform(pts[2:n-1], (e, j) ->
+      |      struct_pack(b := ((j - 1) * 10) // (n - 2),
+      |        day := e.day, x := e.x)) AS bk
+      |  FROM ser),
+      |pre AS (SELECT event_type, pts, n, bk,
+      |    list_transform(range(0, 10), bi ->
+      |      list_filter(bk, p -> p.b = bi)) AS buckets,
+      |    list_transform(range(0, 10), bi -> CASE WHEN bi = 9
+      |      THEN struct_pack(
+      |        cx := CAST(pts[n].day AS DOUBLE) / 1.0e0,
+      |        cy := CAST(pts[n].x AS DOUBLE) / 1.0e0)
+      |      ELSE struct_pack(
+      |        cx := CAST(coalesce(list_sum(list_transform(list_filter(bk, p -> p.b = bi + 1), p -> p.day)), 0) AS DOUBLE)
+      |          / CAST(greatest(len(list_filter(bk, p -> p.b = bi + 1)), 1) AS DOUBLE),
+      |        cy := CAST(coalesce(list_sum(list_transform(list_filter(bk, p -> p.b = bi + 1), p -> p.x)), 0) AS DOUBLE)
+      |          / CAST(greatest(len(list_filter(bk, p -> p.b = bi + 1)), 1) AS DOUBLE)) END) AS cents
+      |  FROM mids),
+      |chos AS (SELECT event_type, pts, n, buckets, cents,
+      |    list_reduce(list_prepend(
+      |        [struct_pack(na := 0.0e0, day := pts[1].day, x := pts[1].x)],
+      |        list_transform(range(0, 10), bi ->
+      |          [struct_pack(na := 0.0e0, day := bi, x := bi)])),
+      |      (acc, be) -> CASE WHEN len(buckets[be[1].day + 1]) = 0 THEN acc ELSE
+      |        list_concat(acc, [
+      |          list_sort(list_transform(buckets[be[1].day + 1], p ->
+      |            struct_pack(
+      |              na := -abs((acc[len(acc)].day - cents[be[1].day + 1].cx)
+      |                           * CAST(p.x - acc[len(acc)].x AS DOUBLE)
+      |                         - CAST(acc[len(acc)].day - p.day AS DOUBLE)
+      |                           * (cents[be[1].day + 1].cy - CAST(acc[len(acc)].x AS DOUBLE))),
+      |              day := p.day, x := p.x)))[1]]) END) AS chosen
+      |  FROM pre)
+      |SELECT event_type, p.day AS day, p.x AS x
+      |FROM (SELECT event_type,
+      |    unnest(list_concat(chosen,
+      |      [struct_pack(na := 0.0e0, day := pts[n].day, x := pts[n].x)])) AS p
+      |  FROM chos)
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_xcorr" -> (tsXcorr _),
     "ts_dtw" -> (tsDtw _),
+    "ts_kalman" -> (tsKalman _),
+    "ts_lttb" -> (tsLttb _),
     "attribution_position" -> (attributionPosition _),
     "ts_backtest" -> (tsBacktest _),
     "ts_wau" -> (tsWau _),
@@ -2636,6 +2841,8 @@ object TimeSeriesQueries {
   val oracles: Map[String, String] = Map(
     "ts_xcorr" -> tsXcorrSql,
     "ts_dtw" -> tsDtwSql,
+    "ts_kalman" -> tsKalmanSql,
+    "ts_lttb" -> tsLttbSql,
     "attribution_position" -> attributionPositionSql,
     "ts_wau" -> tsWauSql,
     "ts_backtest" -> tsBacktestSql,
