@@ -826,8 +826,59 @@ object Inference {
       |  n1 AS n_highbal, a AS a_both, p_value
       |FROM pv ORDER BY nation""".stripMargin
 
+  /** Benjamini–Hochberg FDR control (1995) at α = 0.1 over the
+    * per-nation Fisher exact p-values — the multiple-testing step a
+    * metrics platform runs after any per-segment test battery. Rank
+    * the m p-values ascending (nation tiebreak), reject ranks
+    * 1..k* where k* = max{i : p(i) ≤ α·i/m}, and report the standard
+    * step-up adjusted p-value min_{j≥i}(p(j)·m/j) capped at 1.
+    *
+    * Determinism: p-values come from the already-certified exact
+    * hypergeometric chain; BH adds only rank integers, one fixed
+    * (p·m)/i chain and a running MIN — selection, not arithmetic.
+    * The ranking window is unpartitioned but bounded by the nation
+    * alphabet (≤25 rows — the documented bounded-window precedent).
+    */
+  def statsFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = statsFisher(s, dir).select(col("nation"), col("p_value"))
+    val ranked = f.crossJoin(f.agg(count(lit(1)).as("m")))
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("p_value"), col("nation"))).cast("long"))
+      .withColumn("raw",
+        col("p_value") * col("m").cast("double") / col("i").cast("double"))
+      .withColumn("pass",
+        col("p_value") <= lit(0.1) * col("i").cast("double") / col("m").cast("double"))
+    val adj = ranked.withColumn("p_adj", least(lit(1.0),
+      min(col("raw")).over(Window.orderBy(col("i").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    adj.crossJoin(adj.agg(max(when(col("pass"), col("i"))).as("kstar")))
+      .select(col("nation"), col("p_value"), col("i").as("bh_rank"), col("m"),
+        col("p_adj"),
+        (col("kstar").isNotNull && col("i") <= col("kstar")).cast("int").as("reject"))
+      .orderBy(col("bh_rank"))
+  }
+
+  val statsFdrSql: String =
+    s"""WITH fish AS ($statsFisherSql),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM fish),
+       |rk AS (SELECT nation, p_value, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY p_value, nation) AS BIGINT) AS i FROM fish),
+       |raw AS (SELECT r.nation, r.p_value, r.i, mm.m,
+       |    r.p_value * CAST(mm.m AS DOUBLE) / CAST(r.i AS DOUBLE) AS raw,
+       |    r.p_value <= 0.1e0 * CAST(r.i AS DOUBLE) / CAST(mm.m AS DOUBLE) AS pass
+       |  FROM rk r CROSS JOIN mm),
+       |adj AS (SELECT *, least(1.0e0, MIN(raw) OVER (ORDER BY i DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj FROM raw),
+       |ks AS (SELECT MAX(CASE WHEN pass THEN i END) AS kstar FROM adj)
+       |SELECT nation, p_value, i AS bh_rank, m, p_adj,
+       |  CAST(CASE WHEN kstar IS NOT NULL AND i <= kstar THEN 1 ELSE 0 END
+       |    AS INT) AS reject
+       |FROM adj CROSS JOIN ks ORDER BY bh_rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_fisher" -> (statsFisher _),
+    "stats_fdr" -> (statsFdr _),
     "stats_prop_ztest" -> (statsPropZtest _),
     "eval_cuped" -> (evalCuped _),
     "stats_hurst" -> (statsHurst _),
@@ -842,6 +893,7 @@ object Inference {
   val oracles: Map[String, String] = Map(
     "stats_prop_ztest" -> statsPropZtestSql,
     "stats_fisher" -> statsFisherSql,
+    "stats_fdr" -> statsFdrSql,
     "eval_cuped" -> evalCupedSql,
     "ts_pacf" -> tsPacfSql,
     "stats_hurst" -> statsHurstSql,

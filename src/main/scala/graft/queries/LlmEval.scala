@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Generation-eval + uncertainty metrics for an LLM data/eval plane
+  * (beyond-reference; the reference's KG scope has no generation
+  * eval): ROUGE-1/2 between paired documents, chrF (character
+  * n-gram F-score, Popović 2015), and split conformal prediction
+  * intervals (Vovk et al.; Angelopoulos & Bates 2021 tutorial form).
+  *
+  * Pairing convention for the text metrics: the synthetic corpus has
+  * contiguous doc_ids, so each even doc_id is the "reference" and
+  * doc_id+1 its "hypothesis" — the operators apply unchanged to any
+  * (ref_text, hyp_text) pair table.
+  *
+  * Determinism: every metric is integer n-gram counting followed by a
+  * short fixed-order IEEE chain (one division per ratio, the F
+  * combination written with identical associativity in both engines).
+  * No transcendental is evaluated anywhere — this is why ROUGE/chrF
+  * are certifiable where BLEU's exp() brevity penalty would not be.
+  *
+  * Scale: n-gram counting is explode → hash-aggregate on
+  * (pair, n, gram) — map-side combinable, no window, no join (the
+  * ref/hyp sides meet in ONE aggregation via conditional sums, never
+  * an outer join). Conformal is three hash aggregations and one
+  * keyed (per-group) window for the calibration-rank selection.
+  */
+object LlmEval {
+
+  /** 0 if b is 0 else a/b as double — one division, both engines. */
+  private def ratio(a: Column, b: Column): Column =
+    when(b > 0, a.cast("double") / b.cast("double")).otherwise(lit(0.0))
+
+  /** Per-pair, per-order n-gram totals: pair_id, n, tr (ref total),
+    * th (hyp total), ov (clipped overlap Σ min(c_ref, c_hyp)).
+    * `gramsFor` maps a token/char-source column to the n-gram array
+    * for each requested order.
+    */
+  private def pairTotals(docs: DataFrame, orders: Seq[Int],
+      gramsFor: (Column, Int) => Column): DataFrame = {
+    val exploded = orders.map { n =>
+      docs.select(col("doc_id"), lit(n.toLong).as("n"),
+        explode(gramsFor(col("src"), n)).as("gram"))
+    }.reduce(_ unionAll _)
+    exploded
+      .select((col("doc_id") - (col("doc_id") % 2)).as("pair_id"),
+        (col("doc_id") % 2).as("side"), col("n"), col("gram"))
+      .groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cr"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("ch"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(col("cr")).as("tr"), sum(col("ch")).as("th"),
+        sum(least(col("cr"), col("ch"))).as("ov"))
+  }
+
+  /** ROUGE-1 and ROUGE-2 precision/recall/F1 per (even, odd) document
+    * pair. Clipped-overlap definition (Lin 2004): ov = Σ_g min(count
+    * in ref, count in hyp); P = ov/|hyp grams|, R = ov/|ref grams|,
+    * F = 2PR/(P+R). Pairs where an order has no grams (1-token doc →
+    * no bigrams) score 0 for that order.
+    */
+  def rouge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("src"))
+    val per = pairTotals(docs, Seq(1, 2), (t, n) =>
+        if (n == 1) t else TextFunctions.shinglesOf(t, n))
+      .withColumn("p", ratio(col("ov"), col("th")))
+      .withColumn("r", ratio(col("ov"), col("tr")))
+      .withColumn("f", when(col("p") + col("r") > 0,
+        lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+        .otherwise(lit(0.0)))
+    def pick(n: Int, c: String): Column =
+      coalesce(max(when(col("n") === n, col(c))), lit(0.0))
+    per.groupBy(col("pair_id"))
+      .agg(pick(1, "p").as("rouge1_p"), pick(1, "r").as("rouge1_r"),
+        pick(1, "f").as("rouge1_f"), pick(2, "p").as("rouge2_p"),
+        pick(2, "r").as("rouge2_r"), pick(2, "f").as("rouge2_f"))
+      .orderBy(col("pair_id"))
+  }
+
+  val rougeSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS n, unnest(list_transform(
+      |      range(greatest(len(t) - 1, 0)), i -> t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks),
+      |c AS (SELECT doc_id - (doc_id % 2) AS pair_id, n, gram,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ch
+      |  FROM g GROUP BY 1, 2, 3),
+      |a AS (SELECT pair_id, n, CAST(SUM(cr) AS BIGINT) AS tr,
+      |    CAST(SUM(ch) AS BIGINT) AS th,
+      |    CAST(SUM(least(cr, ch)) AS BIGINT) AS ov
+      |  FROM c GROUP BY 1, 2),
+      |m AS (SELECT pair_id, n,
+      |    CASE WHEN th > 0 THEN CAST(ov AS DOUBLE) / CAST(th AS DOUBLE)
+      |      ELSE 0.0e0 END AS p,
+      |    CASE WHEN tr > 0 THEN CAST(ov AS DOUBLE) / CAST(tr AS DOUBLE)
+      |      ELSE 0.0e0 END AS r
+      |  FROM a),
+      |f AS (SELECT pair_id, n, p, r,
+      |    CASE WHEN p + r > 0 THEN 2.0e0 * p * r / (p + r)
+      |      ELSE 0.0e0 END AS f
+      |  FROM m)
+      |SELECT pair_id,
+      |  coalesce(MAX(CASE WHEN n = 1 THEN p END), 0.0e0) AS rouge1_p,
+      |  coalesce(MAX(CASE WHEN n = 1 THEN r END), 0.0e0) AS rouge1_r,
+      |  coalesce(MAX(CASE WHEN n = 1 THEN f END), 0.0e0) AS rouge1_f,
+      |  coalesce(MAX(CASE WHEN n = 2 THEN p END), 0.0e0) AS rouge2_p,
+      |  coalesce(MAX(CASE WHEN n = 2 THEN r END), 0.0e0) AS rouge2_r,
+      |  coalesce(MAX(CASE WHEN n = 2 THEN f END), 0.0e0) AS rouge2_f
+      |FROM f GROUP BY pair_id ORDER BY pair_id""".stripMargin
+
+  /** Character n-grams of order n over a bound string column: the
+    * standard chrF source (lowercased, whitespace/punct removed).
+    * Guarded sequence — Spark's sequence(1, m) DESCENDS for m < 1.
+    */
+  private def charGrams(c: Column, n: Int): Column =
+    TextFunctions.bindOnce(c) { cs =>
+      val m = length(cs) - lit(n - 1)
+      when(m >= 1, transform(sequence(lit(1), m), i => cs.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** chrF per document pair: character 1/2/3-gram F-scores with the
+    * standard β = 2 recall weighting, F_n = 5PR/(4P+R), and their
+    * mean chrf = (F1+F2+F3)/3. Space/punctuation are stripped first
+    * (Popović 2015 §2).
+    */
+  def chrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("src"))
+    val per = pairTotals(docs, Seq(1, 2, 3), (c, n) => charGrams(c, n))
+      .withColumn("p", ratio(col("ov"), col("th")))
+      .withColumn("r", ratio(col("ov"), col("tr")))
+      .withColumn("f", when(col("p") + col("r") > 0,
+        lit(5.0) * col("p") * col("r") / (lit(4.0) * col("p") + col("r")))
+        .otherwise(lit(0.0)))
+    def pick(n: Int): Column =
+      coalesce(max(when(col("n") === n, col("f"))), lit(0.0))
+    per.groupBy(col("pair_id"))
+      .agg(pick(1).as("chrf1"), pick(2).as("chrf2"), pick(3).as("chrf3"))
+      .withColumn("chrf",
+        (col("chrf1") + col("chrf2") + col("chrf3")) / lit(3.0))
+      .orderBy(col("pair_id"))
+  }
+
+  val chrfSql: String =
+    """WITH src AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS cs FROM documents),
+      |g AS (
+      |  SELECT doc_id, 1 AS n, unnest(list_transform(
+      |      range(greatest(len(cs), 0)), i -> substr(cs, i + 1, 1))) AS gram FROM src
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS n, unnest(list_transform(
+      |      range(greatest(len(cs) - 1, 0)), i -> substr(cs, i + 1, 2))) AS gram FROM src
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS n, unnest(list_transform(
+      |      range(greatest(len(cs) - 2, 0)), i -> substr(cs, i + 1, 3))) AS gram FROM src),
+      |c AS (SELECT doc_id - (doc_id % 2) AS pair_id, n, gram,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ch
+      |  FROM g GROUP BY 1, 2, 3),
+      |a AS (SELECT pair_id, n, CAST(SUM(cr) AS BIGINT) AS tr,
+      |    CAST(SUM(ch) AS BIGINT) AS th,
+      |    CAST(SUM(least(cr, ch)) AS BIGINT) AS ov
+      |  FROM c GROUP BY 1, 2),
+      |m AS (SELECT pair_id, n,
+      |    CASE WHEN th > 0 THEN CAST(ov AS DOUBLE) / CAST(th AS DOUBLE)
+      |      ELSE 0.0e0 END AS p,
+      |    CASE WHEN tr > 0 THEN CAST(ov AS DOUBLE) / CAST(tr AS DOUBLE)
+      |      ELSE 0.0e0 END AS r
+      |  FROM a),
+      |f AS (SELECT pair_id, n, CASE WHEN p + r > 0
+      |    THEN 5.0e0 * p * r / (4.0e0 * p + r) ELSE 0.0e0 END AS f
+      |  FROM m),
+      |w AS (SELECT pair_id,
+      |    coalesce(MAX(CASE WHEN n = 1 THEN f END), 0.0e0) AS chrf1,
+      |    coalesce(MAX(CASE WHEN n = 2 THEN f END), 0.0e0) AS chrf2,
+      |    coalesce(MAX(CASE WHEN n = 3 THEN f END), 0.0e0) AS chrf3
+      |  FROM f GROUP BY pair_id)
+      |SELECT pair_id, chrf1, chrf2, chrf3,
+      |  (chrf1 + chrf2 + chrf3) / 3.0e0 AS chrf
+      |FROM w ORDER BY pair_id""".stripMargin
+
+  /** Split conformal prediction intervals per event_type at α = 0.1:
+    * a deterministic salted-hash 60/20/20 train/calibration/test
+    * split, the predictor is the train-split mean (decimal-exact sum,
+    * ONE cast to double), nonconformity = |value − mean|, and q̂ is
+    * the ⌈0.9(n_cal+1)⌉-th smallest calibration score — an exact rank
+    * SELECTION, so the emitted q̂ is an untouched |residual| value.
+    * Marginal coverage on the held-out test split is reported beside
+    * the interval; the finite-sample guarantee is
+    * coverage ≥ 1 − α for exchangeable data.
+    *
+    * Scale: one narrow hashed-split map, two hash aggregations, one
+    * per-group keyed window for the rank selection — no global sort.
+    */
+  def conformal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        pmod(conv(substr(md5(concat(lit("cf:"),
+          col("event_id").cast("string"))), lit(1), lit(8)), 16, 10)
+          .cast("long"), lit(10L)).as("b"))
+    val mean = ev.filter(col("b") <= 5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_pred"))
+    val cal = ev.filter(col("b") === 6 || col("b") === 7)
+      .join(mean, "event_type")
+      .withColumn("score", abs(col("value") - col("mean_pred")))
+    val calN = cal.groupBy(col("event_type")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+    val qhat = cal
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("score"), col("event_id"))))
+      .join(calN, "event_type")
+      // k > n_cal (tiny calibration split) → no finite q̂; the least(k,
+      // n_cal) cap keeps the row and widens coverage honestly downward.
+      .filter(col("rn") === least(col("k"), col("n_cal")))
+      .select(col("event_type"), col("n_cal"), col("score").as("qhat"))
+    val test = ev.filter(col("b") >= 8)
+      .join(mean, "event_type").join(qhat, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("value") - col("mean_pred")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    mean.join(qhat, "event_type").join(test, "event_type")
+      .select(col("event_type"), col("n_train"), col("n_cal"), col("n_test"),
+        col("mean_pred"), col("qhat"),
+        (col("mean_pred") - col("qhat")).as("lo"),
+        (col("mean_pred") + col("qhat")).as("hi"),
+        col("n_covered"),
+        ratio(col("n_covered"), col("n_test")).as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  val conformalSql: String =
+    """WITH ev AS (SELECT event_id, event_type, value,
+      |    CAST(CAST(concat('0x', substr(md5('cf:' || CAST(event_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10 AS BIGINT) AS b
+      |  FROM events WHERE value IS NOT NULL),
+      |mean AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS mean_pred
+      |  FROM ev WHERE b <= 5 GROUP BY 1),
+      |cal AS (SELECT e.event_type, e.event_id,
+      |    abs(e.value - m.mean_pred) AS score
+      |  FROM ev e JOIN mean m USING (event_type) WHERE b = 6 OR b = 7),
+      |caln AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+      |    (9 * (CAST(COUNT(*) AS BIGINT) + 1) + 9) // 10 AS k
+      |  FROM cal GROUP BY 1),
+      |rk AS (SELECT event_type, score, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY score, event_id) AS rn FROM cal),
+      |qh AS (SELECT r.event_type, c.n_cal, r.score AS qhat
+      |  FROM rk r JOIN caln c USING (event_type)
+      |  WHERE r.rn = least(c.k, c.n_cal)),
+      |tst AS (SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN abs(e.value - m.mean_pred) <= q.qhat
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      |  FROM ev e JOIN mean m USING (event_type) JOIN qh q USING (event_type)
+      |  WHERE e.b >= 8 GROUP BY 1)
+      |SELECT m.event_type, m.n_train, q.n_cal, t.n_test, m.mean_pred,
+      |  q.qhat, m.mean_pred - q.qhat AS lo, m.mean_pred + q.qhat AS hi,
+      |  t.n_covered,
+      |  CASE WHEN t.n_test > 0 THEN CAST(t.n_covered AS DOUBLE)
+      |    / CAST(t.n_test AS DOUBLE) ELSE 0.0e0 END AS coverage
+      |FROM mean m JOIN qh q USING (event_type) JOIN tst t USING (event_type)
+      |ORDER BY m.event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_rouge" -> (rouge _),
+    "eval_chrf" -> (chrf _),
+    "eval_conformal" -> (conformal _))
+
+  val oracles: Map[String, String] = Map(
+    "eval_rouge" -> rougeSql,
+    "eval_chrf" -> chrfSql,
+    "eval_conformal" -> conformalSql)
+}

@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Round-7 ML/classification extras: a multinomial naive Bayes text
+  * classifier trained and scored fully inside the engine, and the
+  * l-diversity privacy audit that completes [[Relational.dqKanon]].
+  */
+object MlExtra {
+
+  /** Truncating integer division (toward zero) — Spark's `%` carries
+    * the dividend's sign, so (a − a%b)/b is an exact multiple ≤ 2⁵³
+    * and the double division is exact. Matches DuckDB `//` on
+    * negative operands, where Relational.intdiv (floor) does not.
+    */
+  private def truncDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - a % b) / b).cast("long")
+
+  /** Multinomial naive Bayes (McCallum & Nigam 1998) predicting each
+    * document's `lang` from its first 10 tokens — train split
+    * doc_id % 5 ≠ 0, test split doc_id % 5 = 0, Laplace (+1)
+    * smoothing over the train vocabulary.
+    *
+    * Determinism without logs: the usual Σ log P underflows no
+    * transcendental certification, so the score stays a PRODUCT of
+    * ≤11 factors (prior × 10 token likelihoods) folded in token-
+    * position order — each factor one exact int→double division,
+    * bounded below by (1/(tot+V))¹⁰ ≫ double-min, so no underflow.
+    * The per-document argmax is a keyed window ordered by
+    * (score DESC, class) on bit-identical doubles.
+    *
+    * Scale: counts are two hash aggregations over the train corpus;
+    * scoring is test-tokens × |classes| rows joined against the
+    * (class, token) count table — an equi-join, map-side-combinable
+    * fold, one keyed window. No driver-side model object: the model
+    * IS a DataFrame, so 100 TB of training text changes nothing.
+    */
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        slice(TextFunctions.tokens(col("text")), 1, 10).as("t"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val ctab = train.select(col("lang").as("cls"), explode(col("t")).as("tok"))
+      .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tots = ctab.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val vocab = ctab.select(col("tok")).distinct().agg(count(lit(1)).as("vsz"))
+    val classes = train.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nc"))
+      .crossJoin(train.agg(count(lit(1)).as("ntr")))
+      .join(tots, "cls").crossJoin(vocab)
+    val tpos = test.select(col("doc_id"), col("lang").as("true_lang"),
+      posexplode(col("t")).as(Seq("pos", "tok")))
+    val scored = tpos.crossJoin(classes.select(col("cls"), col("nc"), col("ntr"),
+        col("tot"), col("vsz")))
+      .join(ctab, Seq("cls", "tok"), "left")
+      .withColumn("p", (coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+        (col("tot") + col("vsz")).cast("double"))
+      .groupBy(col("doc_id"), col("true_lang"), col("cls"), col("nc"), col("ntr"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .withColumn("score", aggregate(col("ps"),
+        col("nc").cast("double") / col("ntr").cast("double"),
+        (acc, x) => acc * x.getField("p")))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("cls").as("pred_lang"),
+        col("score"),
+        (col("true_lang") === col("cls")).cast("int").as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val naiveBayesSql: String =
+    """WITH docs AS (SELECT doc_id, lang,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 10) AS t
+      |  FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+      |test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+      |ctab AS (SELECT cls, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT lang AS cls, unnest(t) AS tok FROM train) GROUP BY 1, 2),
+      |tots AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM ctab GROUP BY 1),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM ctab),
+      |classes AS (SELECT t0.cls, t0.nc, t0.ntr, ts.tot, v.vsz
+      |  FROM (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS nc,
+      |      (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS ntr
+      |    FROM train GROUP BY 1) t0
+      |  JOIN tots ts USING (cls) CROSS JOIN vocab v),
+      |tpos AS (SELECT doc_id, lang AS true_lang, u.pos, u.tok
+      |  FROM (SELECT doc_id, lang, unnest(list_transform(range(len(t)),
+      |      i -> {'pos': i, 'tok': t[i+1]})) AS u FROM test)),
+      |sc AS (SELECT tp.doc_id, tp.true_lang, c.cls, c.nc, c.ntr, tp.pos,
+      |    CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE)
+      |      / CAST(c.tot + c.vsz AS DOUBLE) AS p
+      |  FROM tpos tp CROSS JOIN classes c
+      |  LEFT JOIN ctab ct ON ct.cls = c.cls AND ct.tok = tp.tok),
+      |agg AS (SELECT doc_id, true_lang, cls,
+      |    list_reduce(list_prepend(
+      |      CAST(MAX(nc) AS DOUBLE) / CAST(MAX(ntr) AS DOUBLE),
+      |      list(p ORDER BY pos)), (a, b) -> a * b) AS score
+      |  FROM sc GROUP BY 1, 2, 3),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, cls) AS rn FROM agg)
+      |SELECT doc_id, true_lang, cls AS pred_lang, score,
+      |  CAST(CASE WHEN true_lang = cls THEN 1 ELSE 0 END AS INT) AS correct
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) over customers:
+    * quasi-identifiers (nation, mktsegment), sensitive attribute =
+    * account-balance band (exact integer cents ÷ 2000.00) — for each
+    * QI equivalence class report its size, the number of distinct
+    * sensitive values l, and whether it violates distinct-3-diversity.
+    * Complements the k-anonymity audit (dq_kanon): a class can be
+    * k-anonymous yet 1-diverse (everyone shares the sensitive value).
+    *
+    * Scale: one groupBy with count + count(distinct band) — two-level
+    * hash aggregation, integer-exact.
+    */
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        // +4000.00 offset keeps cents positive (acctbal ≥ −999.99), where
+        // floor and truncating integer division agree across engines
+        Relational.intdiv(round(col("c_acctbal") * 100.0).cast("long") + 400000L,
+          lit(200000L)).as("band"))
+    c.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("band")).as("l_distinct"))
+      .withColumn("violates_l3", (col("l_distinct") < 3).cast("int"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  val lDiversitySql: String =
+    """WITH c AS (SELECT n.n_name AS nation, c_mktsegment AS segment,
+      |    (CAST(round(c_acctbal * 100.0e0) AS BIGINT) + 400000) // 200000 AS band
+      |  FROM customer JOIN nation n ON c_nationkey = n.n_nationkey)
+      |SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT band) AS BIGINT) AS l_distinct,
+      |  CAST(CASE WHEN COUNT(DISTINCT band) < 3 THEN 1 ELSE 0 END
+      |    AS INT) AS violates_l3
+      |FROM c GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin
+
+  /** Gradient-boosted stumps, 2 forward-stagewise rounds with squared
+    * loss (Friedman 2001) predicting l_extendedprice (exact integer
+    * cents) — round 1 splits on l_quantity, round 2 fits the
+    * remaining residuals on l_discount (integer hundredths). The
+    * regression sibling of the classification `ml_stump`.
+    *
+    * Determinism: the base score and both leaf values are exact
+    * integer floor-means, so residuals stay INTEGERS end-to-end; the
+    * split criterion is the variance-reduction identity
+    * gain = S_L²/n_L + S_R²/n_R evaluated per candidate as a fixed
+    * 5-op double chain over exact integer cumulants (windowed integer
+    * cumsums — order-independent), argmax with smallest-threshold
+    * tiebreak. SSE totals are DECIMAL(38,0) — never doubled.
+    *
+    * Scale: per round one histogram aggregation on the feature's
+    * value alphabet (≤50 quantities / ≤11 discounts) + a window over
+    * that alphabet-sized table; the round-1 best row joins back by
+    * broadcast. No per-row state, no global sort over the corpus.
+    */
+  def boost(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100.0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_discount") * 100.0).cast("long").as("d"))
+    val f0 = base.agg(Relational.intdiv(sum(col("y")), count(lit(1))).as("f0"))
+    val r1 = base.crossJoin(f0).withColumn("r", col("y") - col("f0"))
+
+    // one stump round: histogram on feature `f`, windowed cumsums,
+    // per-candidate gain, best row (gain desc, threshold asc)
+    def stump(rows: DataFrame, f: String): DataFrame = {
+      val hist = rows.groupBy(col(f).as("t"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("n")).as("nn"), sum(col("sr")).as("ss"))
+      hist
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("sl", sum(col("sr")).over(w))
+        .crossJoin(tot)
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("srr", col("ss") - col("sl"))
+        .filter(col("nr") > 0)
+        .withColumn("gain",
+          col("sl").cast("double") * col("sl").cast("double") /
+            col("nl").cast("double") +
+          col("srr").cast("double") * col("srr").cast("double") /
+            col("nr").cast("double"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("gain").desc, col("t"))))
+        .filter(col("rn") === 1)
+        .select(col("t").as("threshold"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("sl").as("sum_left"),
+          col("srr").as("sum_right"),
+          // residual sums go NEGATIVE: DuckDB's // truncates toward zero
+          // there (floor only for non-negative), so mirror with a
+          // truncating div, not Relational.intdiv (floor)
+          truncDiv(col("sl"), col("nl")).as("leaf_left"),
+          truncDiv(col("srr"), col("nr")).as("leaf_right"),
+          col("gain"))
+    }
+
+    val b1 = stump(r1, "q")
+    val r2 = r1.crossJoin(broadcast(b1.select(col("threshold").as("t1"),
+        col("leaf_left").as("ll1"), col("leaf_right").as("lr1"))))
+      .withColumn("r2", col("r") -
+        when(col("q") <= col("t1"), col("ll1")).otherwise(col("lr1")))
+    val b2 = stump(r2.select(col("d"), col("r2").as("r")), "d")
+    val sse2 = r2.crossJoin(broadcast(b2.select(col("threshold").as("t2"),
+        col("leaf_left").as("ll2"), col("leaf_right").as("lr2"))))
+      .withColumn("r3", col("r2") -
+        when(col("d") <= col("t2"), col("ll2")).otherwise(col("lr2")))
+      .agg(sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("sse_in2"),
+        sum((col("r3") * col("r3")).cast("decimal(38,0)")).as("sse_out2"))
+    val sse1 = r2.agg(
+      sum((col("r") * col("r")).cast("decimal(38,0)")).as("sse_in1"),
+      sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("sse_out1"))
+    val rounds =
+      b1.crossJoin(sse1).select(lit(1L).as("round"), lit("l_quantity").as("feature"),
+        col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
+        col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
+        col("sse_in1").as("sse_before"), col("sse_out1").as("sse_after"))
+      .unionAll(
+        b2.crossJoin(sse2).select(lit(2L).as("round"), lit("l_discount").as("feature"),
+          col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
+          col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
+          col("sse_in2").as("sse_before"), col("sse_out2").as("sse_after")))
+    rounds.orderBy(col("round"))
+  }
+
+  val boostSql: String = {
+    // one stump round as SQL over a residual relation `<rel>(feat, r)`
+    def stumpCtes(p: String, rel: String, feat: String): String =
+      s"""${p}hist AS (SELECT $feat AS t, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r) AS BIGINT) AS sr FROM $rel GROUP BY 1),
+         |${p}tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(SUM(sr) AS BIGINT) AS ss FROM ${p}hist),
+         |${p}cum AS (SELECT t,
+         |    CAST(SUM(n) OVER (ORDER BY t) AS BIGINT) AS nl,
+         |    CAST(SUM(sr) OVER (ORDER BY t) AS BIGINT) AS sl FROM ${p}hist),
+         |${p}cand AS (SELECT t, nl, sl, nn - nl AS nr, ss - sl AS srr,
+         |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+         |      + CAST(ss - sl AS DOUBLE) * CAST(ss - sl AS DOUBLE)
+         |        / CAST(nn - nl AS DOUBLE) AS gain
+         |  FROM ${p}cum CROSS JOIN ${p}tot WHERE nn - nl > 0),
+         |${p}best AS (SELECT t AS threshold, nl AS n_left, nr AS n_right,
+         |    sl AS sum_left, srr AS sum_right, sl // nl AS leaf_left,
+         |    srr // nr AS leaf_right, gain
+         |  FROM ${p}cand ORDER BY gain DESC, t LIMIT 1)""".stripMargin
+    s"""WITH base AS (SELECT CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS y,
+       |    CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100.0e0) AS BIGINT) AS d FROM lineitem),
+       |f0 AS (SELECT CAST(SUM(y) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS f0
+       |  FROM base),
+       |r1 AS (SELECT q, d, y - f0 AS r FROM base CROSS JOIN f0),
+       |r1f AS (SELECT q AS feat, r FROM r1),
+       |${stumpCtes("a", "r1f", "feat")},
+       |r2 AS (SELECT d, r, r - (CASE WHEN q <= b.threshold THEN b.leaf_left
+       |    ELSE b.leaf_right END) AS r2
+       |  FROM r1 CROSS JOIN abest b),
+       |r2f AS (SELECT d AS feat, r2 AS r FROM r2),
+       |${stumpCtes("b", "r2f", "feat")},
+       |r3 AS (SELECT r2, r2 - (CASE WHEN d <= b.threshold THEN b.leaf_left
+       |    ELSE b.leaf_right END) AS r3
+       |  FROM r2 CROSS JOIN bbest b),
+       |sse1 AS (SELECT CAST(SUM(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS sse_before,
+       |    CAST(SUM(CAST(r2 * r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_after
+       |  FROM r2),
+       |sse2 AS (SELECT CAST(SUM(CAST(r2 * r2 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS sse_before,
+       |    CAST(SUM(CAST(r3 * r3 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_after
+       |  FROM r3)
+       |SELECT CAST(1 AS BIGINT) AS round, 'l_quantity' AS feature, b.*,
+       |  s.sse_before, s.sse_after
+       |FROM abest b CROSS JOIN sse1 s
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS round, 'l_discount' AS feature, b.*,
+       |  s.sse_before, s.sse_after
+       |FROM bbest b CROSS JOIN sse2 s
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Isotonic calibration (PAVA) of the decile reliability curve —
+    * the monotone recalibration step between `eval_calibration`'s raw
+    * curve and production scoring (Zadrozny & Elkan 2002). Instead of
+    * the sequential pool-adjacent-violators loop, the fit uses the
+    * closed-form minimax identity iso(i) = max_{k≤i} min_{j≥i}
+    * wavg(k..j) (Robertson-Wright-Dykstra 1988 §1.2), which PAVA
+    * provably equals — every wavg is ONE division of exact integer
+    * prefix-sum differences, and max/min are selections, so the
+    * 10-bin nest is a fixed 385-division chain both engines replay
+    * bit-for-bit (no sequential accumulator, hence no DuckDB
+    * struct-mutation hazard).
+    *
+    * Scale: the corpus work is the same two aggregations as
+    * eval_calibration; the minimax nest runs on ONE 10-element row.
+    */
+  def isotonic(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "orders").select(
+      round(col("o_totalprice") * 100.0).cast("long").as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val rk = FeatureQueries.cumRanks(
+      rows.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .withColumn("bin", expr("(cum - 1) * 10 div n"))
+      .select(col("v"), col("bin"))
+    val bins = rows.join(rk, "v")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val one = bins.agg(
+      sort_array(collect_list(struct(col("bin"), col("n"), col("n_pos")))).as("bs"))
+    // prefix sums cn[t], cp[t] = Σ over bins < t; wavg(k..j) uses j+1, k
+    val folded = one.select(col("bs"),
+      aggregate(col("bs"), struct(array(lit(0L)).as("cn"), array(lit(0L)).as("cp")),
+        (acc, x) => struct(
+          concat(acc.getField("cn"),
+            array(element_at(acc.getField("cn"), -1) + x.getField("n"))).as("cn"),
+          concat(acc.getField("cp"),
+            array(element_at(acc.getField("cp"), -1) + x.getField("n_pos"))).as("cp")))
+        .as("pf"))
+    val nb = 10
+    val iso = folded.select(col("bs"),
+      TextFunctions.bindOnce(col("pf")) { pf =>
+        val cn = pf.getField("cn"); val cp = pf.getField("cp")
+        def wavg(k: Column, j: Column): Column =
+          (element_at(cp, (j + 2).cast("int")) - element_at(cp, (k + 1).cast("int")))
+            .cast("double") /
+          (element_at(cn, (j + 2).cast("int")) - element_at(cn, (k + 1).cast("int")))
+            .cast("double")
+        transform(sequence(lit(0), lit(nb - 1)), i =>
+          array_max(transform(sequence(lit(0), i), k =>
+            array_min(transform(sequence(i, lit(nb - 1)), j => wavg(k, j))))))
+      }.as("iso"))
+    iso.select(posexplode(col("bs")).as(Seq("idx", "b")), col("iso"))
+      .select(col("b.bin").as("bin"), col("b.n").as("n"),
+        col("b.n_pos").as("n_pos"),
+        (col("b.n_pos").cast("double") / col("b.n").cast("double")).as("rate"),
+        element_at(col("iso"), (col("idx") + 1).cast("int")).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val isotonicSql: String =
+    """WITH r0 AS (SELECT CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |vc AS (SELECT v, COUNT(*) AS c FROM r0 GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+      |cm AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vc CROSS JOIN nn),
+      |rk AS (SELECT v, ((cum - 1) * 10) // n AS bin FROM cm),
+      |bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS n_pos
+      |  FROM r0 JOIN rk USING (v) GROUP BY bin),
+      |one AS (SELECT list(struct_pack(bin := bin, n := n, np := n_pos)
+      |    ORDER BY bin) AS bs FROM bins),
+      |pf AS (SELECT bs,
+      |    list_reduce(list_prepend([CAST(0 AS BIGINT)],
+      |      list_transform(bs, x -> [x.n])), (a, b) -> list_append(a, a[-1] + b[1]))
+      |      AS cn,
+      |    list_reduce(list_prepend([CAST(0 AS BIGINT)],
+      |      list_transform(bs, x -> [x.np])), (a, b) -> list_append(a, a[-1] + b[1]))
+      |      AS cp
+      |  FROM one),
+      |isoc AS (SELECT bs, list_transform(range(10), i ->
+      |    list_aggregate(list_transform(range(i + 1), k ->
+      |      list_aggregate(list_transform(range(i, 10), j ->
+      |        CAST(cp[j + 2] - cp[k + 1] AS DOUBLE)
+      |          / CAST(cn[j + 2] - cn[k + 1] AS DOUBLE)), 'min')), 'max'))
+      |    AS iso
+      |  FROM pf),
+      |ex AS (SELECT u.idx, u.b, iso FROM (SELECT unnest(list_transform(
+      |    range(len(bs)), i -> {'idx': i, 'b': bs[i + 1]})) AS u, iso FROM isoc))
+      |SELECT b.bin AS bin, b.n AS n, b.np AS n_pos,
+      |  CAST(b.np AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate,
+      |  iso[idx + 1] AS iso_rate
+      |FROM ex ORDER BY bin""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_naivebayes" -> (naiveBayes _),
+    "ml_boost" -> (boost _),
+    "eval_isotonic" -> (isotonic _),
+    "dq_ldiversity" -> (lDiversity _))
+
+  val oracles: Map[String, String] = Map(
+    "ml_naivebayes" -> naiveBayesSql,
+    "ml_boost" -> boostSql,
+    "eval_isotonic" -> isotonicSql,
+    "dq_ldiversity" -> lDiversitySql)
+}
