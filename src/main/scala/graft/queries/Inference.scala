@@ -876,9 +876,80 @@ object Inference {
        |    AS INT) AS reject
        |FROM adj CROSS JOIN ks ORDER BY bh_rank""".stripMargin
 
+  /** TOST equivalence test (Schuirmann 1987): two one-sided Welch
+    * z-tests of click-vs-view mean value against the ±1.0 margin —
+    * the "are these two variants the SAME?" question a plain t-test
+    * cannot answer. Reuses the exact decimal moment chain of
+    * stats_ttest verbatim; the only additions are the two shifted
+    * z statistics and a literal-1.645 (α = .05 normal critical)
+    * decision — no Φ evaluation, so the chain stays transcendental-
+    * free. equivalent = 1 iff BOTH one-sided tests reject.
+    */
+  def statsTost(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Exact.Dec
+    val per = Tables(s, dir, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Dec)).cast("double").as("sx"),
+        sum((col("value").cast(Dec) * col("value").cast(Dec))
+          .cast("decimal(18,4)")).cast("double").as("sxx"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("m", col("sx") / col("nd"))
+      .withColumn("v", when(col("n") >= 2,
+        (col("sxx") - col("sx") * col("m")) / (col("nd") - lit(1.0))))
+    val row = per.groupBy()
+      .agg(
+        max(when(col("event_type") === "click", col("n"))).as("n1"),
+        max(when(col("event_type") === "click", col("m"))).as("m1"),
+        max(when(col("event_type") === "click", col("v"))).as("v1"),
+        max(when(col("event_type") === "view", col("n"))).as("n2"),
+        max(when(col("event_type") === "view", col("m"))).as("m2"),
+        max(when(col("event_type") === "view", col("v"))).as("v2"))
+      .withColumn("se", sqrt(col("v1") / col("n1").cast("double") +
+        col("v2") / col("n2").cast("double")))
+      .withColumn("diff", col("m1") - col("m2"))
+      .withColumn("z_low", (col("diff") + lit(1.0)) / col("se"))
+      .withColumn("z_high", (lit(1.0) - col("diff")) / col("se"))
+    row.select(col("n1"), col("n2"), col("m1"), col("m2"), col("diff"),
+      col("se"), col("z_low"), col("z_high"),
+      (col("z_low") > lit(1.645) && col("z_high") > lit(1.645))
+        .cast("int").as("equivalent"))
+  }
+
+  val statsTostSql: String =
+    """WITH per AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+      |  GROUP BY event_type),
+      |mv AS (SELECT event_type, n, sx / CAST(n AS DOUBLE) AS m,
+      |    CASE WHEN n >= 2 THEN (sxx - sx * (sx / CAST(n AS DOUBLE)))
+      |      / (CAST(n AS DOUBLE) - 1.0e0) END AS v
+      |  FROM per),
+      |r AS (SELECT
+      |    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+      |    MAX(CASE WHEN event_type = 'click' THEN m END) AS m1,
+      |    MAX(CASE WHEN event_type = 'click' THEN v END) AS v1,
+      |    MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+      |    MAX(CASE WHEN event_type = 'view' THEN m END) AS m2,
+      |    MAX(CASE WHEN event_type = 'view' THEN v END) AS v2
+      |  FROM mv),
+      |z AS (SELECT *, sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+      |    AS se, m1 - m2 AS diff FROM r)
+      |SELECT n1, n2, m1, m2, diff, se,
+      |  (diff + 1.0e0) / se AS z_low, (1.0e0 - diff) / se AS z_high,
+      |  CAST(CASE WHEN (diff + 1.0e0) / se > 1.645e0
+      |    AND (1.0e0 - diff) / se > 1.645e0 THEN 1 ELSE 0 END AS INT)
+      |    AS equivalent
+      |FROM z""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_fisher" -> (statsFisher _),
     "stats_fdr" -> (statsFdr _),
+    "stats_tost" -> (statsTost _),
     "stats_prop_ztest" -> (statsPropZtest _),
     "eval_cuped" -> (evalCuped _),
     "stats_hurst" -> (statsHurst _),
@@ -894,6 +965,7 @@ object Inference {
     "stats_prop_ztest" -> statsPropZtestSql,
     "stats_fisher" -> statsFisherSql,
     "stats_fdr" -> statsFdrSql,
+    "stats_tost" -> statsTostSql,
     "eval_cuped" -> evalCupedSql,
     "ts_pacf" -> tsPacfSql,
     "stats_hurst" -> statsHurstSql,

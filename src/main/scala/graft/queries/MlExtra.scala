@@ -383,15 +383,74 @@ object MlExtra {
       |  iso[idx + 1] AS iso_rate
       |FROM ex ORDER BY bin""".stripMargin
 
+  /** Exact scaled-integer Average Precision (area under the PR curve
+    * by the step rule) over the o_totalprice→(status = F) classifier
+    * — the imbalanced-data companion of `eval_auc`'s ROC. Scores
+    * descend; after each distinct-score group, precision is
+    * TP·10⁶ div (TP+FP) in integer micro-units, weighted by the
+    * group's positives and summed as exact longs:
+    * AP ≈ Σ ΔTP·P@group / pos with ≤1 micro-unit floor error per
+    * group — deterministic by construction, no double accumulates.
+    *
+    * Scale: distinct-score cumulatives via the certified two-level
+    * cumRanks (no global window); everything else is one aggregation.
+    */
+  def prAuc(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "orders").select(
+      (-round(col("o_totalprice") * 100.0).cast("long")).as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val per = rows.groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
+    val cumN = FeatureQueries.cumRanks(per.select(col("v"), col("c")))
+      .select(col("v"), col("cum").as("nn"), col("n"))
+    val cumP = FeatureQueries.cumRanks(
+        per.select(col("v"), col("pos").as("c")))
+      .select(col("v"), col("c").as("pos"), col("cum").as("tp"),
+        col("n").as("npos"))
+    cumN.join(cumP, "v")
+      .select(col("n"), col("npos"),
+        (col("pos") * Relational.intdiv(col("tp") * lit(1000000L), col("nn")))
+          .as("contrib"))
+      .groupBy(col("n"), col("npos"))
+      .agg(sum(col("contrib")).as("ap_micro"))
+      .select(col("n").as("n_total"), col("npos").as("n_pos"), col("ap_micro"),
+        when(col("npos") > 0, col("ap_micro").cast("double") /
+          (col("npos") * lit(1000000L)).cast("double")).otherwise(lit(0.0))
+          .as("average_precision"),
+        (col("npos").cast("double") / col("n").cast("double")).as("prevalence"))
+  }
+
+  val prAucSql: String =
+    """WITH r0 AS (SELECT -CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |per AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(y) AS BIGINT) AS pos FROM r0 GROUP BY 1),
+      |cum AS (SELECT v, c, pos,
+      |    CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS nn,
+      |    CAST(SUM(pos) OVER (ORDER BY v) AS BIGINT) AS tp
+      |  FROM per),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS npos FROM per)
+      |SELECT t.n AS n_total, t.npos AS n_pos,
+      |  CAST(SUM(pos * ((tp * 1000000) // nn)) AS BIGINT) AS ap_micro,
+      |  CASE WHEN t.npos > 0 THEN
+      |    CAST(CAST(SUM(pos * ((tp * 1000000) // nn)) AS BIGINT) AS DOUBLE)
+      |      / CAST(t.npos * 1000000 AS DOUBLE) ELSE 0.0e0 END
+      |    AS average_precision,
+      |  CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE) AS prevalence
+      |FROM cum CROSS JOIN tot t GROUP BY t.n, t.npos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_naivebayes" -> (naiveBayes _),
     "ml_boost" -> (boost _),
     "eval_isotonic" -> (isotonic _),
+    "eval_pr_auc" -> (prAuc _),
     "dq_ldiversity" -> (lDiversity _))
 
   val oracles: Map[String, String] = Map(
     "ml_naivebayes" -> naiveBayesSql,
     "ml_boost" -> boostSql,
     "eval_isotonic" -> isotonicSql,
+    "eval_pr_auc" -> prAucSql,
     "dq_ldiversity" -> lDiversitySql)
 }
