@@ -24,13 +24,40 @@ object Caches {
   /** Free the storage blocks behind a `localCheckpoint`ed (or otherwise
     * RDD-backed) DataFrame. Safe only once nothing will read the frame
     * again — a checkpointed RDD cannot recompute evicted blocks.
-    * No-op for plans that are not RDD-backed.
+    * No-op for plans that are not RDD-backed. Walks RDD lineage so a
+    * [[checkpointReset]] wrapper (whose own RDD is an unpersisted map
+    * over the checkpoint) still frees the blocks beneath it; the walk
+    * stops at the checkpoint's truncated dependencies.
     */
-  def free(df: DataFrame): Unit =
+  def free(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      r.unpersist(blocking = false)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
     df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD => walk(lr.rdd)
       case _ => ()
     }
+  }
+
+  /** Eager local checkpoint that ALSO resets Catalyst's size
+    * statistics. `localCheckpoint` preserves the origin plan's BigInt
+    * sizeInBytes; an iterative loop whose round joins k copies of the
+    * previous round multiplies that estimate by k PER ROUND, so its
+    * digit count grows geometrically and, past ~20 compounded rounds,
+    * the optimizer's SizeInBytesOnlyStatsPlanVisitor spends minutes in
+    * BigInteger.multiplyToomCook3 (measured: a 36-row frame in
+    * graph_mst round 2 hung >500 s in stats estimation; jstack pinned
+    * the main thread under visitJoin). Re-wrapping the checkpointed
+    * RDD in a fresh LogicalRDD drops the poisoned estimate to the
+    * default, bounding every round. The wrapper adds one
+    * Row↔InternalRow hop per read — callers are loop frames bounded by
+    * graph/alphabet size, never the corpus.
+    */
+  def checkpointReset(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 
   /** Snapshot the ids of every currently-persisted RDD — call after
     * building session-scoped indexes to form the keep-set for [[sweep]].

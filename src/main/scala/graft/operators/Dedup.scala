@@ -424,10 +424,16 @@ object Dedup {
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // checkpoint-preserved size stats DOUBLE their digit count per
+      // iteration (see Caches.checkpointReset for the measured hazard);
+      // a periodic reset keeps the estimate bounded without paying the
+      // wrapper's Row-conversion hop on every round
+      val upd0 = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+      val updated =
+        if (iter % 8 == 7) graft.Caches.checkpointReset(upd0)
+        else upd0.localCheckpoint(true)
       val curSum = labelSum(updated)
       graft.Caches.free(labels) // round N-1 labels are dead once N lands
       labels = updated

@@ -2351,41 +2351,96 @@ object Relational {
     * order, a completely different algorithm arriving at the same
     * rows. Edge weights are integers; no IEEE anywhere.
     */
+  /** Eager local checkpoint that ALSO resets Catalyst's size
+    * statistics. `localCheckpoint` preserves the origin plan's
+    * BigInt sizeInBytes, and an iterative loop whose per-round plan
+    * joins k copies of the previous round multiplies that number by
+    * k each round — the digits grow GEOMETRICALLY, and by round ~20
+    * the optimizer's SizeInBytesOnlyStatsPlanVisitor spends minutes
+    * inside BigInteger.multiplyToomCook3 (measured: graph_mst round 2
+    * hung >500 s in stats estimation with a 36-row frame; jstack
+    * pinned the main thread in BigInteger.multiply under visitJoin).
+    * Re-wrapping the checkpointed RDD in a fresh LogicalRDD drops the
+    * poisoned stats to the default, bounding every round's estimate.
+    * The wrapper's Row↔InternalRow hop is linear in the frame — all
+    * callers are alphabet/graph-bounded loop frames.
+    */
+  private def ckptReset(df: DataFrame): DataFrame =
+    graft.Caches.checkpointReset(df)
+
+  /** Connected-component labels of a (id_a, id_b) pair set by
+    * hash-min WITH pointer jumping: each iteration takes the min of
+    * (own label, neighbors' labels, label-of-label), so long chains
+    * collapse in O(log diameter) rounds where plain min-propagation
+    * (Dedup.clusters) needs O(diameter). Identical fixpoint — the
+    * component-minimum label (monotone decrease to the unique
+    * fixpoint; SessionBatchSpec's Kruskal cross-check pins the
+    * resulting forest); used where the caller loops per round
+    * and the relabel latency (not throughput) dominates (graph_mst:
+    * clusters() was 12 of 15 measured seconds across the four
+    * Borůvka rounds at sf0.1).
+    */
+  private def relabelJump(pairs: DataFrame): DataFrame = {
+    val eb = ckptReset(pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y"))))
+    var p = ckptReset(eb.groupBy(col("x")).agg(min(col("y")).as("my"))
+      .select(col("x"), least(col("x"), col("my")).as("p")))
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("p").cast("decimal(38,0)"))).first.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prev = labelSum(p)
+    var it = 0
+    var conv = false
+    while (it < 20 && !conv) {
+      val nbr = eb.join(broadcast(p.select(col("x").as("y"), col("p").as("np"))), "y")
+        .groupBy(col("x")).agg(min(col("np")).as("nmin"))
+      val jmp = p.select(col("x").as("jx"), col("p").as("jp"))
+      val upd = ckptReset(p.join(broadcast(nbr), Seq("x"), "left")
+        .join(broadcast(jmp), col("p") === col("jx"), "left")
+        .select(col("x"), least(col("p"), coalesce(col("nmin"), col("p")),
+          coalesce(col("jp"), col("p"))).as("p")))
+      val cur = labelSum(upd)
+      graft.Caches.free(p)
+      p = upd
+      conv = cur.compareTo(prev) == 0
+      prev = cur
+      it += 1
+    }
+    graft.Caches.free(eb)
+    p.select(col("x").as("id"), col("p").as("cluster"))
+  }
+
   def graphMst(s: SparkSession, dir: String): DataFrame = {
     val edges = coSupplyEdges(s, dir).select(col("u"), col("v"), col("shared"))
     val nodes = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
-    var labels = nodes.withColumn("comp", col("node")).localCheckpoint(true)
-    var forest = edges.filter(lit(false)).localCheckpoint(true)
+    var labels = ckptReset(nodes.withColumn("comp", col("node")))
+    var forest = ckptReset(edges.filter(lit(false)))
     var done = false
     var round = 0
     while (!done && round < 24) {
-      val e2 = edges
-        .join(labels.select(col("node").as("u"), col("comp").as("cu")), "u")
-        .join(labels.select(col("node").as("v"), col("comp").as("cv")), "v")
-        .filter(col("cu") =!= col("cv"))
-        .localCheckpoint(true)
-      if (e2.isEmpty) { done = true; graft.Caches.free(e2) }
+      val e2 = ckptReset(edges
+        .join(broadcast(labels.select(col("node").as("u"), col("comp").as("cu"))), "u")
+        .join(broadcast(labels.select(col("node").as("v"), col("comp").as("cv"))), "v")
+        .filter(col("cu") =!= col("cv")))
+      if (e2.isEmpty) { done = true }
       else {
         val cand = struct((-col("shared")).as("neg"), col("u"), col("v"),
           col("cu"), col("cv"))
-        val picked = e2.select(col("cu").as("comp"), cand.as("e"))
+        val picked = ckptReset(e2.select(col("cu").as("comp"), cand.as("e"))
           .union(e2.select(col("cv").as("comp"), cand.as("e")))
           .groupBy(col("comp")).agg(min(col("e")).as("b"))
           .select(col("b.u").as("u"), col("b.v").as("v"),
             (-col("b.neg")).as("shared"), col("b.cu").as("cu"),
             col("b.cv").as("cv"))
-          .distinct()
-          .localCheckpoint(true)
-        forest = forest
-          .union(picked.select(col("u"), col("v"), col("shared")))
-          .localCheckpoint(true)
-        val relabel = graft.operators.Dedup.clusters(
-          picked.select(col("cu").as("id_a"), col("cv").as("id_b")), maxIter = 64)
-        val updated = labels
-          .join(relabel.withColumnRenamed("id", "comp"), Seq("comp"), "left")
-          .select(col("node"), coalesce(col("cluster"), col("comp")).as("comp"))
-          .localCheckpoint(true)
+          .distinct())
+        forest = ckptReset(forest
+          .union(picked.select(col("u"), col("v"), col("shared"))))
+        val relabel = relabelJump(
+          picked.select(col("cu").as("id_a"), col("cv").as("id_b")))
+        val updated = ckptReset(labels
+          .join(broadcast(relabel.withColumnRenamed("id", "comp")), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("cluster"), col("comp")).as("comp")))
         graft.Caches.free(labels); graft.Caches.free(e2); graft.Caches.free(picked)
         labels = updated
       }
