@@ -45,7 +45,13 @@ object ScaleStress {
     "dedup_embedding", "dedup_cluster", "graph_triangles", "graph_bfs",
     "graph_sssp", "graph_modularity", "graph_pagerank", "er_match",
     "er_sorted_neighborhood", "text_bpe_train", "join_denorm",
-    "window_quota", "sim_topk", "stream_cms")
+    "window_quota", "sim_topk", "stream_cms",
+    // round-7 quadratic-risk additions: char-n-gram counting, grid
+    // spatial join (cell-occupancy product), Markov journeys (window
+    // + alphabet iteration), boosting histograms, clipped n-gram
+    // pairs, PR cumulatives
+    "eval_chrf", "eval_rouge", "geo_grid_join", "attribution_markov",
+    "ml_boost", "eval_pr_auc", "graph_mst")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

@@ -151,11 +151,93 @@ object GraphExtra {
        |SELECT start, c0, c1, c2, c3, c4 FROM w$WalkSteps ORDER BY start""".stripMargin
   }
 
+  private val SimRounds = 3
+
+  /** SimRank (Jeh & Widom 2002) over the directed transition graph:
+    * "two nodes are similar if their in-neighbors are similar",
+    * s(a,b) = (C/|I(a)||I(b)|)·Σ s(i,j) over in-neighbor pairs, C=0.8,
+    * s(a,a)=1. Three value-iteration rounds in SCALED INTEGER
+    * micro-units (the pagerank discipline): each update is one exact
+    * integer Σ followed by ONE floor division (4·Σ) div (5·|I(a)|·
+    * |I(b)|) — the oracle replays all rounds in unrolled CTEs.
+    *
+    * Scale: nodes = the event-type alphabet, so the pair table and
+    * the in-neighbor-pair expansion are alphabet²/alphabet⁴-bounded —
+    * corpus work is the one lead() window shared with
+    * graph_transitions. The alphabet-bounded cross joins are the
+    * documented exception to the no-cartesian rule.
+    */
+  def graphSimrank(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir) // (a, b) distinct directed
+    val deg = e.groupBy(col("b").as("n")).agg(count(lit(1)).as("ind"))
+    val nodes = e.select(col("a").as("n"))
+      .union(e.select(col("b").as("n"))).distinct().localCheckpoint(true)
+    val pairs = nodes.select(col("n").as("pa"))
+      .crossJoin(nodes.select(col("n").as("pb")))
+    var sim = pairs.select(col("pa"), col("pb"),
+      when(col("pa") === col("pb"), lit(1000000L)).otherwise(lit(0L)).as("s"))
+    (1 to SimRounds).foreach { _ =>
+      val prev = sim.select(col("pa").as("i"), col("pb").as("j"), col("s").as("ps"))
+      val cont = e.select(col("b").as("ca"), col("a").as("i"))
+        .crossJoin(e.select(col("b").as("cb"), col("a").as("j")))
+        .join(prev, Seq("i", "j"))
+        .groupBy(col("ca"), col("cb")).agg(sum(col("ps")).as("sum_s"))
+      sim = pairs
+        .join(cont, col("pa") === col("ca") && col("pb") === col("cb"), "left")
+        .join(deg.select(col("n").as("pa"), col("ind").as("ia")), Seq("pa"), "left")
+        .join(deg.select(col("n").as("pb"), col("ind").as("ib")), Seq("pb"), "left")
+        .select(col("pa"), col("pb"),
+          when(col("pa") === col("pb"), lit(1000000L))
+            .otherwise(coalesce(
+              Relational.intdiv(lit(4L) * col("sum_s"),
+                lit(5L) * col("ia") * col("ib")), lit(0L))).as("s"))
+        .localCheckpoint(true)
+    }
+    sim.select(col("pa").as("a"), col("pb").as("b"), col("s").as("s_micro"),
+        (col("s").cast("double") / lit(1000000.0)).as("simrank"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val graphSimrankSql: String = {
+    val base =
+      """ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |nx AS (SELECT event_type AS a, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS b FROM ev),
+        |e AS (SELECT DISTINCT a, b FROM nx WHERE b IS NOT NULL AND a <> b),
+        |deg AS (SELECT b AS n, CAST(COUNT(*) AS BIGINT) AS ind FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+        |pairs AS (SELECT x.n AS pa, y.n AS pb FROM nodes x CROSS JOIN nodes y),
+        |s0 AS (SELECT pa, pb, CAST(CASE WHEN pa = pb THEN 1000000 ELSE 0
+        |    END AS BIGINT) AS s FROM pairs)""".stripMargin
+    val rounds = (1 to SimRounds).map { i =>
+      s"""s$i AS (SELECT p.pa, p.pb,
+         |    CAST(CASE WHEN p.pa = p.pb THEN 1000000
+         |      ELSE COALESCE((4 * c.sum_s) // (5 * da.ind * db.ind), 0)
+         |      END AS BIGINT) AS s
+         |  FROM pairs p
+         |  LEFT JOIN (SELECT ea.b AS ca, eb.b AS cb,
+         |      CAST(SUM(v.s) AS BIGINT) AS sum_s
+         |    FROM e ea CROSS JOIN e eb
+         |    JOIN s${i - 1} v ON v.pa = ea.a AND v.pb = eb.a
+         |    GROUP BY 1, 2) c ON c.ca = p.pa AND c.cb = p.pb
+         |  LEFT JOIN deg da ON da.n = p.pa
+         |  LEFT JOIN deg db ON db.n = p.pb)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$rounds
+       |SELECT pa AS a, pb AS b, s AS s_micro,
+       |  CAST(s AS DOUBLE) / 1000000.0e0 AS simrank
+       |FROM s$SimRounds ORDER BY a, b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_eccentricity" -> (graphEccentricity _),
-    "graph_walks" -> (graphWalks _))
+    "graph_walks" -> (graphWalks _),
+    "graph_simrank" -> (graphSimrank _))
 
   val oracles: Map[String, String] = Map(
     "graph_eccentricity" -> graphEccentricitySql,
-    "graph_walks" -> graphWalksSql)
+    "graph_walks" -> graphWalksSql,
+    "graph_simrank" -> graphSimrankSql)
 }

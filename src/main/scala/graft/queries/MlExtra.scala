@@ -440,11 +440,78 @@ object MlExtra {
       |  CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE) AS prevalence
       |FROM cum CROSS JOIN tot t GROUP BY t.n, t.npos""".stripMargin
 
+  /** Inter-annotator agreement — Cohen's κ (1960) and binary-nominal
+    * Krippendorff's α (1970) — between two deterministic document
+    * "annotators": a token-count gate (≥ 40 alnum tokens) and a
+    * length gate (≥ 250 chars). The metric an eval pipeline runs over
+    * two labelers, two model versions, or (here) two quality filters
+    * to ask "do these gates even agree on what good data is?".
+    *
+    * Determinism: the 2×2 coincidence table is four exact integer
+    * counts; κ = (po − pe)/(1 − pe) and α = 1 − Do/De are short fixed
+    * IEEE chains over those integers, mirrored token-for-token.
+    */
+  def agreement(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables(s, dir, "documents").select(
+      (size(TextFunctions.tokens(col("text"))) >= 40).cast("long").as("ya"),
+      (length(col("text")) >= 250).cast("long").as("yb"))
+    val tab = flags.agg(count(lit(1)).as("n"),
+      sum(col("ya")).as("a1"), sum(col("yb")).as("b1"),
+      sum(col("ya") * col("yb")).as("n11"),
+      sum((lit(1L) - col("ya")) * (lit(1L) - col("yb"))).as("n00"))
+    tab.select(col("n"), col("a1"), col("b1"), col("n11"), col("n00"),
+        ((col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+          .as("po"),
+        ((col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))
+          .cast("double") / (col("n") * col("n")).cast("double")).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(1.0)))
+      .withColumn("alpha", {
+        val nTot = (col("n") * 2).cast("double")
+        val ones = (col("a1") + col("b1")).cast("double")
+        val zeros = nTot - ones
+        val dis = (col("n") - col("n11") - col("n00")).cast("double")
+        val de = ones * zeros / (nTot * (nTot - lit(1.0)))
+        when(de > 0.0, lit(1.0) - (dis / col("n").cast("double")) / (lit(2.0) * de))
+          .otherwise(lit(1.0))
+      })
+  }
+
+  val agreementSql: String =
+    """WITH flags AS (SELECT
+      |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 40
+      |      THEN 1 ELSE 0 END AS ya,
+      |    CASE WHEN length(text) >= 250 THEN 1 ELSE 0 END AS yb
+      |  FROM documents),
+      |tab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ya) AS BIGINT) AS a1, CAST(SUM(yb) AS BIGINT) AS b1,
+      |    CAST(SUM(ya * yb) AS BIGINT) AS n11,
+      |    CAST(SUM((1 - ya) * (1 - yb)) AS BIGINT) AS n00
+      |  FROM flags),
+      |m AS (SELECT *, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |    CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+      |      / CAST(n * n AS DOUBLE) AS pe
+      |  FROM tab)
+      |SELECT n, a1, b1, n11, n00, po, pe,
+      |  CASE WHEN pe < 1.0e0 THEN (po - pe) / (1.0e0 - pe) ELSE 1.0e0 END
+      |    AS kappa,
+      |  CASE WHEN CAST(a1 + b1 AS DOUBLE)
+      |      * (CAST(n * 2 AS DOUBLE) - CAST(a1 + b1 AS DOUBLE))
+      |      / (CAST(n * 2 AS DOUBLE) * (CAST(n * 2 AS DOUBLE) - 1.0e0)) > 0.0e0
+      |    THEN 1.0e0 - (CAST(n - n11 - n00 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (2.0e0 * (CAST(a1 + b1 AS DOUBLE)
+      |        * (CAST(n * 2 AS DOUBLE) - CAST(a1 + b1 AS DOUBLE))
+      |        / (CAST(n * 2 AS DOUBLE) * (CAST(n * 2 AS DOUBLE) - 1.0e0))))
+      |    ELSE 1.0e0 END AS alpha
+      |FROM m""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_naivebayes" -> (naiveBayes _),
     "ml_boost" -> (boost _),
     "eval_isotonic" -> (isotonic _),
     "eval_pr_auc" -> (prAuc _),
+    "eval_agreement" -> (agreement _),
     "dq_ldiversity" -> (lDiversity _))
 
   val oracles: Map[String, String] = Map(
@@ -452,5 +519,6 @@ object MlExtra {
     "ml_boost" -> boostSql,
     "eval_isotonic" -> isotonicSql,
     "eval_pr_auc" -> prAucSql,
+    "eval_agreement" -> agreementSql,
     "dq_ldiversity" -> lDiversitySql)
 }
