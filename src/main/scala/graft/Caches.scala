@@ -26,16 +26,24 @@ object Caches {
     * again — a checkpointed RDD cannot recompute evicted blocks.
     * No-op for plans that are not RDD-backed. Walks RDD lineage so a
     * [[checkpointReset]] wrapper (whose own RDD is an unpersisted map
-    * over the checkpoint) still frees the blocks beneath it; the walk
-    * stops at the checkpoint's truncated dependencies.
+    * over the checkpoint) still frees the blocks beneath it — but the
+    * walk is BOUNDED: it descends only through unpersisted wrappers
+    * (depth ≤ 3, the wrapper → deserialize-map → checkpoint shape) and
+    * stops at the first persisted RDD it frees. An unbounded walk
+    * would evict ancestors shared with live frames (e.g. a lazy
+    * localCheckpoint not yet materialized, or a cached RDD two frames
+    * derive from), and checkpointed RDDs cannot recompute evicted
+    * blocks.
     */
   def free(df: DataFrame): Unit = {
-    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
-      r.unpersist(blocking = false)
-      r.dependencies.foreach(d => walk(d.rdd))
+    import org.apache.spark.storage.StorageLevel
+    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit = {
+      val persisted = r.getStorageLevel != StorageLevel.NONE
+      if (persisted) r.unpersist(blocking = false)
+      else if (depth < 3) r.dependencies.foreach(d => walk(d.rdd, depth + 1))
     }
     df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => walk(lr.rdd)
+      case lr: LogicalRDD => walk(lr.rdd, 0)
       case _ => ()
     }
   }

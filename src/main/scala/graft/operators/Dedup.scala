@@ -444,6 +444,12 @@ object Dedup {
     // the returned labels are a checkpoint: the edge cache backs nothing
     // downstream and would otherwise pin storage for the session
     edges.unpersist(blocking = false)
+    // exiting via the iteration cap without the sum-fixpoint means the
+    // labels are NOT component minima — downstream "keep cluster == id"
+    // decisions would silently drop/keep the wrong rows, so fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clusters: no fixpoint after $iter rounds (raise maxIter " +
+        s"beyond the cluster diameter; label sum $prevSum)")
     labels
   }
 

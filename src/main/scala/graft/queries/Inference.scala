@@ -841,7 +841,12 @@ object Inference {
     */
   def statsFdr(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the Fisher exact-p subplan ONCE: the two crossJoins
+    // below (f × f.agg, adj × adj.agg) would otherwise re-evaluate the
+    // whole hypergeometric chain over customer up to 4×. Output is
+    // alphabet-bounded (≤25 rows) so the checkpoint is a few KB.
     val f = statsFisher(s, dir).select(col("nation"), col("p_value"))
+      .localCheckpoint(true)
     val ranked = f.crossJoin(f.agg(count(lit(1)).as("m")))
       .withColumn("i",
         row_number().over(Window.orderBy(col("p_value"), col("nation"))).cast("long"))

@@ -199,8 +199,12 @@ object LlmEval {
     * the ⌈0.9(n_cal+1)⌉-th smallest calibration score — an exact rank
     * SELECTION, so the emitted q̂ is an untouched |residual| value.
     * Marginal coverage on the held-out test split is reported beside
-    * the interval; the finite-sample guarantee is
-    * coverage ≥ 1 − α for exchangeable data.
+    * the interval; the finite-sample guarantee coverage ≥ 1 − α for
+    * exchangeable data holds only where k = ⌈0.9(n_cal+1)⌉ ≤ n_cal,
+    * i.e. n_cal ≥ 9. Smaller calibration groups cap q̂ at the max
+    * calibration score (standard split conformal would emit an
+    * infinite interval there), which can under-cover — the reported
+    * `coverage` column is the honest measurement either way.
     *
     * Scale: one narrow hashed-split map, two hash aggregations, one
     * per-group keyed window for the rank selection — no global sort.
@@ -279,13 +283,90 @@ object LlmEval {
       |FROM mean m JOIN qh q USING (event_type) JOIN tst t USING (event_type)
       |ORDER BY m.event_type""".stripMargin
 
+  /** BLEU-4 modified n-gram precisions per document pair (Papineni
+    * 2002), add-one smoothed (p_n = (ov_n+1)/(th_n+1), the Lin & Och
+    * 2004 convention so short hypotheses never zero the geometric
+    * mean), combined as the 4th root — ²√²√(p1·p2·p3·p4), two
+    * correctly-rounded IEEE sqrts, which is why this is certifiable
+    * where exp(Σlog/4) would not be. The brevity penalty's
+    * exp(1−r/c) IS transcendental, so it is not folded in: the
+    * len_ratio column (c/r) carries the information and bleu_nobp
+    * is exact. Same one-aggregation plan as ROUGE — the ref/hyp
+    * sides meet in one conditional-sum aggregation, no join.
+    */
+  def bleu(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("src"))
+    val per = pairTotals(docs, Seq(1, 2, 3, 4), (t, n) =>
+        if (n == 1) t else TextFunctions.shinglesOf(t, n))
+      .withColumn("p", (col("ov") + 1L).cast("double") /
+        (col("th") + 1L).cast("double"))
+    def pick(n: Int, c: String): Column =
+      coalesce(max(when(col("n") === n, col(c))), lit(0.0))
+    per.groupBy(col("pair_id"))
+      .agg(pick(1, "p").as("p1"), pick(2, "p").as("p2"),
+        pick(3, "p").as("p3"), pick(4, "p").as("p4"),
+        coalesce(max(when(col("n") === 1, col("th"))), lit(0L)).as("hyp_len"),
+        coalesce(max(when(col("n") === 1, col("tr"))), lit(0L)).as("ref_len"))
+      .withColumn("len_ratio", ratio(col("hyp_len"), col("ref_len")))
+      .withColumn("bleu_nobp",
+        sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4"))))
+      .orderBy(col("pair_id"))
+  }
+
+  val bleuSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS n, unnest(list_transform(
+      |      range(greatest(len(t) - 1, 0)), i -> t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS n, unnest(list_transform(
+      |      range(greatest(len(t) - 2, 0)),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 4 AS n, unnest(list_transform(
+      |      range(greatest(len(t) - 3, 0)),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+      |  FROM toks),
+      |c AS (SELECT doc_id - (doc_id % 2) AS pair_id, n, gram,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ch
+      |  FROM g GROUP BY 1, 2, 3),
+      |a AS (SELECT pair_id, n, CAST(SUM(cr) AS BIGINT) AS tr,
+      |    CAST(SUM(ch) AS BIGINT) AS th,
+      |    CAST(SUM(least(cr, ch)) AS BIGINT) AS ov
+      |  FROM c GROUP BY 1, 2),
+      |m AS (SELECT pair_id, n, tr, th,
+      |    CAST(ov + 1 AS DOUBLE) / CAST(th + 1 AS DOUBLE) AS p
+      |  FROM a),
+      |w AS (SELECT pair_id,
+      |    coalesce(MAX(CASE WHEN n = 1 THEN p END), 0.0e0) AS p1,
+      |    coalesce(MAX(CASE WHEN n = 2 THEN p END), 0.0e0) AS p2,
+      |    coalesce(MAX(CASE WHEN n = 3 THEN p END), 0.0e0) AS p3,
+      |    coalesce(MAX(CASE WHEN n = 4 THEN p END), 0.0e0) AS p4,
+      |    coalesce(MAX(CASE WHEN n = 1 THEN th END), 0) AS hyp_len,
+      |    coalesce(MAX(CASE WHEN n = 1 THEN tr END), 0) AS ref_len
+      |  FROM m GROUP BY pair_id)
+      |SELECT pair_id, p1, p2, p3, p4, hyp_len, ref_len,
+      |  CASE WHEN ref_len > 0 THEN CAST(hyp_len AS DOUBLE)
+      |    / CAST(ref_len AS DOUBLE) ELSE 0.0e0 END AS len_ratio,
+      |  sqrt(sqrt(p1 * p2 * p3 * p4)) AS bleu_nobp
+      |FROM w ORDER BY pair_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_rouge" -> (rouge _),
     "eval_chrf" -> (chrf _),
-    "eval_conformal" -> (conformal _))
+    "eval_conformal" -> (conformal _),
+    "eval_bleu" -> (bleu _))
 
   val oracles: Map[String, String] = Map(
     "eval_rouge" -> rougeSql,
     "eval_chrf" -> chrfSql,
-    "eval_conformal" -> conformalSql)
+    "eval_conformal" -> conformalSql,
+    "eval_bleu" -> bleuSql)
 }

@@ -327,18 +327,23 @@ object MlExtra {
           concat(acc.getField("cp"),
             array(element_at(acc.getField("cp"), -1) + x.getField("n_pos"))).as("cp")))
         .as("pf"))
-    val nb = 10
+    // bin count is DYNAMIC (size of bs): the decile binning yields 10
+    // bins on any real corpus, but a degenerate corpus (few distinct
+    // prices) yields fewer — a hardcoded 10 then reads past the end of
+    // the prefix arrays (ANSI element_at throws; caught by the edge
+    // corpus). last = |cn| − 2 = nbins − 1.
     val iso = folded.select(col("bs"),
       TextFunctions.bindOnce(col("pf")) { pf =>
         val cn = pf.getField("cn"); val cp = pf.getField("cp")
+        val last = size(cn) - 2
         def wavg(k: Column, j: Column): Column =
           (element_at(cp, (j + 2).cast("int")) - element_at(cp, (k + 1).cast("int")))
             .cast("double") /
           (element_at(cn, (j + 2).cast("int")) - element_at(cn, (k + 1).cast("int")))
             .cast("double")
-        transform(sequence(lit(0), lit(nb - 1)), i =>
+        transform(sequence(lit(0), last), i =>
           array_max(transform(sequence(lit(0), i), k =>
-            array_min(transform(sequence(i, lit(nb - 1)), j => wavg(k, j))))))
+            array_min(transform(sequence(i, last), j => wavg(k, j))))))
       }.as("iso"))
     iso.select(posexplode(col("bs")).as(Seq("idx", "b")), col("iso"))
       .select(col("b.bin").as("bin"), col("b.n").as("n"),
@@ -369,9 +374,9 @@ object MlExtra {
       |      list_transform(bs, x -> [x.np])), (a, b) -> list_append(a, a[-1] + b[1]))
       |      AS cp
       |  FROM one),
-      |isoc AS (SELECT bs, list_transform(range(10), i ->
+      |isoc AS (SELECT bs, list_transform(range(len(bs)), i ->
       |    list_aggregate(list_transform(range(i + 1), k ->
-      |      list_aggregate(list_transform(range(i, 10), j ->
+      |      list_aggregate(list_transform(range(i, len(bs)), j ->
       |        CAST(cp[j + 2] - cp[k + 1] AS DOUBLE)
       |          / CAST(cn[j + 2] - cn[k + 1] AS DOUBLE)), 'min')), 'max'))
       |    AS iso

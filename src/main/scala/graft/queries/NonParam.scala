@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 nonparametric / resampling inference: McNemar's paired
+  * test, the two-sample Cramér–von Mises criterion, and an
+  * approximate-randomization permutation test — the three standard
+  * "no distributional assumptions" tools missing from the
+  * rank/contingency battery (Mann-Whitney, KS, chi-square, Fisher).
+  *
+  * Determinism: McNemar is pure integer contingency counting + one
+  * fixed ratio chain; CvM is computed from exact integer ECDF
+  * cross-terms (never per-row double summation); the permutation
+  * test derives every resample from salted md5 — the stats_bootstrap
+  * convention — so both engines draw the identical 200 pseudo-random
+  * reassignments.
+  */
+object NonParam {
+
+  private def dsum(c: Column, out: String): Column =
+    sum(c.cast("decimal(38,0)")).cast("double").as(out)
+
+  /** McNemar's test for paired binary outcomes (McNemar 1947): the
+    * pair is a (user, day), the two paired conditions are morning
+    * (hour < 12) and afternoon — "did this user click in the AM vs
+    * in the PM of the same day?", the within-subject shape a plain
+    * two-sample proportion test gets wrong. Discordant counts b
+    * (AM-only) and c (PM-only) give the statistic (b−c)²/(b+c) and
+    * the continuity-corrected (|b−c|−1)²/(b+c); the concordant cells
+    * never enter — the insight of the test. Two hash aggregations,
+    * integer until the final two divisions.
+    */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(max(when(hour(col("ts")) < 12 && col("event_type") === "click", 1L)
+        .otherwise(0L)).as("ex"),
+        max(when(hour(col("ts")) >= 12 && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("ey"))
+    per.agg(count(lit(1)).as("n"),
+        sum(col("ex") * col("ey")).as("n11"),
+        sum(col("ex") * (lit(1L) - col("ey"))).as("b"),
+        sum((lit(1L) - col("ex")) * col("ey")).as("c"))
+      .select(col("n"), col("n11"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+            (col("b") + col("c")).cast("double")).as("stat"),
+        when(col("b") + col("c") > 0,
+          ((abs(col("b") - col("c")) - 1L) * (abs(col("b") - col("c")) - 1L))
+            .cast("double") /
+            (col("b") + col("c")).cast("double")).as("stat_cc"))
+  }
+
+  val mcnemarSql: String =
+    """WITH per AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |    MAX(CASE WHEN hour(ts) < 12
+      |      AND event_type = 'click' THEN 1 ELSE 0 END) AS ex,
+      |    MAX(CASE WHEN hour(ts) >= 12
+      |      AND event_type = 'click' THEN 1 ELSE 0 END) AS ey
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ex * ey) AS BIGINT) AS n11,
+      |    CAST(SUM(ex * (1 - ey)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - ex) * ey) AS BIGINT) AS c
+      |  FROM per)
+      |SELECT n, n11, b, c,
+      |  CASE WHEN b + c > 0 THEN
+      |    CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) END AS stat,
+      |  CASE WHEN b + c > 0 THEN
+      |    CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+      |      / CAST(b + c AS DOUBLE) END AS stat_cc
+      |FROM agg""".stripMargin
+
+  /** Two-sample Cramér–von Mises criterion (Anderson 1962) between
+    * click and view event values: T = Σ_z c_z·(F_n(z) − G_m(z))² ·
+    * nm/(n+m)², summed over the combined distinct values with
+    * multiplicity — computed entirely from exact integer ECDF counts
+    * via the identity F−G = (a·m − b·n)/(n·m), so the accumulated
+    * sum S = Σ c·(a·m − b·n)² is an exact integer (DECIMAL ≤ 38
+    * digits) and T = S/(n·m·(n+m)²) is ONE double chain. Tie-robust
+    * (values are grouped, never ranked per-row).
+    *
+    * Scale: per-distinct-value counts → the stats_ks two-level
+    * cumulative (1024-bucket offsets + bucket-keyed windows) — no
+    * global sort at any corpus size.
+    */
+  def cvm(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(s, dir, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cx"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cy"))
+    val rng = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      sum(col("cx")).as("n"), sum(col("cy")).as("m"))
+    val bucketed = vals.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("v") - col("lo")) * 1024.0 /
+          greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("cx")).as("sx"), sum(col("cy")).as("sy"))
+      .withColumn("offx", coalesce(sum(col("sx")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("offy", coalesce(sum(col("sy")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offx"), col("offy"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"))
+    val cum = bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("a", col("offx") + sum(col("cx")).over(wb))
+      .withColumn("b", col("offy") + sum(col("cy")).over(wb))
+      .withColumn("diff", col("a") * col("m") - col("b") * col("n"))
+    cum.groupBy(col("n"), col("m"))
+      .agg(sum((col("diff").cast("decimal(38,0)") * col("diff").cast("decimal(38,0)"))
+        * (col("cx") + col("cy")).cast("decimal(38,0)")).cast("double").as("s"))
+      .select(col("n"), col("m"), col("s"),
+        (col("s") / (col("n").cast("double") * col("m").cast("double") *
+          (col("n").cast("double") + col("m").cast("double")) *
+          (col("n").cast("double") + col("m").cast("double")))).as("t"))
+  }
+
+  val cvmSql: String =
+    """WITH vals AS (SELECT value AS v,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cx) AS BIGINT) AS n, CAST(SUM(cy) AS BIGINT) AS m
+      |  FROM vals),
+      |cum AS (SELECT v, cx, cy,
+      |    CAST(SUM(cx) OVER (ORDER BY v) AS BIGINT) AS a,
+      |    CAST(SUM(cy) OVER (ORDER BY v) AS BIGINT) AS b
+      |  FROM vals),
+      |terms AS (SELECT c.cx, c.cy, c.a * t.m - c.b * t.n AS diff, t.n, t.m
+      |  FROM cum c CROSS JOIN tot t)
+      |SELECT n, m,
+      |  CAST(SUM(CAST(diff AS HUGEINT) * CAST(diff AS HUGEINT)
+      |    * CAST(cx + cy AS HUGEINT)) AS DOUBLE) AS s,
+      |  CAST(SUM(CAST(diff AS HUGEINT) * CAST(diff AS HUGEINT)
+      |    * CAST(cx + cy AS HUGEINT)) AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+      |      * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))) AS t
+      |FROM terms GROUP BY n, m""".stripMargin
+
+  /** Approximate-randomization permutation test (Fisher–Pitman via
+    * random reassignment; Noreen 1989) for the click-vs-purchase
+    * mean-value difference: 200 salted-md5 pseudo-permutations
+    * reassign each observation to a side by coin flip, the observed
+    * |mean difference| is compared against the resampled null, and
+    * p = (1 + #{|stat_p| ≥ |obs|}) / (200 + 1) — the add-one rule
+    * that keeps p valid. Values are fixed-pointed to exact micro
+    * units so every per-permutation mean is a DECIMAL-exact sum with
+    * one division; md5 makes the 200 reassignments bit-identical
+    * across engines.
+    *
+    * Scale: the ×200 explode multiplies only the deterministic 1/3
+    * event-id sample, and the whole test is two hash aggregations
+    * (per-permutation, then global) — map-side combinable, no
+    * window, no sort.
+    */
+  def permtest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "purchase") &&
+        col("event_id") % 3 === 0)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1000000.0).cast("long").as("mv"))
+    val obs = base.agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_b"),
+      dsum(when(col("event_type") === "click", col("mv")).otherwise(0L), "sa"),
+      dsum(when(col("event_type") === "purchase", col("mv")).otherwise(0L), "sb"))
+      .select(col("n_a"), col("n_b"),
+        (col("sa") / col("n_a").cast("double") -
+          col("sb") / col("n_b").cast("double")).as("obs"))
+    val perms = base
+      .select(col("event_id"), col("mv"),
+        explode(sequence(lit(1L), lit(200L))).as("p"))
+      .withColumn("side",
+        conv(substr(md5(concat(lit("pt:"), col("p").cast("string"), lit(":"),
+          col("event_id").cast("string"))), lit(1), lit(8)), 16, 10)
+          .cast("long") % 2)
+      .groupBy(col("p"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n1"),
+        dsum(when(col("side") === 0, col("mv")).otherwise(0L), "s0"),
+        dsum(when(col("side") === 1, col("mv")).otherwise(0L), "s1"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .select(col("p"),
+        (col("s0") / col("n0").cast("double") -
+          col("s1") / col("n1").cast("double")).as("stat"))
+    perms.crossJoin(broadcast(obs))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("obs")).as("obs"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("stat")) >= abs(col("obs")), 1L).otherwise(0L))
+          .as("n_ge"))
+      .withColumn("p_value",
+        (lit(1.0) + col("n_ge").cast("double")) /
+          (lit(1.0) + col("n_perms").cast("double")))
+  }
+
+  val permtestSql: String =
+    """WITH base AS (SELECT event_id, event_type,
+      |    CAST(round(value * 1000000.0e0) AS BIGINT) AS mv
+      |  FROM events WHERE value IS NOT NULL
+      |    AND event_type IN ('click', 'purchase') AND event_id % 3 = 0),
+      |obs AS (SELECT
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN mv ELSE 0 END
+      |        AS DECIMAL(38,0))) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+      |      - CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN mv ELSE 0 END
+      |        AS DECIMAL(38,0))) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+      |      AS obs
+      |  FROM base),
+      |perms AS (SELECT p,
+      |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CAST(CASE WHEN side = 0 THEN mv ELSE 0 END
+      |      AS DECIMAL(38,0))) AS DOUBLE) AS s0,
+      |    CAST(SUM(CAST(CASE WHEN side = 1 THEN mv ELSE 0 END
+      |      AS DECIMAL(38,0))) AS DOUBLE) AS s1
+      |  FROM (SELECT b.event_id, b.mv, r.p,
+      |      CAST(CAST(concat('0x', substr(md5('pt:' || CAST(r.p AS VARCHAR)
+      |        || ':' || CAST(b.event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+      |        AS BIGINT) AS side
+      |    FROM base b CROSS JOIN (SELECT unnest(range(1, 201)) AS p) r)
+      |  GROUP BY p HAVING n0 > 0 AND n1 > 0),
+      |st AS (SELECT p, s0 / CAST(n0 AS DOUBLE) - s1 / CAST(n1 AS DOUBLE) AS stat
+      |  FROM perms)
+      |SELECT o.n_a, o.n_b, o.obs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_perms,
+      |  CAST(SUM(CASE WHEN abs(st.stat) >= abs(o.obs) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ge,
+      |  (1.0e0 + CAST(SUM(CASE WHEN abs(st.stat) >= abs(o.obs) THEN 1 ELSE 0 END)
+      |    AS DOUBLE)) / (1.0e0 + CAST(COUNT(*) AS DOUBLE)) AS p_value
+      |FROM st CROSS JOIN obs o
+      |GROUP BY o.n_a, o.n_b, o.obs""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mcnemar" -> (mcnemar _),
+    "stats_cvm" -> (cvm _),
+    "stats_permtest" -> (permtest _))
+
+  val oracles: Map[String, String] = Map(
+    "stats_mcnemar" -> mcnemarSql,
+    "stats_cvm" -> cvmSql,
+    "stats_permtest" -> permtestSql)
+}

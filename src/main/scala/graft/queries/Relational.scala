@@ -2407,6 +2407,13 @@ object Relational {
       it += 1
     }
     graft.Caches.free(eb)
+    // Pointer jumping converges in O(log diameter) rounds — 20 covers
+    // diameter ~2^20, far beyond the catalog-bounded graphs here. If
+    // the cap is ever hit without the sum-fixpoint, the labels are
+    // WRONG (components would merge under stale labels downstream),
+    // so fail loudly rather than emit a silently incorrect forest.
+    if (!conv) throw new IllegalStateException(
+      s"relabelJump: no fixpoint after $it rounds (label sum $prev)")
     p.select(col("x").as("id"), col("p").as("cluster"))
   }
 

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 financial-style series diagnostics over the events table:
+  * maximum drawdown from the running peak of the daily-total series,
+  * and Wilder's RSI (1978) over the daily-close series.
+  *
+  * Determinism: daily totals/closes are exact integer micro-units
+  * (round(value·10⁶)); drawdown stays integer to the final ratio;
+  * RSI's Wilder recursion is a per-type ordered fold whose two state
+  * slots each read ONLY their own previous value, so DuckDB's
+  * sequential struct-accumulator semantics and a functional fold
+  * agree (the ts_cusum hazard, designed around).
+  */
+object TsExtra {
+
+  private def mv(c: Column): Column = round(c * 1000000.0).cast("long")
+
+  /** Maximum drawdown per event type: daily totals (exact micro
+    * units), running peak over days, dd = peak − today; reports the
+    * worst dd with its day (earliest on ties), the peak it fell
+    * from, and the fractional drop. Keyed windows only — partitions
+    * are bounded by days-per-type, never corpus size.
+    */
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(mv(col("value")).cast("decimal(38,0)")).cast("long").as("dv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("pk", max(col("dv")).over(w))
+      .withColumn("dd", col("pk") - col("dv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        min(struct((-col("dd")).as("negdd"), col("day"), col("pk").as("p"),
+          col("dv").as("v"))).as("b"))
+      .select(col("event_type"), col("n_days"),
+        (-col("b.negdd")).as("max_dd"), col("b.day").as("dd_day"),
+        col("b.p").as("peak_at"), col("b.v").as("level_at"),
+        when(col("b.p") > 0,
+          (-col("b.negdd")).cast("double") / col("b.p").cast("double"))
+          .as("dd_frac"))
+      .orderBy(col("event_type"))
+  }
+
+  val drawdownSql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(round(value * 1000000.0e0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS BIGINT) AS dv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |dd AS (SELECT event_type, day, dv,
+      |    MAX(dv) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+      |  FROM daily),
+      |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    MIN(struct_pack(negdd := -(pk - dv), day := day, p := pk,
+      |      v := dv)) AS b
+      |  FROM dd GROUP BY 1)
+      |SELECT event_type, n_days, -(b.negdd) AS max_dd, b.day AS dd_day,
+      |  b.p AS peak_at, b.v AS level_at,
+      |  CASE WHEN b.p > 0 THEN CAST(-(b.negdd) AS DOUBLE)
+      |    / CAST(b.p AS DOUBLE) END AS dd_frac
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  /** Wilder's RSI (14) on the per-type daily close (last event of
+    * the day by (ts, event_id) — a deterministic selection). Seed =
+    * plain mean of the first 14 gains/losses (exact integer sum, one
+    * division); then the Wilder recursion g ← (13g + gain)/14 folded
+    * in day order. rs = g/l, RSI = 100 − 100/(1+rs); an all-gain
+    * series (l = 0) pegs RSI at 100 by convention.
+    */
+  def rsi(s: SparkSession, dir: String): DataFrame = {
+    val closes = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(max(struct(col("ts"), col("event_id"),
+        mv(col("value")).as("m"))).getField("m").as("close"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val diffs = closes
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        struct(col("day"), greatest(col("close") - col("prev"), lit(0L)).as("g"),
+          greatest(col("prev") - col("close"), lit(0L)).as("l")).as("x"))
+    diffs.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("x"))).as("arr"))
+      .filter(size(col("arr")) >= 14)
+      .withColumn("g0",
+        aggregate(slice(col("arr"), 1, 14), lit(0L), (a, x) => a + x.getField("g"))
+          .cast("double") / 14.0)
+      .withColumn("l0",
+        aggregate(slice(col("arr"), 1, 14), lit(0L), (a, x) => a + x.getField("l"))
+          .cast("double") / 14.0)
+      .withColumn("st", aggregate(
+        slice(col("arr"), lit(15), size(col("arr")) - 14),
+        struct(col("g0").as("g"), col("l0").as("l")),
+        (acc, x) => struct(
+          ((acc.getField("g") * 13.0 + x.getField("g").cast("double")) / 14.0)
+            .as("g"),
+          ((acc.getField("l") * 13.0 + x.getField("l").cast("double")) / 14.0)
+            .as("l"))))
+      .select(col("event_type"), size(col("arr")).cast("long").as("n_diffs"),
+        col("st.g").as("avg_gain"), col("st.l").as("avg_loss"),
+        when(col("st.l") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("st.g") / col("st.l"))).as("rsi"))
+      .orderBy(col("event_type"))
+  }
+
+  val rsiSql: String =
+    """WITH closes AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    MAX(struct_pack(ts := ts, eid := event_id,
+      |      m := CAST(round(value * 1000000.0e0) AS BIGINT))).m AS close
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |diffs AS (SELECT event_type, day,
+      |    close - LAG(close) OVER (PARTITION BY event_type ORDER BY day) AS d
+      |  FROM closes),
+      |arrs AS (SELECT event_type,
+      |    list(struct_pack(day := day,
+      |      g := CAST(greatest(d, 0) AS BIGINT),
+      |      l := CAST(greatest(-d, 0) AS BIGINT)) ORDER BY day) AS arr
+      |  FROM diffs WHERE d IS NOT NULL GROUP BY 1),
+      |seed AS (SELECT event_type, arr,
+      |    CAST(list_sum(list_transform(arr[1:14], x -> x.g)) AS DOUBLE)
+      |      / 14.0e0 AS g0,
+      |    CAST(list_sum(list_transform(arr[1:14], x -> x.l)) AS DOUBLE)
+      |      / 14.0e0 AS l0
+      |  FROM arrs WHERE len(arr) >= 14),
+      |st AS (SELECT event_type, CAST(len(arr) AS BIGINT) AS n_diffs,
+      |    list_reduce(list_prepend({'g': g0, 'l': l0},
+      |      list_transform(arr[15:], x -> {'g': CAST(x.g AS DOUBLE),
+      |                                     'l': CAST(x.l AS DOUBLE)})),
+      |      (acc, x) -> {'g': (acc.g * 13.0e0 + x.g) / 14.0e0,
+      |                   'l': (acc.l * 13.0e0 + x.l) / 14.0e0})
+      |      AS w
+      |  FROM seed)
+      |SELECT event_type, n_diffs, w.g AS avg_gain, w.l AS avg_loss,
+      |  CASE WHEN w.l = 0.0e0 THEN 100.0e0
+      |    ELSE 100.0e0 - 100.0e0 / (1.0e0 + w.g / w.l) END AS rsi
+      |FROM st ORDER BY event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_drawdown" -> (drawdown _),
+    "ts_rsi" -> (rsi _))
+
+  val oracles: Map[String, String] = Map(
+    "ts_drawdown" -> drawdownSql,
+    "ts_rsi" -> rsiSql)
+}
