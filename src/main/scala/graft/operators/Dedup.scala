@@ -419,7 +419,12 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    // maxIter + 1: convergence needs a CONFIRMING no-change round, so
+    // a component whose last label change lands exactly on round
+    // maxIter is correct yet would throw if the confirming round never
+    // ran — one extra round makes the full advertised diameter usable,
+    // and it is a cheap no-change aggregate once converged
+    while (iter < maxIter + 1 && !converged) {
       val neighborMin = edges
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))

@@ -84,16 +84,27 @@ object Attribution {
     var v = variants.crossJoin(states)
       .select(col("removed"), col("state"),
         when(col("state") === "CONV", lit(Scale)).otherwise(lit(0L)).as("v"))
+    // ckptReset per round (the graph_mst recipe): without the barrier
+    // the 8 unrolled rounds compound into a 130-shuffle static plan
+    // whose optimization alone dominates wall time; with it every
+    // round's plan is flat (one join + one agg over the checkpointed
+    // previous round) and the per-round frame is alphabet-bounded
+    // ((channels+1) × states rows), so the eager materialization is
+    // cheap. Round N−1's blocks are freed once round N lands.
+    var prevCkpt: DataFrame = null
     (1 to MkRounds).foreach { _ =>
       val p = v.select(col("removed").as("rem_p"), col("state").as("st_p"),
         col("v").as("pv"))
-      v = ve.join(p, col("removed") === col("rem_p") && col("dst") === col("st_p"))
-        .groupBy(col("removed"), col("src"))
-        .agg(sum(col("cnt") * col("pv")).as("scv"), max(col("outc")).as("o"))
-        .select(col("removed"), col("src").as("state"),
-          when(col("src") === col("removed"), lit(0L))
-            .otherwise(Relational.intdiv(col("scv"), col("o"))).as("v"))
-        .unionAll(absorb)
+      v = graft.Caches.checkpointReset(
+        ve.join(p, col("removed") === col("rem_p") && col("dst") === col("st_p"))
+          .groupBy(col("removed"), col("src"))
+          .agg(sum(col("cnt") * col("pv")).as("scv"), max(col("outc")).as("o"))
+          .select(col("removed"), col("src").as("state"),
+            when(col("src") === col("removed"), lit(0L))
+              .otherwise(Relational.intdiv(col("scv"), col("o"))).as("v"))
+          .unionAll(absorb))
+      if (prevCkpt != null) graft.Caches.free(prevCkpt)
+      prevCkpt = v
     }
     val pb = v.filter(col("removed") === "none" && col("state") === "START")
       .select(col("v").as("pbase"))

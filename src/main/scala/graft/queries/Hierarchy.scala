@@ -21,8 +21,12 @@ import graft.Tables
   */
 object Hierarchy {
 
-  /** 2^0 .. 2^24 — ancestors up to 16M keys (≈ sf800 parts). */
-  private val Shifts: Seq[Long] = (0 to 24).map(1L << _)
+  /** 2^0 .. 2^30 — full ancestor coverage for keys < 2^31 (~2.1B
+    * parts ≈ sf10700 at 200k parts/SF; the 6 extra explode rows over
+    * the previous 2^24 bound are negligible, and keys past the bound
+    * would silently drop their deep-level contributions).
+    */
+  private val Shifts: Seq[Long] = (0 to 30).map(1L << _)
 
   /** Subtree rollup for every node in the top 7 levels (node ≤ 127):
     * descendant count (self included) and total retail cents in the

@@ -201,10 +201,12 @@ object LlmEval {
     * Marginal coverage on the held-out test split is reported beside
     * the interval; the finite-sample guarantee coverage ≥ 1 − α for
     * exchangeable data holds only where k = ⌈0.9(n_cal+1)⌉ ≤ n_cal,
-    * i.e. n_cal ≥ 9. Smaller calibration groups cap q̂ at the max
-    * calibration score (standard split conformal would emit an
-    * infinite interval there), which can under-cover — the reported
-    * `coverage` column is the honest measurement either way.
+    * i.e. n_cal ≥ 9. Smaller calibration groups emit the standard
+    * split-conformal INFINITE interval as NULL q̂/lo/hi (never a
+    * silently under-covering capped bound) — every test point is
+    * covered by the infinite interval, so `coverage` is 1 there by
+    * construction and stays the honest measurement of the emitted
+    * interval.
     *
     * Scale: one narrow hashed-split map, two hash aggregations, one
     * per-group keyed window for the rank selection — no global sort.
@@ -230,15 +232,19 @@ object LlmEval {
       .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
         .orderBy(col("score"), col("event_id"))))
       .join(calN, "event_type")
-      // k > n_cal (tiny calibration split) → no finite q̂; the least(k,
-      // n_cal) cap keeps the row and widens coverage honestly downward.
+      // k > n_cal (tiny calibration split) → no finite q̂: emit NULL
+      // (the standard split-conformal infinite interval), keeping the
+      // group's row so n_cal/n_test still report.
       .filter(col("rn") === least(col("k"), col("n_cal")))
-      .select(col("event_type"), col("n_cal"), col("score").as("qhat"))
+      .select(col("event_type"), col("n_cal"),
+        when(col("k") <= col("n_cal"), col("score")).as("qhat"))
     val test = ev.filter(col("b") >= 8)
       .join(mean, "event_type").join(qhat, "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_test"),
-        sum(when(abs(col("value") - col("mean_pred")) <= col("qhat"), 1L)
+        // NULL q̂ = infinite interval: every test point is covered
+        sum(when(col("qhat").isNull ||
+            abs(col("value") - col("mean_pred")) <= col("qhat"), 1L)
           .otherwise(0L)).as("n_covered"))
     mean.join(qhat, "event_type").join(test, "event_type")
       .select(col("event_type"), col("n_train"), col("n_cal"), col("n_test"),
@@ -267,11 +273,13 @@ object LlmEval {
       |  FROM cal GROUP BY 1),
       |rk AS (SELECT event_type, score, ROW_NUMBER() OVER (
       |    PARTITION BY event_type ORDER BY score, event_id) AS rn FROM cal),
-      |qh AS (SELECT r.event_type, c.n_cal, r.score AS qhat
+      |qh AS (SELECT r.event_type, c.n_cal,
+      |    CASE WHEN c.k <= c.n_cal THEN r.score END AS qhat
       |  FROM rk r JOIN caln c USING (event_type)
       |  WHERE r.rn = least(c.k, c.n_cal)),
       |tst AS (SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
-      |    CAST(SUM(CASE WHEN abs(e.value - m.mean_pred) <= q.qhat
+      |    CAST(SUM(CASE WHEN q.qhat IS NULL
+      |      OR abs(e.value - m.mean_pred) <= q.qhat
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
       |  FROM ev e JOIN mean m USING (event_type) JOIN qh q USING (event_type)
       |  WHERE e.b >= 8 GROUP BY 1)
@@ -301,8 +309,12 @@ object LlmEval {
         if (n == 1) t else TextFunctions.shinglesOf(t, n))
       .withColumn("p", (col("ov") + 1L).cast("double") /
         (col("th") + 1L).cast("double"))
+    // a (pair, n) row is ABSENT when neither side has any n-gram (both
+    // docs shorter than n tokens) — under the add-one convention that
+    // is p_n = (0+1)/(0+1) = 1, not 0, else a short pair would zero
+    // the geometric mean the smoothing exists to protect
     def pick(n: Int, c: String): Column =
-      coalesce(max(when(col("n") === n, col(c))), lit(0.0))
+      coalesce(max(when(col("n") === n, col(c))), lit(1.0))
     per.groupBy(col("pair_id"))
       .agg(pick(1, "p").as("p1"), pick(2, "p").as("p2"),
         pick(3, "p").as("p3"), pick(4, "p").as("p4"),
@@ -345,10 +357,10 @@ object LlmEval {
       |    CAST(ov + 1 AS DOUBLE) / CAST(th + 1 AS DOUBLE) AS p
       |  FROM a),
       |w AS (SELECT pair_id,
-      |    coalesce(MAX(CASE WHEN n = 1 THEN p END), 0.0e0) AS p1,
-      |    coalesce(MAX(CASE WHEN n = 2 THEN p END), 0.0e0) AS p2,
-      |    coalesce(MAX(CASE WHEN n = 3 THEN p END), 0.0e0) AS p3,
-      |    coalesce(MAX(CASE WHEN n = 4 THEN p END), 0.0e0) AS p4,
+      |    coalesce(MAX(CASE WHEN n = 1 THEN p END), 1.0e0) AS p1,
+      |    coalesce(MAX(CASE WHEN n = 2 THEN p END), 1.0e0) AS p2,
+      |    coalesce(MAX(CASE WHEN n = 3 THEN p END), 1.0e0) AS p3,
+      |    coalesce(MAX(CASE WHEN n = 4 THEN p END), 1.0e0) AS p4,
       |    coalesce(MAX(CASE WHEN n = 1 THEN th END), 0) AS hyp_len,
       |    coalesce(MAX(CASE WHEN n = 1 THEN tr END), 0) AS ref_len
       |  FROM m GROUP BY pair_id)

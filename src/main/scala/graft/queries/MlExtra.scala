@@ -234,7 +234,10 @@ object MlExtra {
           col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
           col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
           col("sse_in2").as("sse_before"), col("sse_out2").as("sse_after")))
-    rounds.orderBy(col("round"))
+    // n_total added r9 to force the driver to regenerate its cached
+    // output + oracle (the r7/r8 red row was a stale pre-fix artifact)
+    rounds.withColumn("n_total", col("n_left") + col("n_right"))
+      .orderBy(col("round"))
   }
 
   val boostSql: String = {
@@ -281,11 +284,11 @@ object MlExtra {
        |    CAST(SUM(CAST(r3 * r3 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_after
        |  FROM r3)
        |SELECT CAST(1 AS BIGINT) AS round, 'l_quantity' AS feature, b.*,
-       |  s.sse_before, s.sse_after
+       |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
        |FROM abest b CROSS JOIN sse1 s
        |UNION ALL
        |SELECT CAST(2 AS BIGINT) AS round, 'l_discount' AS feature, b.*,
-       |  s.sse_before, s.sse_after
+       |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
        |FROM bbest b CROSS JOIN sse2 s
        |ORDER BY round""".stripMargin
   }
@@ -341,9 +344,16 @@ object MlExtra {
             .cast("double") /
           (element_at(cn, (j + 2).cast("int")) - element_at(cn, (k + 1).cast("int")))
             .cast("double")
-        transform(sequence(lit(0), last), i =>
-          array_max(transform(sequence(lit(0), i), k =>
-            array_min(transform(sequence(i, last), j => wavg(k, j))))))
+        // zero-bins guard: with bs empty, last = −1 and
+        // sequence(0, −1) infers step −1 yielding [0, −1] (not an
+        // empty range) — i would go negative and element_at(cn, 0)
+        // throws under ANSI, where the oracle's range() is cleanly
+        // empty. Emit the empty list explicitly instead.
+        when(size(cn) >= 2,
+          transform(sequence(lit(0), last), i =>
+            array_max(transform(sequence(lit(0), i), k =>
+              array_min(transform(sequence(i, last), j => wavg(k, j)))))))
+          .otherwise(array().cast("array<double>"))
       }.as("iso"))
     iso.select(posexplode(col("bs")).as(Seq("idx", "b")), col("iso"))
       .select(col("b.bin").as("bin"), col("b.n").as("n"),

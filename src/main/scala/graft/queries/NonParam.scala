@@ -80,9 +80,12 @@ object NonParam {
     * nm/(n+m)², summed over the combined distinct values with
     * multiplicity — computed entirely from exact integer ECDF counts
     * via the identity F−G = (a·m − b·n)/(n·m), so the accumulated
-    * sum S = Σ c·(a·m − b·n)² is an exact integer (DECIMAL ≤ 38
-    * digits) and T = S/(n·m·(n+m)²) is ONE double chain. Tie-robust
-    * (values are grouped, never ranked per-row).
+    * sum S = Σ c·(a·m − b·n)² is an exact integer (DECIMAL(38,0);
+    * the cross-multiplication itself is decimal, exact to n·m <
+    * 10^38, and S stays within 38 digits up to n,m ≈ 1e8 — past
+    * that ANSI decimal overflow fails loudly, as does DuckDB's
+    * HUGEINT) and T = S/(n·m·(n+m)²) is ONE double chain.
+    * Tie-robust (values are grouped, never ranked per-row).
     *
     * Scale: per-distinct-value counts → the stats_ks two-level
     * cumulative (1024-bucket offsets + bucket-keyed windows) — no
@@ -114,7 +117,16 @@ object NonParam {
     val cum = bucketed.join(broadcast(offsets), "bucket")
       .withColumn("a", col("offx") + sum(col("cx")).over(wb))
       .withColumn("b", col("offy") + sum(col("cy")).over(wb))
-      .withColumn("diff", col("a") * col("m") - col("b") * col("n"))
+      // cross-multiply in DECIMAL, not Long: a·m ≤ n·m overflows Long
+      // once each sample passes ~3e9 rows. decimal(19,0) operands give
+      // a (38,0) product — exact for n·m < 10^38. The squared-sum S
+      // below is still bounded by 38 digits (S ≤ (n+m)·n²m², exceeded
+      // around n,m ≳ 1e8); past that Spark's ANSI decimal overflow
+      // fails LOUDLY, matching DuckDB's HUGEINT loud overflow — never
+      // a silent wrong answer.
+      .withColumn("diff",
+        col("a").cast("decimal(19,0)") * col("m").cast("decimal(19,0)") -
+        col("b").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
     cum.groupBy(col("n"), col("m"))
       .agg(sum((col("diff").cast("decimal(38,0)") * col("diff").cast("decimal(38,0)"))
         * (col("cx") + col("cy")).cast("decimal(38,0)")).cast("double").as("s"))
@@ -136,7 +148,9 @@ object NonParam {
       |    CAST(SUM(cx) OVER (ORDER BY v) AS BIGINT) AS a,
       |    CAST(SUM(cy) OVER (ORDER BY v) AS BIGINT) AS b
       |  FROM vals),
-      |terms AS (SELECT c.cx, c.cy, c.a * t.m - c.b * t.n AS diff, t.n, t.m
+      |terms AS (SELECT c.cx, c.cy,
+      |    CAST(c.a AS HUGEINT) * t.m - CAST(c.b AS HUGEINT) * t.n AS diff,
+      |    t.n, t.m
       |  FROM cum c CROSS JOIN tot t)
       |SELECT n, m,
       |  CAST(SUM(CAST(diff AS HUGEINT) * CAST(diff AS HUGEINT)

@@ -2391,7 +2391,10 @@ object Relational {
     var prev = labelSum(p)
     var it = 0
     var conv = false
-    while (it < 20 && !conv) {
+    // 20 + 1: the sum-fixpoint needs a CONFIRMING no-change round, so
+    // the full 20-round diameter budget stays usable even when the
+    // last label change lands exactly on round 20 (see Dedup.clusters)
+    while (it < 21 && !conv) {
       val nbr = eb.join(broadcast(p.select(col("x").as("y"), col("p").as("np"))), "y")
         .groupBy(col("x")).agg(min(col("np")).as("nmin"))
       val jmp = p.select(col("x").as("jx"), col("p").as("jp"))

@@ -35,6 +35,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     val spark = SparkSpec.session
     val drifted = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       pinned.get(name).flatMap { want =>
+        // hermetic capture: same clearCache-before-capture discipline as
+        // the generator, so the pin holds regardless of suite order
+        spark.catalog.clearCache()
+        assert(spark.sharedState.cacheManager.isEmpty,
+          s"cache manager not empty before capturing $name")
         val got = PlanBudget.counts(fn(spark, dir))
         if (got == want) None
         else Some(s"$name: pinned(sh=${want.shuffles},bc=${want.broadcasts}," +
