@@ -51,7 +51,13 @@ object ScaleStress {
     // + alphabet iteration), boosting histograms, clipped n-gram
     // pairs, PR cumulatives
     "eval_chrf", "eval_rouge", "geo_grid_join", "attribution_markov",
-    "ml_boost", "eval_pr_auc", "graph_mst")
+    "ml_boost", "eval_pr_auc", "graph_mst",
+    // round-8 additions (r8 VERDICT #6): closed-form ML plane
+    // (per-round histogram/moment shapes), permutation fan-out,
+    // clipped n-gram BLEU pairs, Kneser–Ney bigram tables, the CvM
+    // bucketed ECDF, and the Mahalanobis moment matrix
+    "ml_kmeans", "stats_permtest", "eval_bleu", "text_kneser_ney",
+    "stats_cvm", "dq_mahalanobis")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

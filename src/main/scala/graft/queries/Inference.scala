@@ -734,6 +734,121 @@ object Inference {
       |    THEN cov_ss * cov_ss / (vx_ss * vy_ss) END AS var_reduction
       |FROM f""".stripMargin
 
+  /** Difference-in-differences (Card & Krueger 1994 shape) — the
+    * experimentation-plane companion to [[evalCuped]]: users are
+    * assigned to treatment/control by a salted md5 coin (bit-identical
+    * across engines), the pre/post boundary is the same min-day+15
+    * convention CUPED uses, and the estimator is the classic
+    * two-by-two contrast of cell means
+    * (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+    *
+    * Determinism: each cell mean is ONE decimal-exact sum cast to
+    * double divided by the cell count (Exact.davg), and the estimate
+    * is three IEEE subtractions in a fixed order.
+    *
+    * Scale: one narrow map (hash + day flag) and ONE hash aggregation
+    * to 4 cells — map-side combinable, no join, no window.
+    */
+  def evalDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("user_id"), col("value"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"),
+        pmod(conv(substr(md5(concat(lit("did:"),
+          col("user_id").cast("string"))), lit(1), lit(8)), 16, 10)
+          .cast("long"), lit(2L)).as("treat"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    def cell(t: Int, post: Boolean, c: Column): Column = {
+      val in = col("treat") === t &&
+        (if (post) !(col("day") < col("d0") + 15L)
+         else col("day") < col("d0") + 15L)
+      when(in, c)
+    }
+    ev.crossJoin(broadcast(d0))
+      .agg(
+        count(cell(0, post = false, col("value"))).as("n_c_pre"),
+        count(cell(0, post = true, col("value"))).as("n_c_post"),
+        count(cell(1, post = false, col("value"))).as("n_t_pre"),
+        count(cell(1, post = true, col("value"))).as("n_t_post"),
+        Exact.davg(cell(0, post = false, col("value"))).as("m_c_pre"),
+        Exact.davg(cell(0, post = true, col("value"))).as("m_c_post"),
+        Exact.davg(cell(1, post = false, col("value"))).as("m_t_pre"),
+        Exact.davg(cell(1, post = true, col("value"))).as("m_t_post"))
+      .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+        col("m_c_pre"), col("m_c_post"), col("m_t_pre"), col("m_t_post"),
+        ((col("m_t_post") - col("m_t_pre")) -
+          (col("m_c_post") - col("m_c_pre"))).as("did"))
+  }
+
+  val evalDidSql: String = {
+    def avg(t: Int, postCmp: String): String =
+      s"CAST(SUM(CASE WHEN treat = $t AND day $postCmp d0 + 15 " +
+        s"THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) " +
+        s"/ CAST(COUNT(CASE WHEN treat = $t AND day $postCmp d0 + 15 " +
+        s"THEN value END) AS DOUBLE)"
+    def n(t: Int, postCmp: String): String =
+      s"CAST(COUNT(CASE WHEN treat = $t AND day $postCmp d0 + 15 " +
+        s"THEN value END) AS BIGINT)"
+    s"""WITH ev AS (SELECT value, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(CAST(concat('0x', substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 2 AS BIGINT) AS treat
+       |  FROM events WHERE value IS NOT NULL),
+       |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+       |cells AS (SELECT
+       |    ${n(0, "<")} AS n_c_pre, ${n(0, ">=")} AS n_c_post,
+       |    ${n(1, "<")} AS n_t_pre, ${n(1, ">=")} AS n_t_post,
+       |    ${avg(0, "<")} AS m_c_pre, ${avg(0, ">=")} AS m_c_post,
+       |    ${avg(1, "<")} AS m_t_pre, ${avg(1, ">=")} AS m_t_post
+       |  FROM ev CROSS JOIN d0)
+       |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       |  m_c_pre, m_c_post, m_t_pre, m_t_post,
+       |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did
+       |FROM cells""".stripMargin
+  }
+
+  /** Sample-ratio-mismatch check (Fabijan et al. 2019) on the SAME
+    * salted md5 coin [[evalDid]] assigns with — the experiment-health
+    * gate run before any effect estimate is trusted. Unit = user (one
+    * assignment per user_id, not per event), expected split 50/50;
+    * reported: per-arm unit counts, the normal-approximation z
+    * statistic (n_t − n/2)/√(n/4), and the χ² statistic
+    * (n_t − n_c)²/n — both a fixed 3-op double chain over exact
+    * integer counts (√ is correctly-rounded IEEE, so cross-engine
+    * bit-identical; no transcendentals).
+    *
+    * Scale: one distinct-user aggregation (map-side combinable) then
+    * a 1-row fold — no join, no window.
+    */
+  def evalSrm(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(pmod(conv(substr(md5(concat(lit("did:"),
+        col("user_id").cast("string"))), lit(1), lit(8)), 16, 10)
+        .cast("long"), lit(2L)).as("treat"))
+    users.agg(
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"))
+      .select(col("n_c"), col("n_t"),
+        ((col("n_t").cast("double") -
+          (col("n_c") + col("n_t")).cast("double") / lit(2.0)) /
+          sqrt((col("n_c") + col("n_t")).cast("double") / lit(4.0))).as("z"),
+        (((col("n_t") - col("n_c")) * (col("n_t") - col("n_c"))).cast("double") /
+          (col("n_c") + col("n_t")).cast("double")).as("chisq"))
+  }
+
+  val evalSrmSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (SELECT CAST(CAST(concat('0x', substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 2 AS BIGINT) AS treat FROM u),
+      |c AS (SELECT CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      |  FROM a)
+      |SELECT n_c, n_t,
+      |  (CAST(n_t AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2.0e0)
+      |    / sqrt(CAST(n_c + n_t AS DOUBLE) / 4.0e0) AS z,
+      |  CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE)
+      |    / CAST(n_c + n_t AS DOUBLE) AS chisq
+      |FROM c""".stripMargin
+
   /** Fisher's exact test (1935), one-sided upper tail, on the
     * per-nation 2×2 table (mktsegment = BUILDING) × (acctbal > 5000)
     * over customers — the small-sample independence test a z-test
@@ -957,6 +1072,8 @@ object Inference {
     "stats_tost" -> (statsTost _),
     "stats_prop_ztest" -> (statsPropZtest _),
     "eval_cuped" -> (evalCuped _),
+    "eval_did" -> (evalDid _),
+    "eval_srm" -> (evalSrm _),
     "stats_hurst" -> (statsHurst _),
     "ts_pacf" -> (tsPacf _),
     "ts_ljungbox" -> (tsLjungbox _),
@@ -972,6 +1089,8 @@ object Inference {
     "stats_fdr" -> statsFdrSql,
     "stats_tost" -> statsTostSql,
     "eval_cuped" -> evalCupedSql,
+    "eval_did" -> evalDidSql,
+    "eval_srm" -> evalSrmSql,
     "ts_pacf" -> tsPacfSql,
     "stats_hurst" -> statsHurstSql,
     "ts_ljungbox" -> tsLjungboxSql,

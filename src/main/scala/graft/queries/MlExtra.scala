@@ -240,6 +240,141 @@ object MlExtra {
       .orderBy(col("round"))
   }
 
+  /** Three-round gradient boosting over THREE features — quantity,
+    * discount, then tax cents (a 9-value alphabet) — the deeper
+    * sibling of [[boost]]: round 3's residuals have passed through
+    * two truncating-division leaf subtractions, so the truncDiv
+    * negative-residual convention is exercised on compounded
+    * residuals, not just first-order ones. Same determinism and
+    * plan shape as [[boost]]: per round one alphabet-sized histogram
+    * aggregation + window, the best stump broadcast back, and the
+    * SSE pair computed in ONE corpus aggregation per round.
+    */
+  def boostDeep(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100.0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("f_q"),
+        round(col("l_discount") * 100.0).cast("long").as("f_d"),
+        round(col("l_tax") * 100.0).cast("long").as("f_t"))
+    val f0 = base.agg(Relational.intdiv(sum(col("y")), count(lit(1))).as("f0"))
+    var cur = base.crossJoin(f0).withColumn("r", col("y") - col("f0"))
+
+    def stump(rows: DataFrame, f: String): DataFrame = {
+      val hist = rows.groupBy(col(f).as("t"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("n")).as("nn"), sum(col("sr")).as("ss"))
+      hist
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("sl", sum(col("sr")).over(w))
+        .crossJoin(tot)
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("srr", col("ss") - col("sl"))
+        .filter(col("nr") > 0)
+        .withColumn("gain",
+          col("sl").cast("double") * col("sl").cast("double") /
+            col("nl").cast("double") +
+          col("srr").cast("double") * col("srr").cast("double") /
+            col("nr").cast("double"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("gain").desc, col("t"))))
+        .filter(col("rn") === 1)
+        .select(col("t").as("threshold"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("sl").as("sum_left"),
+          col("srr").as("sum_right"),
+          truncDiv(col("sl"), col("nl")).as("leaf_left"),
+          truncDiv(col("srr"), col("nr")).as("leaf_right"),
+          col("gain"))
+    }
+
+    val feats = Seq(("f_q", "l_quantity"), ("f_d", "l_discount"),
+      ("f_t", "l_tax"))
+    val rounds = feats.zipWithIndex.map { case ((fc, fname), i) =>
+      val b = stump(cur.select(col(fc), col("r")), fc)
+      val next = cur.crossJoin(broadcast(b.select(col("threshold").as("th"),
+          col("leaf_left").as("ll"), col("leaf_right").as("lr"))))
+        .withColumn("r_next", col("r") -
+          when(col(fc) <= col("th"), col("ll")).otherwise(col("lr")))
+      val sse = next.agg(
+        sum((col("r") * col("r")).cast("decimal(38,0)")).as("sb"),
+        sum((col("r_next") * col("r_next")).cast("decimal(38,0)")).as("sa"))
+      val row = b.crossJoin(sse).select(lit((i + 1).toLong).as("round"),
+        lit(fname).as("feature"), col("threshold"), col("n_left"),
+        col("n_right"), col("sum_left"), col("sum_right"),
+        col("leaf_left"), col("leaf_right"), col("gain"),
+        col("sb").as("sse_before"), col("sa").as("sse_after"),
+        (col("n_left") + col("n_right")).as("n_total"))
+      cur = next.drop("r", "th", "ll", "lr").withColumnRenamed("r_next", "r")
+      row
+    }
+    rounds.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  val boostDeepSql: String = {
+    def stumpCtes(p: String, rel: String, feat: String): String =
+      s"""${p}hist AS (SELECT $feat AS t, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r) AS BIGINT) AS sr FROM $rel GROUP BY 1),
+         |${p}tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(SUM(sr) AS BIGINT) AS ss FROM ${p}hist),
+         |${p}cum AS (SELECT t,
+         |    CAST(SUM(n) OVER (ORDER BY t) AS BIGINT) AS nl,
+         |    CAST(SUM(sr) OVER (ORDER BY t) AS BIGINT) AS sl FROM ${p}hist),
+         |${p}cand AS (SELECT t, nl, sl, nn - nl AS nr, ss - sl AS srr,
+         |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+         |      + CAST(ss - sl AS DOUBLE) * CAST(ss - sl AS DOUBLE)
+         |        / CAST(nn - nl AS DOUBLE) AS gain
+         |  FROM ${p}cum CROSS JOIN ${p}tot WHERE nn - nl > 0),
+         |${p}best AS (SELECT t AS threshold, nl AS n_left, nr AS n_right,
+         |    sl AS sum_left, srr AS sum_right, sl // nl AS leaf_left,
+         |    srr // nr AS leaf_right, gain
+         |  FROM ${p}cand ORDER BY gain DESC, t LIMIT 1)""".stripMargin
+    def roundRow(i: Int, p: String, fname: String, sse: String): String =
+      s"""SELECT CAST($i AS BIGINT) AS round, '$fname' AS feature, b.*,
+         |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
+         |FROM ${p}best b CROSS JOIN $sse s""".stripMargin
+    s"""WITH base AS (SELECT CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS y,
+       |    CAST(l_quantity AS BIGINT) AS f_q,
+       |    CAST(round(l_discount * 100.0e0) AS BIGINT) AS f_d,
+       |    CAST(round(l_tax * 100.0e0) AS BIGINT) AS f_t FROM lineitem),
+       |f0 AS (SELECT CAST(SUM(y) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS f0
+       |  FROM base),
+       |r1 AS (SELECT f_q, f_d, f_t, y - f0 AS r FROM base CROSS JOIN f0),
+       |r1f AS (SELECT f_q AS feat, r FROM r1),
+       |${stumpCtes("a", "r1f", "feat")},
+       |r2 AS (SELECT f_d, f_t, r, r - (CASE WHEN f_q <= b.threshold
+       |    THEN b.leaf_left ELSE b.leaf_right END) AS r2
+       |  FROM r1 CROSS JOIN abest b),
+       |r2f AS (SELECT f_d AS feat, r2 AS r FROM r2),
+       |${stumpCtes("b", "r2f", "feat")},
+       |r3 AS (SELECT f_t, r2 AS r, r2 - (CASE WHEN f_d <= b.threshold
+       |    THEN b.leaf_left ELSE b.leaf_right END) AS r3
+       |  FROM r2 CROSS JOIN bbest b),
+       |r3f AS (SELECT f_t AS feat, r3 AS r FROM r3),
+       |${stumpCtes("c", "r3f", "feat")},
+       |r4 AS (SELECT r3 AS r, r3 - (CASE WHEN f_t <= b.threshold
+       |    THEN b.leaf_left ELSE b.leaf_right END) AS r4
+       |  FROM r3 CROSS JOIN cbest b),
+       |sse1 AS (SELECT CAST(SUM(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS sse_before,
+       |    CAST(SUM(CAST(r2 * r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_after
+       |  FROM r2),
+       |sse2 AS (SELECT CAST(SUM(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS sse_before,
+       |    CAST(SUM(CAST(r3 * r3 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_after
+       |  FROM r3),
+       |sse3 AS (SELECT CAST(SUM(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS sse_before,
+       |    CAST(SUM(CAST(r4 * r4 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_after
+       |  FROM r4)
+       |${roundRow(1, "a", "l_quantity", "sse1")}
+       |UNION ALL
+       |${roundRow(2, "b", "l_discount", "sse2")}
+       |UNION ALL
+       |${roundRow(3, "c", "l_tax", "sse3")}
+       |ORDER BY round""".stripMargin
+  }
+
   val boostSql: String = {
     // one stump round as SQL over a residual relation `<rel>(feat, r)`
     def stumpCtes(p: String, rel: String, feat: String): String =
@@ -524,6 +659,7 @@ object MlExtra {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_naivebayes" -> (naiveBayes _),
     "ml_boost" -> (boost _),
+    "ml_boost_deep" -> (boostDeep _),
     "eval_isotonic" -> (isotonic _),
     "eval_pr_auc" -> (prAuc _),
     "eval_agreement" -> (agreement _),
@@ -532,6 +668,7 @@ object MlExtra {
   val oracles: Map[String, String] = Map(
     "ml_naivebayes" -> naiveBayesSql,
     "ml_boost" -> boostSql,
+    "ml_boost_deep" -> boostDeepSql,
     "eval_isotonic" -> isotonicSql,
     "eval_pr_auc" -> prAucSql,
     "eval_agreement" -> agreementSql,
