@@ -91,10 +91,18 @@ object Attribution {
     // previous round) and the per-round frame is alphabet-bounded
     // ((channels+1) × states rows), so the eager materialization is
     // cheap. Round N−1's blocks are freed once round N lands.
+    // coalesce(1) before each checkpoint, and broadcast() the small
+    // sides below: the checkpoint wrapper's LogicalRDD carries DEFAULT
+    // size stats, so without the hints Catalyst planned the tail's
+    // crossJoins as 32×32-partition CartesianProducts over ≤99-row
+    // frames — measured 6–7 s of pure empty-task scheduling at sf0.1
+    // (the rounds themselves are ~0.3 s each). The frame is
+    // (channels+1) × states rows — alphabet-bounded — so one
+    // partition is its natural shape at ANY corpus size.
     var prevCkpt: DataFrame = null
     (1 to MkRounds).foreach { _ =>
-      val p = v.select(col("removed").as("rem_p"), col("state").as("st_p"),
-        col("v").as("pv"))
+      val p = broadcast(v.select(col("removed").as("rem_p"),
+        col("state").as("st_p"), col("v").as("pv")))
       v = graft.Caches.checkpointReset(
         ve.join(p, col("removed") === col("rem_p") && col("dst") === col("st_p"))
           .groupBy(col("removed"), col("src"))
@@ -102,7 +110,8 @@ object Attribution {
           .select(col("removed"), col("src").as("state"),
             when(col("src") === col("removed"), lit(0L))
               .otherwise(Relational.intdiv(col("scv"), col("o"))).as("v"))
-          .unionAll(absorb))
+          .unionAll(absorb)
+          .coalesce(1))
       if (prevCkpt != null) graft.Caches.free(prevCkpt)
       prevCkpt = v
     }
@@ -110,12 +119,12 @@ object Attribution {
       .select(col("v").as("pbase"))
     val pr = v.filter(col("removed") =!= "none" && col("state") === "START")
       .select(col("removed").as("channel"), col("v").as("prem"))
-    val re = pr.crossJoin(pb).withColumn("re_micro",
+    val re = pr.crossJoin(broadcast(pb)).withColumn("re_micro",
       when(col("pbase") > 0,
         Relational.intdiv((col("pbase") - col("prem")) * lit(Scale), col("pbase")))
         .otherwise(lit(0L)))
     val tot = re.agg(sum(col("re_micro")).as("t"))
-    re.crossJoin(tot).select(col("channel"),
+    re.crossJoin(broadcast(tot)).select(col("channel"),
         (col("pbase").cast("double") / lit(1000000.0)).as("p_base"),
         (col("prem").cast("double") / lit(1000000.0)).as("p_removed"),
         col("re_micro"),
