@@ -534,6 +534,95 @@ object FeatureQueries {
       |FROM r0 JOIN rk USING (v)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Holdout calibration error (ECE, Naeini et al. 2015 shape) — the
+    * evaluation [[evalCalibration]]'s reliability curve feeds: the
+    * per-decile "predicted" probability is the TRAIN split's
+    * (o_orderkey % 5 ≠ 0) empirical rate, scored against the test
+    * split's rate in the same decile; ECE = Σ (n_test_b / N_test) ·
+    * |conf_b − acc_b|. Bins are the pooled exact price deciles (a
+    * deterministic feature transform, identical for both splits).
+    *
+    * Determinism: every rate is one division of exact integers; the
+    * 10-term ECE sum is a bin-ordered double fold (collect_list +
+    * aggregate ≡ list_reduce over list(... ORDER BY bin)) — never an
+    * order-dependent SUM of doubles.
+    *
+    * Scale: the calibration shape (one value-histogram cumulative +
+    * one hash agg), then a 10-row fold.
+    */
+  def evalEce(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "orders").select(
+      round(col("o_totalprice") * 100.0).cast("long").as("v"),
+      (col("o_orderstatus") === "F").cast("long").as("y"),
+      (col("o_orderkey") % 5 =!= 0).as("is_train"))
+    val rk = cumRanks(
+      rows.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .withColumn("bin", expr("(cum - 1) * 10 div n"))
+      .select(col("v"), col("bin"))
+    val bins = rows.join(rk, "v")
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), col("y")).otherwise(0L)).as("n_pos_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"),
+        sum(when(!col("is_train"), col("y")).otherwise(0L)).as("n_pos_test"))
+      // degenerate-split guards (ANSI divide-by-zero, edge corpus): a
+      // bin with no train or no test rows reports NULL conf/acc/gap
+      // and contributes 0 to ECE — mirrored in the oracle
+      .withColumn("conf", when(col("n_train") > 0,
+        col("n_pos_train").cast("double") / col("n_train").cast("double")))
+      .withColumn("acc", when(col("n_test") > 0,
+        col("n_pos_test").cast("double") / col("n_test").cast("double")))
+      .withColumn("gap", abs(col("conf") - col("acc")))
+    val tot = bins.agg(sum(col("n_test")).as("nt_all"))
+    val withContrib = bins.crossJoin(broadcast(tot))
+      .withColumn("contrib", when(col("gap").isNotNull && col("nt_all") > 0,
+        col("n_test").cast("double") / col("nt_all").cast("double") *
+          col("gap")).otherwise(lit(0.0)))
+    val ece = withContrib
+      .agg(sort_array(collect_list(struct(col("bin"), col("contrib")))).as("cs"))
+      .select(aggregate(col("cs"), lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("ece"))
+    withContrib.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_train"), col("n_pos_train"),
+        col("n_test"), col("n_pos_test"), col("conf"), col("acc"),
+        col("gap"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
+  val evalEceSql: String =
+    """WITH r0 AS (SELECT CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |    o_orderkey % 5 <> 0 AS is_train FROM orders),
+      |vc AS (SELECT v, COUNT(*) AS c FROM r0 GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+      |cm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vc CROSS JOIN nn),
+      |rk AS (SELECT v, ((cum - 1) * 10) // n AS bin FROM cm),
+      |bins AS (SELECT bin,
+      |    CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN is_train THEN y ELSE 0 END) AS BIGINT) AS n_pos_train,
+      |    CAST(SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN NOT is_train THEN y ELSE 0 END) AS BIGINT) AS n_pos_test
+      |  FROM r0 JOIN rk USING (v) GROUP BY bin),
+      |rt AS (SELECT *,
+      |    CASE WHEN n_train > 0 THEN CAST(n_pos_train AS DOUBLE)
+      |      / CAST(n_train AS DOUBLE) END AS conf,
+      |    CASE WHEN n_test > 0 THEN CAST(n_pos_test AS DOUBLE)
+      |      / CAST(n_test AS DOUBLE) END AS acc
+      |  FROM bins),
+      |g AS (SELECT *, abs(conf - acc) AS gap,
+      |    (SELECT CAST(SUM(n_test) AS BIGINT) FROM bins) AS nt_all
+      |  FROM rt),
+      |c AS (SELECT *, CASE WHEN gap IS NOT NULL AND nt_all > 0
+      |    THEN CAST(n_test AS DOUBLE) / CAST(nt_all AS DOUBLE) * gap
+      |    ELSE 0.0e0 END AS contrib FROM g),
+      |e AS (SELECT list_reduce(list_prepend(0.0e0,
+      |    list(contrib ORDER BY bin)), (a, b) -> a + b) AS ece FROM c)
+      |SELECT bin, n_train, n_pos_train, n_test, n_pos_test, conf, acc,
+      |  gap, ece
+      |FROM c CROSS JOIN e ORDER BY bin""".stripMargin
+
   /** Cumulative gains / lift chart over DESCENDING score deciles —
     * the targeting chart next to [[evalCalibration]]'s reliability
     * curve: gain = cumulative share of positives captured, lift =
@@ -1013,6 +1102,7 @@ object FeatureQueries {
     "eval_auc" -> (evalAuc _),
     "eval_confusion" -> (evalConfusion _),
     "eval_calibration" -> (evalCalibration _),
+    "eval_ece" -> (evalEce _),
     "dq_psi" -> (dqPsi _),
     "rfm_scores" -> (rfmScores _),
     "pivot_events" -> (pivotEvents _),
@@ -1032,6 +1122,7 @@ object FeatureQueries {
     "eval_auc" -> evalAucSql,
     "eval_confusion" -> evalConfusionSql,
     "eval_calibration" -> evalCalibrationSql,
+    "eval_ece" -> evalEceSql,
     "dq_psi" -> dqPsiSql,
     "rfm_scores" -> rfmScoresSql,
     "pivot_events" -> pivotEventsSql,

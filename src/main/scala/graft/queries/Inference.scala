@@ -849,6 +849,79 @@ object Inference {
       |    / CAST(n_c + n_t AS DOUBLE) AS chisq
       |FROM c""".stripMargin
 
+  /** Pre-experiment power analysis: the minimum detectable effect
+    * (MDE) per event_type at α = 0.05 (two-sided), power = 0.8, for
+    * the two-sample mean test the [[evalDid]]/[[evalSrm]] assignment
+    * would run — MDE = (z_{α/2} + z_β) · σ · √(1/n_c + 1/n_t), the
+    * third leg of the experimentation plane (design, next to health
+    * and estimate). The normal quantiles are transcendental, so the
+    * SUM z_{0.025} + z_{0.2} is baked as ONE shortest-repr literal
+    * (2.801585) into both plans — the eval_ndcg log-discount
+    * convention; σ comes from decimal-exact moments (CUPED's
+    * (18,2)/(38,4) scales) with a single correctly-rounded sqrt, and
+    * the arm sizes come from the same salted coin.
+    *
+    * Scale: ONE hash aggregation over events (map-side combinable)
+    * — no join, no window.
+    */
+  def evalPower(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        pmod(conv(substr(md5(concat(lit("did:"),
+          col("user_id").cast("string"))), lit(1), lit(8)), 16, 10)
+          .cast("long"), lit(2L)).as("treat"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("decimal(38,4)"))
+          .cast("double").as("sxx"))
+      .withColumn("mean", col("sx") / col("n").cast("double"))
+      // degenerate-group guards (ANSI divide-by-zero, edge corpus):
+      // n = 1 → no variance; an empty arm → no MDE; mean 0 → no
+      // relative MDE — all emitted as NULL, mirrored in the oracle
+      .withColumn("variance", when(col("n") > 1,
+        (col("n").cast("double") * col("sxx") - col("sx") * col("sx")) /
+          (col("n").cast("double") * (col("n").cast("double") - lit(1.0)))))
+      .withColumn("sd", sqrt(col("variance")))
+      .withColumn("mde_abs", when(col("n_c") > 0 && col("n_t") > 0,
+        lit(2.801585) * col("sd") *
+          sqrt(lit(1.0) / col("n_c").cast("double") +
+            lit(1.0) / col("n_t").cast("double"))))
+      .select(col("event_type"), col("n_c"), col("n_t"), col("mean"),
+        col("sd"), col("mde_abs"),
+        when(col("mean") =!= 0.0, col("mde_abs") / col("mean")).as("mde_rel"))
+      .orderBy(col("event_type"))
+  }
+
+  val evalPowerSql: String =
+    """WITH ev AS (SELECT event_type, value,
+      |    CAST(CAST(concat('0x', substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 2 AS BIGINT) AS treat
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+      |      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+      |  FROM ev GROUP BY 1),
+      |v AS (SELECT *, sx / CAST(n AS DOUBLE) AS mean,
+      |    CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)) END AS variance
+      |  FROM m),
+      |d AS (SELECT *, sqrt(variance) AS sd FROM v),
+      |e AS (SELECT *, CASE WHEN n_c > 0 AND n_t > 0 THEN 2.801585e0 * sd
+      |    * sqrt(1.0e0 / CAST(n_c AS DOUBLE) + 1.0e0 / CAST(n_t AS DOUBLE))
+      |    END AS mde_abs FROM d)
+      |SELECT event_type, n_c, n_t, mean, sd, mde_abs,
+      |  CASE WHEN mean <> 0.0e0 THEN mde_abs / mean END AS mde_rel
+      |FROM e ORDER BY event_type""".stripMargin
+
   /** Fisher's exact test (1935), one-sided upper tail, on the
     * per-nation 2×2 table (mktsegment = BUILDING) × (acctbal > 5000)
     * over customers — the small-sample independence test a z-test
@@ -1074,6 +1147,7 @@ object Inference {
     "eval_cuped" -> (evalCuped _),
     "eval_did" -> (evalDid _),
     "eval_srm" -> (evalSrm _),
+    "eval_power" -> (evalPower _),
     "stats_hurst" -> (statsHurst _),
     "ts_pacf" -> (tsPacf _),
     "ts_ljungbox" -> (tsLjungbox _),
@@ -1091,6 +1165,7 @@ object Inference {
     "eval_cuped" -> evalCupedSql,
     "eval_did" -> evalDidSql,
     "eval_srm" -> evalSrmSql,
+    "eval_power" -> evalPowerSql,
     "ts_pacf" -> tsPacfSql,
     "stats_hurst" -> statsHurstSql,
     "ts_ljungbox" -> tsLjungboxSql,

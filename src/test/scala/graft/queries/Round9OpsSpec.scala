@@ -234,6 +234,72 @@ class Round9OpsSpec extends SparkSpec {
       Seq("l_quantity", "l_discount", "l_tax"))
   }
 
+  test("eval_power equals a plain-Scala moment/MDE chain") {
+    val rows = graft.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = Inference.evalPower(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val g = rows.filter(_._1 == et)
+      val nC = g.count(x => didTreat(x._3) == 0L).toLong
+      val nT = g.size - nC
+      val n = g.size.toDouble
+      val sx = g.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val sxx = g.map { x =>
+        val d = BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        (d * d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val mean = sx / n
+      val variance = (n * sxx - sx * sx) / (n * (n - 1.0))
+      val sd = math.sqrt(variance)
+      val mde = 2.801585 * sd * math.sqrt(1.0 / nC.toDouble + 1.0 / nT.toDouble)
+      assert(r.getLong(1) == nC && r.getLong(2) == nT, s"$et arms")
+      assert(r.getDouble(3) == mean && r.getDouble(4) == sd, s"$et moments")
+      assert(r.getDouble(5) == mde && r.getDouble(6) == mde / mean, s"$et mde")
+    }
+  }
+
+  test("eval_ece equals a plain-Scala holdout reliability fold") {
+    val rows = graft.Tables(spark, sf, "orders")
+      .select(round(col("o_totalprice") * 100.0).cast("long"),
+        (col("o_orderstatus") === "F").cast("long"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pooled exact deciles via the value-histogram cumulative
+    val hist = rows.groupBy(_._1).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val n = rows.size.toLong
+    var cum = 0L
+    val binOf = hist.map { case (v, c) => cum += c; v -> (cum - 1) * 10 / n }.toMap
+    final case class B(var nTr: Long = 0, var pTr: Long = 0,
+      var nTe: Long = 0, var pTe: Long = 0)
+    val bins = scala.collection.mutable.Map[Long, B]()
+    rows.foreach { case (v, y, k) =>
+      val b = bins.getOrElseUpdate(binOf(v), B())
+      if (k % 5 != 0) { b.nTr += 1; b.pTr += y } else { b.nTe += 1; b.pTe += y }
+    }
+    val ntAll = bins.values.map(_.nTe).sum.toDouble
+    val ordered = bins.toSeq.sortBy(_._1)
+    val ece = ordered.foldLeft(0.0) { case (acc, (_, b)) =>
+      val gap = math.abs(b.pTr.toDouble / b.nTr.toDouble -
+        b.pTe.toDouble / b.nTe.toDouble)
+      acc + b.nTe.toDouble / ntAll * gap
+    }
+    val got = FeatureQueries.evalEce(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == ordered.map(_._1))
+    got.zip(ordered).foreach { case (r, (_, b)) =>
+      val conf = b.pTr.toDouble / b.nTr.toDouble
+      val acc = b.pTe.toDouble / b.nTe.toDouble
+      assert(r.getLong(1) == b.nTr && r.getLong(2) == b.pTr)
+      assert(r.getLong(3) == b.nTe && r.getLong(4) == b.pTe)
+      assert(r.getDouble(5) == conf && r.getDouble(6) == acc)
+      assert(r.getDouble(7) == math.abs(conf - acc))
+      assert(r.getDouble(8) == ece)
+    }
+  }
+
   test("Dedup.clusters converges on a path whose diameter equals maxIter exactly") {
     import spark.implicits._
     // path 1-2-3-...-6: min-label reaches node 6 after 5 propagation
