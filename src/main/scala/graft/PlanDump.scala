@@ -101,7 +101,11 @@ object PlanDump {
       // erasure audit, blocking eval, graph profile, streaming DAU
       "kg_hybrid", "pipeline_budget", "agg_incremental", "dq_erasure",
       "er_blocking_eval", "graph_reciprocity", "graph_summary",
-      "stream_dau", "ts_backtest")
+      "stream_dau", "ts_backtest",
+      // round 9: the flattened Markov attribution (per-round
+      // checkpoint + broadcast-hinted alphabet tail) and the
+      // experimentation plane (single-agg power/DiD shapes)
+      "attribution_markov", "eval_power", "eval_did", "ml_boost_deep")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")
