@@ -656,8 +656,153 @@ object MlExtra {
       |    ELSE 1.0e0 END AS alpha
       |FROM m""".stripMargin
 
+  /** Depth-2 CART regression tree (Breiman et al. 1984): root split on
+    * l_quantity, then each side split independently on l_discount —
+    * the recursive-partitioning sibling of the forward-stagewise
+    * [[boost]]/[[boostDeep]] (boosting re-fits the WHOLE corpus per
+    * round; the tree refines DISJOINT subsets). Residuals are centered
+    * on the global integer floor-mean (argmax-invariant: centering
+    * shifts every candidate's S²/n gain by the same constant).
+    *
+    * Output: one row per internal node (root, L = left child,
+    * R = right child), each with its split stats plus that node's own
+    * SSE before/after (DECIMAL(38,0), never doubled). A child whose
+    * subset has a single distinct discount value emits NO row (no
+    * valid split) — mirrored by the oracle's empty LIMIT-1 CTE.
+    *
+    * Determinism: identical to boost — integer residuals, windowed
+    * integer cumsums, the 5-op double gain chain, (gain DESC,
+    * threshold ASC) argmax, truncating-division leaf means.
+    *
+    * Scale: three alphabet-sized histogram aggregations (one per
+    * node; the children scan disjoint subsets), each + a window over
+    * ≤50 candidate rows; best rows broadcast back. No corpus sort,
+    * no per-row state.
+    */
+  def mlTree(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100.0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_discount") * 100.0).cast("long").as("d"))
+    val f0 = base.agg(Relational.intdiv(sum(col("y")), count(lit(1))).as("f0"))
+    val r1 = base.crossJoin(f0).select(col("q"), col("d"),
+      (col("y") - col("f0")).as("r"))
+
+    def stump(rows: DataFrame, f: String): DataFrame = {
+      val hist = rows.groupBy(col(f).as("t"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("n")).as("nn"), sum(col("sr")).as("ss"))
+      hist
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("sl", sum(col("sr")).over(w))
+        .crossJoin(tot)
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("srr", col("ss") - col("sl"))
+        .filter(col("nr") > 0)
+        .withColumn("gain",
+          col("sl").cast("double") * col("sl").cast("double") /
+            col("nl").cast("double") +
+          col("srr").cast("double") * col("srr").cast("double") /
+            col("nr").cast("double"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("gain").desc, col("t"))))
+        .filter(col("rn") === 1)
+        .select(col("t").as("threshold"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("sl").as("sum_left"),
+          col("srr").as("sum_right"),
+          truncDiv(col("sl"), col("nl")).as("leaf_left"),
+          truncDiv(col("srr"), col("nr")).as("leaf_right"),
+          col("gain"))
+    }
+
+    // a node row = its best stump + that node's own SSE before/after
+    def nodeRow(b: DataFrame, rows: DataFrame, fcol: String,
+        fname: String, label: String): DataFrame = {
+      val sse = rows.crossJoin(broadcast(b.select(col("threshold").as("th"),
+          col("leaf_left").as("ll"), col("leaf_right").as("lr"))))
+        .withColumn("r2", col("r") -
+          when(col(fcol) <= col("th"), col("ll")).otherwise(col("lr")))
+        .agg(sum((col("r") * col("r")).cast("decimal(38,0)")).as("sse_before"),
+          sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("sse_after"))
+      b.crossJoin(sse).select(lit(label).as("node"), lit(fname).as("feature"),
+        col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
+        col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
+        col("sse_before"), col("sse_after"),
+        (col("n_left") + col("n_right")).as("n_total"))
+    }
+
+    val rootB = stump(r1.select(col("q"), col("r")), "q")
+    val rootBc = broadcast(rootB.select(col("threshold").as("t0")))
+    val leftRows = r1.crossJoin(rootBc).filter(col("q") <= col("t0"))
+      .select(col("d"), col("r"))
+    val rightRows = r1.crossJoin(rootBc).filter(col("q") > col("t0"))
+      .select(col("d"), col("r"))
+    nodeRow(rootB, r1, "q", "l_quantity", "root")
+      .unionAll(nodeRow(stump(leftRows, "d"), leftRows, "d", "l_discount", "L"))
+      .unionAll(nodeRow(stump(rightRows, "d"), rightRows, "d", "l_discount", "R"))
+      .orderBy(col("node"))
+  }
+
+  val mlTreeSql: String = {
+    def stumpCtes(p: String, rel: String, feat: String): String =
+      s"""${p}hist AS (SELECT $feat AS t, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r) AS BIGINT) AS sr FROM $rel GROUP BY 1),
+         |${p}tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(SUM(sr) AS BIGINT) AS ss FROM ${p}hist),
+         |${p}cum AS (SELECT t,
+         |    CAST(SUM(n) OVER (ORDER BY t) AS BIGINT) AS nl,
+         |    CAST(SUM(sr) OVER (ORDER BY t) AS BIGINT) AS sl FROM ${p}hist),
+         |${p}cand AS (SELECT t, nl, sl, nn - nl AS nr, ss - sl AS srr,
+         |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+         |      + CAST(ss - sl AS DOUBLE) * CAST(ss - sl AS DOUBLE)
+         |        / CAST(nn - nl AS DOUBLE) AS gain
+         |  FROM ${p}cum CROSS JOIN ${p}tot WHERE nn - nl > 0),
+         |${p}best AS (SELECT t AS threshold, nl AS n_left, nr AS n_right,
+         |    sl AS sum_left, srr AS sum_right, sl // nl AS leaf_left,
+         |    srr // nr AS leaf_right, gain
+         |  FROM ${p}cand ORDER BY gain DESC, t LIMIT 1)""".stripMargin
+    def sseCte(name: String, rel: String, best: String, fcol: String): String =
+      s"""$name AS (SELECT
+         |    CAST(SUM(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_before,
+         |    CAST(SUM(CAST((r - CASE WHEN $fcol <= b.threshold THEN b.leaf_left
+         |        ELSE b.leaf_right END) * (r - CASE WHEN $fcol <= b.threshold
+         |        THEN b.leaf_left ELSE b.leaf_right END) AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS sse_after
+         |  FROM $rel CROSS JOIN ${best} b)""".stripMargin
+    def nodeRow(label: String, fname: String, best: String, sse: String): String =
+      s"""SELECT '$label' AS node, '$fname' AS feature, b.*,
+         |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
+         |FROM $best b CROSS JOIN $sse s""".stripMargin
+    s"""WITH base AS (SELECT CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS y,
+       |    CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100.0e0) AS BIGINT) AS d FROM lineitem),
+       |f0 AS (SELECT CAST(SUM(y) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS f0
+       |  FROM base),
+       |r1 AS (SELECT q, d, y - f0 AS r FROM base CROSS JOIN f0),
+       |r1f AS (SELECT q AS feat, r FROM r1),
+       |${stumpCtes("a", "r1f", "feat")},
+       |lrows AS (SELECT d, r FROM r1 CROSS JOIN abest b WHERE q <= b.threshold),
+       |rrows AS (SELECT d, r FROM r1 CROSS JOIN abest b WHERE q > b.threshold),
+       |lf AS (SELECT d AS feat, r FROM lrows),
+       |rf AS (SELECT d AS feat, r FROM rrows),
+       |${stumpCtes("b", "lf", "feat")},
+       |${stumpCtes("c", "rf", "feat")},
+       |${sseCte("ssea", "r1", "abest", "q")},
+       |${sseCte("sseb", "lrows", "bbest", "d")},
+       |${sseCte("ssec", "rrows", "cbest", "d")}
+       |${nodeRow("root", "l_quantity", "abest", "ssea")}
+       |UNION ALL
+       |${nodeRow("L", "l_discount", "bbest", "sseb")}
+       |UNION ALL
+       |${nodeRow("R", "l_discount", "cbest", "ssec")}
+       |ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_naivebayes" -> (naiveBayes _),
+    "ml_tree" -> (mlTree _),
     "ml_boost" -> (boost _),
     "ml_boost_deep" -> (boostDeep _),
     "eval_isotonic" -> (isotonic _),
@@ -667,6 +812,7 @@ object MlExtra {
 
   val oracles: Map[String, String] = Map(
     "ml_naivebayes" -> naiveBayesSql,
+    "ml_tree" -> mlTreeSql,
     "ml_boost" -> boostSql,
     "ml_boost_deep" -> boostDeepSql,
     "eval_isotonic" -> isotonicSql,
