@@ -40,28 +40,40 @@ object Decisioning {
     * chain with a single correctly-rounded sqrt. Degenerate looks
     * (an empty arm, zero variance) emit NULL z, never divide by zero.
     *
-    * Scale: one narrow map (hash + look label) and ONE hash
-    * aggregation to ≤5 look rows; the cumulative window runs on that
-    * 5-row table — alphabet-bounded, no corpus window, no join.
+    * Scale: ONE map-side-combinable corpus aggregation to per-day
+    * cells (keyed on the raw day so d0 and the look roll-up fold from
+    * the checkpointed aggregate — a single scan); the cumulative
+    * window runs on the ≤5-row look table — alphabet-bounded, no
+    * corpus window, no join.
     */
   def evalSequential(s: SparkSession, dir: String): DataFrame = {
     val ev0 = Tables(s, dir, "events").filter(col("value").isNotNull)
       .select(col("value").cast("decimal(18,2)").as("v"),
         (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"),
         coin("did:").as("treat"))
-    val d0 = ev0.agg(min(col("day")).as("d0"))
-    val ev = ev0.crossJoin(broadcast(d0))
+    def cell(t: Int, c: Column): Column = when(col("treat") === t, c)
+    // ONE corpus aggregation keyed on the raw day (≤ |days| rows,
+    // checkpointed); d0, the look labels, and the look roll-up all
+    // fold from it — decimal sums re-aggregate exactly
+    val perDay = graft.Caches.checkpointReset(
+      ev0.groupBy(col("day"))
+        .agg(
+          count(cell(0, col("v"))).as("pn_c"),
+          count(cell(1, col("v"))).as("pn_t"),
+          sum(cell(0, col("v"))).as("ps_c"),
+          sum(cell(1, col("v"))).as("ps_t"),
+          sum(cell(0, (col("v") * col("v")).cast("decimal(38,4)"))).as("pss_c"),
+          sum(cell(1, (col("v") * col("v")).cast("decimal(38,4)"))).as("pss_t"))
+        .coalesce(1))
+    val d0 = perDay.agg(min(col("day")).as("d0"))
+    val perLook = perDay.crossJoin(broadcast(d0))
       .withColumn("look",
         least(Relational.intdiv(col("day") - col("d0"), lit(6L)) + 1L, lit(5L)))
-    def cell(t: Int, c: Column): Column = when(col("treat") === t, c)
-    val perLook = ev.groupBy(col("look"))
+      .groupBy(col("look"))
       .agg(
-        count(cell(0, col("v"))).as("pn_c"),
-        count(cell(1, col("v"))).as("pn_t"),
-        sum(cell(0, col("v"))).as("ps_c"),
-        sum(cell(1, col("v"))).as("ps_t"),
-        sum(cell(0, (col("v") * col("v")).cast("decimal(38,4)"))).as("pss_c"),
-        sum(cell(1, (col("v") * col("v")).cast("decimal(38,4)"))).as("pss_t"))
+        sum(col("pn_c")).as("pn_c"), sum(col("pn_t")).as("pn_t"),
+        sum(col("ps_c")).as("ps_c"), sum(col("ps_t")).as("ps_t"),
+        sum(col("pss_c")).as("pss_c"), sum(col("pss_t")).as("pss_t"))
     val w = Window.orderBy(col("look"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = perLook
@@ -233,8 +245,10 @@ object Decisioning {
     * Q terms are computed per segment BEFORE the fold so both engines
     * add identical doubles in identical order.
     *
-    * Scale: one hash aggregation to |segments| rows; all folds run on
-    * that alphabet-sized list. Degenerate segments (an empty arm or
+    * Scale: ONE map-side-combinable corpus aggregation to |segments|
+    * rows (checkpointed — the pool fold, Q terms, and final select
+    * reuse it without re-scanning); all folds run on that
+    * alphabet-sized list. Degenerate segments (an empty arm or
     * n ≤ 1) are excluded from the pooled statistics by the same
     * w IS NULL rule on both engines.
     */
@@ -249,7 +263,10 @@ object Decisioning {
       when(n > 1,
         (n.cast("double") * sxx - sx * sx) /
           (n.cast("double") * (n.cast("double") - lit(1.0))))
-    val segs = ev.groupBy(col("segment"))
+    // ONE corpus aggregation to |segments| rows, checkpointed — the
+    // pool fold, the Q terms, and the final select all reuse it
+    // without re-scanning
+    val segs = graft.Caches.checkpointReset(ev.groupBy(col("segment"))
       .agg(
         count(cell(0, col("v"))).as("n_c"),
         count(cell(1, col("v"))).as("n_t"),
@@ -259,6 +276,7 @@ object Decisioning {
           .cast("double").as("ss_c"),
         sum(cell(1, (col("v") * col("v")).cast("decimal(38,4)")))
           .cast("double").as("ss_t"))
+      .coalesce(1))
       .withColumn("m_c", meanOf(col("s_c"), col("n_c")))
       .withColumn("m_t", meanOf(col("s_t"), col("n_t")))
       .withColumn("v_c", varOf(col("s_c"), col("ss_c"), col("n_c")))
@@ -370,23 +388,31 @@ object Decisioning {
     * every realized mean is one double division; the total regret is
     * an ordered day-fold, not a double SUM.
     *
-    * Scale: one hash aggregation to the |days|×|arms| grid; windows
-    * and folds run on that alphabet-bounded table — no corpus window,
-    * no per-event state at any scale.
+    * Scale: ONE map-side-combinable corpus aggregation to the
+    * day×arm table (keyed on the raw day so d0 folds from the
+    * aggregate, not a second scan), checkpointed; the grid, windows,
+    * and folds all run on that alphabet-bounded table — no corpus
+    * window, no per-event state, exactly one scan at any scale.
     */
   def evalBandit(s: SparkSession, dir: String): DataFrame = {
     val ev0 = Tables(s, dir, "events").filter(col("value").isNotNull)
       .select(col("event_type").as("arm"),
         col("value").cast("decimal(18,2)").as("v"),
         (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
-    val d0 = ev0.agg(min(col("day")).as("d0"))
-    val ev = ev0.crossJoin(broadcast(d0))
-      .select(col("arm"), col("v"), (col("day") - col("d0")).as("day_idx"))
-    val da = ev.groupBy(col("day_idx"), col("arm"))
+    // ONE corpus aggregation (keyed on the raw day so d0 folds from the
+    // aggregate, not a second scan); the checkpointed day×arm table is
+    // the whole downstream input
+    val da0 = ev0.groupBy(col("day"), col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-    val grid = ev.select(col("day_idx")).distinct()
-      .crossJoin(ev.select(col("arm")).distinct())
-      .join(da, Seq("day_idx", "arm"), "left")
+    val d0 = da0.agg(min(col("day")).as("d0"))
+    val da = graft.Caches.checkpointReset(
+      da0.crossJoin(broadcast(d0))
+        .select((col("day") - col("d0")).as("day_idx"), col("arm"),
+          col("n"), col("sv"))
+        .coalesce(1))
+    val grid = da.select(col("day_idx")).distinct()
+      .crossJoin(da.select(col("arm")).distinct())
+      .join(broadcast(da), Seq("day_idx", "arm"), "left")
       .select(col("day_idx"), col("arm"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sv"), lit(0).cast("decimal(18,2)")).as("sv"))

@@ -162,68 +162,28 @@ object MlExtra {
     * cumsums — order-independent), argmax with smallest-threshold
     * tiebreak. SSE totals are DECIMAL(38,0) — never doubled.
     *
-    * Scale: per round one histogram aggregation on the feature's
-    * value alphabet (≤50 quantities / ≤11 discounts) + a window over
-    * that alphabet-sized table; the round-1 best row joins back by
-    * broadcast. No per-row state, no global sort over the corpus.
+    * Scale (r9 single-scan design): ONE map-side-combinable corpus
+    * aggregation to the (quantity × discount) cell table with exact
+    * residual moments (n, Σr as BIGINT, Σr² as DECIMAL(38,0) —
+    * derived from raw-y moments by the shift identities
+    * Σ(y−f0) = Σy − n·f0 and Σ(y−f0)² = Σy² − 2f0Σy + n·f0²); the
+    * ≤550-row cell table is checkpointed and every stump round, leaf
+    * subtraction (per-cell: leaf is a function of the cell's feature
+    * value), and SSE total is cell-table algebra — a 100 TB corpus
+    * costs exactly one aggregation pass. No per-row state, no global
+    * sort, no second scan.
     */
   def boost(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "lineitem")
-      .select(round(col("l_extendedprice") * 100.0).cast("long").as("y"),
-        col("l_quantity").cast("long").as("q"),
-        round(col("l_discount") * 100.0).cast("long").as("d"))
-    val f0 = base.agg(Relational.intdiv(sum(col("y")), count(lit(1))).as("f0"))
-    val r1 = base.crossJoin(f0).withColumn("r", col("y") - col("f0"))
-
-    // one stump round: histogram on feature `f`, windowed cumsums,
-    // per-candidate gain, best row (gain desc, threshold asc)
-    def stump(rows: DataFrame, f: String): DataFrame = {
-      val hist = rows.groupBy(col(f).as("t"))
-        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
-      val w = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = hist.agg(sum(col("n")).as("nn"), sum(col("sr")).as("ss"))
-      hist
-        .withColumn("nl", sum(col("n")).over(w))
-        .withColumn("sl", sum(col("sr")).over(w))
-        .crossJoin(tot)
-        .withColumn("nr", col("nn") - col("nl"))
-        .withColumn("srr", col("ss") - col("sl"))
-        .filter(col("nr") > 0)
-        .withColumn("gain",
-          col("sl").cast("double") * col("sl").cast("double") /
-            col("nl").cast("double") +
-          col("srr").cast("double") * col("srr").cast("double") /
-            col("nr").cast("double"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("gain").desc, col("t"))))
-        .filter(col("rn") === 1)
-        .select(col("t").as("threshold"), col("nl").as("n_left"),
-          col("nr").as("n_right"), col("sl").as("sum_left"),
-          col("srr").as("sum_right"),
-          // residual sums go NEGATIVE: DuckDB's // truncates toward zero
-          // there (floor only for non-negative), so mirror with a
-          // truncating div, not Relational.intdiv (floor)
-          truncDiv(col("sl"), col("nl")).as("leaf_left"),
-          truncDiv(col("srr"), col("nr")).as("leaf_right"),
-          col("gain"))
-    }
-
-    val b1 = stump(r1, "q")
-    val r2 = r1.crossJoin(broadcast(b1.select(col("threshold").as("t1"),
-        col("leaf_left").as("ll1"), col("leaf_right").as("lr1"))))
-      .withColumn("r2", col("r") -
-        when(col("q") <= col("t1"), col("ll1")).otherwise(col("lr1")))
-    val b2 = stump(r2.select(col("d"), col("r2").as("r")), "d")
-    val sse2 = r2.crossJoin(broadcast(b2.select(col("threshold").as("t2"),
-        col("leaf_left").as("ll2"), col("leaf_right").as("lr2"))))
-      .withColumn("r3", col("r2") -
-        when(col("d") <= col("t2"), col("ll2")).otherwise(col("lr2")))
-      .agg(sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("sse_in2"),
-        sum((col("r3") * col("r3")).cast("decimal(38,0)")).as("sse_out2"))
-    val sse1 = r2.agg(
-      sum((col("r") * col("r")).cast("decimal(38,0)")).as("sse_in1"),
-      sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("sse_out1"))
+    val keys = Seq("q", "d")
+    val cells = residCells(s, dir, keys)
+    val b1 = cellStump(cells, "q")
+    val up1 = ckptCell(cellUpdate(cells, keys, "q", b1))
+    val sse1 = cells.agg(sum(col("sr2")).as("sse_in1"))
+      .crossJoin(up1.agg(sum(col("sr2")).as("sse_out1")))
+    val b2 = cellStump(up1, "d")
+    val up2 = cellUpdate(up1, keys, "d", b2)
+    val sse2 = up1.agg(sum(col("sr2")).as("sse_in2"))
+      .crossJoin(up2.agg(sum(col("sr2")).as("sse_out2")))
     val rounds =
       b1.crossJoin(sse1).select(lit(1L).as("round"), lit("l_quantity").as("feature"),
         col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
@@ -240,72 +200,130 @@ object MlExtra {
       .orderBy(col("round"))
   }
 
+  /** ONE corpus aggregation to the feature-cell table with exact
+    * centered-residual moments. Keys ⊆ {q, d, t} (quantity, discount
+    * cents, tax cents — alphabet ≤ 50×11×9 cells); n/Σr stay BIGINT
+    * (Σr ≤ corpus·maxprice — the same bound the pre-r9 per-row design
+    * carried), Σr² is DECIMAL(38,0). f0 itself folds from the cell
+    * table, so the corpus is read exactly once; the cell table is
+    * coalesced to one partition and checkpoint-reset (the
+    * attribution_markov recipe — downstream consumers see a tiny
+    * LogicalRDD, and every 1-row best is broadcast-hinted).
+    */
+  private def residCells(s: SparkSession, dir: String,
+      keys: Seq[String]): DataFrame = {
+    val base = Tables(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100.0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_discount") * 100.0).cast("long").as("d"),
+        round(col("l_tax") * 100.0).cast("long").as("t"))
+    val cells0 = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("sy2"))
+    val f0 = cells0.agg(Relational.intdiv(sum(col("sy")), sum(col("n"))).as("f0"))
+    val cells = cells0.crossJoin(broadcast(f0))
+      .select(keys.map(col) ++ Seq(
+        col("n"),
+        (col("sy") - col("n") * col("f0")).as("sr"),
+        (col("sy2") - col("sy").cast("decimal(38,0)") * col("f0") * lit(2)
+          + col("n").cast("decimal(38,0)") * col("f0") * col("f0"))
+          .cast("decimal(38,0)").as("sr2")): _*)
+    graft.Caches.checkpointReset(cells.coalesce(1))
+  }
+
+  /** Checkpoint a tiny (≤550-row) intermediate frame to one partition
+    * so multi-round plans stay flat instead of compounding — every
+    * stump / updated cell table below is consumed 2–3×, and without
+    * the barrier Catalyst re-executes the shared subplan per consumer.
+    */
+  private def ckptCell(df: DataFrame): DataFrame =
+    graft.Caches.checkpointReset(df.coalesce(1))
+
+  /** Best stump over the cell table on feature `f`: marginal histogram
+    * (sums of cell counts/residual-sums), windowed integer cumsums,
+    * the 5-op double gain chain, (gain DESC, threshold ASC) argmax —
+    * value-identical to the pre-r9 per-row stump. The 1-row result is
+    * checkpointed (it feeds both the output row and [[cellUpdate]]).
+    */
+  private def cellStump(cells: DataFrame, f: String): DataFrame = ckptCell {
+    val hist = cells.groupBy(col(f).as("t"))
+      .agg(sum(col("n")).as("n"), sum(col("sr")).as("sr"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).as("nn"), sum(col("sr")).as("ss"))
+    hist
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("sl", sum(col("sr")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("nr", col("nn") - col("nl"))
+      .withColumn("srr", col("ss") - col("sl"))
+      .filter(col("nr") > 0)
+      .withColumn("gain",
+        col("sl").cast("double") * col("sl").cast("double") /
+          col("nl").cast("double") +
+        col("srr").cast("double") * col("srr").cast("double") /
+          col("nr").cast("double"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gain").desc, col("t"))))
+      .filter(col("rn") === 1)
+      .select(col("t").as("threshold"), col("nl").as("n_left"),
+        col("nr").as("n_right"), col("sl").as("sum_left"),
+        col("srr").as("sum_right"),
+        // residual sums go NEGATIVE: DuckDB's // truncates toward zero
+        // there (floor only for non-negative), so mirror with a
+        // truncating div, not Relational.intdiv (floor)
+        truncDiv(col("sl"), col("nl")).as("leaf_left"),
+        truncDiv(col("srr"), col("nr")).as("leaf_right"),
+        col("gain"))
+  }
+
+  /** Subtract the fitted stump from the cell table's residual moments
+    * — exact per cell, because the leaf is constant within a cell:
+    * Σ(r−ℓ) = Σr − n·ℓ and Σ(r−ℓ)² = Σr² − 2ℓΣr + n·ℓ² (DECIMAL —
+    * n·ℓ² can exceed 2⁶³).
+    */
+  private def cellUpdate(cells: DataFrame, keys: Seq[String], f: String,
+      b: DataFrame): DataFrame =
+    cells.crossJoin(broadcast(b.select(col("threshold").as("b_th"),
+        col("leaf_left").as("b_ll"), col("leaf_right").as("b_lr"))))
+      .withColumn("leaf",
+        when(col(f) <= col("b_th"), col("b_ll")).otherwise(col("b_lr")))
+      .select(keys.map(col) ++ Seq(
+        col("n"),
+        (col("sr") - col("n") * col("leaf")).as("sr"),
+        (col("sr2") - col("sr").cast("decimal(38,0)") * col("leaf") * lit(2)
+          + col("n").cast("decimal(38,0)") * col("leaf") * col("leaf"))
+          .cast("decimal(38,0)").as("sr2")): _*)
+
   /** Three-round gradient boosting over THREE features — quantity,
     * discount, then tax cents (a 9-value alphabet) — the deeper
     * sibling of [[boost]]: round 3's residuals have passed through
     * two truncating-division leaf subtractions, so the truncDiv
     * negative-residual convention is exercised on compounded
-    * residuals, not just first-order ones. Same determinism and
-    * plan shape as [[boost]]: per round one alphabet-sized histogram
-    * aggregation + window, the best stump broadcast back, and the
-    * SSE pair computed in ONE corpus aggregation per round.
+    * residuals, not just first-order ones. Same determinism as
+    * [[boost]] and the same r9 single-scan shape: ONE corpus
+    * aggregation to the (quantity × discount × tax) cell table
+    * (≤ 50×11×9 cells), then three rounds of checkpoint-free
+    * cell-table algebra — stumps on marginal histograms, per-cell
+    * moment-shift leaf subtraction, SSE totals as cell sums.
     */
   def boostDeep(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "lineitem")
-      .select(round(col("l_extendedprice") * 100.0).cast("long").as("y"),
-        col("l_quantity").cast("long").as("f_q"),
-        round(col("l_discount") * 100.0).cast("long").as("f_d"),
-        round(col("l_tax") * 100.0).cast("long").as("f_t"))
-    val f0 = base.agg(Relational.intdiv(sum(col("y")), count(lit(1))).as("f0"))
-    var cur = base.crossJoin(f0).withColumn("r", col("y") - col("f0"))
-
-    def stump(rows: DataFrame, f: String): DataFrame = {
-      val hist = rows.groupBy(col(f).as("t"))
-        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
-      val w = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = hist.agg(sum(col("n")).as("nn"), sum(col("sr")).as("ss"))
-      hist
-        .withColumn("nl", sum(col("n")).over(w))
-        .withColumn("sl", sum(col("sr")).over(w))
-        .crossJoin(tot)
-        .withColumn("nr", col("nn") - col("nl"))
-        .withColumn("srr", col("ss") - col("sl"))
-        .filter(col("nr") > 0)
-        .withColumn("gain",
-          col("sl").cast("double") * col("sl").cast("double") /
-            col("nl").cast("double") +
-          col("srr").cast("double") * col("srr").cast("double") /
-            col("nr").cast("double"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("gain").desc, col("t"))))
-        .filter(col("rn") === 1)
-        .select(col("t").as("threshold"), col("nl").as("n_left"),
-          col("nr").as("n_right"), col("sl").as("sum_left"),
-          col("srr").as("sum_right"),
-          truncDiv(col("sl"), col("nl")).as("leaf_left"),
-          truncDiv(col("srr"), col("nr")).as("leaf_right"),
-          col("gain"))
-    }
-
-    val feats = Seq(("f_q", "l_quantity"), ("f_d", "l_discount"),
-      ("f_t", "l_tax"))
+    val keys = Seq("q", "d", "t")
+    var cur = residCells(s, dir, keys)
+    val feats = Seq(("q", "l_quantity"), ("d", "l_discount"),
+      ("t", "l_tax"))
     val rounds = feats.zipWithIndex.map { case ((fc, fname), i) =>
-      val b = stump(cur.select(col(fc), col("r")), fc)
-      val next = cur.crossJoin(broadcast(b.select(col("threshold").as("th"),
-          col("leaf_left").as("ll"), col("leaf_right").as("lr"))))
-        .withColumn("r_next", col("r") -
-          when(col(fc) <= col("th"), col("ll")).otherwise(col("lr")))
-      val sse = next.agg(
-        sum((col("r") * col("r")).cast("decimal(38,0)")).as("sb"),
-        sum((col("r_next") * col("r_next")).cast("decimal(38,0)")).as("sa"))
+      val b = cellStump(cur, fc)
+      val next = ckptCell(cellUpdate(cur, keys, fc, b))
+      val sse = cur.agg(sum(col("sr2")).as("sb"))
+        .crossJoin(next.agg(sum(col("sr2")).as("sa")))
       val row = b.crossJoin(sse).select(lit((i + 1).toLong).as("round"),
         lit(fname).as("feature"), col("threshold"), col("n_left"),
         col("n_right"), col("sum_left"), col("sum_right"),
         col("leaf_left"), col("leaf_right"), col("gain"),
         col("sb").as("sse_before"), col("sa").as("sse_after"),
         (col("n_left") + col("n_right")).as("n_total"))
-      cur = next.drop("r", "th", "ll", "lr").withColumnRenamed("r_next", "r")
+      cur = next
       row
     }
     rounds.reduce(_ unionAll _).orderBy(col("round"))
@@ -674,58 +692,22 @@ object MlExtra {
     * integer cumsums, the 5-op double gain chain, (gain DESC,
     * threshold ASC) argmax, truncating-division leaf means.
     *
-    * Scale: three alphabet-sized histogram aggregations (one per
-    * node; the children scan disjoint subsets), each + a window over
-    * ≤50 candidate rows; best rows broadcast back. No corpus sort,
-    * no per-row state.
+    * Scale (r9 single-scan design): the [[residCells]] (quantity ×
+    * discount) cell table is built in ONE corpus aggregation; the
+    * root stump, both child stumps (cells FILTERED by the root
+    * threshold — not corpus re-scans), and every node's SSE
+    * before/after are cell-table algebra on ≤550 checkpointed rows.
     */
   def mlTree(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "lineitem")
-      .select(round(col("l_extendedprice") * 100.0).cast("long").as("y"),
-        col("l_quantity").cast("long").as("q"),
-        round(col("l_discount") * 100.0).cast("long").as("d"))
-    val f0 = base.agg(Relational.intdiv(sum(col("y")), count(lit(1))).as("f0"))
-    val r1 = base.crossJoin(f0).select(col("q"), col("d"),
-      (col("y") - col("f0")).as("r"))
-
-    def stump(rows: DataFrame, f: String): DataFrame = {
-      val hist = rows.groupBy(col(f).as("t"))
-        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
-      val w = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = hist.agg(sum(col("n")).as("nn"), sum(col("sr")).as("ss"))
-      hist
-        .withColumn("nl", sum(col("n")).over(w))
-        .withColumn("sl", sum(col("sr")).over(w))
-        .crossJoin(tot)
-        .withColumn("nr", col("nn") - col("nl"))
-        .withColumn("srr", col("ss") - col("sl"))
-        .filter(col("nr") > 0)
-        .withColumn("gain",
-          col("sl").cast("double") * col("sl").cast("double") /
-            col("nl").cast("double") +
-          col("srr").cast("double") * col("srr").cast("double") /
-            col("nr").cast("double"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("gain").desc, col("t"))))
-        .filter(col("rn") === 1)
-        .select(col("t").as("threshold"), col("nl").as("n_left"),
-          col("nr").as("n_right"), col("sl").as("sum_left"),
-          col("srr").as("sum_right"),
-          truncDiv(col("sl"), col("nl")).as("leaf_left"),
-          truncDiv(col("srr"), col("nr")).as("leaf_right"),
-          col("gain"))
-    }
+    val keys = Seq("q", "d")
+    val cells = residCells(s, dir, keys)
 
     // a node row = its best stump + that node's own SSE before/after
-    def nodeRow(b: DataFrame, rows: DataFrame, fcol: String,
+    def nodeRow(b: DataFrame, nodeCells: DataFrame, fcol: String,
         fname: String, label: String): DataFrame = {
-      val sse = rows.crossJoin(broadcast(b.select(col("threshold").as("th"),
-          col("leaf_left").as("ll"), col("leaf_right").as("lr"))))
-        .withColumn("r2", col("r") -
-          when(col(fcol) <= col("th"), col("ll")).otherwise(col("lr")))
-        .agg(sum((col("r") * col("r")).cast("decimal(38,0)")).as("sse_before"),
-          sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("sse_after"))
+      val sse = nodeCells.agg(sum(col("sr2")).as("sse_before"))
+        .crossJoin(cellUpdate(nodeCells, keys, fcol, b)
+          .agg(sum(col("sr2")).as("sse_after")))
       b.crossJoin(sse).select(lit(label).as("node"), lit(fname).as("feature"),
         col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
         col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
@@ -733,15 +715,17 @@ object MlExtra {
         (col("n_left") + col("n_right")).as("n_total"))
     }
 
-    val rootB = stump(r1.select(col("q"), col("r")), "q")
+    val rootB = cellStump(cells, "q")
     val rootBc = broadcast(rootB.select(col("threshold").as("t0")))
-    val leftRows = r1.crossJoin(rootBc).filter(col("q") <= col("t0"))
-      .select(col("d"), col("r"))
-    val rightRows = r1.crossJoin(rootBc).filter(col("q") > col("t0"))
-      .select(col("d"), col("r"))
-    nodeRow(rootB, r1, "q", "l_quantity", "root")
-      .unionAll(nodeRow(stump(leftRows, "d"), leftRows, "d", "l_discount", "L"))
-      .unionAll(nodeRow(stump(rightRows, "d"), rightRows, "d", "l_discount", "R"))
+    val leftCells = ckptCell(cells.crossJoin(rootBc)
+      .filter(col("q") <= col("t0"))
+      .select(col("q"), col("d"), col("n"), col("sr"), col("sr2")))
+    val rightCells = ckptCell(cells.crossJoin(rootBc)
+      .filter(col("q") > col("t0"))
+      .select(col("q"), col("d"), col("n"), col("sr"), col("sr2")))
+    nodeRow(rootB, cells, "q", "l_quantity", "root")
+      .unionAll(nodeRow(cellStump(leftCells, "d"), leftCells, "d", "l_discount", "L"))
+      .unionAll(nodeRow(cellStump(rightCells, "d"), rightCells, "d", "l_discount", "R"))
       .orderBy(col("node"))
   }
 
