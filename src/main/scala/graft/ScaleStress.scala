@@ -57,7 +57,14 @@ object ScaleStress {
     // clipped n-gram BLEU pairs, Kneser–Ney bigram tables, the CvM
     // bucketed ECDF, and the Mahalanobis moment matrix
     "ml_kmeans", "stats_permtest", "eval_bleu", "text_kneser_ney",
-    "stats_cvm", "dq_mahalanobis")
+    "stats_cvm", "dq_mahalanobis",
+    // round-9 additions: single-scan cell-table boosting/tree, the
+    // decisioning plane's keyed-day aggregations, and the causal
+    // quartet (two-level quantile ranks, stratified AsOf matching,
+    // bandwidth-pruned OLS, stratified folds)
+    "ml_boost_deep", "ml_tree", "eval_sequential", "eval_bandit",
+    "eval_hte", "eval_rdd", "eval_qte", "eval_matching",
+    "eval_poststrat")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L
