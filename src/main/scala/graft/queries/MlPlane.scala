@@ -354,15 +354,151 @@ object MlPlane {
       |  > 12.0e0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Fisher's linear discriminant (Fisher 1936) as a closed-form
+    * 2-feature Gaussian LDA: class = order is fully shipped
+    * (o_orderstatus 'F'), features = total price cents and order-date
+    * epoch-day. Class means and the POOLED within-class covariance
+    * come from one aggregation's exact DECIMAL moments (Σx, Σx²,
+    * Σxy per class via the shift identity — order-free); the 2×2
+    * inverse is Cramer's rule, w = S⁻¹(μ₁−μ₀), threshold =
+    * w·(μ₀+μ₁)/2 — every double produced by one cast and consumed in
+    * a fixed chain. A second pass scores each order (w·x > thr —
+    * per-row fixed chain on exactly-cast integers) and reports the
+    * confusion matrix + accuracy; degenerate inputs (a class with
+    * n ≤ 1, singular pooled covariance) emit NULL weights and NULL
+    * accuracy, never a divide-by-zero.
+    *
+    * Scale: TWO corpus scans (moments, then scoring against the
+    * broadcast 1-row model) — both map-side-combinable aggregations,
+    * no join, no window, the eval_ece train/apply shape.
+    */
+  def lda(s: SparkSession, dir: String): DataFrame = {
+    def base(ss: SparkSession) = Tables(ss, dir, "orders")
+      .select(when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        round(col("o_totalprice")).cast("long").as("x1"),
+        (expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          - lit(8035L)).as("x2"))
+    val b = base(s)
+    def cls(y: Int, c: Column): Column = when(col("y") === y, c)
+    def moments(y: Int, p: String) = Seq(
+      count(cls(y, lit(1))).cast("double").as(s"n$p"),
+      dsum(cls(y, col("x1")), s"s1$p"), dsum(cls(y, col("x2")), s"s2$p"),
+      dsum(cls(y, col("x1") * col("x1")), s"s11$p"),
+      dsum(cls(y, col("x1") * col("x2")), s"s12$p"),
+      dsum(cls(y, col("x2") * col("x2")), s"s22$p"))
+    val m = b.agg((moments(0, "a") ++ moments(1, "b")).head,
+        (moments(0, "a") ++ moments(1, "b")).tail: _*)
+      .withColumn("mxa", col("s1a") / col("na"))
+      .withColumn("mya", col("s2a") / col("na"))
+      .withColumn("mxb", col("s1b") / col("nb"))
+      .withColumn("myb", col("s2b") / col("nb"))
+      .withColumn("p11", (col("s11a") - col("s1a") * col("s1a") / col("na") +
+        (col("s11b") - col("s1b") * col("s1b") / col("nb"))) /
+        (col("na") + col("nb") - lit(2.0)))
+      .withColumn("p12", (col("s12a") - col("s1a") * col("s2a") / col("na") +
+        (col("s12b") - col("s1b") * col("s2b") / col("nb"))) /
+        (col("na") + col("nb") - lit(2.0)))
+      .withColumn("p22", (col("s22a") - col("s2a") * col("s2a") / col("na") +
+        (col("s22b") - col("s2b") * col("s2b") / col("nb"))) /
+        (col("na") + col("nb") - lit(2.0)))
+      .withColumn("d1", col("mxb") - col("mxa"))
+      .withColumn("d2", col("myb") - col("mya"))
+      .withColumn("det", col("p11") * col("p22") - col("p12") * col("p12"))
+      .withColumn("ok", col("na") > 1.0 && col("nb") > 1.0 && col("det") =!= 0.0)
+      .withColumn("w1", when(col("ok"),
+        (col("p22") * col("d1") - col("p12") * col("d2")) / col("det")))
+      .withColumn("w2", when(col("ok"),
+        (col("p11") * col("d2") - col("p12") * col("d1")) / col("det")))
+      .withColumn("thr", when(col("ok"),
+        (col("w1") * (col("mxa") + col("mxb")) +
+          col("w2") * (col("mya") + col("myb"))) / lit(2.0)))
+    val model = broadcast(m.select(col("na"), col("nb"), col("mxa"), col("mya"),
+      col("mxb"), col("myb"), col("w1"), col("w2"), col("thr")))
+    base(s).crossJoin(model)
+      .withColumn("pred", when(col("w1").isNotNull,
+        (col("w1") * col("x1").cast("double") +
+          col("w2") * col("x2").cast("double") > col("thr")).cast("long")))
+      .groupBy(col("na"), col("nb"), col("mxa"), col("mya"), col("mxb"),
+        col("myb"), col("w1"), col("w2"), col("thr"))
+      .agg(sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0L && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("pred") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .withColumn("accuracy", when(col("w1").isNotNull,
+        (col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("tn") + col("fp") + col("fn")).cast("double")))
+      .select(col("na").cast("long").as("n_other"),
+        col("nb").cast("long").as("n_shipped"),
+        col("mxa"), col("mya"), col("mxb"), col("myb"),
+        col("w1"), col("w2"), col("thr"),
+        col("tp"), col("fp"), col("tn"), col("fn"), col("accuracy"))
+  }
+
+  val ldaSql: String =
+    """WITH b AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |    CAST(round(o_totalprice) AS BIGINT) AS x1,
+      |    epoch_ms(o_orderdate) // 86400000 - 8035 AS x2
+      |  FROM orders),
+      |m0 AS (SELECT
+      |    CAST(COUNT(CASE WHEN y = 0 THEN 1 END) AS DOUBLE) AS na,
+      |    CAST(SUM(CASE WHEN y = 0 THEN CAST(x1 AS HUGEINT) END) AS DOUBLE) AS s1a,
+      |    CAST(SUM(CASE WHEN y = 0 THEN CAST(x2 AS HUGEINT) END) AS DOUBLE) AS s2a,
+      |    CAST(SUM(CASE WHEN y = 0 THEN CAST(x1 AS HUGEINT) * x1 END) AS DOUBLE) AS s11a,
+      |    CAST(SUM(CASE WHEN y = 0 THEN CAST(x1 AS HUGEINT) * x2 END) AS DOUBLE) AS s12a,
+      |    CAST(SUM(CASE WHEN y = 0 THEN CAST(x2 AS HUGEINT) * x2 END) AS DOUBLE) AS s22a,
+      |    CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS DOUBLE) AS nb,
+      |    CAST(SUM(CASE WHEN y = 1 THEN CAST(x1 AS HUGEINT) END) AS DOUBLE) AS s1b,
+      |    CAST(SUM(CASE WHEN y = 1 THEN CAST(x2 AS HUGEINT) END) AS DOUBLE) AS s2b,
+      |    CAST(SUM(CASE WHEN y = 1 THEN CAST(x1 AS HUGEINT) * x1 END) AS DOUBLE) AS s11b,
+      |    CAST(SUM(CASE WHEN y = 1 THEN CAST(x1 AS HUGEINT) * x2 END) AS DOUBLE) AS s12b,
+      |    CAST(SUM(CASE WHEN y = 1 THEN CAST(x2 AS HUGEINT) * x2 END) AS DOUBLE) AS s22b
+      |  FROM b),
+      |mm AS (SELECT *, s1a / na AS mxa, s2a / na AS mya,
+      |    s1b / nb AS mxb, s2b / nb AS myb,
+      |    (s11a - s1a * s1a / na + (s11b - s1b * s1b / nb)) / (na + nb - 2.0e0) AS p11,
+      |    (s12a - s1a * s2a / na + (s12b - s1b * s2b / nb)) / (na + nb - 2.0e0) AS p12,
+      |    (s22a - s2a * s2a / na + (s22b - s2b * s2b / nb)) / (na + nb - 2.0e0) AS p22
+      |  FROM m0),
+      |dd AS (SELECT *, mxb - mxa AS d1, myb - mya AS d2,
+      |    p11 * p22 - p12 * p12 AS det,
+      |    (na > 1.0e0 AND nb > 1.0e0 AND p11 * p22 - p12 * p12 <> 0.0e0) AS ok
+      |  FROM mm),
+      |ww AS (SELECT *,
+      |    CASE WHEN ok THEN (p22 * d1 - p12 * d2) / det END AS w1,
+      |    CASE WHEN ok THEN (p11 * d2 - p12 * d1) / det END AS w2
+      |  FROM dd),
+      |mdl AS (SELECT *, CASE WHEN ok THEN
+      |    (w1 * (mxa + mxb) + w2 * (mya + myb)) / 2.0e0 END AS thr
+      |  FROM ww),
+      |sc AS (SELECT b.y, CASE WHEN mdl.w1 IS NOT NULL THEN
+      |    CAST(mdl.w1 * CAST(b.x1 AS DOUBLE)
+      |      + mdl.w2 * CAST(b.x2 AS DOUBLE) > mdl.thr AS BIGINT) END AS pred,
+      |    mdl.na, mdl.nb, mdl.mxa, mdl.mya, mdl.mxb, mdl.myb,
+      |    mdl.w1, mdl.w2, mdl.thr
+      |  FROM b CROSS JOIN mdl),
+      |cf AS (SELECT na, nb, mxa, mya, mxb, myb, w1, w2, thr,
+      |    CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |    CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM sc GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9)
+      |SELECT CAST(na AS BIGINT) AS n_other, CAST(nb AS BIGINT) AS n_shipped,
+      |  mxa, mya, mxb, myb, w1, w2, thr, tp, fp, tn, fn,
+      |  CASE WHEN w1 IS NOT NULL THEN CAST(tp + tn AS DOUBLE)
+      |    / CAST(tp + tn + fp + fn AS DOUBLE) END AS accuracy
+      |FROM cf""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_kmeans" -> (kmeans _),
     "ml_pca" -> (pca _),
     "ml_ridge" -> (ridge _),
+    "ml_lda" -> (lda _),
     "dq_mahalanobis" -> (mahalanobis _))
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans" -> kmeansSql,
     "ml_pca" -> pcaSql,
     "ml_ridge" -> ridgeSql,
+    "ml_lda" -> ldaSql,
     "dq_mahalanobis" -> mahalanobisSql)
 }

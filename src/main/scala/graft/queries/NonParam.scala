@@ -162,6 +162,174 @@ object NonParam {
       |      * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))) AS t
       |FROM terms GROUP BY n, m""".stripMargin
 
+  /** Shared two-sample ECDF table over the click/view `value`
+    * distributions: per distinct value v, the pair counts (cx, cy)
+    * and the exact integer cumulative counts (a, b) through v,
+    * plus the totals (n, m) — the stats_cvm two-level cumulative
+    * (1024-bucket offsets + bucket-keyed windows; no global sort at
+    * any corpus size). [[cliffs]] and [[andersonDarling]] run off
+    * this one shape.
+    */
+  private def pairEcdf(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(s, dir, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cx"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cy"))
+    val rng = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      sum(col("cx")).as("n"), sum(col("cy")).as("m"))
+    val bucketed = vals.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("v") - col("lo")) * 1024.0 /
+          greatest(col("hi") - col("lo"), lit(1e-300))).cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("cx")).as("sx"), sum(col("cy")).as("sy"))
+      .withColumn("offx", coalesce(sum(col("sx")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("offy", coalesce(sum(col("sy")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offx"), col("offy"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("a", col("offx") + sum(col("cx")).over(wb))
+      .withColumn("b", col("offy") + sum(col("cy")).over(wb))
+  }
+
+  private val pairEcdfSql: String =
+    """vals AS (SELECT value AS v,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cx) AS BIGINT) AS n, CAST(SUM(cy) AS BIGINT) AS m
+      |  FROM vals),
+      |cum AS (SELECT v, cx, cy,
+      |    CAST(SUM(cx) OVER (ORDER BY v) AS BIGINT) AS a,
+      |    CAST(SUM(cy) OVER (ORDER BY v) AS BIGINT) AS b
+      |  FROM vals)""".stripMargin
+
+  /** Cliff's delta (Cliff 1993) — the standard nonparametric effect
+    * size the rank battery reports next to Mann–Whitney's p-value:
+    * δ = (#{x>y} − #{x<y}) / (n·m) over all click×view value pairs,
+    * computed WITHOUT enumerating pairs from the exact integer ECDF:
+    * #{x>y} = Σ_v cx(v)·(b(v) − cy(v)) (views strictly below v) and
+    * #{x<y} = Σ_v cx(v)·(m − b(v)), ties = Σ cx·cy. All three pair
+    * counts are exact DECIMAL(38,0) sums (gt ≤ n·m — Long overflows
+    * past n,m ≈ 3e9, decimal is exact to 10^38); δ is ONE double
+    * chain. |δ| ≥ 0.147/0.33/0.474 are Romano's small/medium/large
+    * fences — emitted as a label by integer-free threshold compares.
+    *
+    * Scale: the [[pairEcdf]] two-level cumulative + one hash
+    * aggregation — no global sort, no pair explosion, ever.
+    */
+  def cliffs(s: SparkSession, dir: String): DataFrame = {
+    val cum = pairEcdf(s, dir)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    cum.groupBy(col("n"), col("m"))
+      .agg(sum(d38(col("cx")) * d38(col("b") - col("cy"))).cast("long").as("gt"),
+        sum(d38(col("cx")) * d38(col("m") - col("b"))).cast("long").as("lt"),
+        sum(d38(col("cx")) * d38(col("cy"))).cast("long").as("ties"))
+      .withColumn("delta",
+        (col("gt").cast("double") - col("lt").cast("double")) /
+          (col("n").cast("double") * col("m").cast("double")))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, lit("negligible"))
+          .when(abs(col("delta")) < 0.33, lit("small"))
+          .when(abs(col("delta")) < 0.474, lit("medium"))
+          .otherwise(lit("large")))
+      .select(col("n"), col("m"), col("gt"), col("lt"), col("ties"),
+        col("delta"), col("magnitude"))
+  }
+
+  val cliffsSql: String =
+    s"""WITH $pairEcdfSql,
+      |agg AS (SELECT t.n, t.m,
+      |    CAST(SUM(CAST(c.cx AS HUGEINT) * (c.b - c.cy)) AS BIGINT) AS gt,
+      |    CAST(SUM(CAST(c.cx AS HUGEINT) * (t.m - c.b)) AS BIGINT) AS lt,
+      |    CAST(SUM(CAST(c.cx AS HUGEINT) * c.cy) AS BIGINT) AS ties
+      |  FROM cum c CROSS JOIN tot t GROUP BY 1, 2),
+      |d AS (SELECT *, (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS delta FROM agg)
+      |SELECT n, m, gt, lt, ties, delta,
+      |  CASE WHEN abs(delta) < 0.147e0 THEN 'negligible'
+      |    WHEN abs(delta) < 0.33e0 THEN 'small'
+      |    WHEN abs(delta) < 0.474e0 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM d""".stripMargin
+
+  /** Two-sample Anderson–Darling criterion (Scholz & Stephens 1987,
+    * the right-continuous/no-midrank A²ₖN at k = 2) between the click
+    * and view value distributions — the tail-weighted complement to
+    * stats_cvm (CvM weighs the ECDF gap uniformly; AD divides by
+    * B(N−B), amplifying tail disagreement). With M = click cumulative
+    * a, B = pooled cumulative a+b, the k = 2 identity N·M₂ − m·B =
+    * −(N·M₁ − n·B) collapses the two per-sample sums to ONE:
+    * A² = (1/N)·(1/n + 1/m)·Σ_{B<N} h·(N·a − n·B)² / (B·(N−B)).
+    *
+    * Determinism — the fixed-point fold-free trick: each per-value
+    * term is num/den with num = h·(N·a − n·B)² and den = B·(N−B)
+    * both exact DECIMAL(38,0); summing the term DOUBLES would be
+    * order-dependent, so instead both engines sum the exact integer
+    * q = (num·2²⁰) div den (integral division — Spark IntegralDivide
+    * on decimals ≡ DuckDB HUGEINT //, both truncating non-negative
+    * values) and divide ONCE at the end. Quantization ≤ 2⁻²⁰ per
+    * distinct value is then scaled by (1/N)(1/n+1/m) ≈ 1/(N·n) — a
+    * ≤1e-10 relative effect on A² at any plausible cardinality,
+    * while the integer sum is order-free and therefore exact.
+    * Bounds, loudly enforced: q must fit a BIGINT (num·2²⁰/den ≲
+    * 9e18 — ANSI overflow past extreme separation at n,m ≳ 1e7) and
+    * exact doubles need num < 2⁵³ only in the FINAL cast of the
+    * already-integer sum.
+    *
+    * Scale: the [[pairEcdf]] two-level cumulative + one hash
+    * aggregation — same shape as stats_cvm.
+    */
+  def andersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val cum = pairEcdf(s, dir)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val terms = cum.filter(col("a") + col("b") < col("n") + col("m"))
+      .withColumn("bb", d38(col("a") + col("b")))
+      .withColumn("nn", d38(col("n") + col("m")))
+      .withColumn("dd", col("nn") * d38(col("a")) - d38(col("n")) * col("bb"))
+      .withColumn("num",
+        (d38(col("cx") + col("cy")) * col("dd") * col("dd"))
+          .cast("decimal(38,0)"))
+      .withColumn("den", (col("bb") * (col("nn") - col("bb"))).cast("decimal(38,0)"))
+      .withColumn("q", expr("(num * 1048576) div den"))
+    terms.groupBy(col("n"), col("m"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("q").cast("decimal(38,0)")).cast("double").as("s_q"))
+      .withColumn("a2",
+        col("s_q") / lit(1048576.0) /
+          (col("n").cast("double") + col("m").cast("double")) *
+          (lit(1.0) / col("n").cast("double") + lit(1.0) / col("m").cast("double")))
+      .select(col("n"), col("m"), col("n_terms"), col("s_q"), col("a2"))
+  }
+
+  val andersonDarlingSql: String =
+    s"""WITH $pairEcdfSql,
+      |terms AS (SELECT c.cx, c.cy, t.n, t.m,
+      |    CAST(c.a + c.b AS HUGEINT) AS bb,
+      |    CAST(t.n + t.m AS HUGEINT) AS nn,
+      |    CAST(t.n + t.m AS HUGEINT) * c.a
+      |      - CAST(t.n AS HUGEINT) * (c.a + c.b) AS dd
+      |  FROM cum c CROSS JOIN tot t
+      |  WHERE c.a + c.b < t.n + t.m),
+      |qs AS (SELECT n, m,
+      |    (CAST(cx + cy AS HUGEINT) * dd * dd * 1048576)
+      |      // (bb * (nn - bb)) AS q
+      |  FROM terms),
+      |agg AS (SELECT n, m, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(q) AS DOUBLE) AS s_q
+      |  FROM qs GROUP BY 1, 2)
+      |SELECT n, m, n_terms, s_q,
+      |  s_q / 1048576.0e0 / (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))
+      |    * (1.0e0 / CAST(n AS DOUBLE) + 1.0e0 / CAST(m AS DOUBLE)) AS a2
+      |FROM agg""".stripMargin
+
   /** Approximate-randomization permutation test (Fisher–Pitman via
     * random reassignment; Noreen 1989) for the click-vs-purchase
     * mean-value difference: 200 salted-md5 pseudo-permutations
@@ -263,10 +431,14 @@ object NonParam {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_mcnemar" -> (mcnemar _),
     "stats_cvm" -> (cvm _),
-    "stats_permtest" -> (permtest _))
+    "stats_permtest" -> (permtest _),
+    "stats_cliffs" -> (cliffs _),
+    "stats_ad" -> (andersonDarling _))
 
   val oracles: Map[String, String] = Map(
     "stats_mcnemar" -> mcnemarSql,
     "stats_cvm" -> cvmSql,
-    "stats_permtest" -> permtestSql)
+    "stats_permtest" -> permtestSql,
+    "stats_cliffs" -> cliffsSql,
+    "stats_ad" -> andersonDarlingSql)
 }

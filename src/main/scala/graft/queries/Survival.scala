@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -113,9 +113,131 @@ object Survival {
       |    (a, b) -> a + b) AS cumhaz
       |FROM wk, lst WHERE ev > 0 ORDER BY t_hours""".stripMargin
 
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) over the
+    * same time-to-purchase durations as [[kaplanMeier]], groups by
+    * the experimentation plane's salted md5 coin ("lr:" salt) on
+    * user_id — "does treatment change the conversion-time curve?",
+    * the survival-plane companion of eval_cuped's mean contrast.
+    *
+    * At each duration d with observed conversions: d_j total events,
+    * n_j total at risk, n_1j group-1 at risk, d_1j group-1 events;
+    * O = Σ d_1j (exact integer), E = Σ d_j·n_1j/n_j and the
+    * hypergeometric V = Σ d_j·(n_1j/n_j)·(1−n_1j/n_j)·(n_j−d_j)/(n_j−1)
+    * as duration-ORDERED folds (each term is a fixed double chain off
+    * exact integer counts; n_j = 1 terms contribute exactly 0.0 to V
+    * by the same CASE on both engines); z = (O−E)/√V, χ² = z².
+    *
+    * Scale: one per-user aggregation, ONE per-duration hash
+    * aggregation with group cells, risk sets from prefix windows over
+    * the duration alphabet (bounded by the observation span in hours,
+    * not the corpus), folds on that alphabet-sized list.
+    */
+  def logrank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val ue = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_ms")).as("t0"), max(col("ts_ms")).as("t1"),
+        min(when(col("event_type") === "purchase", col("ts_ms"))).as("fp"))
+    val usr = ue.select(
+      expr("(coalesce(fp, t1) - t0) div 3600000").as("d"),
+      when(col("fp").isNotNull, 1L).otherwise(0L).as("conv"),
+      pmod(conv(substr(md5(concat(lit("lr:"),
+        col("user_id").cast("string"))), lit(1), lit(8)), 16, 10)
+        .cast("long"), lit(2L)).as("g"))
+    def cell(g: Int, c: Column): Column = when(col("g") === g, c)
+    val cnt = usr.groupBy(col("d"))
+      .agg(count(cell(0, lit(1))).as("c0"), count(cell(1, lit(1))).as("c1"),
+        // ELSE-0 (not bare when): a duration whose risk set is all one
+        // group must yield event count 0, not NULL — a NULL here
+        // silently DROPS the row from the E/V folds via dj > 0
+        sum(cell(0, col("conv")).otherwise(0L)).as("e0"),
+        sum(cell(1, col("conv")).otherwise(0L)).as("e1"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = cnt.agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+    val risk = cnt.crossJoin(broadcast(tot))
+      .withColumn("r0", col("t0") - coalesce(sum(col("c0")).over(w), lit(0L)))
+      .withColumn("r1", col("t1") - coalesce(sum(col("c1")).over(w), lit(0L)))
+      .withColumn("dj", col("e0") + col("e1"))
+      .withColumn("nj", col("r0") + col("r1"))
+      .filter(col("dj") > 0)
+      .withColumn("e_term",
+        col("dj").cast("double") * col("r1").cast("double") /
+          col("nj").cast("double"))
+      .withColumn("v_term", when(col("nj") > 1,
+        col("dj").cast("double") *
+          (col("r1").cast("double") / col("nj").cast("double")) *
+          (lit(1.0) - col("r1").cast("double") / col("nj").cast("double")) *
+          ((col("nj").cast("double") - col("dj").cast("double")) /
+            (col("nj").cast("double") - lit(1.0)))).otherwise(lit(0.0)))
+    val folded = risk.agg(
+        max(col("t0")).as("n_control"), max(col("t1")).as("n_treat"),
+        sum(col("e1")).as("o1"),
+        sort_array(collect_list(struct(col("d"), col("e_term"), col("v_term"))))
+          .as("l"))
+      .select(col("n_control"), col("n_treat"), col("o1"),
+        aggregate(transform(col("l"), x => x.getField("e_term")),
+          lit(0.0), (a, b) => a + b).as("e1"),
+        aggregate(transform(col("l"), x => x.getField("v_term")),
+          lit(0.0), (a, b) => a + b).as("v"))
+    folded
+      .withColumn("z", when(col("v") > 0.0,
+        (col("o1").cast("double") - col("e1")) / sqrt(col("v"))))
+      .withColumn("chi2", col("z") * col("z"))
+  }
+
+  val logrankSql: String =
+    """WITH ue AS (SELECT user_id, MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS fp
+      |  FROM events GROUP BY 1),
+      |usr AS (SELECT (COALESCE(fp, t1) - t0) // 3600000 AS d,
+      |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS conv,
+      |    CAST(CAST(concat('0x', substr(md5('lr:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 2 AS BIGINT) AS g
+      |  FROM ue),
+      |cnt AS (SELECT d,
+      |    CAST(COUNT(CASE WHEN g = 0 THEN 1 END) AS BIGINT) AS c0,
+      |    CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT) AS e0,
+      |    CAST(SUM(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT) AS e1
+      |  FROM usr GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(c0) AS BIGINT) AS t0,
+      |    CAST(SUM(c1) AS BIGINT) AS t1 FROM cnt),
+      |risk AS (SELECT d, e0, e1,
+      |    tt.t0 - CAST(COALESCE(SUM(c0) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r0,
+      |    tt.t1 - CAST(COALESCE(SUM(c1) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r1,
+      |    tt.t0, tt.t1
+      |  FROM cnt CROSS JOIN tt),
+      |terms AS (SELECT d, e1, t0, t1,
+      |    CAST(e0 + e1 AS DOUBLE) * CAST(r1 AS DOUBLE)
+      |      / CAST(r0 + r1 AS DOUBLE) AS e_term,
+      |    CASE WHEN r0 + r1 > 1 THEN
+      |      CAST(e0 + e1 AS DOUBLE)
+      |        * (CAST(r1 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE))
+      |        * (1.0e0 - CAST(r1 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE))
+      |        * ((CAST(r0 + r1 AS DOUBLE) - CAST(e0 + e1 AS DOUBLE))
+      |          / (CAST(r0 + r1 AS DOUBLE) - 1.0e0))
+      |      ELSE 0.0e0 END AS v_term
+      |  FROM risk WHERE e0 + e1 > 0),
+      |f AS (SELECT MAX(t0) AS n_control, MAX(t1) AS n_treat,
+      |    CAST(SUM(e1) AS BIGINT) AS o1,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(e_term ORDER BY d)), (a, b) -> a + b) AS e1,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(v_term ORDER BY d)), (a, b) -> a + b) AS v
+      |  FROM terms),
+      |z AS (SELECT *, CASE WHEN v > 0.0e0
+      |    THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END AS z FROM f)
+      |SELECT n_control, n_treat, o1, e1, v, z, z * z AS chi2 FROM z""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "survival_km" -> (kaplanMeier _))
+    "survival_km" -> (kaplanMeier _),
+    "survival_logrank" -> (logrank _))
 
   val oracles: Map[String, String] = Map(
-    "survival_km" -> kaplanMeierSql)
+    "survival_km" -> kaplanMeierSql,
+    "survival_logrank" -> logrankSql)
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plain-Scala references for the round-9 third-session additions:
+  * Cliff's delta, two-sample Anderson–Darling (fixed-point sum),
+  * the two-group log-rank test, and closed-form Gaussian LDA — all
+  * at sf0.001, all asserts `==` (bit-identical, not approximate).
+  */
+class NonParamSurvivalLdaSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private def coin(salt: String, k: Long): Long =
+    java.lang.Long.parseLong(md5hex(s"$salt$k").take(8), 16) % 2L
+
+  /** (click values, view values) with multiplicity. */
+  private lazy val pairVals: (Seq[Double], Seq[Double]) = {
+    val rows = graft.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    (rows.filter(_._1 == "click").map(_._2).toSeq,
+      rows.filter(_._1 == "view").map(_._2).toSeq)
+  }
+
+  test("stats_cliffs equals brute-force pair counting") {
+    val (xs, ys) = pairVals
+    var (gt, lt, ties) = (0L, 0L, 0L)
+    for (x <- xs; y <- ys) {
+      if (x > y) gt += 1 else if (x < y) lt += 1 else ties += 1
+    }
+    val r = NonParam.cliffs(spark, sf).collect().head
+    assert(r.getLong(0) == xs.size && r.getLong(1) == ys.size, "n/m")
+    assert(r.getLong(2) == gt && r.getLong(3) == lt && r.getLong(4) == ties,
+      "pair counts")
+    val delta = (gt.toDouble - lt.toDouble) / (xs.size.toDouble * ys.size.toDouble)
+    assert(r.getDouble(5) == delta, "delta")
+    val mag = math.abs(delta) match {
+      case d if d < 0.147 => "negligible"
+      case d if d < 0.33 => "small"
+      case d if d < 0.474 => "medium"
+      case _ => "large"
+    }
+    assert(r.getString(6) == mag, "magnitude")
+  }
+
+  test("stats_ad equals a plain-Scala fixed-point A2 over the pooled ECDF") {
+    val (xs, ys) = pairVals
+    val (n, m) = (xs.size.toLong, ys.size.toLong)
+    val nn = n + m
+    val cx = xs.groupBy(identity).map { case (v, l) => v -> l.size.toLong }
+    val cy = ys.groupBy(identity).map { case (v, l) => v -> l.size.toLong }
+    val vs = (cx.keySet ++ cy.keySet).toSeq.sorted
+    var (a, b, sq, nTerms) = (0L, 0L, BigInt(0), 0L)
+    vs.foreach { v =>
+      val (hx, hy) = (cx.getOrElse(v, 0L), cy.getOrElse(v, 0L))
+      a += hx; b += hy
+      if (a + b < nn) {
+        nTerms += 1
+        val bb = BigInt(a + b)
+        val dd = BigInt(nn) * a - BigInt(n) * bb
+        val num = BigInt(hx + hy) * dd * dd
+        sq += (num * 1048576) / (bb * (BigInt(nn) - bb))
+      }
+    }
+    val a2 = sq.toDouble / 1048576.0 / (n.toDouble + m.toDouble) *
+      (1.0 / n.toDouble + 1.0 / m.toDouble)
+    val r = NonParam.andersonDarling(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == m && r.getLong(2) == nTerms,
+      "counts")
+    assert(r.getDouble(3) == sq.toDouble, "fixed-point sum")
+    assert(r.getDouble(4) == a2, "A2")
+  }
+
+  test("survival_logrank equals a plain-Scala per-duration fold") {
+    val ev = graft.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      val t0 = rows.map(_._3).min
+      val t1 = rows.map(_._3).max
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      ((fp.getOrElse(t1) - t0) / 3600000L,
+        if (fp.isDefined) 1L else 0L, coin("lr:", u))
+    }.toSeq
+    val (tot0, tot1) = (perUser.count(_._3 == 0L).toLong,
+      perUser.count(_._3 == 1L).toLong)
+    val byD = perUser.groupBy(_._1).toSeq.sortBy(_._1)
+    var (rem0, rem1) = (tot0, tot1)
+    var (o1, e1f, vf) = (0L, 0.0, 0.0)
+    byD.foreach { case (_, rows) =>
+      val e0 = rows.filter(_._3 == 0L).map(_._2).sum
+      val e1 = rows.filter(_._3 == 1L).map(_._2).sum
+      val dj = e0 + e1
+      val nj = rem0 + rem1
+      if (dj > 0) {
+        o1 += e1
+        e1f += dj.toDouble * rem1.toDouble / nj.toDouble
+        if (nj > 1)
+          vf += dj.toDouble * (rem1.toDouble / nj.toDouble) *
+            (1.0 - rem1.toDouble / nj.toDouble) *
+            ((nj.toDouble - dj.toDouble) / (nj.toDouble - 1.0))
+      }
+      rem0 -= rows.count(_._3 == 0L)
+      rem1 -= rows.count(_._3 == 1L)
+    }
+    val z = (o1.toDouble - e1f) / math.sqrt(vf)
+    val r = Survival.logrank(spark, sf).collect().head
+    assert(r.getLong(0) == tot0 && r.getLong(1) == tot1, "group sizes")
+    assert(r.getLong(2) == o1, "observed")
+    assert(r.getDouble(3) == e1f && r.getDouble(4) == vf, "E and V")
+    assert(r.getDouble(5) == z && r.getDouble(6) == z * z, "z and chi2")
+  }
+
+  test("ml_lda equals a plain-Scala closed-form discriminant") {
+    val rows = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        expr("unix_millis(cast(o_orderdate as timestamp))"))
+      .collect().map { r =>
+        (if (r.getString(0) == "F") 1L else 0L,
+          math.round(r.getDouble(1)), r.getLong(2) / 86400000L - 8035L)
+      }
+    def mom(y: Long) = {
+      val g = rows.filter(_._1 == y)
+      (g.size.toDouble,
+        g.map(r => BigInt(r._2)).sum.toDouble,
+        g.map(r => BigInt(r._3)).sum.toDouble,
+        g.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble,
+        g.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble,
+        g.map(r => BigInt(r._3) * BigInt(r._3)).sum.toDouble)
+    }
+    val (na, s1a, s2a, s11a, s12a, s22a) = mom(0L)
+    val (nb, s1b, s2b, s11b, s12b, s22b) = mom(1L)
+    val (mxa, mya, mxb, myb) = (s1a / na, s2a / na, s1b / nb, s2b / nb)
+    val p11 = (s11a - s1a * s1a / na + (s11b - s1b * s1b / nb)) / (na + nb - 2.0)
+    val p12 = (s12a - s1a * s2a / na + (s12b - s1b * s2b / nb)) / (na + nb - 2.0)
+    val p22 = (s22a - s2a * s2a / na + (s22b - s2b * s2b / nb)) / (na + nb - 2.0)
+    val (d1, d2) = (mxb - mxa, myb - mya)
+    val det = p11 * p22 - p12 * p12
+    val w1 = (p22 * d1 - p12 * d2) / det
+    val w2 = (p11 * d2 - p12 * d1) / det
+    val thr = (w1 * (mxa + mxb) + w2 * (mya + myb)) / 2.0
+    var (tp, fp, tn, fn) = (0L, 0L, 0L, 0L)
+    rows.foreach { case (y, x1, x2) =>
+      val pred = w1 * x1.toDouble + w2 * x2.toDouble > thr
+      if (pred && y == 1L) tp += 1 else if (pred) fp += 1
+      else if (y == 0L) tn += 1 else fn += 1
+    }
+    val r = MlPlane.lda(spark, sf).collect().head
+    assert(r.getLong(0) == na.toLong && r.getLong(1) == nb.toLong, "class sizes")
+    assert(r.getDouble(2) == mxa && r.getDouble(3) == mya &&
+      r.getDouble(4) == mxb && r.getDouble(5) == myb, "means")
+    assert(r.getDouble(6) == w1 && r.getDouble(7) == w2 &&
+      r.getDouble(8) == thr, "weights")
+    assert(r.getLong(9) == tp && r.getLong(10) == fp &&
+      r.getLong(11) == tn && r.getLong(12) == fn, "confusion")
+    assert(r.getDouble(13) ==
+      (tp + tn).toDouble / (tp + tn + fp + fn).toDouble, "accuracy")
+  }
+}
