@@ -407,15 +407,110 @@ object Causal {
       |  t.w AS share, pb.ate, pb.se
       |FROM t2 t CROSS JOIN pb ORDER BY t.segment""".stripMargin
 
+  /** Two-stage least squares with a CONTINUOUS instrument (Wright
+    * 1928; the Wald/CACE sibling for dose-response encouragement):
+    * instrument z = salted-md5 intensity in [0, 1000) per user,
+    * exposure x = the user's event count, outcome y = the user's
+    * total value cents. β_IV = S_zy/S_zx (the ratio-of-covariances
+    * form), reported next to the naive OLS β = S_xy/S_xx and the
+    * first-stage F statistic — the weak-instrument diagnostic
+    * (Staiger & Stock 1997's F < 10 rule, left to the reader as the
+    * emitted value).
+    *
+    * Determinism: all seven moments are exact DECIMAL(38,0) sums
+    * cast to double ONCE (the ml_ridge convention); every centered
+    * moment and both estimators are fixed IEEE chains; degenerate
+    * denominators (S_zx = 0, S_zz = 0, n ≤ 2) emit NULL.
+    *
+    * Scale: one per-user aggregation (map-side combinable) + ONE
+    * 1-row moment aggregation — no join, no window.
+    */
+  def eval2sls(s: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val pu = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        coalesce(sum(when(col("value").isNotNull,
+          round(col("value") * 100.0).cast("long")).otherwise(0L)), lit(0L))
+          .as("y"))
+      .select(
+        pmod(conv(substr(md5(concat(lit("iv2:"),
+          col("user_id").cast("string"))), lit(1), lit(8)), 16, 10)
+          .cast("long"), lit(1000L)).as("z"),
+        col("x"), col("y"))
+    val m = pu.agg(count(lit(1)).as("n"),
+        sum(d38(col("z"))).cast("double").as("sz"),
+        sum(d38(col("x"))).cast("double").as("sx"),
+        sum(d38(col("y"))).cast("double").as("sy"),
+        sum(d38(col("z") * col("x"))).cast("double").as("szx"),
+        sum((d38(col("z")) * col("y")).cast("decimal(38,0)")).cast("double").as("szy"),
+        sum(d38(col("z") * col("z"))).cast("double").as("szz"),
+        sum(d38(col("x") * col("x"))).cast("double").as("sxx"),
+        sum((d38(col("x")) * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("czx", col("szx") - col("sz") * col("sx") / col("nd"))
+      .withColumn("czy", col("szy") - col("sz") * col("sy") / col("nd"))
+      .withColumn("czz", col("szz") - col("sz") * col("sz") / col("nd"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("nd"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("nd"))
+      .withColumn("beta_iv", when(col("czx") =!= 0.0, col("czy") / col("czx")))
+      .withColumn("beta_ols", when(col("cxx") =!= 0.0, col("cxy") / col("cxx")))
+      .withColumn("fs_beta", when(col("czz") > 0.0, col("czx") / col("czz")))
+      .withColumn("ssr", when(col("czz") > 0.0,
+        col("czx") * col("czx") / col("czz")))
+      .withColumn("f_stat", when(col("czz") > 0.0 && col("n") > 2 &&
+        col("cxx") - col("ssr") > 0.0,
+        col("ssr") / ((col("cxx") - col("ssr")) / (col("nd") - lit(2.0)))))
+    m.select(col("n"), col("beta_iv"), col("beta_ols"), col("fs_beta"),
+      col("f_stat"))
+  }
+
+  val eval2slsSql: String =
+    """WITH pu AS (SELECT
+      |    CAST(CAST(concat('0x', substr(md5('iv2:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 1000 AS BIGINT) AS z,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    COALESCE(CAST(SUM(CASE WHEN value IS NOT NULL
+      |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT), 0) AS y
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(z AS HUGEINT)) AS DOUBLE) AS sz,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(z * x AS HUGEINT)) AS DOUBLE) AS szx,
+      |    CAST(SUM(CAST(z AS HUGEINT) * y) AS DOUBLE) AS szy,
+      |    CAST(SUM(CAST(z * z AS HUGEINT)) AS DOUBLE) AS szz,
+      |    CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      |  FROM pu),
+      |c AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m),
+      |cm AS (SELECT *,
+      |    szx - sz * sx / nd AS czx, szy - sz * sy / nd AS czy,
+      |    szz - sz * sz / nd AS czz, sxx - sx * sx / nd AS cxx,
+      |    sxy - sx * sy / nd AS cxy
+      |  FROM c),
+      |e AS (SELECT *,
+      |    CASE WHEN czx <> 0.0e0 THEN czy / czx END AS beta_iv,
+      |    CASE WHEN cxx <> 0.0e0 THEN cxy / cxx END AS beta_ols,
+      |    CASE WHEN czz > 0.0e0 THEN czx / czz END AS fs_beta,
+      |    CASE WHEN czz > 0.0e0 THEN czx * czx / czz END AS ssr
+      |  FROM cm)
+      |SELECT n, beta_iv, beta_ols, fs_beta,
+      |  CASE WHEN czz > 0.0e0 AND n > 2 AND cxx - ssr > 0.0e0
+      |    THEN ssr / ((cxx - ssr) / (nd - 2.0e0)) END AS f_stat
+      |FROM e""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_rdd" -> (evalRdd _),
     "eval_qte" -> (evalQte _),
     "eval_matching" -> (evalMatching _),
-    "eval_poststrat" -> (evalPoststrat _))
+    "eval_poststrat" -> (evalPoststrat _),
+    "eval_2sls" -> (eval2sls _))
 
   val oracles: Map[String, String] = Map(
     "eval_rdd" -> evalRddSql,
     "eval_qte" -> evalQteSql,
     "eval_matching" -> evalMatchingSql,
-    "eval_poststrat" -> evalPoststratSql)
+    "eval_poststrat" -> evalPoststratSql,
+    "eval_2sls" -> eval2slsSql)
 }

@@ -145,11 +145,82 @@ object TsExtra {
       |    ELSE 100.0e0 - 100.0e0 / (1.0e0 + w.g / w.l) END AS rsi
       |FROM st ORDER BY event_type""".stripMargin
 
+  /** MASE — mean absolute SCALED error (Hyndman & Koehler 2006), the
+    * scale-free forecast-accuracy measure a backtest plane reports
+    * when MAPE breaks on zero-crossing series: the seasonal-naive
+    * (7-observations-back, row-based over the day-ordered series)
+    * forecast's MAE divided by the one-step-naive MAE, per event
+    * type. MASE < 1 ⇔ the weekly-seasonal model beats the random
+    * walk.
+    *
+    * Determinism: daily totals are exact integer micro-units; both
+    * absolute-error sums stay INTEGER (order-free), each MAE is one
+    * division, the ratio one more; series too short for a lag (or a
+    * constant series with zero naive error) emit NULL, never a
+    * divide-by-zero.
+    *
+    * Scale: one corpus aggregation to the (type, day) table, two
+    * keyed lag windows over day-span-bounded partitions, one final
+    * per-type aggregation.
+    */
+  def mase(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(mv(col("value")).cast("decimal(38,0)")).cast("long").as("dv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("l7", lag(col("dv"), 7).over(w))
+      .withColumn("l1", lag(col("dv"), 1).over(w))
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("l7")).as("n7"), count(col("l1")).as("n1"),
+        sum(when(col("l7").isNotNull,
+          abs(col("dv") - col("l7")).cast("decimal(38,0)"))).cast("long")
+          .as("sae7"),
+        sum(when(col("l1").isNotNull,
+          abs(col("dv") - col("l1")).cast("decimal(38,0)"))).cast("long")
+          .as("sae1"))
+      .withColumn("mae7", when(col("n7") > 0,
+        col("sae7").cast("double") / col("n7").cast("double")))
+      .withColumn("mae1", when(col("n1") > 0,
+        col("sae1").cast("double") / col("n1").cast("double")))
+      .withColumn("mase", when(col("mae1").isNotNull && col("mae1") > 0.0,
+        col("mae7") / col("mae1")))
+      .orderBy(col("event_type"))
+  }
+
+  val maseSql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(round(value * 1000000.0e0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS BIGINT) AS dv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |lagged AS (SELECT event_type, dv,
+      |    lag(dv, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+      |    lag(dv, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+      |  FROM daily),
+      |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(COUNT(l7) AS BIGINT) AS n7, CAST(COUNT(l1) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN l7 IS NOT NULL
+      |      THEN CAST(abs(dv - l7) AS HUGEINT) END) AS BIGINT) AS sae7,
+      |    CAST(SUM(CASE WHEN l1 IS NOT NULL
+      |      THEN CAST(abs(dv - l1) AS HUGEINT) END) AS BIGINT) AS sae1
+      |  FROM lagged GROUP BY 1),
+      |mm AS (SELECT *,
+      |    CASE WHEN n7 > 0 THEN CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE) END AS mae7,
+      |    CASE WHEN n1 > 0 THEN CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS mae1
+      |  FROM agg)
+      |SELECT event_type, n_days, n7, n1, sae7, sae1, mae7, mae1,
+      |  CASE WHEN mae1 IS NOT NULL AND mae1 > 0.0e0 THEN mae7 / mae1 END AS mase
+      |FROM mm ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_drawdown" -> (drawdown _),
-    "ts_rsi" -> (rsi _))
+    "ts_rsi" -> (rsi _),
+    "ts_mase" -> (mase _))
 
   val oracles: Map[String, String] = Map(
     "ts_drawdown" -> drawdownSql,
-    "ts_rsi" -> rsiSql)
+    "ts_rsi" -> rsiSql,
+    "ts_mase" -> maseSql)
 }
