@@ -64,7 +64,12 @@ object ScaleStress {
     // bandwidth-pruned OLS, stratified folds)
     "ml_boost_deep", "ml_tree", "eval_sequential", "eval_bandit",
     "eval_hte", "eval_rdd", "eval_qte", "eval_matching",
-    "eval_poststrat")
+    "eval_poststrat",
+    // round-9 third-session additions: shared pairEcdf consumers,
+    // stratified log-rank windows, two-pass LDA, continuous IV,
+    // lagged MASE windows, and the fairness-audit median + cells
+    "stats_cliffs", "stats_ad", "survival_logrank", "ml_lda",
+    "eval_2sls", "ts_mase", "fairness_report")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

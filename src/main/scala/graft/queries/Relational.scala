@@ -3756,28 +3756,48 @@ object Relational {
     * so the emitted double is bit-exact cross-engine.
     */
   def statsSpearman(s: SparkSession, dir: String): DataFrame = {
-    // barrier: the projected triple feeds THREE consumers (the row
-    // stream plus both rank builds) — without it each re-runs the
-    // parquet scan + projection
+    // r9 cell-moment redesign: the pre-r9 shape joined the 600k-row
+    // stream back to BOTH rank tables (row-level shuffle join on the
+    // unbounded price side). Every Spearman moment is in fact a
+    // CELL-table sum — Σ_rows rq = Σ_qcells cq·rq, Σ_rows rq·rp =
+    // Σ_pcells (Σrq in cell)·rp — so the only corpus shuffle left is
+    // ONE (g, price) aggregation with the broadcast q-rank attached;
+    // everything after runs on rank-cell tables. Values bit-identical
+    // (integer/decimal-exact throughout, same final chain).
     val rows = Tables(s, dir, "lineitem").select(
       col("l_returnflag").as("g"),
       col("l_quantity").cast("long").as("q"),
       round(col("l_extendedprice") * 100.0).cast("long").as("p"))
-      .localCheckpoint(true)
-    def ranks(v: String): DataFrame = FeatureQueries.cumRanksBy(
-        rows.groupBy(col("g"), col(v).as("v")).agg(count(lit(1)).as("c")))
-      .select(col("g"), col("v").as(v),
-        (lit(2L) * col("cum") - col("c") + lit(1L)).as(s"r_$v"))
-    def dsum(c: org.apache.spark.sql.Column, out: String) =
-      sum(c.cast("decimal(38,0)")).cast("double").as(out)
-    val joined = rows.join(ranks("q"), Seq("g", "q")).join(ranks("p"), Seq("g", "p"))
-    val out = joined
-      .groupBy(col("g"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        dsum(col("r_q"), "sx"), dsum(col("r_p"), "sy"),
-        dsum(col("r_q") * col("r_p"), "sxy"),
-        dsum(col("r_q") * col("r_q"), "sxx"),
-        dsum(col("r_p") * col("r_p"), "syy"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // q-rank table: alphabet-bounded (|flags|×|quantities| ≤ 150 rows
+    // at ANY corpus size) — broadcastable always
+    val rq = FeatureQueries.cumRanksBy(
+        rows.groupBy(col("g"), col("q").as("v")).agg(count(lit(1)).as("c")))
+      .select(col("g"), col("v").as("q"),
+        (lit(2L) * col("cum") - col("c") + lit(1L)).as("rq"),
+        col("c").as("cq"))
+    val cells = rows
+      .join(broadcast(rq.select(col("g"), col("q"), col("rq"))), Seq("g", "q"))
+      .groupBy(col("g"), col("p").as("v"))
+      .agg(count(lit(1)).as("cc"), sum(d38(col("rq"))).as("srq"))
+    val rp = FeatureQueries.cumRanksBy(
+        cells.select(col("g"), col("v"), col("cc").as("c")))
+      .withColumn("rp", lit(2L) * col("cum") - col("c") + lit(1L))
+      .join(cells.select(col("g"), col("v"), col("srq")), Seq("g", "v"))
+    val mx = rq.groupBy(col("g")).agg(
+      sum((d38(col("cq")) * col("rq")).cast("decimal(38,0)"))
+        .cast("double").as("sx"),
+      sum((d38(col("cq")) * col("rq") * col("rq")).cast("decimal(38,0)"))
+        .cast("double").as("sxx"))
+    val my = rp.groupBy(col("g")).agg(
+      sum(col("c")).cast("double").as("n"),
+      sum((d38(col("c")) * col("rp")).cast("decimal(38,0)"))
+        .cast("double").as("sy"),
+      sum((d38(col("c")) * col("rp") * col("rp")).cast("decimal(38,0)"))
+        .cast("double").as("syy"),
+      sum((col("srq") * col("rp")).cast("decimal(38,0)"))
+        .cast("double").as("sxy"))
+    my.join(broadcast(mx), Seq("g"))
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
@@ -3785,9 +3805,6 @@ object Relational {
         when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
           col("num") / (sqrt(col("vx")) * sqrt(col("vy")))).as("rho"))
       .orderBy(col("l_returnflag"))
-      .localCheckpoint(true)
-    graft.Caches.free(rows)
-    out
   }
 
   val statsSpearmanSql: String =
