@@ -784,6 +784,114 @@ object MlExtra {
        |ORDER BY node""".stripMargin
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder after [[Relational.dqKanon]] and
+    * [[lDiversity]], over the SAME quasi-identifier (nation, segment)
+    * and the same ordered sensitive attribute (the l-diversity
+    * account-balance band): per QI class, the ordered-alphabet Earth
+    * Mover's Distance between the class's band distribution and the
+    * corpus-wide one, t = (1/(m−1))·Σ_i |P(≤i) − Q(≤i)|.
+    *
+    * Determinism — exact-integer EMD: each cumulative-share
+    * difference is put over the common denominator n_g·N, so the
+    * per-band numerator |cumc·N − cumN·n_g| is an exact integer
+    * (DECIMAL(38,0) — n_g·N overflows Long past ~3e9 rows/side, then
+    * fails loudly) and S_g = Σ|…| is an order-free integer sum; t is
+    * ONE double division of S_g by n_g·N·(m−1). The band grid is
+    * DENSIFIED (missing (class, band) cells count 0) so both engines
+    * fold the identical alphabet.
+    *
+    * Scale: ONE corpus aggregation to the (nation, segment, band)
+    * cell table (≤125×8 cells); the densified grid, windows, and EMD
+    * all run on that alphabet — same plan at any corpus size.
+    */
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        Relational.intdiv(round(col("c_acctbal") * 100.0).cast("long") + 400000L,
+          lit(200000L)).as("band"))
+      .groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cells.select(col("nation"), col("segment")).distinct()
+      .crossJoin(broadcast(cells.select(col("band")).distinct()))
+      .join(cells, Seq("nation", "segment", "band"), "left")
+      .select(col("nation"), col("segment"), col("band"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val glob = grid.groupBy(col("band")).agg(sum(col("c")).as("nb"))
+      .agg(sort_array(collect_list(struct(col("band"), col("nb")))).as("g"),
+        sum(col("nb")).as("nn"), count(lit(1)).as("m"))
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("nation"), col("segment"))
+    val cum = grid
+      .withColumn("cumc", sum(col("c")).over(wb))
+      .withColumn("ng", sum(col("c")).over(wg))
+    val withGlob = cum.crossJoin(broadcast(glob))
+      // global cumulative through this band, read from the sorted
+      // alphabet list — identical on both engines
+      .withColumn("cumn",
+        aggregate(filter(col("g"), x => x.getField("band") <= col("band")),
+          lit(0L), (a, x) => a + x.getField("nb")))
+      .withColumn("num",
+        abs(col("cumc").cast("decimal(38,0)") * col("nn") -
+          col("cumn").cast("decimal(38,0)") * col("ng"))
+          .cast("decimal(38,0)"))
+    withGlob.groupBy(col("nation"), col("segment"))
+      .agg(max(col("ng")).as("n"),
+        sum(col("num")).cast("decimal(38,0)").as("s"),
+        max(col("nn")).as("nn"), max(col("m")).as("m"))
+      .withColumn("t", when(col("n") > 0 && col("m") > 1,
+        col("s").cast("double") /
+          (col("n").cast("double") * col("nn").cast("double") *
+            (col("m").cast("double") - lit(1.0)))))
+      .withColumn("violates_t02", (col("t") > 0.2).cast("int"))
+      .select(col("nation"), col("segment"), col("n"), col("t"),
+        col("violates_t02"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  val tClosenessSql: String =
+    """WITH c0 AS (SELECT n.n_name AS nation, c_mktsegment AS segment,
+      |    (CAST(round(c_acctbal * 100.0e0) AS BIGINT) + 400000) // 200000 AS band
+      |  FROM customer JOIN nation n ON c_nationkey = n.n_nationkey),
+      |cells AS (SELECT nation, segment, band, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM c0 GROUP BY 1, 2, 3),
+      |grid AS (SELECT g.nation, g.segment, b.band, COALESCE(cells.c, 0) AS c
+      |  FROM (SELECT DISTINCT nation, segment FROM cells) g
+      |  CROSS JOIN (SELECT DISTINCT band FROM cells) b
+      |  LEFT JOIN cells ON cells.nation = g.nation
+      |    AND cells.segment = g.segment AND cells.band = b.band),
+      |gb AS (SELECT band, CAST(SUM(c) AS BIGINT) AS nb FROM grid GROUP BY 1),
+      |gl AS (SELECT CAST(SUM(nb) AS BIGINT) AS nn,
+      |    CAST(COUNT(*) AS BIGINT) AS m FROM gb),
+      |cum AS (SELECT nation, segment, band, c,
+      |    CAST(SUM(c) OVER (PARTITION BY nation, segment ORDER BY band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+      |    CAST(SUM(c) OVER (PARTITION BY nation, segment) AS BIGINT) AS ng
+      |  FROM grid),
+      |cn AS (SELECT band,
+      |    CAST(SUM(nb) OVER (ORDER BY band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn
+      |  FROM gb),
+      |terms AS (SELECT cum.nation, cum.segment, cum.ng, gl.nn, gl.m,
+      |    abs(CAST(cum.cumc AS HUGEINT) * gl.nn
+      |      - CAST(cn.cumn AS HUGEINT) * cum.ng) AS num
+      |  FROM cum JOIN cn ON cn.band = cum.band CROSS JOIN gl),
+      |agg AS (SELECT nation, segment, MAX(ng) AS n,
+      |    CAST(SUM(num) AS HUGEINT) AS s, MAX(nn) AS nn, MAX(m) AS m
+      |  FROM terms GROUP BY 1, 2),
+      |tt AS (SELECT *, CASE WHEN n > 0 AND m > 1 THEN CAST(s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0e0))
+      |  END AS t FROM agg)
+      |SELECT nation, segment, n, t,
+      |  CAST(t > 0.2e0 AS INT) AS violates_t02
+      |FROM tt ORDER BY nation, segment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_naivebayes" -> (naiveBayes _),
     "ml_tree" -> (mlTree _),
@@ -792,7 +900,8 @@ object MlExtra {
     "eval_isotonic" -> (isotonic _),
     "eval_pr_auc" -> (prAuc _),
     "eval_agreement" -> (agreement _),
-    "dq_ldiversity" -> (lDiversity _))
+    "dq_ldiversity" -> (lDiversity _),
+    "dq_tcloseness" -> (tCloseness _))
 
   val oracles: Map[String, String] = Map(
     "ml_naivebayes" -> naiveBayesSql,
@@ -802,5 +911,6 @@ object MlExtra {
     "eval_isotonic" -> isotonicSql,
     "eval_pr_auc" -> prAucSql,
     "eval_agreement" -> agreementSql,
-    "dq_ldiversity" -> lDiversitySql)
+    "dq_ldiversity" -> lDiversitySql,
+    "dq_tcloseness" -> tClosenessSql)
 }

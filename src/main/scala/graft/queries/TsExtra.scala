@@ -214,13 +214,96 @@ object TsExtra {
       |  CASE WHEN mae1 IS NOT NULL AND mae1 > 0.0e0 THEN mae7 / mae1 END AS mase
       |FROM mm ORDER BY event_type""".stripMargin
 
+  /** Bollinger bands (Bollinger 1980s; the rolling mean ± 2σ channel)
+    * over the per-type daily-total series, 20-observation window:
+    * reports per type how often the series pierced the upper/lower
+    * band and the final day's band values — the volatility-regime
+    * summary a monitoring plane keeps next to ts_ewma/ts_rsi.
+    *
+    * Determinism: each window's Σx (micro-units, BIGINT) and Σx²
+    * (DECIMAL(38,0)) are EXACT rolling sums — order-free — and the
+    * mean/σ chain per row is fixed IEEE (population σ, one
+    * correctly-rounded sqrt); breaches are strict > / < compares of
+    * bit-identical doubles; rows before a full 20-obs window are
+    * excluded by an integer count. Breach counts are integers.
+    *
+    * Scale: one corpus aggregation to (type, day), two rolling
+    * windows over day-span-bounded partitions, one per-type roll-up.
+    */
+  def bollinger(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(mv(col("value")).cast("decimal(38,0)")).cast("long").as("dv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-19, Window.currentRow)
+    val rolled = daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("dv")).over(w))
+      .withColumn("sxx",
+        sum((col("dv").cast("decimal(38,0)") * col("dv"))
+          .cast("decimal(38,0)")).over(w))
+      .filter(col("k") === 20)
+      .withColumn("mean", col("sx").cast("double") / lit(20.0))
+      .withColumn("sigma", sqrt(
+        col("sxx").cast("double") / lit(20.0) - col("mean") * col("mean")))
+      .withColumn("upper", col("mean") + lit(2.0) * col("sigma"))
+      .withColumn("lower", col("mean") - lit(2.0) * col("sigma"))
+    rolled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("dv").cast("double") > col("upper")).cast("long")).as("n_breach_up"),
+        sum((col("dv").cast("double") < col("lower")).cast("long")).as("n_breach_down"),
+        max(struct(col("day"), col("mean"), col("sigma"),
+          col("upper"), col("lower"))).as("last"))
+      .select(col("event_type"), col("n_windows"), col("n_breach_up"),
+        col("n_breach_down"), col("last.day").cast("string").as("last_day"),
+        col("last.mean").as("last_mean"), col("last.sigma").as("last_sigma"),
+        col("last.upper").as("last_upper"), col("last.lower").as("last_lower"))
+      .orderBy(col("event_type"))
+  }
+
+  val bollingerSql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(round(value * 1000000.0e0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS BIGINT) AS dv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |rolled AS (SELECT event_type, day, dv,
+      |    COUNT(*) OVER w AS k,
+      |    CAST(SUM(dv) OVER w AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(dv AS HUGEINT) * dv) OVER w AS HUGEINT) AS sxx
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |bands AS (SELECT event_type, day, dv,
+      |    CAST(sx AS DOUBLE) / 20.0e0 AS mean,
+      |    sqrt(CAST(sxx AS DOUBLE) / 20.0e0
+      |      - (CAST(sx AS DOUBLE) / 20.0e0) * (CAST(sx AS DOUBLE) / 20.0e0))
+      |      AS sigma
+      |  FROM rolled WHERE k = 20),
+      |bb AS (SELECT *, mean + 2.0e0 * sigma AS upper,
+      |    mean - 2.0e0 * sigma AS lower FROM bands),
+      |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |    CAST(SUM(CASE WHEN CAST(dv AS DOUBLE) > upper THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_breach_up,
+      |    CAST(SUM(CASE WHEN CAST(dv AS DOUBLE) < lower THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_breach_down,
+      |    MAX(struct_pack(day := day, mean := mean, sigma := sigma,
+      |      upper := upper, lower := lower)) AS last
+      |  FROM bb GROUP BY 1)
+      |SELECT event_type, n_windows, n_breach_up, n_breach_down,
+      |  CAST(last.day AS VARCHAR) AS last_day, last.mean AS last_mean,
+      |  last.sigma AS last_sigma, last.upper AS last_upper,
+      |  last.lower AS last_lower
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_drawdown" -> (drawdown _),
     "ts_rsi" -> (rsi _),
-    "ts_mase" -> (mase _))
+    "ts_mase" -> (mase _),
+    "ts_bollinger" -> (bollinger _))
 
   val oracles: Map[String, String] = Map(
     "ts_drawdown" -> drawdownSql,
     "ts_rsi" -> rsiSql,
-    "ts_mase" -> maseSql)
+    "ts_mase" -> maseSql,
+    "ts_bollinger" -> bollingerSql)
 }

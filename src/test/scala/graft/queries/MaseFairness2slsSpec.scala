@@ -79,6 +79,45 @@ class MaseFairness2slsSpec extends SparkSpec {
     }
   }
 
+  test("ts_bollinger equals a plain-Scala rolling-band replay") {
+    val daily = graft.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").cast("string"),
+        col("value")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        math.round(r.getDouble(2) * 1000000.0)))
+      .groupBy(_._1).map { case (k, v) => (k._1, k._2, v.map(_._2).sum) }
+      .toSeq
+    val got = TsExtra.bollinger(spark, sf).collect()
+    val byType = daily.groupBy(_._1)
+    got.foreach { r =>
+      val series = byType(r.getString(0)).sortBy(_._2)
+      val wins = series.sliding(20).filter(_.size == 20).toSeq
+      var (up, dn) = (0L, 0L)
+      var last: (String, Double, Double, Double, Double) = null
+      wins.foreach { w =>
+        val sx = w.map(_._3).sum
+        val sxx = w.map(x => BigInt(x._3) * BigInt(x._3)).sum
+        val mean = sx.toDouble / 20.0
+        val sigma = math.sqrt(sxx.toDouble / 20.0 - mean * mean)
+        val (u, l) = (mean + 2.0 * sigma, mean - 2.0 * sigma)
+        val dv = w.last._3.toDouble
+        if (dv > u) up += 1
+        if (dv < l) dn += 1
+        last = (w.last._2, mean, sigma, u, l)
+      }
+      assert(r.getLong(1) == wins.size.toLong, s"windows ${r.getString(0)}")
+      assert(r.getLong(2) == up && r.getLong(3) == dn,
+        s"breaches ${r.getString(0)}")
+      if (last != null) {
+        assert(r.getString(4) == last._1, s"last day ${r.getString(0)}")
+        assert(r.getDouble(5) == last._2 && r.getDouble(6) == last._3 &&
+          r.getDouble(7) == last._4 && r.getDouble(8) == last._5,
+          s"last bands ${r.getString(0)}")
+      }
+    }
+  }
+
   test("fairness_report equals a brute-force audit") {
     val docs = graft.Tables(spark, sf, "documents")
       .select(col("source"), col("n_chars"), col("lang")).collect()

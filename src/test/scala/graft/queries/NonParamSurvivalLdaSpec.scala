@@ -122,6 +122,41 @@ class NonParamSurvivalLdaSpec extends SparkSpec {
     assert(r.getDouble(5) == z && r.getDouble(6) == z * z, "z and chi2")
   }
 
+  test("dq_tcloseness equals a plain-Scala exact-integer ordered EMD") {
+    val rows = graft.Tables(spark, sf, "customer")
+      .join(graft.Tables(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(2) * 100.0)
+        ((r.getString(0), r.getString(1)),
+          math.floorDiv(cents + 400000L, 200000L))
+      }
+    val bands = rows.map(_._2).distinct.sorted
+    val m = bands.size
+    val nn = rows.length.toLong
+    def cumThrough(counts: Map[Long, Long], b: Long): Long =
+      bands.filter(_ <= b).map(counts.getOrElse(_, 0L)).sum
+    val globCounts = rows.groupBy(_._2).map { case (b, l) => b -> l.size.toLong }
+    val got = MlExtra.tCloseness(spark, sf).collect()
+    val byQi = rows.groupBy(_._1)
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      byQi.keys.toSeq.sorted)
+    got.foreach { r =>
+      val qi = (r.getString(0), r.getString(1))
+      val grp = byQi(qi)
+      val ng = grp.length.toLong
+      val gc = grp.groupBy(_._2).map { case (b, l) => b -> l.size.toLong }
+      val sSum = bands.map { b =>
+        (BigInt(cumThrough(gc, b)) * nn - BigInt(cumThrough(globCounts, b)) * ng).abs
+      }.sum
+      val t = sSum.toDouble / (ng.toDouble * nn.toDouble * (m.toDouble - 1.0))
+      assert(r.getLong(2) == ng, s"n $qi")
+      assert(r.getDouble(3) == t, s"t $qi")
+      assert(r.getInt(4) == (if (t > 0.2) 1 else 0), s"violates $qi")
+    }
+  }
+
   test("ml_lda equals a plain-Scala closed-form discriminant") {
     val rows = graft.Tables(spark, sf, "orders")
       .select(col("o_orderstatus"), col("o_totalprice"),
