@@ -428,17 +428,177 @@ object NonParam {
       |FROM st CROSS JOIN obs o
       |GROUP BY o.n_a, o.n_b, o.obs""".stripMargin
 
+  /** Friedman's rank test for k related samples (Friedman 1937) —
+    * blocks = days, treatments = event types, response = the day's
+    * total value in micro-units: "do the event types rank the same
+    * way day after day?", the BLOCKED companion of stats_kruskal
+    * (independent groups) exactly as stats_mcnemar pairs with
+    * stats_prop_ztest. Only complete blocks (all k types present
+    * that day) enter, per the classical test.
+    *
+    * Determinism: within-block average ranks are carried DOUBLED
+    * (2·cum − c + 1 over the per-(day, total) counts — an integer
+    * even for ties, the stats_spearman convention), so per-type rank
+    * sums and their squares stay exact integers/DECIMAL; the χ²_F
+    * chain (untied-formula, ties share averaged ranks — documented)
+    * divides the doubled moments once: χ² = 12/(n·k·(k+1))·(ΣR′²/4)
+    * − 3n(k+1).
+    *
+    * Scale: one corpus aggregation to the (day, type) table; ranks,
+    * block filters, and sums all run on that day-span×k alphabet.
+    */
+  def friedman(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"),
+        col("event_type"))
+      .agg(sum(round(col("value") * 1000000.0).cast("long")
+        .cast("decimal(38,0)")).cast("long").as("tot"))
+    val kTot = daily.select(col("event_type")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = daily.groupBy(col("day")).agg(count(lit(1)).as("kk"))
+    val blocks = daily.join(complete, "day").crossJoin(broadcast(kTot))
+      .filter(col("kk") === col("k"))
+    val vals = blocks.groupBy(col("day"), col("tot"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("day")).orderBy(col("tot"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r2", lit(2L) * col("cum") - col("c") + lit(1L))
+      .select(col("day"), col("tot"), col("r2"))
+    val perType = blocks.join(vals, Seq("day", "tot"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("r2_sum"), count(lit(1)).as("n_blocks"),
+        max(col("k")).as("k"))
+    val chi = perType.agg(
+        max(col("n_blocks")).as("n"), max(col("k")).as("k"),
+        sum((col("r2_sum").cast("decimal(38,0)") * col("r2_sum"))
+          .cast("decimal(38,0)")).cast("double").as("s4"))
+      .withColumn("chi2", when(col("n") > 0,
+        lit(12.0) / (col("n").cast("double") * col("k").cast("double") *
+          (col("k").cast("double") + lit(1.0))) * (col("s4") / lit(4.0)) -
+          lit(3.0) * col("n").cast("double") * (col("k").cast("double") + lit(1.0))))
+      .withColumn("df", (col("k") - 1L).as("df"))
+    perType.crossJoin(broadcast(chi.select(col("chi2"), col("df"))))
+      .select(col("event_type"), col("r2_sum"), col("n_blocks"),
+        col("chi2"), col("df"))
+      .orderBy(col("event_type"))
+  }
+
+  val friedmanSql: String =
+    """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+      |    CAST(SUM(CAST(CAST(round(value * 1000000.0e0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS BIGINT) AS tot
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |kt AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM daily),
+      |comp AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS kk FROM daily GROUP BY 1),
+      |blocks AS (SELECT d.* FROM daily d JOIN comp USING (day) CROSS JOIN kt
+      |  WHERE comp.kk = kt.k),
+      |vals AS (SELECT day, tot, CAST(COUNT(*) AS BIGINT) AS c FROM blocks
+      |  GROUP BY 1, 2),
+      |rv AS (SELECT day, tot,
+      |    2 * CAST(SUM(c) OVER (PARTITION BY day ORDER BY tot
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - c + 1 AS r2
+      |  FROM vals),
+      |pt AS (SELECT b.event_type, CAST(SUM(rv.r2) AS BIGINT) AS r2_sum,
+      |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |    MAX(kt.k) AS k
+      |  FROM blocks b JOIN rv ON rv.day = b.day AND rv.tot = b.tot
+      |  CROSS JOIN kt GROUP BY 1),
+      |chi AS (SELECT MAX(n_blocks) AS n, MAX(k) AS k,
+      |    CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS DOUBLE) AS s4
+      |  FROM pt),
+      |cc AS (SELECT CASE WHEN n > 0 THEN
+      |    12.0e0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+      |      * (CAST(k AS DOUBLE) + 1.0e0)) * (s4 / 4.0e0)
+      |    - 3.0e0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0e0) END AS chi2,
+      |    k - 1 AS df FROM chi)
+      |SELECT pt.event_type, pt.r2_sum, pt.n_blocks, cc.chi2, cc.df
+      |FROM pt CROSS JOIN cc ORDER BY pt.event_type""".stripMargin
+
+  /** Cochran's Q (Cochran 1950) for k = 3 related binary outcomes —
+    * blocks = users, treatments = {click, view, purchase}, outcome =
+    * "did this user ever emit that event type?": the k-sample
+    * generalization of stats_mcnemar (which it reduces to at k = 2).
+    * Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_u²) with C_j the per-type
+    * column totals, R_u the per-user row totals, N = ΣR_u.
+    *
+    * Determinism: every term is an exact integer (column totals,
+    * N², ΣR_u² — DECIMAL(38,0) at scale); Q is ONE double division,
+    * NULL-guarded when the denominator is 0 (every user all-0 or
+    * all-1 — no within-block variation, the test is undefined).
+    *
+    * Scale: one per-user aggregation (map-side combinable) + one
+    * 1-row fold — no join, no window.
+    */
+  def cochranQ(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x3"))
+      .withColumn("r", col("x1") + col("x2") + col("x3"))
+    per.agg(count(lit(1)).as("n_users"),
+        sum(col("x1")).as("c_click"),
+        sum(col("x2")).as("c_view"),
+        sum(col("x3")).as("c_purchase"),
+        sum(col("r").cast("decimal(38,0)")).cast("long").as("nn"),
+        sum((col("r") * col("r")).cast("decimal(38,0)")).cast("long").as("sum_r2"))
+      .withColumn("sum_c2",
+        col("c_click") * col("c_click") + col("c_view") * col("c_view") +
+          col("c_purchase") * col("c_purchase"))
+      .withColumn("den", lit(3L) * col("nn") - col("sum_r2"))
+      .withColumn("q", when(col("den") > 0,
+        lit(2.0) * (lit(3.0) * col("sum_c2").cast("double") -
+          col("nn").cast("double") * col("nn").cast("double")) /
+          col("den").cast("double")))
+      .select(col("n_users"), col("c_click"), col("c_view"),
+        col("c_purchase"), col("nn"), col("sum_r2"), col("q"),
+        lit(2L).as("df"))
+  }
+
+  val cochranQSql: String =
+    """WITH per AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x2,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x3
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      |  GROUP BY 1),
+      |p2 AS (SELECT *, x1 + x2 + x3 AS r FROM per),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x1) AS BIGINT) AS c_click,
+      |    CAST(SUM(x2) AS BIGINT) AS c_view,
+      |    CAST(SUM(x3) AS BIGINT) AS c_purchase,
+      |    CAST(SUM(r) AS BIGINT) AS nn,
+      |    CAST(SUM(r * r) AS BIGINT) AS sum_r2
+      |  FROM p2),
+      |s AS (SELECT *,
+      |    c_click * c_click + c_view * c_view + c_purchase * c_purchase AS sum_c2,
+      |    3 * nn - sum_r2 AS den
+      |  FROM agg)
+      |SELECT n_users, c_click, c_view, c_purchase, nn, sum_r2,
+      |  CASE WHEN den > 0 THEN 2.0e0 * (3.0e0 * CAST(sum_c2 AS DOUBLE)
+      |    - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) / CAST(den AS DOUBLE)
+      |  END AS q, CAST(2 AS BIGINT) AS df
+      |FROM s""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_mcnemar" -> (mcnemar _),
     "stats_cvm" -> (cvm _),
     "stats_permtest" -> (permtest _),
     "stats_cliffs" -> (cliffs _),
-    "stats_ad" -> (andersonDarling _))
+    "stats_ad" -> (andersonDarling _),
+    "stats_friedman" -> (friedman _),
+    "stats_cochranq" -> (cochranQ _))
 
   val oracles: Map[String, String] = Map(
     "stats_mcnemar" -> mcnemarSql,
     "stats_cvm" -> cvmSql,
     "stats_permtest" -> permtestSql,
     "stats_cliffs" -> cliffsSql,
-    "stats_ad" -> andersonDarlingSql)
+    "stats_ad" -> andersonDarlingSql,
+    "stats_friedman" -> friedmanSql,
+    "stats_cochranq" -> cochranQSql)
 }

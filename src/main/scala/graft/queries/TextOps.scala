@@ -1024,7 +1024,66 @@ object TextOps {
       |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
       |FROM k GROUP BY sdx ORDER BY sdx""".stripMargin
 
+  /** Term burstiness (Church & Gale 1995): the variance-to-mean ratio
+    * of each top-20 term's per-document count, zeros included — a
+    * Poisson term has VMR ≈ 1, a "bursty" content word (clumping in
+    * few documents) has VMR ≫ 1, so the ratio separates topical terms
+    * from function words where raw frequency cannot. A curation
+    * plane reads this next to text_zipf/text_vocab when choosing
+    * stopword and keyword lists.
+    *
+    * Determinism: per-(term, doc) counts, term totals, and Σc² are
+    * exact integers; docs WITHOUT the term enter through the closed
+    * form (zeros add nothing to Σc or Σc², only to D), so no
+    * densification is needed; mean = tot/D and the population
+    * variance (Σc² − tot²/D)/D are one fixed chain each. Top-20
+    * selection is (total DESC, term ASC) — fully ordered.
+    *
+    * Scale: one explode + two hash aggregations; the top-k sort runs
+    * on the vocabulary table (the text_zipf shape), never the corpus.
+    */
+  def textBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val dTot = docs.agg(count(lit(1)).as("d"))
+    val perDoc = docs
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
+    val perTerm = perDoc.groupBy($"tok")
+      .agg(sum($"c").as("tot"), count(lit(1)).as("n_docs"),
+        sum(($"c" * $"c").cast("decimal(38,0)")).cast("long").as("sc2"))
+      .orderBy($"tot".desc, $"tok").limit(20)
+    perTerm.crossJoin(broadcast(dTot))
+      .withColumn("mean", col("tot").cast("double") / col("d").cast("double"))
+      .withColumn("variance",
+        (col("sc2").cast("double") -
+          col("tot").cast("double") * col("tot").cast("double") /
+            col("d").cast("double")) / col("d").cast("double"))
+      .withColumn("vmr", when(col("mean") > 0.0, col("variance") / col("mean")))
+      .select($"tok", $"tot", $"n_docs", $"mean", $"vmr")
+      .orderBy($"tot".desc, $"tok")
+  }
+
+  val textBurstinessSql: String =
+    s"""WITH dt AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+       |pd AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest($TokSql) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |pt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tot,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(c * c) AS BIGINT) AS sc2
+       |  FROM pd GROUP BY 1 ORDER BY tot DESC, tok LIMIT 20),
+       |m AS (SELECT pt.*, dt.d,
+       |    CAST(tot AS DOUBLE) / CAST(d AS DOUBLE) AS mean,
+       |    (CAST(sc2 AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)
+       |      / CAST(d AS DOUBLE)) / CAST(d AS DOUBLE) AS variance
+       |  FROM pt CROSS JOIN dt)
+       |SELECT tok, tot, n_docs, mean,
+       |  CASE WHEN mean > 0.0e0 THEN variance / mean END AS vmr
+       |FROM m ORDER BY tot DESC, tok""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_burstiness" -> (textBurstiness _),
     "er_soundex" -> (erSoundex _),
     "text_chunks" -> (textChunks _),
     "text_rake" -> (textRake _),
@@ -1053,6 +1112,7 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_burstiness" -> textBurstinessSql,
     "er_soundex" -> erSoundexSql,
     "text_chunks" -> textChunksSql,
     "text_rake" -> textRakeSql,

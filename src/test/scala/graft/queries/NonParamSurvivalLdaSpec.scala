@@ -122,6 +122,113 @@ class NonParamSurvivalLdaSpec extends SparkSpec {
     assert(r.getDouble(5) == z && r.getDouble(6) == z * z, "z and chi2")
   }
 
+  test("stats_friedman equals a plain-Scala blocked-rank replay") {
+    val daily = graft.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select((unix_millis(col("ts")) / lit(86400000L)).cast("long"),
+        col("event_type"), col("value")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        math.round(r.getDouble(2) * 1000000.0)))
+      .groupBy(_._1).map { case (key, v) => (key._1, key._2, v.map(_._2).sum) }
+      .toSeq
+    val k = daily.map(_._2).distinct.size
+    val complete = daily.groupBy(_._1).filter(_._2.size == k)
+    var r2sum = Map[String, Long]().withDefaultValue(0L)
+    complete.values.foreach { block =>
+      val counts = block.groupBy(_._3).map { case (t, l) => t -> l.size.toLong }
+      val sorted = counts.keys.toSeq.sorted
+      var cum = 0L
+      val r2ByTot = sorted.map { t =>
+        cum += counts(t); t -> (2L * cum - counts(t) + 1L)
+      }.toMap
+      block.foreach(b => r2sum += b._2 -> (r2sum(b._2) + r2ByTot(b._3)))
+    }
+    val n = complete.size.toLong
+    val s4 = r2sum.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+    val chi2 = 12.0 / (n.toDouble * k.toDouble * (k.toDouble + 1.0)) *
+      (s4 / 4.0) - 3.0 * n.toDouble * (k.toDouble + 1.0)
+    val got = NonParam.friedman(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == r2sum.keys.toSeq.sorted)
+    got.foreach { r =>
+      assert(r.getLong(1) == r2sum(r.getString(0)), s"rank sum ${r.getString(0)}")
+      assert(r.getLong(2) == n, "blocks")
+      assert(r.getDouble(3) == chi2, "chi2")
+      assert(r.getLong(4) == k.toLong - 1L, "df")
+    }
+  }
+
+  test("stats_cochranq equals a plain-Scala integer chain") {
+    val per = graft.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (_, l) =>
+        val ts = l.map(_._2).toSet
+        (if (ts("click")) 1L else 0L, if (ts("view")) 1L else 0L,
+          if (ts("purchase")) 1L else 0L)
+      }.toSeq
+    val (c1, c2, c3) = (per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+    val rs = per.map(p => p._1 + p._2 + p._3)
+    val nn = rs.sum
+    val sumR2 = rs.map(r => r * r).sum
+    val sumC2 = c1 * c1 + c2 * c2 + c3 * c3
+    val den = 3L * nn - sumR2
+    val r = NonParam.cochranQ(spark, sf).collect().head
+    assert(r.getLong(0) == per.size.toLong, "users")
+    assert(r.getLong(1) == c1 && r.getLong(2) == c2 && r.getLong(3) == c3,
+      "column totals")
+    assert(r.getLong(4) == nn && r.getLong(5) == sumR2, "row moments")
+    // sf0.001 is degenerate by construction: every user emits all three
+    // types, so den = 0 and Q is undefined — the NULL guard must fire
+    if (den > 0) {
+      val q = 2.0 * (3.0 * sumC2.toDouble - nn.toDouble * nn.toDouble) /
+        den.toDouble
+      assert(r.getDouble(6) == q, "Q")
+    } else assert(r.isNullAt(6), "undefined Q must be NULL")
+    assert(r.getLong(7) == 2L, "df")
+    // a synthetic mixed corpus exercises the defined-Q chain end-to-end
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cq").toString
+    Seq((1L, "click"), (1L, "view"), (2L, "click"), (3L, "purchase"),
+      (3L, "view"), (4L, "click"), (4L, "purchase"))
+      .toDF("user_id", "event_type")
+      .withColumn("ts", lit("2020-01-01 00:00:00").cast("timestamp"))
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r2 = NonParam.cochranQ(spark, tmp).collect().head
+    // rows: r = (2,1,2,2); C = (3,2,2); N=7; sumR2=13; den=8
+    assert(r2.getLong(4) == 7L && r2.getLong(5) == 13L, "synthetic moments")
+    assert(r2.getDouble(6) ==
+      2.0 * (3.0 * 17.0 - 49.0) / 8.0, "synthetic Q")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("text_burstiness equals a plain-Scala VMR replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val d = docs.length.toLong
+    val tokRe = "[a-z0-9]+".r
+    val perDoc = docs.flatMap { case (id, t) =>
+      tokRe.findAllIn(t.toLowerCase).map(tok => (tok, id))
+    }.groupBy(identity).map { case ((tok, id), l) => (tok, id, l.size.toLong) }
+    val perTerm = perDoc.groupBy(_._1).map { case (tok, l) =>
+      (tok, l.map(_._3).sum, l.size.toLong,
+        l.map(x => BigInt(x._3) * BigInt(x._3)).sum)
+    }.toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    val got = TextOps.textBurstiness(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == perTerm.map(_._1))
+    got.zip(perTerm).foreach { case (r, (tok, tot, nd, sc2)) =>
+      assert(r.getLong(1) == tot && r.getLong(2) == nd, s"counts $tok")
+      val mean = tot.toDouble / d.toDouble
+      val variance = (sc2.toDouble - tot.toDouble * tot.toDouble / d.toDouble) /
+        d.toDouble
+      assert(r.getDouble(3) == mean, s"mean $tok")
+      assert(r.getDouble(4) == variance / mean, s"vmr $tok")
+    }
+  }
+
   test("dq_tcloseness equals a plain-Scala exact-integer ordered EMD") {
     val rows = graft.Tables(spark, sf, "customer")
       .join(graft.Tables(spark, sf, "nation"),
