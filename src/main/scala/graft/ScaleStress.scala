@@ -69,7 +69,11 @@ object ScaleStress {
     // stratified log-rank windows, two-pass LDA, continuous IV,
     // lagged MASE windows, and the fairness-audit median + cells
     "stats_cliffs", "stats_ad", "survival_logrank", "ml_lda",
-    "eval_2sls", "ts_mase", "fairness_report")
+    "eval_2sls", "ts_mase", "fairness_report",
+    // final round-9 additions: blocked-rank windows, densified EMD
+    // grids, rolling-band windows, per-(term, doc) explode counting
+    "stats_friedman", "stats_cochranq", "dq_tcloseness",
+    "ts_bollinger", "text_burstiness")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L
