@@ -500,17 +500,120 @@ object Causal {
       |    THEN ssr / ((cxx - ssr) / (nd - 2.0e0)) END AS f_stat
       |FROM e""".stripMargin
 
+  /** Winsorized average treatment effect (Tukey 1962's robustification
+    * applied to the experimentation plane): outcomes are capped at the
+    * POOLED exact p05/p95 before the Welch contrast, so a handful of
+    * whale values can no longer swamp the mean difference — the same
+    * caps apply to both arms (capping per-arm would itself distort the
+    * contrast). The robust sibling of eval_cuped.
+    *
+    * Determinism: caps are rank SELECTIONS (k = ⌊p·(n−1)⌋+1, the
+    * ts_percentiles convention) off the exact two-level cumulative on
+    * integer cents; capped values stay integer cents (clamp is a pure
+    * integer op); arm moments are DECIMAL-exact and the Welch z chain
+    * is the eval_sequential chain. Degenerate arms emit NULL.
+    *
+    * Scale: cumRanks over the value alphabet (no global sort), one
+    * broadcast of the 1-row caps, ONE corpus aggregation to 2 cells.
+    */
+  def evalWinsorized(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      .select(round(col("value") * 100.0).cast("long").as("v"),
+        coinOn("wins:", col("user_id")).as("treat"))
+    val vals = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ranked = FeatureQueries.cumRanks(vals)
+    def cap(p: Double, name: String): DataFrame = ranked
+      .filter(col("cum") >=
+        floor(lit(p) * (col("n") - 1).cast("double")).cast("long") + 1L)
+      .agg(min(col("v")).as(name))
+    val caps = broadcast(cap(0.05, "lo").crossJoin(cap(0.95, "hi")))
+    val capped = ev.crossJoin(caps)
+      .withColumn("w", greatest(least(col("v"), col("hi")), col("lo")))
+    def cell(t: Int, c: Column): Column = when(col("treat") === t, c)
+    def meanOf(sx: Column, n: Column): Column =
+      when(n > 0, sx / n.cast("double"))
+    def varOf(sx: Column, sxx: Column, n: Column): Column =
+      when(n > 1,
+        (n.cast("double") * sxx - sx * sx) /
+          (n.cast("double") * (n.cast("double") - lit(1.0))))
+    capped.agg(
+        count(cell(0, col("w"))).as("n_c"),
+        count(cell(1, col("w"))).as("n_t"),
+        max(col("lo")).as("lo_cap"), max(col("hi")).as("hi_cap"),
+        sum(cell(0, col("w").cast("decimal(38,0)"))).cast("double").as("s_c"),
+        sum(cell(1, col("w").cast("decimal(38,0)"))).cast("double").as("s_t"),
+        sum(cell(0, (col("w").cast("decimal(38,0)") * col("w"))
+          .cast("decimal(38,0)"))).cast("double").as("ss_c"),
+        sum(cell(1, (col("w").cast("decimal(38,0)") * col("w"))
+          .cast("decimal(38,0)"))).cast("double").as("ss_t"))
+      .withColumn("m_c", meanOf(col("s_c"), col("n_c")))
+      .withColumn("m_t", meanOf(col("s_t"), col("n_t")))
+      .withColumn("v_c", varOf(col("s_c"), col("ss_c"), col("n_c")))
+      .withColumn("v_t", varOf(col("s_t"), col("ss_t"), col("n_t")))
+      .withColumn("effect", col("m_t") - col("m_c"))
+      .withColumn("se", sqrt(col("v_c") / col("n_c").cast("double") +
+        col("v_t") / col("n_t").cast("double")))
+      .withColumn("z", when(col("se") > 0.0, col("effect") / col("se")))
+      .select(col("n_c"), col("n_t"), col("lo_cap"), col("hi_cap"),
+        col("m_c"), col("m_t"), col("effect"), col("se"), col("z"))
+  }
+
+  val evalWinsorizedSql: String =
+    s"""WITH ev AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v,
+      |    ${coinSql("wins:", "user_id")} AS treat
+      |  FROM events WHERE value IS NOT NULL),
+      |vals AS (SELECT v, COUNT(*) AS c FROM ev GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+      |cm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
+      |  FROM vals CROSS JOIN nn),
+      |lo AS (SELECT MIN(v) AS lo FROM cm
+      |  WHERE cum >= CAST(floor(0.05e0 * (n - 1)) AS BIGINT) + 1),
+      |hi AS (SELECT MIN(v) AS hi FROM cm
+      |  WHERE cum >= CAST(floor(0.95e0 * (n - 1)) AS BIGINT) + 1),
+      |capped AS (SELECT treat, greatest(least(v, hi.hi), lo.lo) AS w,
+      |    lo.lo, hi.hi
+      |  FROM ev CROSS JOIN lo CROSS JOIN hi),
+      |m AS (SELECT
+      |    CAST(COUNT(CASE WHEN treat = 0 THEN w END) AS BIGINT) AS n_c,
+      |    CAST(COUNT(CASE WHEN treat = 1 THEN w END) AS BIGINT) AS n_t,
+      |    MAX(lo) AS lo_cap, MAX(hi) AS hi_cap,
+      |    CAST(SUM(CASE WHEN treat = 0 THEN CAST(w AS HUGEINT) END)
+      |      AS DOUBLE) AS s_c,
+      |    CAST(SUM(CASE WHEN treat = 1 THEN CAST(w AS HUGEINT) END)
+      |      AS DOUBLE) AS s_t,
+      |    CAST(SUM(CASE WHEN treat = 0 THEN CAST(w AS HUGEINT) * w END)
+      |      AS DOUBLE) AS ss_c,
+      |    CAST(SUM(CASE WHEN treat = 1 THEN CAST(w AS HUGEINT) * w END)
+      |      AS DOUBLE) AS ss_t
+      |  FROM capped),
+      |v2 AS (SELECT *,
+      |    CASE WHEN n_c > 0 THEN s_c / CAST(n_c AS DOUBLE) END AS m_c,
+      |    CASE WHEN n_t > 0 THEN s_t / CAST(n_t AS DOUBLE) END AS m_t,
+      |    CASE WHEN n_c > 1 THEN (CAST(n_c AS DOUBLE) * ss_c - s_c * s_c)
+      |      / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0e0)) END AS v_c,
+      |    CASE WHEN n_t > 1 THEN (CAST(n_t AS DOUBLE) * ss_t - s_t * s_t)
+      |      / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0e0)) END AS v_t
+      |  FROM m),
+      |e AS (SELECT *, m_t - m_c AS effect,
+      |    sqrt(v_c / CAST(n_c AS DOUBLE) + v_t / CAST(n_t AS DOUBLE)) AS se
+      |  FROM v2)
+      |SELECT n_c, n_t, lo_cap, hi_cap, m_c, m_t, effect, se,
+      |  CASE WHEN se > 0.0e0 THEN effect / se END AS z
+      |FROM e""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_rdd" -> (evalRdd _),
     "eval_qte" -> (evalQte _),
     "eval_matching" -> (evalMatching _),
     "eval_poststrat" -> (evalPoststrat _),
-    "eval_2sls" -> (eval2sls _))
+    "eval_2sls" -> (eval2sls _),
+    "eval_winsorized" -> (evalWinsorized _))
 
   val oracles: Map[String, String] = Map(
     "eval_rdd" -> evalRddSql,
     "eval_qte" -> evalQteSql,
     "eval_matching" -> evalMatchingSql,
     "eval_poststrat" -> evalPoststratSql,
-    "eval_2sls" -> eval2slsSql)
+    "eval_2sls" -> eval2slsSql,
+    "eval_winsorized" -> evalWinsorizedSql)
 }

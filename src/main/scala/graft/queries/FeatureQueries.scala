@@ -1091,7 +1091,76 @@ object FeatureQueries {
       |    - CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE)) * woe, 4) AS iv_term
       |FROM w ORDER BY nation""".stripMargin
 
+  /** Tukey-fence outlier audit (Tukey 1977's 1.5·IQR rule) of account
+    * balances per market segment — the rank-based robust complement
+    * to the parametric dq_mahalanobis: exact per-segment quartiles by
+    * rank selection, then counts outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR].
+    *
+    * Determinism: quartiles are rank SELECTIONS off the grouped
+    * two-level cumulative (integer cents, no float boundary); the
+    * half-cent fence is avoided by comparing DOUBLED values —
+    * outlier_low ⇔ 2v < 2·Q1 − 3·IQR — so the whole audit is pure
+    * integer arithmetic; the rate is one division.
+    *
+    * Scale: [[cumRanksBy]] over the per-segment value alphabet + one
+    * corpus aggregation with the ≤|segments| fence table broadcast.
+    */
+  def dqOutlierIqr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables(s, dir, "customer")
+      .select(col("c_mktsegment").as("g"),
+        round(col("c_acctbal") * 100.0).cast("long").as("v"))
+    val ranked = cumRanksBy(rows.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c")))
+    def q(p: Long, name: String): DataFrame = ranked
+      .filter(col("cum") >= expr(s"$p * (n - 1) div 100") + 1L)
+      .groupBy(col("g")).agg(min(col("v")).as(name), max(col("n")).as(s"n_$name"))
+    val fences = broadcast(q(25, "q1").join(q(75, "q3"), "g")
+      .withColumn("iqr", col("q3") - col("q1"))
+      .select(col("g"), col("n_q1").as("n"), col("q1"), col("q3"), col("iqr")))
+    rows.join(fences, "g")
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"), max(col("iqr")).as("iqr"),
+        sum((lit(2L) * col("v") < lit(2L) * col("q1") - lit(3L) * col("iqr"))
+          .cast("long")).as("n_low"),
+        sum((lit(2L) * col("v") > lit(2L) * col("q3") + lit(3L) * col("iqr"))
+          .cast("long")).as("n_high"))
+      .withColumn("outlier_rate", when(col("n") > 0,
+        (col("n_low") + col("n_high")).cast("double") / col("n").cast("double")))
+      .select(col("g").as("segment"), col("n"), col("q1"), col("q3"),
+        col("iqr"), col("n_low"), col("n_high"), col("outlier_rate"))
+      .orderBy(col("segment"))
+  }
+
+  val dqOutlierIqrSql: String =
+    """WITH rows0 AS (SELECT c_mktsegment AS g,
+      |    CAST(round(c_acctbal * 100.0e0) AS BIGINT) AS v FROM customer),
+      |vals AS (SELECT g, v, COUNT(*) AS c FROM rows0 GROUP BY 1, 2),
+      |r AS (SELECT g, v,
+      |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM vals),
+      |q1 AS (SELECT g, MIN(v) AS q1, MAX(n) AS n FROM r
+      |  WHERE cum >= 25 * (n - 1) // 100 + 1 GROUP BY 1),
+      |q3 AS (SELECT g, MIN(v) AS q3 FROM r
+      |  WHERE cum >= 75 * (n - 1) // 100 + 1 GROUP BY 1),
+      |f AS (SELECT q1.g, q1.n, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr
+      |  FROM q1 JOIN q3 USING (g)),
+      |agg AS (SELECT rows0.g, MAX(f.n) AS n, MAX(f.q1) AS q1,
+      |    MAX(f.q3) AS q3, MAX(f.iqr) AS iqr,
+      |    CAST(SUM(CASE WHEN 2 * v < 2 * f.q1 - 3 * f.iqr
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |    CAST(SUM(CASE WHEN 2 * v > 2 * f.q3 + 3 * f.iqr
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |  FROM rows0 JOIN f USING (g) GROUP BY 1)
+      |SELECT g AS segment, n, q1, q3, iqr, n_low, n_high,
+      |  CASE WHEN n > 0 THEN CAST(n_low + n_high AS DOUBLE)
+      |    / CAST(n AS DOUBLE) END AS outlier_rate
+      |FROM agg ORDER BY segment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_outlier_iqr" -> (dqOutlierIqr _),
     "ml_stump" -> (mlStump _),
     "encode_woe" -> (encodeWoe _),
     "dq_referential" -> (dqReferential _),
@@ -1112,6 +1181,7 @@ object FeatureQueries {
     "encode_winsorize" -> (encodeWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "dq_outlier_iqr" -> dqOutlierIqrSql,
     "ml_stump" -> mlStumpSql,
     "encode_woe" -> encodeWoeSql,
     "dq_referential" -> dqReferentialSql,

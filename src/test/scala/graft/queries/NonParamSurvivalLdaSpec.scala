@@ -264,6 +264,59 @@ class NonParamSurvivalLdaSpec extends SparkSpec {
     }
   }
 
+  test("eval_winsorized equals a plain-Scala capped Welch chain") {
+    val ev = graft.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (coin("wins:", r.getLong(0)), math.round(r.getDouble(1) * 100.0)))
+    val sorted = ev.map(_._2).sorted
+    def capAt(p: Double): Long =
+      sorted((math.floor(p * (sorted.length - 1)).toLong + 1L - 1L).toInt)
+    val (lo, hi) = (capAt(0.05), capAt(0.95))
+    def arm(t: Long) = ev.filter(_._1 == t)
+      .map(e => math.max(math.min(e._2, hi), lo))
+    val (c, t) = (arm(0L), arm(1L))
+    def mv(v: Array[Long]) = {
+      val n = v.length.toDouble
+      val s = v.map(BigInt(_)).sum.toDouble
+      val ss = v.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      (s / n, (n * ss - s * s) / (n * (n - 1.0)))
+    }
+    val ((mc, vc), (mt, vt)) = (mv(c), mv(t))
+    val se = math.sqrt(vc / c.length.toDouble + vt / t.length.toDouble)
+    val r = Causal.evalWinsorized(spark, sf).collect().head
+    assert(r.getLong(0) == c.length && r.getLong(1) == t.length, "arm sizes")
+    assert(r.getLong(2) == lo && r.getLong(3) == hi, "caps")
+    assert(r.getDouble(4) == mc && r.getDouble(5) == mt, "means")
+    assert(r.getDouble(6) == mt - mc, "effect")
+    assert(r.getDouble(7) == se && r.getDouble(8) == (mt - mc) / se, "se/z")
+  }
+
+  test("dq_outlier_iqr equals a plain-Scala Tukey-fence count") {
+    val rows = graft.Tables(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100.0)))
+    val got = FeatureQueries.dqOutlierIqr(spark, sf).collect()
+    val byG = rows.groupBy(_._1)
+    assert(got.map(_.getString(0)).toSeq == byG.keys.toSeq.sorted)
+    got.foreach { r =>
+      val vs = byG(r.getString(0)).map(_._2).sorted
+      val n = vs.length.toLong
+      def q(p: Long): Long = vs(((p * (n - 1)) / 100).toInt)
+      val (q1, q3) = (q(25), q(75))
+      val iqr = q3 - q1
+      val low = vs.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong
+      val high = vs.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong
+      assert(r.getLong(1) == n, s"n ${r.getString(0)}")
+      assert(r.getLong(2) == q1 && r.getLong(3) == q3 && r.getLong(4) == iqr,
+        s"quartiles ${r.getString(0)}")
+      assert(r.getLong(5) == low && r.getLong(6) == high,
+        s"fence counts ${r.getString(0)}")
+      assert(r.getDouble(7) == (low + high).toDouble / n.toDouble,
+        s"rate ${r.getString(0)}")
+    }
+  }
+
   test("ml_lda equals a plain-Scala closed-form discriminant") {
     val rows = graft.Tables(spark, sf, "orders")
       .select(col("o_orderstatus"), col("o_totalprice"),
