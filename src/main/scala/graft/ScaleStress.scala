@@ -73,7 +73,8 @@ object ScaleStress {
     // final round-9 additions: blocked-rank windows, densified EMD
     // grids, rolling-band windows, per-(term, doc) explode counting
     "stats_friedman", "stats_cochranq", "dq_tcloseness",
-    "ts_bollinger", "text_burstiness")
+    "ts_bollinger", "text_burstiness",
+    "eval_winsorized", "dq_outlier_iqr")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L
