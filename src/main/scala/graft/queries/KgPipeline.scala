@@ -210,15 +210,22 @@ object KgPipeline {
     * embedding via Σ 1/(60 + rank). Ranks are exact integers from the
     * two certified legs, each RRF term is one division, and the fusion
     * is a full-outer join of two ALREADY-BOUNDED lists (≤50 rows per
-    * leg — the fusion cost never grows with the corpus). The 50-row
-    * re-rank window is single-partition by construction.
+    * leg — the fusion cost never grows with the corpus). The text-leg
+    * re-rank runs as collect_list→sort_array→posexplode on the
+    * post-limit ≤50-row list (r9 VERDICT #4: no global-orderBy
+    * WindowExec anywhere in the pipeline — the bm25 leg's corpus-side
+    * top-k is already TakeOrderedAndProject, and this keeps even the
+    * bounded re-rank off the single-partition-window shape that a
+    * plan reader would have to prove safe by hand).
     */
   def kgHybrid(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // rank by (score desc, doc_id asc) == ascending (-score, doc_id);
+    // double negation is exact and bm25 scores are finite and > 0
     val bm = kgBm25(s, dir)
-      .withColumn("r_text",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_text"))
+      .agg(sort_array(collect_list(
+        struct((-col("score")).as("ns"), col("doc_id")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("i", "x")))
+      .select(col("x.doc_id").as("doc_id"), (col("i") + 1).as("r_text"))
     val emb = Tables(s, dir, "embeddings")
     val vec = graft.operators.Similarity
       .cosineTopK(emb, emb.filter(col("vec_id") === 0), k = 50)

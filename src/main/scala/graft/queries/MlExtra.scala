@@ -160,7 +160,12 @@ object MlExtra {
     * gain = S_L²/n_L + S_R²/n_R evaluated per candidate as a fixed
     * 5-op double chain over exact integer cumulants (windowed integer
     * cumsums — order-independent), argmax with smallest-threshold
-    * tiebreak. SSE totals are DECIMAL(38,0) — never doubled.
+    * tiebreak. SSE totals are accumulated as DECIMAL(38,0) (exact)
+    * and cast to DOUBLE only in the FINAL select, on both engines —
+    * decimal→double is correctly rounded identically in Spark and
+    * DuckDB, and a DECIMAL-typed output column trips the driver's
+    * hash canonicalization (the r7–r9 red-row artifact; see
+    * VERDICT r9 §"What's wrong" #1).
     *
     * Scale (r9 single-scan design): ONE map-side-combinable corpus
     * aggregation to the (quantity × discount) cell table with exact
@@ -188,12 +193,14 @@ object MlExtra {
       b1.crossJoin(sse1).select(lit(1L).as("round"), lit("l_quantity").as("feature"),
         col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
         col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
-        col("sse_in1").as("sse_before"), col("sse_out1").as("sse_after"))
+        col("sse_in1").cast("double").as("sse_before"),
+        col("sse_out1").cast("double").as("sse_after"))
       .unionAll(
         b2.crossJoin(sse2).select(lit(2L).as("round"), lit("l_discount").as("feature"),
           col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
           col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
-          col("sse_in2").as("sse_before"), col("sse_out2").as("sse_after")))
+          col("sse_in2").cast("double").as("sse_before"),
+          col("sse_out2").cast("double").as("sse_after")))
     // n_total added r9 to force the driver to regenerate its cached
     // output + oracle (the r7/r8 red row was a stale pre-fix artifact)
     rounds.withColumn("n_total", col("n_left") + col("n_right"))
@@ -321,7 +328,8 @@ object MlExtra {
         lit(fname).as("feature"), col("threshold"), col("n_left"),
         col("n_right"), col("sum_left"), col("sum_right"),
         col("leaf_left"), col("leaf_right"), col("gain"),
-        col("sb").as("sse_before"), col("sa").as("sse_after"),
+        col("sb").cast("double").as("sse_before"),
+        col("sa").cast("double").as("sse_after"),
         (col("n_left") + col("n_right")).as("n_total"))
       cur = next
       row
@@ -349,7 +357,9 @@ object MlExtra {
          |  FROM ${p}cand ORDER BY gain DESC, t LIMIT 1)""".stripMargin
     def roundRow(i: Int, p: String, fname: String, sse: String): String =
       s"""SELECT CAST($i AS BIGINT) AS round, '$fname' AS feature, b.*,
-         |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
+         |  CAST(s.sse_before AS DOUBLE) AS sse_before,
+       |  CAST(s.sse_after AS DOUBLE) AS sse_after,
+       |  b.n_left + b.n_right AS n_total
          |FROM ${p}best b CROSS JOIN $sse s""".stripMargin
     s"""WITH base AS (SELECT CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS y,
        |    CAST(l_quantity AS BIGINT) AS f_q,
@@ -437,11 +447,15 @@ object MlExtra {
        |    CAST(SUM(CAST(r3 * r3 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sse_after
        |  FROM r3)
        |SELECT CAST(1 AS BIGINT) AS round, 'l_quantity' AS feature, b.*,
-       |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
+       |  CAST(s.sse_before AS DOUBLE) AS sse_before,
+       |  CAST(s.sse_after AS DOUBLE) AS sse_after,
+       |  b.n_left + b.n_right AS n_total
        |FROM abest b CROSS JOIN sse1 s
        |UNION ALL
        |SELECT CAST(2 AS BIGINT) AS round, 'l_discount' AS feature, b.*,
-       |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
+       |  CAST(s.sse_before AS DOUBLE) AS sse_before,
+       |  CAST(s.sse_after AS DOUBLE) AS sse_after,
+       |  b.n_left + b.n_right AS n_total
        |FROM bbest b CROSS JOIN sse2 s
        |ORDER BY round""".stripMargin
   }
@@ -684,7 +698,9 @@ object MlExtra {
     *
     * Output: one row per internal node (root, L = left child,
     * R = right child), each with its split stats plus that node's own
-    * SSE before/after (DECIMAL(38,0), never doubled). A child whose
+    * SSE before/after (DECIMAL(38,0) internally, cast DOUBLE in the
+    * final select on both engines — the no-DECIMAL-output rule; see
+    * [[boost]]). A child whose
     * subset has a single distinct discount value emits NO row (no
     * valid split) — mirrored by the oracle's empty LIMIT-1 CTE.
     *
@@ -711,7 +727,8 @@ object MlExtra {
       b.crossJoin(sse).select(lit(label).as("node"), lit(fname).as("feature"),
         col("threshold"), col("n_left"), col("n_right"), col("sum_left"),
         col("sum_right"), col("leaf_left"), col("leaf_right"), col("gain"),
-        col("sse_before"), col("sse_after"),
+        col("sse_before").cast("double").as("sse_before"),
+        col("sse_after").cast("double").as("sse_after"),
         (col("n_left") + col("n_right")).as("n_total"))
     }
 
@@ -757,7 +774,9 @@ object MlExtra {
          |  FROM $rel CROSS JOIN ${best} b)""".stripMargin
     def nodeRow(label: String, fname: String, best: String, sse: String): String =
       s"""SELECT '$label' AS node, '$fname' AS feature, b.*,
-         |  s.sse_before, s.sse_after, b.n_left + b.n_right AS n_total
+         |  CAST(s.sse_before AS DOUBLE) AS sse_before,
+       |  CAST(s.sse_after AS DOUBLE) AS sse_after,
+       |  b.n_left + b.n_right AS n_total
          |FROM $best b CROSS JOIN $sse s""".stripMargin
     s"""WITH base AS (SELECT CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS y,
        |    CAST(l_quantity AS BIGINT) AS q,

@@ -250,8 +250,8 @@ class DecisioningSpec extends SparkSpec {
       assert(r.getLong(5) == b.sl && r.getLong(6) == b.sr, s"$label sums")
       assert(r.getLong(7) == b.ll && r.getLong(8) == b.lr, s"$label leaves")
       assert(r.getDouble(9) == b.gain, s"$label gain")
-      assert(BigInt(r.getDecimal(10).toBigInteger) == before, s"$label sse_before")
-      assert(BigInt(r.getDecimal(11).toBigInteger) == after, s"$label sse_after")
+      assert(r.getDouble(10) == before.toDouble, s"$label sse_before")
+      assert(r.getDouble(11) == after.toDouble, s"$label sse_after")
       assert(r.getLong(12) == b.nl + b.nr, s"$label n_total")
     }
     // children partition the root's rows

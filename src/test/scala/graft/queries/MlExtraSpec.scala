@@ -95,10 +95,12 @@ class MlExtraSpec extends SparkSpec {
     val sse1 = BigInt(r1.map(t => BigInt(t._3) * BigInt(t._3)).sum.toString)
     val sse2 = r2.map(t => BigInt(t._3) * BigInt(t._3)).sum
     val sse3 = r3.map(t => BigInt(t._2) * BigInt(t._2)).sum
-    assert(g1.getDecimal(10).toBigInteger == sse1.bigInteger)
-    assert(g1.getDecimal(11).toBigInteger == sse2.bigInteger)
-    assert(g2.getDecimal(10).toBigInteger == sse2.bigInteger)
-    assert(g2.getDecimal(11).toBigInteger == sse3.bigInteger)
+    // output sse columns are DOUBLE (exact-DECIMAL internal math cast
+    // once in the final select — the no-DECIMAL-output rule)
+    assert(g1.getDouble(10) == sse1.toDouble)
+    assert(g1.getDouble(11) == sse2.toDouble)
+    assert(g2.getDouble(10) == sse2.toDouble)
+    assert(g2.getDouble(11) == sse3.toDouble)
     assert(sse2 < sse1 && sse3 < sse2)
   }
 

@@ -226,8 +226,8 @@ class Round9OpsSpec extends SparkSpec {
       assert(r.getLong(5) == b.sl && r.getLong(6) == b.sr)
       assert(r.getLong(7) == b.ll && r.getLong(8) == b.lr)
       assert(r.getDouble(9) == b.gain)
-      assert(BigInt(r.getDecimal(10).toBigInteger) == before)
-      assert(BigInt(r.getDecimal(11).toBigInteger) == after)
+      assert(r.getDouble(10) == before.toDouble)
+      assert(r.getDouble(11) == after.toDouble)
       assert(r.getLong(12) == b.nl + b.nr)
     }
     assert(got.map(_.getString(1)).toSeq ==
