@@ -124,13 +124,24 @@ object Attribution {
         Relational.intdiv((col("pbase") - col("prem")) * lit(Scale), col("pbase")))
         .otherwise(lit(0L)))
     val tot = re.agg(sum(col("re_micro")).as("t"))
-    re.crossJoin(broadcast(tot)).select(col("channel"),
-        (col("pbase").cast("double") / lit(1000000.0)).as("p_base"),
-        (col("prem").cast("double") / lit(1000000.0)).as("p_removed"),
-        col("re_micro"),
-        when(col("t") > 0, col("re_micro").cast("double") / col("t").cast("double"))
-          .otherwise(lit(0.0)).as("attribution"))
-      .orderBy(col("channel"))
+    // Materialize the ≤channels-row result, then free the terminal
+    // round's checkpoint and the edge-table checkpoint (r9 ADVICE: a
+    // long-lived session running many queries back-to-back would
+    // otherwise accrete these blocks until Caches.sweep). The
+    // result's own single tiny block remains the sweep's job — any
+    // checkpoint-backed return value has exactly one such residue.
+    val result = graft.Caches.checkpointReset(
+      re.crossJoin(broadcast(tot)).select(col("channel"),
+          (col("pbase").cast("double") / lit(1000000.0)).as("p_base"),
+          (col("prem").cast("double") / lit(1000000.0)).as("p_removed"),
+          col("re_micro"),
+          when(col("t") > 0, col("re_micro").cast("double") / col("t").cast("double"))
+            .otherwise(lit(0.0)).as("attribution"))
+        .orderBy(col("channel"))
+        .coalesce(1))
+    graft.Caches.free(prevCkpt)
+    graft.Caches.free(ed)
+    result
   }
 
   val markovSql: String = {

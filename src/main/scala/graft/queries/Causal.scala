@@ -507,11 +507,14 @@ object Causal {
     * caps apply to both arms (capping per-arm would itself distort the
     * contrast). The robust sibling of eval_cuped.
     *
-    * Determinism: caps are rank SELECTIONS (k = ⌊p·(n−1)⌋+1, the
-    * ts_percentiles convention) off the exact two-level cumulative on
-    * integer cents; capped values stay integer cents (clamp is a pure
-    * integer op); arm moments are DECIMAL-exact and the Welch z chain
-    * is the eval_sequential chain. Degenerate arms emit NULL.
+    * Determinism: caps are rank SELECTIONS — k = (pct·(n−1)) div 100
+    * + 1 computed in PURE INTEGERS (the eval_qte convention; r9
+    * ADVICE: the earlier ⌊0.05·(n−1)⌋ double chain was engine-
+    * identical but could floor to a different k than exact rational
+    * arithmetic for specific n) — off the exact two-level cumulative
+    * on integer cents; capped values stay integer cents (clamp is a
+    * pure integer op); arm moments are DECIMAL-exact and the Welch z
+    * chain is the eval_sequential chain. Degenerate arms emit NULL.
     *
     * Scale: cumRanks over the value alphabet (no global sort), one
     * broadcast of the 1-row caps, ONE corpus aggregation to 2 cells.
@@ -522,11 +525,11 @@ object Causal {
         coinOn("wins:", col("user_id")).as("treat"))
     val vals = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val ranked = FeatureQueries.cumRanks(vals)
-    def cap(p: Double, name: String): DataFrame = ranked
+    def cap(pct: Long, name: String): DataFrame = ranked
       .filter(col("cum") >=
-        floor(lit(p) * (col("n") - 1).cast("double")).cast("long") + 1L)
+        Relational.intdiv(lit(pct) * (col("n") - 1), lit(100L)) + 1L)
       .agg(min(col("v")).as(name))
-    val caps = broadcast(cap(0.05, "lo").crossJoin(cap(0.95, "hi")))
+    val caps = broadcast(cap(5L, "lo").crossJoin(cap(95L, "hi")))
     val capped = ev.crossJoin(caps)
       .withColumn("w", greatest(least(col("v"), col("hi")), col("lo")))
     def cell(t: Int, c: Column): Column = when(col("treat") === t, c)
@@ -567,9 +570,9 @@ object Causal {
       |cm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum, nn.n
       |  FROM vals CROSS JOIN nn),
       |lo AS (SELECT MIN(v) AS lo FROM cm
-      |  WHERE cum >= CAST(floor(0.05e0 * (n - 1)) AS BIGINT) + 1),
+      |  WHERE cum >= (5 * (n - 1)) // 100 + 1),
       |hi AS (SELECT MIN(v) AS hi FROM cm
-      |  WHERE cum >= CAST(floor(0.95e0 * (n - 1)) AS BIGINT) + 1),
+      |  WHERE cum >= (95 * (n - 1)) // 100 + 1),
       |capped AS (SELECT treat, greatest(least(v, hi.hi), lo.lo) AS w,
       |    lo.lo, hi.hi
       |  FROM ev CROSS JOIN lo CROSS JOIN hi),

@@ -211,7 +211,11 @@ object MlExtra {
     * centered-residual moments. Keys ⊆ {q, d, t} (quantity, discount
     * cents, tax cents — alphabet ≤ 50×11×9 cells); n/Σr stay BIGINT
     * (Σr ≤ corpus·maxprice — the same bound the pre-r9 per-row design
-    * carried), Σr² is DECIMAL(38,0). f0 itself folds from the cell
+    * carried; a DELIBERATE loud-failure boundary per r9 ADVICE: past
+    * ~2⁶³ summed cents, ≈10⁹× the bench corpus, ANSI mode raises
+    * rather than silently wrapping, and widening Σr to DECIMAL would
+    * force the oracle's CAST(SUM(r) AS BIGINT) to change while buying
+    * nothing at any target corpus), Σr² is DECIMAL(38,0). f0 itself folds from the cell
     * table, so the corpus is read exactly once; the cell table is
     * coalesced to one partition and checkpoint-reset (the
     * attribution_markov recipe — downstream consumers see a tiny

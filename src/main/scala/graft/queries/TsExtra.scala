@@ -148,10 +148,14 @@ object TsExtra {
   /** MASE — mean absolute SCALED error (Hyndman & Koehler 2006), the
     * scale-free forecast-accuracy measure a backtest plane reports
     * when MAPE breaks on zero-crossing series: the seasonal-naive
-    * (7-observations-back, row-based over the day-ordered series)
     * forecast's MAE divided by the one-step-naive MAE, per event
     * type. MASE < 1 ⇔ the weekly-seasonal model beats the random
-    * walk.
+    * walk. The weekly forecast is CALENDAR-based (the value observed
+    * exactly 7 days earlier, via a day−7 equi-join — r9 ADVICE: a
+    * row-based lag(dv, 7) silently compares against a non-weekly
+    * offset whenever the day grid has gaps); the one-step naive stays
+    * the previous OBSERVATION (Hyndman's in-sample scaler is defined
+    * on consecutive observations of the series as recorded).
     *
     * Determinism: daily totals are exact integer micro-units; both
     * absolute-error sums stay INTEGER (order-free), each MAE is one
@@ -159,19 +163,25 @@ object TsExtra {
     * constant series with zero naive error) emit NULL, never a
     * divide-by-zero.
     *
-    * Scale: one corpus aggregation to the (type, day) table, two
-    * keyed lag windows over day-span-bounded partitions, one final
-    * per-type aggregation.
+    * Scale: ONE corpus aggregation to the (type, day) table — tiny
+    * (types × day-span) and checkpointed so the weekly self-join
+    * consumes it without a second corpus scan; the join side is
+    * broadcast, the one-step lag is a keyed window over day-span-
+    * bounded partitions, then one final per-type aggregation.
     */
   def mase(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(s, dir, "events")
-      .filter(col("value").isNotNull)
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(sum(mv(col("value")).cast("decimal(38,0)")).cast("long").as("dv"))
+    val daily = graft.Caches.checkpointReset(
+      Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(mv(col("value")).cast("decimal(38,0)")).cast("long").as("dv"))
+        .coalesce(1))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val weekAgo = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("dv").as("l7"))
     val lagged = daily
-      .withColumn("l7", lag(col("dv"), 7).over(w))
       .withColumn("l1", lag(col("dv"), 1).over(w))
+      .join(broadcast(weekAgo), Seq("event_type", "day"), "left")
     lagged.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         count(col("l7")).as("n7"), count(col("l1")).as("n1"),
@@ -195,10 +205,12 @@ object TsExtra {
       |    CAST(SUM(CAST(CAST(round(value * 1000000.0e0) AS BIGINT)
       |      AS DECIMAL(38,0))) AS BIGINT) AS dv
       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-      |lagged AS (SELECT event_type, dv,
-      |    lag(dv, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+      |l1s AS (SELECT event_type, day, dv,
       |    lag(dv, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
       |  FROM daily),
+      |lagged AS (SELECT d.event_type, d.dv, p.dv AS l7, d.l1
+      |  FROM l1s d LEFT JOIN daily p
+      |    ON p.event_type = d.event_type AND p.day = d.day - 7),
       |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
       |    CAST(COUNT(l7) AS BIGINT) AS n7, CAST(COUNT(l1) AS BIGINT) AS n1,
       |    CAST(SUM(CASE WHEN l7 IS NOT NULL

@@ -63,9 +63,16 @@ class MaseFairness2slsSpec extends SparkSpec {
     val out = TsExtra.mase(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == byType.keys.toSeq.sorted)
     out.foreach { r =>
-      val series = byType(r.getString(0)).sortBy(_._2).map(_._3)
+      val obs = byType(r.getString(0)).sortBy(_._2)
+      val series = obs.map(_._3)
       val n = series.size
-      val e7 = (7 until n).map(i => math.abs(series(i) - series(i - 7)))
+      // weekly leg is CALENDAR-based: value observed exactly 7 days
+      // earlier, skipped when that day is absent from the grid
+      val byDay = obs.map(o => (java.time.LocalDate.parse(o._2), o._3)).toMap
+      val e7 = obs.flatMap { case (_, d, v) =>
+        byDay.get(java.time.LocalDate.parse(d).minusDays(7))
+          .map(p => math.abs(v - p))
+      }
       val e1 = (1 until n).map(i => math.abs(series(i) - series(i - 1)))
       assert(r.getLong(1) == n.toLong && r.getLong(2) == e7.size.toLong &&
         r.getLong(3) == e1.size.toLong, s"counts ${r.getString(0)}")

@@ -270,9 +270,10 @@ class NonParamSurvivalLdaSpec extends SparkSpec {
       .select(col("user_id"), col("value")).collect()
       .map(r => (coin("wins:", r.getLong(0)), math.round(r.getDouble(1) * 100.0)))
     val sorted = ev.map(_._2).sorted
-    def capAt(p: Double): Long =
-      sorted((math.floor(p * (sorted.length - 1)).toLong + 1L - 1L).toInt)
-    val (lo, hi) = (capAt(0.05), capAt(0.95))
+    // pure-integer rank: k = (pct·(n−1)) div 100 + 1, 1-indexed
+    def capAt(pct: Long): Long =
+      sorted((pct * (sorted.length - 1L) / 100L).toInt)
+    val (lo, hi) = (capAt(5L), capAt(95L))
     def arm(t: Long) = ev.filter(_._1 == t)
       .map(e => math.max(math.min(e._2, hi), lo))
     val (c, t) = (arm(0L), arm(1L))
