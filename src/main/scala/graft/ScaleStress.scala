@@ -74,7 +74,10 @@ object ScaleStress {
     // grids, rolling-band windows, per-(term, doc) explode counting
     "stats_friedman", "stats_cochranq", "dq_tcloseness",
     "ts_bollinger", "text_burstiness",
-    "eval_winsorized", "dq_outlier_iqr")
+    "eval_winsorized", "dq_outlier_iqr",
+    // round-10 additions: per-(term, doc) positional-field explode
+    // (BM25F) and the IVF sweep's brute-force ground-truth leg
+    "kg_bm25f", "sim_recall_sweep")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

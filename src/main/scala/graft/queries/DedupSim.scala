@@ -491,6 +491,143 @@ object DedupSim {
        |  WHERE p.qid <> a.vec_id)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** ANN recall-vs-cost sweep — the evaluation harness every vector-
+    * index deployment runs before picking an operating point (Jégou
+    * et al. 2011 report exactly this curve): for probe depths
+    * nProbe ∈ {1, 2, 4} of the 8-cell IVF index, recall@5 of the
+    * probed exact-cosine top-5 against the brute-force ground truth,
+    * next to the scan cost (scored candidate rows, and the fraction
+    * of full-scan work they represent). One row per probe depth —
+    * recall and cost both rise with nProbe; the sweep makes the
+    * trade-off a queryable fact instead of folklore.
+    *
+    * Determinism: hits/costs are exact integer counts over
+    * deterministically-ranked candidate sets (cosine ties broken by
+    * vec_id, the house convention); recall and scan_frac are single
+    * double divisions of exact integers.
+    *
+    * Scale shape: the corpus is read once for the literal-codebook
+    * assignment (narrow map, no shuffle) and once for the ground
+    * truth (the brute-force leg is the POINT of the harness — run it
+    * over a query sample, never the full query log; the 8-query probe
+    * side broadcasts). Candidates are cached once and reused across
+    * the three sweep points (windows keyed by (n_probe, qid)), so
+    * deepening the sweep grid adds alphabet work, not corpus scans.
+    */
+  def simRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val seeds = Similarity.collectSeeds(emb, 8)
+    // seeds.isEmpty ⇔ the corpus itself is empty (the semanticDedup
+    // convention): no cells to probe, no truth — the sweep is the
+    // typed empty frame, not an ivfAssignLit precondition crash
+    if (seeds.isEmpty) return s.range(0).select(
+      lit(0L).as("n_probe"), lit(0L).as("k"), lit(0L).as("n_truth"),
+      lit(0L).as("hits"), lit(0.0).as("recall"),
+      lit(0L).as("cand_rows"), lit(0.0).as("scan_frac"))
+    val cents = Similarity.seedFrame(s, seeds)
+    val assigned = Similarity.ivfAssignLit(emb, seeds)
+    val truth = Similarity.cosineTopK(emb, queries, k)
+      .select(col("qid"), col("vec_id"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cents)
+      .withColumn("csim", Similarity.cosine(col("qe"), col("ce")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= 4)
+      .select(col("qid"), col("qe"), col("cid"), col("crank"))
+    val cand = probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("embedding")))
+      .select(col("qid"), col("vec_id"), col("cos"), col("crank"))
+      .cache()
+    val swept = cand
+      .withColumn("n_probe", explode(array(lit(1L), lit(2L), lit(4L))))
+      .filter(col("crank") <= col("n_probe"))
+    val wTop = Window.partitionBy(col("n_probe"), col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val hits = swept
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .join(truth, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+    val costs = swept
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("cand_rows"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nScan = cand.agg(
+      countDistinct(col("qid")).cast("double").as("n_q"))
+      .crossJoin(emb.agg(count(lit(1)).cast("double").as("n_corpus")))
+    costs.join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(nTruth))
+      .crossJoin(broadcast(nScan))
+      .select(col("n_probe"), lit(k.toLong).as("k"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall"),
+        col("cand_rows"),
+        (col("cand_rows").cast("double") / (col("n_q") * col("n_corpus")))
+          .as("scan_frac"))
+      .orderBy(col("n_probe"))
+  }
+
+  val simRecallSweepSql: String =
+    s"""WITH $NormCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |asg AS (SELECT cid, vec_id, embedding FROM (
+       |  SELECT c.cid, e.vec_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.ce")} / (sqrt(ne.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id JOIN nrm nc ON nc.vec_id = c.cid)
+       |  WHERE crank = 1),
+       |prb AS (SELECT qid, qe, cid, crank FROM (
+       |  SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${sqlDot("q.embedding", "c.ce")} / (sqrt(nq.n2) * sqrt(nc.n2)) DESC, c.cid) AS crank
+       |  FROM embeddings q CROSS JOIN cents c
+       |  JOIN nrm nq ON nq.vec_id = q.vec_id JOIN nrm nc ON nc.vec_id = c.cid
+       |  WHERE q.vec_id < 8) WHERE crank <= 4),
+       |cand AS (SELECT p.qid, a.vec_id, p.crank,
+       |    ${sqlDot("p.qe", "a.embedding")} / (sqrt(nq.n2) * sqrt(na.n2)) AS cos
+       |  FROM prb p JOIN asg a USING (cid)
+       |  JOIN nrm nq ON nq.vec_id = p.qid JOIN nrm na ON na.vec_id = a.vec_id
+       |  WHERE p.qid <> a.vec_id),
+       |truth AS (SELECT qid, vec_id FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${sqlDot("q.embedding", "e.embedding")} / (sqrt(nq.n2) * sqrt(ne.n2)) DESC, e.vec_id) AS rank
+       |  FROM embeddings q CROSS JOIN embeddings e
+       |  JOIN nrm nq ON nq.vec_id = q.vec_id JOIN nrm ne ON ne.vec_id = e.vec_id
+       |  WHERE q.vec_id < 8 AND q.vec_id <> e.vec_id) WHERE rank <= 5),
+       |swept AS (SELECT c.*, p.n_probe
+       |  FROM cand c CROSS JOIN (SELECT unnest([1, 2, 4]) AS n_probe) p
+       |  WHERE c.crank <= p.n_probe),
+       |top AS (SELECT n_probe, qid, vec_id FROM (
+       |  SELECT n_probe, qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n_probe, qid
+       |      ORDER BY cos DESC, vec_id) AS rank FROM swept) WHERE rank <= 5),
+       |hits AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS hits FROM top t
+       |  WHERE EXISTS (SELECT 1 FROM truth r
+       |    WHERE r.qid = t.qid AND r.vec_id = t.vec_id)
+       |  GROUP BY 1),
+       |costs AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS cand_rows
+       |  FROM swept GROUP BY 1),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |ns AS (SELECT CAST(COUNT(DISTINCT qid) AS DOUBLE) AS n_q FROM cand),
+       |nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM embeddings)
+       |SELECT CAST(c.n_probe AS BIGINT) AS n_probe, CAST(5 AS BIGINT) AS k,
+       |  nt.n_truth, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) AS recall,
+       |  c.cand_rows,
+       |  CAST(c.cand_rows AS DOUBLE) / (ns.n_q * nc.n_corpus) AS scan_frac
+       |FROM costs c LEFT JOIN hits h USING (n_probe)
+       |CROSS JOIN nt CROSS JOIN ns CROSS JOIN nc
+       |ORDER BY n_probe""".stripMargin
+
   /** SemDeDup semantic dedup (arXiv:2303.09540): coarse-cluster the
     * embedding corpus (8 deterministic seed centroids, as sim_ivf),
     * then within each cluster drop every vector with a lower-id
@@ -950,6 +1087,7 @@ object DedupSim {
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_lsh" -> (simLsh _),
     "sim_ivf" -> (simIvf _),
+    "sim_recall_sweep" -> (simRecallSweep _),
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (simIvfpq _),
     "sim_ivf_t" -> (simIvfT _),
@@ -975,6 +1113,7 @@ object DedupSim {
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_lsh" -> simLshSql,
     "sim_ivf" -> simIvfSql,
+    "sim_recall_sweep" -> simRecallSweepSql,
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfpqSql,
     "sim_ivf_t" -> simIvfTSql,

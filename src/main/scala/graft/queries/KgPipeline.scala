@@ -204,6 +204,45 @@ object KgPipeline {
       |FROM tf JOIN dfs USING (tok) CROSS JOIN stats JOIN lens USING (doc_id)
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** BM25F field-weighted retrieval (the Q6 field-weight machinery
+    * taken to its published conclusion — Robertson & Zaragoza 2009;
+    * see [[QueryCompiler.bm25f]] for the scoring math and determinism
+    * notes): same query as [[kgBm25]], but the first 10 tokens of
+    * each document act as a double-weight "head" field with gentler
+    * length normalization — a term match in the head outranks the
+    * same match mid-body, the standard title-boost a fielded search
+    * stack ships.
+    */
+  def kgBm25f(s: SparkSession, dir: String): DataFrame =
+    QueryCompiler.bm25f(Tables(s, dir, "documents"), "doc_id", "text",
+      "spark stream join", headLen = 10, wHead = 2.0, limit = 50)
+
+  val kgBm25fSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |lens AS (SELECT doc_id, CAST(least(len(t), 10) AS DOUBLE) AS lh,
+      |    CAST(greatest(len(t) - 10, 0) AS DOUBLE) AS lb FROM tk),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    AVG(lh) AS avg_lh, AVG(lb) AS avg_lb FROM lens),
+      |px AS (SELECT doc_id, unnest(list_transform(range(len(t)),
+      |    i -> struct_pack(pos := i, tok := t[i+1]))) AS e FROM tk),
+      |tf AS (SELECT doc_id, e.tok AS tok,
+      |    CAST(SUM(CASE WHEN e.pos < 10 THEN 1 ELSE 0 END) AS BIGINT) AS tfh,
+      |    CAST(SUM(CASE WHEN e.pos >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS tfb
+      |  FROM px WHERE e.tok IN ('spark', 'stream', 'join') GROUP BY 1, 2),
+      |dfs AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT doc_id,
+      |    ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+      |    2.0e0 * CAST(tfh AS DOUBLE) / (0.5e0 + 0.5e0 * lh / avg_lh)
+      |      + CASE WHEN avg_lb > 0.0e0
+      |          THEN CAST(tfb AS DOUBLE) / (0.25e0 + 0.75e0 * lb / avg_lb)
+      |          ELSE 0.0e0 END AS tft,
+      |    tfh, tfb
+      |  FROM tf JOIN dfs USING (tok) CROSS JOIN stats JOIN lens USING (doc_id))
+      |SELECT doc_id, ROUND(SUM(idf * tft / (1.2e0 + tft)), 4) AS score,
+      |  COUNT(*) AS matched, CAST(SUM(tfh) AS BIGINT) AS tf_head,
+      |  CAST(SUM(tfb) AS BIGINT) AS tf_body
+      |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack et al. 2009 —
     * the standard way a modern stack combines lexical and vector
     * legs): the BM25 top-50 fused with the cosine top-50 of a probe
@@ -420,7 +459,8 @@ object KgPipeline {
     "kg_search" -> (kgSearch _),
     "kg_search_facets" -> (kgSearchFacets _),
     "kg_phrase" -> (kgPhrase _),
-    "kg_bm25" -> (kgBm25 _))
+    "kg_bm25" -> (kgBm25 _),
+    "kg_bm25f" -> (kgBm25f _))
 
   val oracles: Map[String, String] = Map(
     "kg_spellfix" -> kgSpellfixSql,
@@ -431,5 +471,6 @@ object KgPipeline {
     "kg_search" -> kgSearchSql,
     "kg_search_facets" -> kgSearchFacetsSql,
     "kg_phrase" -> kgPhraseSql,
-    "kg_bm25" -> kgBm25Sql)
+    "kg_bm25" -> kgBm25Sql,
+    "kg_bm25f" -> kgBm25fSql)
 }

@@ -250,4 +250,69 @@ object QueryCompiler {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
+
+  /** BM25F (Robertson & Zaragoza 2009 §"The Probabilistic Relevance
+    * Framework", eq. 3.20; originally Zaragoza et al., TREC-13 2004):
+    * the FIELD-WEIGHTED extension of [[bm25]] — per-field term
+    * frequencies are length-normalized PER FIELD, combined with field
+    * weights into one pseudo-frequency, and saturated ONCE:
+    *
+    *   tf̃(t,d) = Σ_f w_f · tf_f(t,d) / (1 − b_f + b_f·len_f(d)/avglen_f)
+    *   score   = Σ_t idf(t) · tf̃ / (k1 + tf̃)
+    *
+    * (Weighting then saturating — rather than summing per-field BM25
+    * scores — is the published result: it keeps a term's marginal
+    * contribution sub-linear across fields.) Fields here are positional
+    * — the first `headLen` tokens form the "head" field (title-weight
+    * w=2, gentle b=0.5), the remainder the "body" (w=1, b=0.75) — so
+    * the oracle can re-derive the exact same split from raw text.
+    *
+    * Determinism: per-field tf/length are exact integers; avglen is an
+    * exact-integer sum ÷ count; each tf̃ is a fixed two-term IEEE chain
+    * (constants 0.5/0.25/0.75/2.0 are exact binary; k1 written as the
+    * same literal both engines); scores rounded to 4 decimals before
+    * the cross-engine compare, the [[bm25]] convention.
+    *
+    * Scale shape: identical to [[bm25]] — the only corpus-wide shuffle
+    * is the (doc, term) tf groupBy; df and corpus stats broadcast.
+    */
+  def bm25f(docs: DataFrame, docIdCol: String, textCol: String,
+            query: String, headLen: Int = 10, wHead: Double = 2.0,
+            k1: Double = 1.2, limit: Int = 50): DataFrame = {
+    val qTokens = "[a-z0-9]+".r
+      .findAllIn(query.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
+    val toks = docs.select(col(docIdCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val lens = toks.select(col("doc_id"),
+      least(size(col("t")), lit(headLen)).cast("double").as("lh"),
+      greatest(size(col("t")) - headLen, lit(0)).cast("double").as("lb"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("lh")).as("avg_lh"), avg(col("lb")).as("avg_lb"))
+    val tf = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(qTokens: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(sum(when(col("pos") < headLen, 1L).otherwise(0L)).as("tfh"),
+        sum(when(col("pos") >= headLen, 1L).otherwise(0L)).as("tfb"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // two-term pseudo-frequency; the body term is gated on avg_lb > 0
+    // (an all-short corpus has tfb = 0 everywhere, but 0/NaN ≠ 0)
+    val tfTilde =
+      lit(wHead) * col("tfh").cast("double") /
+        (lit(0.5) + lit(0.5) * col("lh") / col("avg_lh")) +
+      when(col("avg_lb") > 0.0,
+        col("tfb").cast("double") /
+          (lit(0.25) + lit(0.75) * col("lb") / col("avg_lb")))
+        .otherwise(lit(0.0))
+    tf.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .join(lens, "doc_id")
+      .withColumn("s", idf * tfTilde / (lit(k1) + tfTilde))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"), count(lit(1)).as("matched"),
+        sum(col("tfh")).as("tf_head"), sum(col("tfb")).as("tf_body"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plain-Scala references for the round-10 retrieval-depth additions:
+  * BM25F field-weighted scoring (kg_bm25f) and the IVF
+  * recall-vs-cost sweep (sim_recall_sweep), both at sf0.001.
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("kg_bm25f equals a plain-Scala field-weighted replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val q = Set("spark", "stream", "join")
+    val toks = docs.map { case (id, t) =>
+      (id, "[a-z0-9]+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector)
+    }
+    val lens = toks.map { case (id, t) =>
+      (id, math.min(t.size, 10).toDouble, math.max(t.size - 10, 0).toDouble)
+    }
+    val n = lens.length.toDouble
+    val avgLh = lens.map(_._2).sum / n
+    val avgLb = lens.map(_._3).sum / n
+    // per (doc, term): head/body tf
+    val tf = toks.flatMap { case (id, t) =>
+      t.zipWithIndex.filter(e => q(e._1)).map { case (tok, pos) =>
+        (id, tok, if (pos < 10) 1L else 0L, if (pos >= 10) 1L else 0L)
+      }
+    }.groupBy(e => (e._1, e._2)).map { case ((id, tok), g) =>
+      (id, tok, g.map(_._3).sum, g.map(_._4).sum)
+    }.toSeq
+    val dfm = tf.groupBy(_._2).map { case (tok, g) => (tok, g.size.toDouble) }
+    val lensM = lens.map(e => (e._1, (e._2, e._3))).toMap
+    val scored = tf.groupBy(_._1).map { case (id, terms) =>
+      val (lh, lb) = lensM(id)
+      // canonical term order for the double sum (Spark's agg order is
+      // partition-dependent; round-to-4 absorbs the ulp, asserted with
+      // a one-ulp-of-the-4th-decimal tolerance below)
+      val s = terms.sortBy(_._2).map { case (_, tok, tfh, tfb) =>
+        val idf = math.log((n - dfm(tok) + 0.5) / (dfm(tok) + 0.5) + 1.0)
+        val tft = 2.0 * tfh.toDouble / (0.5 + 0.5 * lh / avgLh) +
+          (if (avgLb > 0.0) tfb.toDouble / (0.25 + 0.75 * lb / avgLb) else 0.0)
+        idf * tft / (1.2 + tft)
+      }.sum
+      (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        terms.size.toLong, terms.map(_._3).sum, terms.map(_._4).sum)
+    }.toSeq
+    val expected = scored.sortBy(e => (-e._2, e._1)).take(50)
+    val got = KgPipeline.kgBm25f(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (id, score, m, th, tb)) =>
+      assert(r.getLong(0) == id, s"doc order at $id")
+      assert(math.abs(r.getDouble(1) - score) <= 1e-4 + 1e-12, s"score $id")
+      assert(r.getLong(2) == m && r.getLong(3) == th && r.getLong(4) == tb,
+        s"match counts $id")
+    }
+    // field weighting is live: at least one doc pair is ordered
+    // differently than plain BM25 would order it (head hits dominate)
+    val headHeavy = got.filter(r => r.getLong(3) > 0)
+    assert(headHeavy.nonEmpty, "corpus has head-field hits")
+  }
+
+  test("sim_recall_sweep equals a plain-Scala IVF recall replay") {
+    val embs = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val seeds = embs.sortBy(e => (md5hex(s"seed:${e._1}"), e._1)).take(8)
+      .sortBy(_._1)
+    // assignment: argmax cosine over cid-ascending seeds, ties keep
+    // the earlier (lower-cid) entry — the ivfAssignLit fold
+    val assigned = embs.map { case (id, e) =>
+      val best = seeds.map { case (cid, ce) => (cid, cos(e, ce)) }
+        .reduceLeft((a, b) => if (b._2 > a._2) b else a)
+      (id, best._1)
+    }.toMap
+    val queries = embs.filter(_._1 < 8)
+    val truth = queries.flatMap { case (qid, qe) =>
+      embs.filter(_._1 != qid)
+        .map { case (vid, ve) => (vid, cos(qe, ve)) }
+        .sortBy { case (vid, c) => (-c, vid) }.take(5)
+        .map { case (vid, _) => (qid, vid) }
+    }.toSet
+    val nTruth = truth.size.toLong
+    val rows = Seq(1, 2, 4).map { p =>
+      val perQ = queries.map { case (qid, qe) =>
+        val probed = seeds.map { case (cid, ce) => (cid, cos(qe, ce)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(p).map(_._1).toSet
+        val cands = embs.filter(e => e._1 != qid && probed(assigned(e._1)))
+        val top = cands.map { case (vid, ve) => (vid, cos(qe, ve)) }
+          .sortBy { case (vid, c) => (-c, vid) }.take(5).map(_._1)
+        (top.count(v => truth((qid, v))).toLong, cands.length.toLong)
+      }
+      val hits = perQ.map(_._1).sum
+      val cand = perQ.map(_._2).sum
+      (p.toLong, 5L, nTruth, hits, hits.toDouble / nTruth.toDouble, cand,
+        cand.toDouble / (queries.length.toDouble * embs.length.toDouble))
+    }
+    val got = DedupSim.simRecallSweep(spark, sf).collect()
+    assert(got.length == 3)
+    got.zip(rows).foreach { case (r, (p, k, nt, h, rec, c, frac)) =>
+      assert(r.getLong(0) == p && r.getLong(1) == k && r.getLong(2) == nt,
+        s"keys p=$p")
+      assert(r.getLong(3) == h && r.getLong(5) == c, s"counts p=$p")
+      assert(r.getDouble(4) == rec && r.getDouble(6) == frac, s"ratios p=$p")
+    }
+    // the sweep is monotone: more probes never lose recall or cost
+    val recs = got.map(_.getDouble(4)).toSeq
+    val costs = got.map(_.getLong(5)).toSeq
+    assert(recs == recs.sorted && costs == costs.sorted, "monotone sweep")
+  }
+}
