@@ -76,8 +76,9 @@ object ScaleStress {
     "ts_bollinger", "text_burstiness",
     "eval_winsorized", "dq_outlier_iqr",
     // round-10 additions: per-(term, doc) positional-field explode
-    // (BM25F) and the IVF sweep's brute-force ground-truth leg
-    "kg_bm25f", "sim_recall_sweep")
+    // (BM25F), the IVF sweep's brute-force ground-truth leg, RM3's
+    // three corpus passes, and the PQ distortion quantile windows
+    "kg_bm25f", "sim_recall_sweep", "kg_rm3", "sim_pq_error")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

@@ -706,6 +706,84 @@ object DedupSim {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM adc)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** PQ quantization-distortion report (the index-quality audit Jégou
+    * et al. 2011 §III run before trusting ADC distances): for each of
+    * the 4 subspaces, the distribution of per-vector assignment
+    * distortion — the squared L2 between a vector's subvector and its
+    * NEAREST sub-centroid (exactly the quantity PQ encoding
+    * minimizes). Reported per subspace as exact rank selections
+    * (min / lower median / p95 / max) over the whole corpus, plus the
+    * count — a subspace whose p95 dwarfs the others tells you the
+    * codebook budget is misallocated before any recall regression
+    * shows it.
+    *
+    * Determinism: each distortion is the sequential-fold sqL2 against
+    * literal sub-centroids (bit-identical across engines) reduced by
+    * min (a selection, order-free); median/p95 are pure-integer rank
+    * selections (k = (n+1) div 2 and (95·(n−1)) div 100 + 1) off the
+    * exact grouped cumulative — no double is ever summed across rows.
+    *
+    * Scale shape: ONE corpus pass (narrow literal-codebook map +
+    * posexplode to 4 rows/vector), then cumRanksBy's two-level
+    * cumulative per subspace — no global sort at any corpus size.
+    */
+  def simPqError(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val m = 4
+    val seeds = Similarity.collectSeeds(emb, 8)
+    if (seeds.isEmpty) return s.range(0).select(
+      lit(0L).as("m"), lit(0L).as("n"), lit(0.0).as("min_d"),
+      lit(0.0).as("med_d"), lit(0.0).as("p95_d"), lit(0.0).as("max_d"))
+    val sub = Similarity.probeDim(emb) / m
+    val dists = array((0 until m).map { mi =>
+      val cands = graft.functions.TextFunctions.bindOnce(
+        slice(col("embedding"), mi * sub + 1, sub)) { sv =>
+        array(seeds.sortBy(_._1).map { case (_, ce) =>
+          Similarity.sqL2(sv,
+            lit(ce.map(_.toDouble).slice(mi * sub, mi * sub + sub)))
+        }: _*)
+      }
+      aggregate(cands, lit(Double.PositiveInfinity),
+        (acc, x) => least(acc, x))
+    }: _*)
+    val dmin = emb
+      .select(posexplode(dists).as(Seq("g", "v")))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // all four selections fold in ONE aggregation over the ranked
+    // cumulative (conditions are row-local), so the corpus-sized
+    // rank table is consumed exactly once — no reuse, no cache
+    val ranked = FeatureQueries.cumRanksBy(dmin)
+    ranked.groupBy(col("g")).agg(
+        max(col("n")).as("n"), min(col("v")).as("min_d"),
+        min(when(col("cum") >= Relational.intdiv(col("n") + 1, lit(2L)),
+          col("v"))).as("med_d"),
+        min(when(col("cum") >=
+          Relational.intdiv(lit(95L) * (col("n") - 1), lit(100L)) + 1L,
+          col("v"))).as("p95_d"),
+        max(col("v")).as("max_d"))
+      .select(col("g").cast("long").as("m"), col("n"), col("min_d"),
+        col("med_d"), col("p95_d"), col("max_d"))
+      .orderBy(col("m"))
+  }
+
+  val simPqErrorSql: String =
+    s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |ms AS (SELECT unnest(range(4)) AS m),
+       |cb AS (SELECT cid, m, ce[m*16+1 : m*16+16] AS csub FROM seeds CROSS JOIN ms),
+       |subs AS (SELECT vec_id, m, embedding[m*16+1 : m*16+16] AS sub
+       |  FROM embeddings CROSS JOIN ms),
+       |dmin AS (SELECT s.vec_id, s.m, MIN(${sqlSqL2("s.sub", "c.csub")}) AS d
+       |  FROM subs s JOIN cb c USING (m) GROUP BY s.vec_id, s.m),
+       |ranked AS (SELECT m, d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY d) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY m) AS BIGINT) AS n FROM dmin)
+       |SELECT CAST(m AS BIGINT) AS m, MAX(n) AS n, MIN(d) AS min_d,
+       |  MIN(CASE WHEN rk >= (n + 1) // 2 THEN d END) AS med_d,
+       |  MIN(CASE WHEN rk >= (95 * (n - 1)) // 100 + 1 THEN d END) AS p95_d,
+       |  MAX(d) AS max_d
+       |FROM ranked GROUP BY m ORDER BY m""".stripMargin
+
   /** IVFADC top-5 (Jégou 2011 §IV, the FAISS `IVF8,PQ4` shape): coarse
     * cells prune candidates (2 probes of 8 cells), product-quantized
     * RESIDUALS give the compressed scoring path — see
@@ -1088,6 +1166,7 @@ object DedupSim {
     "sim_lsh" -> (simLsh _),
     "sim_ivf" -> (simIvf _),
     "sim_recall_sweep" -> (simRecallSweep _),
+    "sim_pq_error" -> (simPqError _),
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (simIvfpq _),
     "sim_ivf_t" -> (simIvfT _),
@@ -1114,6 +1193,7 @@ object DedupSim {
     "sim_lsh" -> simLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_recall_sweep" -> simRecallSweepSql,
+    "sim_pq_error" -> simPqErrorSql,
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfpqSql,
     "sim_ivf_t" -> simIvfTSql,

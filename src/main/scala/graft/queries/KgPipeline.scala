@@ -243,6 +243,84 @@ object KgPipeline {
       |  CAST(SUM(tfb) AS BIGINT) AS tf_body
       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the
+    * Abdul-Jaleel et al. 2004 RM3 mixture as deployed in Anserini/
+    * Lucene): run the base query, take the top-10 feedback documents,
+    * extract the 5 most frequent non-query terms from them, and
+    * re-score the corpus with the expanded weighted query — original
+    * terms at weight 1.0, expansion terms at 0.4 (the standard
+    * original-query interpolation). The determinism-friendly variant
+    * scores expansion candidates by their EXACT INTEGER total
+    * frequency in the feedback set ((cnt DESC, term ASC) selection)
+    * rather than the length-normalized relevance-model estimate whose
+    * cross-doc double sum is order-dependent — the ranking signal is
+    * the same "what else do relevant docs say", the arithmetic is
+    * auditable.
+    *
+    * Scale shape: three corpus passes — the feedback run, the
+    * expansion-term count (a broadcast semi-join against the 10-doc
+    * feedback set), and the final weighted run — exactly the two-pass
+    * PRF cost every search engine pays (the base run is pass one);
+    * each pass's only corpus-wide shuffle is its (doc, term) groupBy,
+    * and the term/feedback tables broadcast.
+    */
+  def kgRm3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val q0 = Seq("spark", "stream", "join")
+    val fb = QueryCompiler.bm25(docs, "doc_id", "text",
+      "spark stream join", limit = 10).select(col("doc_id"))
+    val expTerms = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .join(broadcast(fb), "doc_id")
+      .filter(!col("tok").isin(q0: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(5)
+      .select(col("tok"), lit(0.4).as("w"))
+    // materialize the ≤8-row term table ONCE (checkpointReset): the
+    // weighted run consumes it twice, and without the barrier the
+    // whole feedback+expansion pipeline (two corpus passes) would be
+    // inlined — and executed — per consumer
+    val terms = broadcast(graft.Caches.checkpointReset(
+      q0.toDF("tok").select(col("tok"), lit(1.0).as("w"))
+        .unionAll(expTerms).coalesce(1)))
+    QueryCompiler.bm25Weighted(docs, "doc_id", "text", terms, limit = 20)
+  }
+
+  val kgRm3Sql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens),
+      |tf0 AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+      |  WHERE tok IN ('spark', 'stream', 'join') GROUP BY doc_id, tok),
+      |dfs0 AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf0 GROUP BY tok),
+      |fb AS (SELECT doc_id FROM (SELECT doc_id,
+      |    ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |      (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))), 4) AS score
+      |  FROM tf0 JOIN dfs0 USING (tok) CROSS JOIN stats JOIN lens USING (doc_id)
+      |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)),
+      |expt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM tk) x JOIN fb USING (doc_id)
+      |  WHERE tok NOT IN ('spark', 'stream', 'join')
+      |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 5),
+      |terms AS (SELECT tok, 1.0e0 AS w
+      |    FROM (VALUES ('spark'), ('stream'), ('join')) v(tok)
+      |  UNION ALL SELECT tok, 0.4e0 AS w FROM expt),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM tk) JOIN terms USING (tok)
+      |  GROUP BY doc_id, tok),
+      |dfs AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+      |SELECT doc_id,
+      |  ROUND(SUM(w * ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |    (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))), 4) AS score,
+      |  COUNT(*) AS matched,
+      |  CAST(SUM(CASE WHEN w = 1.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_orig
+      |FROM tf JOIN terms USING (tok) JOIN dfs USING (tok)
+      |CROSS JOIN stats JOIN lens USING (doc_id)
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack et al. 2009 —
     * the standard way a modern stack combines lexical and vector
     * legs): the BM25 top-50 fused with the cosine top-50 of a probe
@@ -460,7 +538,8 @@ object KgPipeline {
     "kg_search_facets" -> (kgSearchFacets _),
     "kg_phrase" -> (kgPhrase _),
     "kg_bm25" -> (kgBm25 _),
-    "kg_bm25f" -> (kgBm25f _))
+    "kg_bm25f" -> (kgBm25f _),
+    "kg_rm3" -> (kgRm3 _))
 
   val oracles: Map[String, String] = Map(
     "kg_spellfix" -> kgSpellfixSql,
@@ -472,5 +551,6 @@ object KgPipeline {
     "kg_search_facets" -> kgSearchFacetsSql,
     "kg_phrase" -> kgPhraseSql,
     "kg_bm25" -> kgBm25Sql,
-    "kg_bm25f" -> kgBm25fSql)
+    "kg_bm25f" -> kgBm25fSql,
+    "kg_rm3" -> kgRm3Sql)
 }

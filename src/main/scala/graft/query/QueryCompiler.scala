@@ -251,6 +251,42 @@ object QueryCompiler {
       .limit(limit)
   }
 
+  /** [[bm25]] over a DYNAMIC weighted term table instead of a literal
+    * query string — the scoring core pseudo-relevance feedback needs
+    * (the expansion terms are data-derived, so the tf filter is a
+    * broadcast equi-join on `terms(tok, w)` rather than an `isin`
+    * literal; per-term score contributions are scaled by `w`).
+    * Identical math, identical determinism discipline (scores rounded
+    * to 4 decimals), identical scale shape: the only corpus-wide
+    * shuffle is the (doc, term) tf groupBy.
+    */
+  def bm25Weighted(docs: DataFrame, docIdCol: String, textCol: String,
+                   terms: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+                   limit: Int = 50): DataFrame = {
+    val toks = docs.select(col(docIdCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .join(broadcast(terms.select(col("tok"))), "tok")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(terms), "tok")
+      .join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .join(lens, "doc_id")
+      .withColumn("s", col("w") * idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"), count(lit(1)).as("matched"),
+        sum(when(col("w") === 1.0, 1L).otherwise(0L)).as("matched_orig"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
   /** BM25F (Robertson & Zaragoza 2009 §"The Probabilistic Relevance
     * Framework", eq. 3.20; originally Zaragoza et al., TREC-13 2004):
     * the FIELD-WEIGHTED extension of [[bm25]] — per-field term

@@ -71,6 +71,85 @@ class Round10OpsSpec extends SparkSpec {
     assert(headHeavy.nonEmpty, "corpus has head-field hits")
   }
 
+  test("kg_rm3 equals a plain-Scala pseudo-relevance-feedback replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      (id, "[a-z0-9]+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector)
+    }
+    val q0 = Vector("join", "spark", "stream") // canonical order
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dlM = toks.map(e => (e._1, e._2.size.toDouble)).toMap
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // weighted BM25 over a term->weight map; returns (id, score, m, mOrig)
+    def run(terms: Map[String, Double]): Seq[(Long, Double, Long, Long)] = {
+      val tf = toks.flatMap { case (id, t) =>
+        t.filter(terms.contains).groupBy(identity)
+          .map { case (tok, g) => (id, tok, g.size.toDouble) }
+      }
+      val dfm = tf.groupBy(_._2).map { case (tok, g) => (tok, g.size.toDouble) }
+      tf.groupBy(_._1).map { case (id, g) =>
+        val s = g.sortBy(_._2).map { case (_, tok, f) =>
+          val idf = math.log((n - dfm(tok) + 0.5) / (dfm(tok) + 0.5) + 1.0)
+          terms(tok) * idf * (f * (1.2 + 1.0) /
+            (f + 1.2 * (1.0 - 0.75 + 0.75 * dlM(id) / avgdl)))
+        }.sum
+        (id, round4(s), g.size.toLong,
+          g.count(e => terms(e._2) == 1.0).toLong)
+      }.toSeq
+    }
+    val fb = run(q0.map(_ -> 1.0).toMap)
+      .sortBy(e => (-e._2, e._1)).take(10).map(_._1).toSet
+    val exp = toks.filter(e => fb(e._1)).flatMap(_._2)
+      .filterNot(q0.contains).groupBy(identity)
+      .map { case (tok, g) => (tok, g.size.toLong) }.toSeq
+      .sortBy { case (tok, c) => (-c, tok) }.take(5).map(_._1)
+    val terms = q0.map(_ -> 1.0).toMap ++ exp.map(_ -> 0.4).toMap
+    val expected = run(terms).sortBy(e => (-e._2, e._1)).take(20)
+    val got = KgPipeline.kgRm3(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (id, score, m, mo)) =>
+      assert(r.getLong(0) == id, s"doc order at $id")
+      assert(math.abs(r.getDouble(1) - score) <= 1e-4 + 1e-12, s"score $id")
+      assert(r.getLong(2) == m && r.getLong(3) == mo, s"matched $id")
+    }
+    // the expansion actually fired: some top doc matches > 3 terms
+    assert(got.exists(_.getLong(2) > 3), "expansion terms matched")
+  }
+
+  test("sim_pq_error equals a plain-Scala distortion-quantile replay") {
+    val embs = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sqL2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc = acc + d * d; i += 1
+      }
+      acc
+    }
+    val seeds = embs.sortBy(e => (md5hex(s"seed:${e._1}"), e._1)).take(8)
+      .sortBy(_._1).map(_._2)
+    val sub = embs.head._2.length / 4
+    val got = DedupSim.simPqError(spark, sf).collect()
+    assert(got.length == 4)
+    (0 until 4).foreach { mi =>
+      val ds = embs.map { case (_, e) =>
+        val sv = e.slice(mi * sub, mi * sub + sub)
+        seeds.map(ce => sqL2(sv, ce.slice(mi * sub, mi * sub + sub))).min
+      }.sorted
+      val nn = ds.length
+      val r = got(mi)
+      assert(r.getLong(0) == mi.toLong && r.getLong(1) == nn.toLong, s"keys $mi")
+      assert(r.getDouble(2) == ds.head && r.getDouble(5) == ds.last, s"ends $mi")
+      assert(r.getDouble(3) == ds(((nn + 1) / 2 - 1).toInt), s"median $mi")
+      assert(r.getDouble(4) == ds((95 * (nn - 1) / 100).toInt), s"p95 $mi")
+    }
+  }
+
   test("sim_recall_sweep equals a plain-Scala IVF recall replay") {
     val embs = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
