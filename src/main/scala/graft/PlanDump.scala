@@ -105,7 +105,10 @@ object PlanDump {
       // round 9: the flattened Markov attribution (per-round
       // checkpoint + broadcast-hinted alphabet tail) and the
       // experimentation plane (single-agg power/DiD shapes)
-      "attribution_markov", "eval_power", "eval_did", "ml_boost_deep")
+      "attribution_markov", "eval_power", "eval_did", "ml_boost_deep",
+      // round 10: retrieval depth (field-weighted BM25F, RM3 weighted
+      // re-run, windowless hybrid re-rank) and the ANN quality plane
+      "kg_bm25f", "kg_rm3", "sim_recall_sweep", "sim_pq_error")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")
