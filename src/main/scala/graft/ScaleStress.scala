@@ -78,7 +78,9 @@ object ScaleStress {
     // round-10 additions: per-(term, doc) positional-field explode
     // (BM25F), the IVF sweep's brute-force ground-truth leg, RM3's
     // three corpus passes, and the PQ distortion quantile windows
-    "kg_bm25f", "sim_recall_sweep", "kg_rm3", "sim_pq_error")
+    "kg_bm25f", "sim_recall_sweep", "kg_rm3", "sim_pq_error",
+    // systematic PPS: two-level weighted cumulative + narrow explode
+    "pipeline_pps")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

@@ -427,8 +427,83 @@ object TrainingPrep {
       |  CAST(SUM(CASE WHEN cum <= 100000 THEN tok ELSE 0 END) AS BIGINT) AS tokens_sel
       |FROM cm GROUP BY source ORDER BY source""".stripMargin
 
+  /** Systematic probability-proportional-to-size sampling (Madow
+    * 1949; the PPS workhorse of survey statistics and the
+    * quality/length-weighted corpus sampler a training pipeline wants
+    * when uniform doc sampling over-represents short documents):
+    * k = 20 sample points are placed at the centers of k equal slices
+    * of the total-weight line (positions (2i+1)·W/(2k)), documents
+    * are laid on that line in salted-hash order with width = weight
+    * (n_chars), and each point selects the document covering it —
+    * inclusion probability ∝ weight, a heavy doc can legitimately be
+    * drawn more than once (its multiplicity is its integer point
+    * count).
+    *
+    * Determinism — ALL-INTEGER selection: with cumulative weight c,
+    * the number of points at or below c is m(c) = (2k·c + W) div
+    * (2W) (the +W shift keeps the numerator positive, where DuckDB's
+    * `//` and the floor intdiv agree); a doc's sample indices are
+    * [m(cum−w), m(cum)). No float appears anywhere. Overflow bound:
+    * 2k·W must stay under 2⁶³ — 40× total corpus chars ≈ 4·10¹⁵ at
+    * 100 TB, three orders inside the bound, ANSI-loud past it.
+    *
+    * Scale shape: the pipeline_budget two-level weighted cumulative
+    * (1024-bucket offsets broadcast, within-bucket keyed window — no
+    * global sort), then a NARROW per-row index-range map + explode.
+    */
+  def ppsSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"),
+        conv(substr(md5(concat(lit("pps:"), col("doc_id").cast("string"))),
+          lit(1), lit(12)), 16, 10).cast("long").as("v"))
+    val tot = docs.agg(sum(col("w")).as("wtot"))
+    val rng = docs.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bucketed = docs.crossJoin(broadcast(rng))
+      .withColumn("bucket", least(floor(
+        (col("v") - col("lo")).cast("double") * 1024.0 /
+          greatest((col("hi") - col("lo")).cast("double"), lit(1.0)))
+        .cast("long"), lit(1023L)))
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("w")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"), col("doc_id"))
+    def m(c: org.apache.spark.sql.Column) =
+      graft.queries.Relational.intdiv(
+        lit(2L * k) * c + col("wtot"), lit(2L) * col("wtot"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("off") + sum(col("w")).over(wb))
+      .crossJoin(broadcast(tot))
+      .withColumn("i0", m(col("cum") - col("w")))
+      .withColumn("i1", m(col("cum")))
+      .filter(col("i1") > col("i0"))
+      .select(explode(sequence(col("i0"), col("i1") - 1)).as("i"),
+        col("doc_id"), col("w"))
+      .orderBy(col("i"))
+  }
+
+  val ppsSampleSql: String =
+    """WITH d AS (SELECT doc_id, greatest(n_chars, 1) AS w,
+      |    CAST(concat('0x', substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) AS v
+      |  FROM documents),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d),
+      |c AS (SELECT doc_id, w,
+      |    CAST(SUM(w) OVER (ORDER BY v, doc_id) AS BIGINT) AS cum FROM d),
+      |sel AS (SELECT doc_id, w,
+      |    (40 * (cum - w) + tw) // (2 * tw) AS i0,
+      |    (40 * cum + tw) // (2 * tw) AS i1
+      |  FROM c CROSS JOIN t WHERE (40 * cum + tw) // (2 * tw)
+      |    > (40 * (cum - w) + tw) // (2 * tw))
+      |SELECT CAST(unnest(range(i0, i1)) AS BIGINT) AS i, doc_id,
+      |  CAST(w AS BIGINT) AS w
+      |FROM sel ORDER BY i""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_budget" -> (pipelineBudget _),
+    "pipeline_pps" -> ((s: SparkSession, dir: String) => ppsSample(s, dir)),
     "pipeline_temperature" -> (pipelineTemperature _),
     "pipeline_sample" -> ((s: SparkSession, dir: String) => sampleK(s, dir)),
     "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
@@ -440,6 +515,7 @@ object TrainingPrep {
 
   val oracles: Map[String, String] = Map(
     "pipeline_budget" -> pipelineBudgetSql,
+    "pipeline_pps" -> ppsSampleSql,
     "pipeline_temperature" -> pipelineTemperatureSql,
     "pipeline_sample" -> sampleKSql,
     "pipeline_shuffle" -> shuffleOrderSql,

@@ -150,6 +150,38 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_pps equals a plain-Scala systematic-PPS replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(1), 1L)))
+    val k = 20
+    val ordered = docs.sortBy { case (id, _) =>
+      (md5hex(s"pps:$id").take(12), id)
+    }
+    val w = ordered.map(_._2)
+    val totW = w.sum
+    val cums = w.scanLeft(0L)(_ + _).tail
+    def m(c: Long): Long = (2L * k * c + totW) / (2L * totW)
+    val expected = ordered.zip(cums).flatMap { case ((id, wt), cum) =>
+      (m(cum - wt) until m(cum)).map(i => (i, id, wt))
+    }
+    assert(expected.length == k, "exactly k sample points")
+    val rows = TrainingPrep.ppsSample(spark, sf).collect()
+    assert(rows.length == k)
+    rows.zip(expected).foreach { case (r, (i, id, wt)) =>
+      assert(r.getLong(0) == i && r.getLong(1) == id && r.getLong(2) == wt,
+        s"sample $i")
+    }
+    // heavier docs are sampled at least proportionally often overall:
+    // multiplicity of any doc is within 1 of (k*w)/W
+    rows.groupBy(_.getLong(1)).foreach { case (id, g) =>
+      val wt = docs.find(_._1 == id).get._2
+      val exp = k.toDouble * wt.toDouble / totW.toDouble
+      assert(g.size.toDouble <= exp + 1.0 && g.size.toDouble >= exp - 1.0,
+        s"multiplicity of $id")
+    }
+  }
+
   test("sim_recall_sweep equals a plain-Scala IVF recall replay") {
     val embs = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
