@@ -108,7 +108,11 @@ object PlanDump {
       "attribution_markov", "eval_power", "eval_did", "ml_boost_deep",
       // round 10: retrieval depth (field-weighted BM25F, RM3 weighted
       // re-run, windowless hybrid re-rank) and the ANN quality plane
-      "kg_bm25f", "kg_rm3", "sim_recall_sweep", "sim_pq_error")
+      "kg_bm25f", "kg_rm3", "sim_recall_sweep", "sim_pq_error",
+      // round 10 session 2: the LM-retrieval counterpart (Dirichlet
+      // QLD) and Moore–Lewis cross-entropy data selection (the
+      // token-onto-vocab LM-scoring topology + ordered per-doc fold)
+      "kg_qld", "pipeline_moore_lewis")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")

@@ -80,7 +80,10 @@ object ScaleStress {
     // three corpus passes, and the PQ distortion quantile windows
     "kg_bm25f", "sim_recall_sweep", "kg_rm3", "sim_pq_error",
     // systematic PPS: two-level weighted cumulative + narrow explode
-    "pipeline_pps")
+    "pipeline_pps",
+    // session-2 additions: QLD's corpus-frequency passes and the
+    // Moore–Lewis token-onto-vocab shuffle joins + per-doc folds
+    "kg_qld", "pipeline_moore_lewis")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

@@ -243,6 +243,37 @@ object KgPipeline {
       |  CAST(SUM(tfb) AS BIGINT) AS tf_body
       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Dirichlet query-likelihood retrieval over the document corpus —
+    * same query as [[kgBm25]], scored with the language-modeling
+    * ranking function instead of the probabilistic-relevance one (see
+    * [[QueryCompiler.qld]] for the math and determinism notes). The
+    * pair gives the two canonical lexical rankers side by side: QLD
+    * rewards term frequency relative to corpus frequency with a
+    * Dirichlet length prior, BM25 saturates tf against document
+    * length — on the same corpus they disagree exactly where the
+    * length prior matters, which is the point of registering both.
+    */
+  def kgQld(s: SparkSession, dir: String): DataFrame =
+    QueryCompiler.qld(Tables(s, dir, "documents"), "doc_id", "text",
+      "spark stream join", mu = 300.0, limit = 50)
+
+  val kgQldSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+      |ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ctot FROM ex),
+      |cfs AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cf FROM ex
+      |  WHERE tok IN ('spark', 'stream', 'join') GROUP BY tok),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM ex
+      |  WHERE tok IN ('spark', 'stream', 'join') GROUP BY doc_id, tok),
+      |sm AS (SELECT doc_id, SUM(ln(1.0e0 + tf * ctot / (300.0e0 * cf))) AS sm,
+      |    COUNT(*) AS matched
+      |  FROM tf JOIN cfs USING (tok) CROSS JOIN stats GROUP BY doc_id)
+      |SELECT doc_id, ROUND(sm + 3.0e0 * ln(300.0e0 / (dl + 300.0e0)), 4) AS score,
+      |  matched
+      |FROM sm JOIN lens USING (doc_id)
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the
     * Abdul-Jaleel et al. 2004 RM3 mixture as deployed in Anserini/
     * Lucene): run the base query, take the top-10 feedback documents,
@@ -539,6 +570,7 @@ object KgPipeline {
     "kg_phrase" -> (kgPhrase _),
     "kg_bm25" -> (kgBm25 _),
     "kg_bm25f" -> (kgBm25f _),
+    "kg_qld" -> (kgQld _),
     "kg_rm3" -> (kgRm3 _))
 
   val oracles: Map[String, String] = Map(
@@ -552,5 +584,6 @@ object KgPipeline {
     "kg_phrase" -> kgPhraseSql,
     "kg_bm25" -> kgBm25Sql,
     "kg_bm25f" -> kgBm25fSql,
+    "kg_qld" -> kgQldSql,
     "kg_rm3" -> kgRm3Sql)
 }

@@ -501,9 +501,87 @@ object TrainingPrep {
       |  CAST(w AS BIGINT) AS w
       |FROM sel ORDER BY i""".stripMargin
 
+  /** Moore–Lewis cross-entropy-difference data selection (Moore &
+    * Lewis 2010, "Intelligent Selection of Language Model Training
+    * Data" — the standard domain-selection scorer a training pipeline
+    * runs before mixing): score every document by
+    *
+    *   H_in(d) − H_out(d) = (1/n) Σ_tok ln(p_out(tok) / p_in(tok)),
+    *
+    * where p_in is an add-one-smoothed unigram LM over the IN-DOMAIN
+    * subset (here lang = 'en' — the pools a real pipeline contrasts
+    * are exactly "my target corpus" vs "the crawl") and p_out the same
+    * over the whole corpus, both smoothed against the GLOBAL vocabulary
+    * V: p(t) = (cnt(t)+1)/(N+V). Lower = more in-domain; the k most
+    * in-domain documents are selected. In-domain documents score low
+    * on their own model's surprisal, so the selection recovers
+    * (mostly) target-language text without a language-ID model — the
+    * published result.
+    *
+    * Determinism: per-token log-ratios are row-local (one ln over a
+    * product of exact-integer-valued doubles, mirrored verbatim in the
+    * oracle); the per-document sum is the [[CurationQueries.textPerplexity]]
+    * ordered fold — collect (pos, lp), sort_array, fold in position
+    * order — so the double chain is identical at any parallelism.
+    * (ce_diff ASC, doc_id) total order, LIMIT k.
+    *
+    * Scale shape — the standard LM-scoring topology: the two count
+    * joins are plain equi-joins on the vocabulary key with NO forced
+    * strategy — Catalyst broadcasts them while the vocabulary is
+    * broadcast-sized (the sf fixtures) and falls back to the shuffle
+    * equi-join once it is not (the 100 TB crawl), which is exactly the
+    * right plan at each scale; the two scalar count frames broadcast,
+    * the per-doc fold is one keyed aggregation, and the top-k is
+    * TakeOrderedAndProject — no global sort anywhere.
+    */
+  def mooreLewis(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val va = toks.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+    val vi = toks.filter(col("lang") === "en")
+      .groupBy(col("tok")).agg(count(lit(1)).as("ci"))
+    val cs = va.agg(count(lit(1)).as("v"), sum(col("ca")).as("n_all"))
+    val ct = vi.agg(coalesce(sum(col("ci")), lit(0L)).as("n_in"))
+    val lp = toks.join(va, "tok").join(vi, Seq("tok"), "left")
+      .crossJoin(broadcast(cs)).crossJoin(broadcast(ct))
+      .withColumn("lp", log(
+        ((col("ca") + lit(1L)).cast("double") * (col("n_in") + col("v")).cast("double")) /
+          ((coalesce(col("ci"), lit(0L)) + lit(1L)).cast("double") *
+            (col("n_all") + col("v")).cast("double"))))
+    lp.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("ce_diff",
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("lp")) /
+          col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("ce_diff"))
+      .orderBy(col("ce_diff"), col("doc_id"))
+      .limit(k)
+  }
+
+  val mooreLewisSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |tks AS (SELECT doc_id, lang, u.pos, u.tok FROM tk,
+      |  UNNEST(list_transform(range(len(t)), i -> struct_pack(pos := i, tok := t[i+1]))) AS s(u)),
+      |va AS (SELECT tok, COUNT(*) AS ca FROM tks GROUP BY tok),
+      |vi AS (SELECT tok, COUNT(*) AS ci FROM tks WHERE lang = 'en' GROUP BY tok),
+      |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(ca) AS BIGINT) AS n_all FROM va),
+      |ct AS (SELECT CAST(COALESCE(SUM(ci), 0) AS BIGINT) AS n_in FROM vi),
+      |lp AS (SELECT doc_id, lang, pos,
+      |    ln((CAST(ca + 1 AS DOUBLE) * CAST(n_in + v AS DOUBLE)) /
+      |       (CAST(COALESCE(ci, 0) + 1 AS DOUBLE) * CAST(n_all + v AS DOUBLE))) AS lp
+      |  FROM tks JOIN va USING (tok) LEFT JOIN vi USING (tok)
+      |  CROSS JOIN cs CROSS JOIN ct)
+      |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+      |  list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) / COUNT(*) AS ce_diff
+      |FROM lp GROUP BY doc_id, lang ORDER BY ce_diff, doc_id LIMIT 25""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_budget" -> (pipelineBudget _),
     "pipeline_pps" -> ((s: SparkSession, dir: String) => ppsSample(s, dir)),
+    "pipeline_moore_lewis" -> ((s: SparkSession, dir: String) => mooreLewis(s, dir)),
     "pipeline_temperature" -> (pipelineTemperature _),
     "pipeline_sample" -> ((s: SparkSession, dir: String) => sampleK(s, dir)),
     "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
@@ -516,6 +594,7 @@ object TrainingPrep {
   val oracles: Map[String, String] = Map(
     "pipeline_budget" -> pipelineBudgetSql,
     "pipeline_pps" -> ppsSampleSql,
+    "pipeline_moore_lewis" -> mooreLewisSql,
     "pipeline_temperature" -> pipelineTemperatureSql,
     "pipeline_sample" -> sampleKSql,
     "pipeline_shuffle" -> shuffleOrderSql,

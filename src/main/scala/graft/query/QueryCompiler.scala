@@ -351,4 +351,56 @@ object QueryCompiler {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001, "A Study of Smoothing Methods for Language Models Applied
+    * to Ad Hoc Information Retrieval" — the sparse "efficient"
+    * decomposition Lucene ships as LMDirichletSimilarity): the other
+    * canonical probabilistic ranking function next to [[bm25]],
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf_{t,d}·|C| / (μ·cf_t))
+    *              + |q|·ln(μ / (dl_d + μ)),
+    *
+    * where cf_t is the COLLECTION frequency (total occurrences, not
+    * document count — the LM/BM25 statistical split) and |C| the total
+    * corpus token count. Only documents matching ≥1 query term are
+    * ranked — the inverted-index contract; unmatched documents carry a
+    * rank-only length prior that no index would materialize.
+    *
+    * Determinism: the matched-term sum is a ≤|q|-row double sum →
+    * total score rounded to 4 decimals (the [[bm25]] convention);
+    * (score DESC, doc_id) total order. cf/|C| are exact integers cast
+    * once; μ is the same literal on both engines.
+    *
+    * Scale shape ≡ [[bm25]]: the only corpus-wide shuffle is the
+    * (doc, term) tf groupBy; cf (≤|q| rows) and |C| (1 row) broadcast;
+    * final order is a top-k (TakeOrderedAndProject), never a global
+    * sort.
+    */
+  def qld(docs: DataFrame, docIdCol: String, textCol: String,
+          query: String, mu: Double = 300.0, limit: Int = 50): DataFrame = {
+    val qTokens = "[a-z0-9]+".r
+      .findAllIn(query.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
+    val toks = docs.select(col(docIdCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val ex = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+    val stats = ex.agg(count(lit(1)).cast("double").as("ctot"))
+    val cfs = ex.filter(col("tok").isin(qTokens: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("cf"))
+    val tf = ex.filter(col("tok").isin(qTokens: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(cfs), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", log(lit(1.0) + col("tf") * col("ctot") / (lit(mu) * col("cf"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("sm"), count(lit(1)).as("matched"))
+      .join(lens, "doc_id")
+      .withColumn("score",
+        round(col("sm") + lit(qTokens.size.toDouble) * log(lit(mu) / (col("dl") + lit(mu))), 4))
+      .select(col("doc_id"), col("score"), col("matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
 }

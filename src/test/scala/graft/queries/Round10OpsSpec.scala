@@ -237,4 +237,88 @@ class Round10OpsSpec extends SparkSpec {
     val costs = got.map(_.getLong(5)).toSeq
     assert(recs == recs.sorted && costs == costs.sorted, "monotone sweep")
   }
+
+  test("kg_qld equals a plain-Scala Dirichlet query-likelihood replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      (id, "[a-z0-9]+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector)
+    }
+    val q = Vector("spark", "stream", "join")
+    val mu = 300.0
+    val ctot = toks.map(_._2.size.toLong).sum.toDouble
+    val cf = q.map(t => t -> toks.map(_._2.count(_ == t).toLong).sum.toDouble).toMap
+    val scored = toks.flatMap { case (id, tv) =>
+      val matched = q.filter(t => tv.contains(t)).sorted
+      if (matched.isEmpty) None
+      else {
+        val sm = matched.map { t =>
+          math.log(1.0 + tv.count(_ == t).toDouble * ctot / (mu * cf(t)))
+        }.sum
+        val score = sm + q.size.toDouble * math.log(mu / (tv.size.toDouble + mu))
+        Some((id,
+          BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          matched.size.toLong))
+      }
+    }
+    val expected = scored.sortBy(e => (-e._2, e._1)).take(50)
+    val got = KgPipeline.kgQld(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (id, score, m)) =>
+      assert(r.getLong(0) == id, s"doc order at $id")
+      // replay sums terms in canonical order; round-to-4 absorbs the ulp
+      assert(math.abs(r.getDouble(1) - score) <= 1e-4 + 1e-12, s"score $id")
+      assert(r.getLong(2) == m, s"matched $id")
+    }
+    // the Dirichlet length prior is live: among full 3-term matches,
+    // scores are not a pure tf function — ordering differs from bm25's
+    // for at least one adjacent pair (the two rankers must disagree
+    // somewhere or registering both is pointless)
+    val bm = KgPipeline.kgBm25(spark, sf).collect().map(_.getLong(0)).toSeq
+    val ql = got.map(_.getLong(0)).toSeq
+    assert(bm != ql, "QLD and BM25 rank differently on this corpus")
+  }
+
+  test("pipeline_moore_lewis equals a plain-Scala cross-entropy replay " +
+    "and enriches the in-domain pool") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang,
+        "[a-z0-9]+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector)
+    }
+    val va = toks.flatMap(_._3).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val vi = toks.filter(_._2 == "en").flatMap(_._3).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val v = va.size.toLong
+    val nAll = va.values.sum
+    val nIn = vi.values.sum
+    val scored = toks.filter(_._3.nonEmpty).map { case (id, lang, tv) =>
+      // left-to-right fold in token (position) order — the query's
+      // sort_array + aggregate chain
+      var s = 0.0
+      tv.foreach { t =>
+        s = s + math.log(
+          ((va(t) + 1L).toDouble * (nIn + v).toDouble) /
+            ((vi.getOrElse(t, 0L) + 1L).toDouble * (nAll + v).toDouble))
+      }
+      (id, lang, tv.size.toLong, s / tv.size.toDouble)
+    }
+    val expected = scored.sortBy(e => (e._4, e._1)).take(25)
+    val got = TrainingPrep.mooreLewis(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (id, lang, n, ce)) =>
+      assert(r.getLong(0) == id, s"doc order at $id")
+      assert(r.getString(1) == lang && r.getLong(2) == n, s"keys $id")
+      assert(r.getDouble(3) == ce, s"ce_diff bit-exact at $id")
+    }
+    // the selection is a real domain filter: the in-domain share of
+    // the selected pool is at least the corpus base rate
+    val baseEn = toks.count(_._2 == "en").toDouble / toks.length.toDouble
+    val selEn = got.count(_.getString(1) == "en").toDouble / got.length.toDouble
+    assert(selEn >= baseEn, s"selection enriches en: $selEn vs base $baseEn")
+  }
 }
