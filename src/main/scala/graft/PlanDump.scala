@@ -110,9 +110,12 @@ object PlanDump {
       // re-run, windowless hybrid re-rank) and the ANN quality plane
       "kg_bm25f", "kg_rm3", "sim_recall_sweep", "sim_pq_error",
       // round 10 session 2: the LM-retrieval counterpart (Dirichlet
-      // QLD) and Moore–Lewis cross-entropy data selection (the
-      // token-onto-vocab LM-scoring topology + ordered per-doc fold)
-      "kg_qld", "pipeline_moore_lewis")
+      // QLD), Moore–Lewis cross-entropy data selection (the
+      // token-onto-vocab LM-scoring topology + ordered per-doc fold),
+      // DSIR hashed importance resampling (broadcast-sized bucket
+      // LMs), and the three-ranker trec_eval-style report
+      "kg_qld", "pipeline_moore_lewis", "pipeline_dsir",
+      "kg_ranker_eval")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")

@@ -81,9 +81,11 @@ object ScaleStress {
     "kg_bm25f", "sim_recall_sweep", "kg_rm3", "sim_pq_error",
     // systematic PPS: two-level weighted cumulative + narrow explode
     "pipeline_pps",
-    // session-2 additions: QLD's corpus-frequency passes and the
-    // Moore–Lewis token-onto-vocab shuffle joins + per-doc folds
-    "kg_qld", "pipeline_moore_lewis")
+    // session-2 additions: QLD's corpus-frequency passes, the
+    // Moore–Lewis token-onto-vocab shuffle joins + per-doc folds,
+    // DSIR's hashed-bigram explode + bucket joins, and the
+    // three-ranker eval composition
+    "kg_qld", "pipeline_moore_lewis", "pipeline_dsir", "kg_ranker_eval")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

@@ -559,6 +559,118 @@ object KgPipeline {
       |SELECT q, rk, w AS suggestion, freq, CAST(dist AS INT) AS dist
       |FROM rk WHERE rk <= 3 ORDER BY q, rk""".stripMargin
 
+  /** Retrieval-quality report over the three registered lexical
+    * rankers ([[kgBm25]], [[kgBm25f]], [[kgQld]]) — the trec_eval-style
+    * harness a search stack runs before switching scorers: against a
+    * pseudo-qrel (relevant = the document contains ALL query terms —
+    * the deterministic, corpus-derivable surrogate for editorial
+    * judgments), report per ranker the retrieved/relevant counts,
+    * P@10, reciprocal rank, and average precision over its top-50.
+    *
+    * Determinism: ranks come from each ranker's own (score DESC,
+    * doc_id) total order, re-derived inside the metric layer by
+    * sorting on (−score, doc_id) — exact on the round-4 scores; P@10
+    * is an integer count ÷ 10; RR an exact reciprocal; AP the
+    * [[RankingEval.evalMap]] struct-fold (elements pre-mapped into the
+    * accumulator's (s: double, c: long) shape so DuckDB's list_reduce
+    * accepts the homogeneous list; init via list_prepend).
+    *
+    * Scale shape: the ranker legs are the already-budgeted retrieval
+    * plans; the metric layer folds three ≤50-element arrays — constant
+    * work appended to the rankers regardless of corpus size.
+    */
+  def kgRankerEval(s: SparkSession, dir: String): DataFrame = {
+    val q = Seq("spark", "stream", "join")
+    val rels = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(q: _*))
+      .groupBy(col("doc_id")).agg(countDistinct(col("tok")).as("m"))
+      .filter(col("m") === q.size)
+      .select(col("doc_id"), lit(1L).as("rel"))
+    val nr = rels.agg(count(lit(1)).as("n_rel"))
+    val ranked =
+      kgBm25(s, dir).select(lit("bm25").as("ranker"), col("doc_id"), col("score"))
+        .unionByName(kgBm25f(s, dir)
+          .select(lit("bm25f").as("ranker"), col("doc_id"), col("score")))
+        .unionByName(kgQld(s, dir)
+          .select(lit("qld").as("ranker"), col("doc_id"), col("score")))
+    val lists = ranked.join(rels, Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy(col("ranker"))
+      .agg(sort_array(collect_list(struct((-col("score")).as("ns"),
+        col("doc_id"), col("rel")))).as("xs"))
+    val zero = struct(lit(0.0).as("s"), lit(0L).as("c"))
+    lists.crossJoin(broadcast(nr))
+      .withColumn("es", zip_with(col("xs"), sequence(lit(1), size(col("xs"))),
+        (x, i) => struct(i.cast("double").as("s"), x.getField("rel").as("c"))))
+      .withColumn("ac", aggregate(col("es"), zero,
+        (acc, x) => struct(
+          (acc.getField("s") + x.getField("c").cast("double") *
+            ((acc.getField("c") + x.getField("c")).cast("double") /
+              x.getField("s"))).as("s"),
+          (acc.getField("c") + x.getField("c")).as("c"))))
+      .withColumn("fr", aggregate(col("es"), zero,
+        (acc, x) => struct(
+          when(acc.getField("s") > 0.0, acc.getField("s"))
+            .otherwise(when(x.getField("c") === 1L, x.getField("s"))
+              .otherwise(lit(0.0))).as("s"),
+          lit(0L).as("c"))))
+      .withColumn("p_at10",
+        aggregate(slice(col("es"), 1, 10), lit(0L),
+          (a, x) => a + x.getField("c")).cast("double") / lit(10.0))
+      .select(col("ranker"),
+        size(col("xs")).cast("long").as("n_ret"),
+        col("n_rel"),
+        col("ac").getField("c").as("rel_ret"),
+        col("p_at10"),
+        when(col("fr").getField("s") > 0.0,
+          lit(1.0) / col("fr").getField("s")).otherwise(lit(0.0)).as("rr"),
+        when(col("n_rel") > 0L,
+          col("ac").getField("s") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)).as("ap"))
+      .orderBy(col("ranker"))
+  }
+
+  val kgRankerEvalSql: String =
+    s"""WITH u AS (
+       |  SELECT 'bm25' AS ranker, doc_id, score FROM ($kgBm25Sql)
+       |  UNION ALL
+       |  SELECT 'bm25f' AS ranker, doc_id, score FROM ($kgBm25fSql)
+       |  UNION ALL
+       |  SELECT 'qld' AS ranker, doc_id, score FROM ($kgQldSql)),
+       |rels AS (SELECT doc_id, CAST(1 AS BIGINT) AS rel FROM (
+       |    SELECT doc_id, COUNT(DISTINCT tok) AS m FROM (
+       |      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |      FROM documents) WHERE tok IN ('spark', 'stream', 'join')
+       |    GROUP BY doc_id) WHERE m = 3),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM rels),
+       |ur AS (SELECT u.ranker, u.doc_id, u.score, COALESCE(r.rel, 0) AS rel
+       |  FROM u LEFT JOIN rels r USING (doc_id)),
+       |l AS (SELECT ranker, list(rel ORDER BY -score, doc_id) AS rl
+       |  FROM ur GROUP BY ranker),
+       |z AS (SELECT ranker, len(rl) AS n_ret, rl,
+       |    list_transform(list_zip(rl, range(1, len(rl) + 1)),
+       |      x -> struct_pack(s := CAST(x[2] AS DOUBLE), c := x[1])) AS es
+       |  FROM l),
+       |f AS (SELECT ranker, n_ret, rl,
+       |    list_reduce(list_prepend(struct_pack(s := 0.0e0, c := CAST(0 AS BIGINT)), es),
+       |      (acc, x) -> struct_pack(
+       |        s := acc.s + CAST(x.c AS DOUBLE) *
+       |          (CAST(acc.c + x.c AS DOUBLE) / x.s),
+       |        c := acc.c + x.c)) AS ac,
+       |    list_reduce(list_prepend(struct_pack(s := 0.0e0, c := CAST(0 AS BIGINT)), es),
+       |      (acc, x) -> struct_pack(
+       |        s := CASE WHEN acc.s > 0.0e0 THEN acc.s
+       |                  WHEN x.c = 1 THEN x.s ELSE 0.0e0 END,
+       |        c := CAST(0 AS BIGINT))) AS fr
+       |  FROM z)
+       |SELECT ranker, CAST(n_ret AS BIGINT) AS n_ret, n_rel, ac.c AS rel_ret,
+       |  CAST(COALESCE(list_sum(rl[1:10]), 0) AS DOUBLE) / 10.0 AS p_at10,
+       |  CASE WHEN fr.s > 0.0e0 THEN 1.0e0 / fr.s ELSE 0.0e0 END AS rr,
+       |  CASE WHEN n_rel > 0 THEN ac.s / CAST(n_rel AS DOUBLE) ELSE 0.0e0 END AS ap
+       |FROM f CROSS JOIN nr ORDER BY ranker""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_spellfix" -> (kgSpellfix _),
     "kg_suggest" -> (kgSuggest _),
@@ -571,6 +683,7 @@ object KgPipeline {
     "kg_bm25" -> (kgBm25 _),
     "kg_bm25f" -> (kgBm25f _),
     "kg_qld" -> (kgQld _),
+    "kg_ranker_eval" -> (kgRankerEval _),
     "kg_rm3" -> (kgRm3 _))
 
   val oracles: Map[String, String] = Map(
@@ -585,5 +698,6 @@ object KgPipeline {
     "kg_bm25" -> kgBm25Sql,
     "kg_bm25f" -> kgBm25fSql,
     "kg_qld" -> kgQldSql,
+    "kg_ranker_eval" -> kgRankerEvalSql,
     "kg_rm3" -> kgRm3Sql)
 }

@@ -578,10 +578,110 @@ object TrainingPrep {
       |  list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) / COUNT(*) AS ce_diff
       |FROM lp GROUP BY doc_id, lang ORDER BY ce_diff, doc_id LIMIT 25""".stripMargin
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): the scalable
+    * counterpart to [[mooreLewis]] — instead of unigram LMs over an
+    * unbounded vocabulary, both distributions live on a FIXED
+    * `buckets`-cell hashed n-gram feature space (unigrams + word
+    * bigrams, the paper's feature set), so the model tables are
+    * broadcast-sized at ANY corpus scale. Per document,
+    *
+    *   log w(d) = Σ_feat ln(p_in(bucket) / p_out(bucket)),
+    *
+    * add-one smoothed over the bucket alphabet, and the selection is
+    * the paper's importance RESAMPLING via seeded Gumbel-top-k:
+    * g(d) = log w(d) + Gumbel(u_d) with u_d a salted-hash uniform —
+    * sampling without replacement ∝ w, yet fully deterministic (the
+    * Gumbel-max trick with a fixed seed; Vieira 2014).
+    *
+    * Determinism: bucket counts are exact integers; per-feature
+    * log-ratios are row-local; the per-doc sum is the ordered fold
+    * ([[CurationQueries.textPerplexity]] discipline, position order
+    * with bigrams indexed after unigrams); the Gumbel key is one
+    * row-local double chain from a 48-bit md5 uniform (the
+    * [[ppsSample]] hash convention). (g DESC, doc_id) total order.
+    *
+    * Scale shape — the DSIR selling point reproduced: the two count
+    * tables are ≤`buckets` rows by construction, so they BROADCAST
+    * (asserted with explicit hints — correct at 100 TB, unlike a
+    * vocabulary LM); the only corpus-wide shuffles are the bucket
+    * groupBys and the per-doc fold; top-k is TakeOrderedAndProject.
+    */
+  def dsirSelect(s: SparkSession, dir: String, buckets: Int = 4096,
+                 k: Int = 25): DataFrame = {
+    val feats = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { tv =>
+          concat(tv, zip_with(
+            slice(tv, lit(1), greatest(size(tv) - 1, lit(0))),
+            slice(tv, lit(2), greatest(size(tv) - 1, lit(0))),
+            (a, b) => concat(a, lit("_"), b)))
+        }.as("f"))
+    val fb = feats
+      .select(col("doc_id"), col("lang"), posexplode(col("f")).as(Seq("pos", "feat")))
+      .withColumn("b",
+        conv(substr(md5(col("feat")), lit(1), lit(8)), 16, 10).cast("long")
+          % buckets)
+    val va = fb.groupBy(col("b")).agg(count(lit(1)).as("ca"))
+    val vi = fb.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ci"))
+    val cs = va.agg(sum(col("ca")).as("n_all"))
+    val ct = vi.agg(coalesce(sum(col("ci")), lit(0L)).as("n_in"))
+    val lp = fb.join(broadcast(va), "b").join(broadcast(vi), Seq("b"), "left")
+      .crossJoin(broadcast(cs)).crossJoin(broadcast(ct))
+      .withColumn("lp", log(
+        ((coalesce(col("ci"), lit(0L)) + lit(1L)).cast("double") *
+          (col("n_all") + lit(buckets.toLong)).cast("double")) /
+          ((col("ca") + lit(1L)).cast("double") *
+            (col("n_in") + lit(buckets.toLong)).cast("double"))))
+    val u = (conv(substr(md5(concat(lit("dsir:"), col("doc_id").cast("string"))),
+      lit(1), lit(12)), 16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(281474976710656.0)
+    lp.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
+        count(lit(1)).as("n_feats"))
+      .withColumn("log_w",
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("lp")))
+      .withColumn("gkey", col("log_w") + (-log(-log(u))))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("log_w"), col("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val dsirSelectSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |ft AS (SELECT doc_id, lang,
+      |    t || list_transform(range(greatest(len(t) - 1, 0)),
+      |      i -> t[i+1] || '_' || t[i+2]) AS f
+      |  FROM tk),
+      |fx AS (SELECT doc_id, lang, u.pos, u.feat FROM ft,
+      |  UNNEST(list_transform(range(len(f)), i -> struct_pack(pos := i, feat := f[i+1]))) AS s(u)),
+      |fb AS (SELECT doc_id, lang, pos,
+      |    CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT) % 4096 AS b FROM fx),
+      |va AS (SELECT b, COUNT(*) AS ca FROM fb GROUP BY b),
+      |vi AS (SELECT b, COUNT(*) AS ci FROM fb WHERE lang = 'en' GROUP BY b),
+      |cs AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_all FROM va),
+      |ct AS (SELECT CAST(COALESCE(SUM(ci), 0) AS BIGINT) AS n_in FROM vi),
+      |lp AS (SELECT doc_id, lang, pos,
+      |    ln((CAST(COALESCE(ci, 0) + 1 AS DOUBLE) * CAST(n_all + 4096 AS DOUBLE)) /
+      |       (CAST(ca + 1 AS DOUBLE) * CAST(n_in + 4096 AS DOUBLE))) AS lp
+      |  FROM fb JOIN va USING (b) LEFT JOIN vi USING (b)
+      |  CROSS JOIN cs CROSS JOIN ct),
+      |w AS (SELECT doc_id, lang, COUNT(*) AS n_feats,
+      |    list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS log_w
+      |  FROM lp GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_feats, log_w,
+      |  log_w + (-ln(-ln(
+      |    (CAST(concat('0x', substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 12))
+      |       AS BIGINT) + 0.5) / 281474976710656.0))) AS gkey
+      |FROM w ORDER BY gkey DESC, doc_id LIMIT 25""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_budget" -> (pipelineBudget _),
     "pipeline_pps" -> ((s: SparkSession, dir: String) => ppsSample(s, dir)),
     "pipeline_moore_lewis" -> ((s: SparkSession, dir: String) => mooreLewis(s, dir)),
+    "pipeline_dsir" -> ((s: SparkSession, dir: String) => dsirSelect(s, dir)),
     "pipeline_temperature" -> (pipelineTemperature _),
     "pipeline_sample" -> ((s: SparkSession, dir: String) => sampleK(s, dir)),
     "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
@@ -595,6 +695,7 @@ object TrainingPrep {
     "pipeline_budget" -> pipelineBudgetSql,
     "pipeline_pps" -> ppsSampleSql,
     "pipeline_moore_lewis" -> mooreLewisSql,
+    "pipeline_dsir" -> dsirSelectSql,
     "pipeline_temperature" -> pipelineTemperatureSql,
     "pipeline_sample" -> sampleKSql,
     "pipeline_shuffle" -> shuffleOrderSql,

@@ -321,4 +321,101 @@ class Round10OpsSpec extends SparkSpec {
     val selEn = got.count(_.getString(1) == "en").toDouble / got.length.toDouble
     assert(selEn >= baseEn, s"selection enriches en: $selEn vs base $baseEn")
   }
+
+  test("pipeline_dsir equals a plain-Scala hashed importance-resampling replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 4096L
+    def bucket(f: String): Long =
+      java.lang.Long.parseLong(md5hex(f).take(8), 16) % B
+    val feats = docs.map { case (id, lang, t) =>
+      val tv = "[a-z0-9]+".r
+        .findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector
+      // unigrams then bigrams — the query's array-concat order
+      (id, lang, (tv ++ tv.zip(tv.drop(1)).map { case (a, b) => s"${a}_$b" })
+        .map(bucket))
+    }
+    val ca = feats.flatMap(_._3).groupBy(identity)
+      .map { case (b, g) => b -> g.size.toLong }
+    val ci = feats.filter(_._2 == "en").flatMap(_._3).groupBy(identity)
+      .map { case (b, g) => b -> g.size.toLong }
+    val nAll = ca.values.sum
+    val nIn = ci.values.sum
+    // Catalyst's Log expression evaluates via StrictMath.log — the
+    // HotSpot Math.log intrinsic can differ by an ulp on some inputs
+    // (observed on the double-log Gumbel chain), so the replay must
+    // use StrictMath too
+    val scored = feats.filter(_._3.nonEmpty).map { case (id, lang, bs) =>
+      var s = 0.0
+      bs.foreach { b =>
+        s = s + StrictMath.log(
+          ((ci.getOrElse(b, 0L) + 1L).toDouble * (nAll + B).toDouble) /
+            ((ca(b) + 1L).toDouble * (nIn + B).toDouble))
+      }
+      val u = (java.lang.Long.parseLong(md5hex(s"dsir:$id").take(12), 16)
+        .toDouble + 0.5) / 281474976710656.0
+      (id, lang, bs.size.toLong, s, s + (-StrictMath.log(-StrictMath.log(u))))
+    }
+    val expected = scored.sortBy(e => (-e._5, e._1)).take(25)
+    val got = TrainingPrep.dsirSelect(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (id, lang, n, w, g)) =>
+      assert(r.getLong(0) == id, s"doc order at $id")
+      assert(r.getString(1) == lang && r.getLong(2) == n, s"keys $id")
+      assert(r.getDouble(3) == w, s"log_w bit-exact at $id")
+      assert(r.getDouble(4) == g, s"gkey bit-exact at $id")
+    }
+    // resampling still tracks the target distribution
+    val baseEn = docs.count(_._2 == "en").toDouble / docs.length.toDouble
+    val selEn = got.count(_.getString(1) == "en").toDouble / got.length.toDouble
+    assert(selEn >= baseEn, s"selection enriches en: $selEn vs base $baseEn")
+  }
+
+  test("kg_ranker_eval equals a plain-Scala metric replay over the " +
+    "rankers' own outputs") {
+    val q = Set("spark", "stream", "join")
+    val rel = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .filter { r =>
+        val ts = "[a-z0-9]+".r
+          .findAllIn(r.getString(1).toLowerCase(java.util.Locale.ROOT)).toSet
+        q.subsetOf(ts)
+      }.map(_.getLong(0)).toSet
+    val nRel = rel.size.toLong
+    assert(nRel > 0, "pseudo-qrel is non-trivial")
+    // metric replay over a ranked doc_id list, mirroring the fold ops
+    def metrics(ids: Seq[Long]): (Long, Long, Double, Double, Double) = {
+      var cnt = 0L
+      var ap = 0.0
+      var first = 0.0
+      ids.zipWithIndex.foreach { case (id, i0) =>
+        val i = i0 + 1
+        val c = if (rel(id)) 1L else 0L
+        ap = ap + c.toDouble * ((cnt + c).toDouble / i.toDouble)
+        cnt += c
+        if (first == 0.0 && c == 1L) first = i.toDouble
+      }
+      val p10 = ids.take(10).count(rel).toLong.toDouble / 10.0
+      val rr = if (first > 0.0) 1.0 / first else 0.0
+      (ids.size.toLong, cnt, p10, rr,
+        if (nRel > 0) ap / nRel.toDouble else 0.0)
+    }
+    val legs = Seq(
+      "bm25" -> KgPipeline.kgBm25(spark, sf),
+      "bm25f" -> KgPipeline.kgBm25f(spark, sf),
+      "qld" -> KgPipeline.kgQld(spark, sf))
+    val expected = legs.map { case (n, df) =>
+      n -> metrics(df.collect().map(_.getLong(0)).toSeq)
+    }.toMap
+    val got = KgPipeline.kgRankerEval(spark, sf).collect()
+    assert(got.length == 3, "three rankers")
+    got.foreach { r =>
+      val (nRet, relRet, p10, rr, ap) = expected(r.getString(0))
+      assert(r.getLong(1) == nRet && r.getLong(2) == nRel &&
+        r.getLong(3) == relRet, s"counts ${r.getString(0)}")
+      assert(r.getDouble(4) == p10 && r.getDouble(5) == rr &&
+        r.getDouble(6) == ap, s"metrics ${r.getString(0)}")
+    }
+  }
 }
