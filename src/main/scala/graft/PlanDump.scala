@@ -115,7 +115,10 @@ object PlanDump {
       // DSIR hashed importance resampling (broadcast-sized bucket
       // LMs), and the three-ranker trec_eval-style report
       "kg_qld", "pipeline_moore_lewis", "pipeline_dsir",
-      "kg_ranker_eval")
+      "kg_ranker_eval",
+      // per-lang BPE fertility (narrow replace-fold) and the
+      // two-phase quality-annealed token schedule
+      "text_fertility", "pipeline_anneal")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")

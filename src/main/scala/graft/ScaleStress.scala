@@ -85,7 +85,9 @@ object ScaleStress {
     // Moore–Lewis token-onto-vocab shuffle joins + per-doc folds,
     // DSIR's hashed-bigram explode + bucket joins, and the
     // three-ranker eval composition
-    "kg_qld", "pipeline_moore_lewis", "pipeline_dsir", "kg_ranker_eval")
+    "kg_qld", "pipeline_moore_lewis", "pipeline_dsir", "kg_ranker_eval",
+    // BPE replace-fold corpus map + the two-phase cumulative windows
+    "text_fertility", "pipeline_anneal")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

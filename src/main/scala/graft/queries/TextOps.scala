@@ -1082,7 +1082,67 @@ object TextOps {
        |  CASE WHEN mean > 0.0e0 THEN variance / mean END AS vmr
        |FROM m ORDER BY tot DESC, tok""".stripMargin
 
+  /** Per-language tokenizer fertility (Ács 2019; Rust et al. 2021,
+    * "How Good is Your Tokenizer?"): under the corpus-trained BPE
+    * merges, how many subword tokens a word costs in each language —
+    * THE multilingual-pipeline metric for tokenizer equity (a language
+    * with 2× fertility pays 2× the context budget for the same text)
+    * — plus subwords per 100 characters as the length-insensitive
+    * companion. The merges come from the same 64-doc salted-hash
+    * sample every BPE query trains on, so the oracle re-derives them
+    * with the shared `BpeTrainCtes` unrolled-merge chain.
+    *
+    * Determinism: word/char/subword counts are exact integers summed
+    * per language; the two ratios are one row-local double division
+    * each. Scale shape: one narrow map per document (the
+    * [[graft.functions.Bpe.bpeTokenCount]] replace-fold — no
+    * per-subword explode), one alphabet-sized groupBy.
+    */
+  def textFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.functions.Bpe.trainMerges(docs, "doc_id", "text",
+      sampleN = 64, nMerges = BpeMergeRounds)
+    docs.select(col("lang"),
+        graft.functions.TextFunctions.bindOnce(
+          graft.functions.TextFunctions.tokens(col("text"))) { tv =>
+          struct(size(tv).cast("long").as("ws"),
+            aggregate(transform(tv, w => length(w)), lit(0),
+              (a, n) => a + n).cast("long").as("chars"))
+        }.as("c"),
+        graft.functions.Bpe.bpeTokenCount(col("text"), merges)
+          .cast("long").as("bpe"))
+      .select(col("lang"), col("c.ws").as("ws"), col("c.chars").as("chars"),
+        col("bpe"))
+      .filter(col("ws") > 0L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_words"),
+        sum(col("chars")).as("n_chars"), sum(col("bpe")).as("n_bpe"))
+      .withColumn("fertility",
+        col("n_bpe").cast("double") / col("n_words").cast("double"))
+      .withColumn("bpe_per_100c",
+        col("n_bpe").cast("double") * 100.0 / col("n_chars").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val textFertilitySql: String =
+    s"""WITH $BpeTrainCtes,
+       |dw AS (SELECT doc_id, lang,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents),
+       |per AS (SELECT doc_id, lang, COUNT(*) AS ws,
+       |    SUM(len(word)) AS chars,
+       |    SUM(len(string_split(trim($BpeApplied), '  '))) AS bpe
+       |  FROM dw GROUP BY doc_id, lang)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ws) AS BIGINT) AS n_words,
+       |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+       |  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
+       |  CAST(SUM(bpe) AS DOUBLE) * 100.0 / CAST(SUM(chars) AS DOUBLE) AS bpe_per_100c
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fertility" -> (textFertility _),
     "text_burstiness" -> (textBurstiness _),
     "er_soundex" -> (erSoundex _),
     "text_chunks" -> (textChunks _),
@@ -1112,6 +1172,7 @@ object TextOps {
     "rule_guard" -> (ruleGuard _))
 
   val oracles: Map[String, String] = Map(
+    "text_fertility" -> textFertilitySql,
     "text_burstiness" -> textBurstinessSql,
     "er_soundex" -> erSoundexSql,
     "text_chunks" -> textChunksSql,

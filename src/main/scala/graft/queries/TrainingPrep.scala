@@ -677,11 +677,103 @@ object TrainingPrep {
       |       AS BIGINT) + 0.5) / 281474976710656.0))) AS gkey
       |FROM w ORDER BY gkey DESC, doc_id LIMIT 25""".stripMargin
 
+  /** Two-phase quality-annealed token schedule — the "mid-training
+    * anneal" modern pretraining runs ship (decay-phase upsampling of
+    * high-quality data; documented in MiniCPM (Hu et al. 2024) and the
+    * Llama 3 report): phase 1 fills 90% of the token budget from the
+    * WHOLE corpus in salted-hash order; phase 2 (the anneal) fills the
+    * final 10% exclusively from the high-quality pool (unique-token
+    * density > 0.5 with ≥ 20 tokens — the [[pipelineBudget]] quality
+    * signal as an absolute gate, so membership is per-row
+    * deterministic, no data-dependent quantile). The report is the
+    * per-(phase, source) document/token tally — what a mixing run
+    * audits before launch.
+    *
+    * Determinism: selection is cumulative-integer-tokens ≤ budget over
+    * a total (md5 salt, doc_id) order, different salt per phase; all
+    * arithmetic integer. Scale shape: per phase, the [[ppsSample]]
+    * two-level cumulative (1024-bucket offsets broadcast, within-
+    * bucket keyed window — no global sort), then an alphabet-sized
+    * groupBy.
+    */
+  def pipelineAnneal(s: SparkSession, dir: String,
+                     budget: Long = 20000L): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { tv =>
+          struct(size(tv).cast("long").as("tok"),
+            size(array_distinct(tv)).cast("long").as("uniq"))
+        }.as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.tok").as("tok"), col("c.uniq").as("uniq"))
+      .filter(col("tok") > 0L)
+    val hq = docs.filter(col("tok") >= 20L &&
+      col("uniq").cast("double") / col("tok").cast("double") > 0.5)
+
+    // salted-hash-ordered cumulative token fill: the ppsSample
+    // two-level shape (bucket offsets broadcast, keyed window)
+    def fill(pool: DataFrame, salt: String, cap: Long): DataFrame = {
+      val keyed = pool.withColumn("v",
+        conv(substr(md5(concat(lit(salt), col("doc_id").cast("string"))),
+          lit(1), lit(12)), 16, 10).cast("long"))
+      val rng = keyed.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val bucketed = keyed.crossJoin(broadcast(rng))
+        .withColumn("bucket", least(floor(
+          (col("v") - col("lo")).cast("double") * 1024.0 /
+            greatest((col("hi") - col("lo")).cast("double"), lit(1.0)))
+          .cast("long"), lit(1023L)))
+      val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("tok")).as("sc"))
+        .withColumn("off", coalesce(sum(col("sc")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val wb = Window.partitionBy(col("bucket")).orderBy(col("v"), col("doc_id"))
+      bucketed.join(broadcast(offsets), "bucket")
+        .withColumn("cum", col("off") + sum(col("tok")).over(wb))
+        .filter(col("cum") <= cap)
+        .select(col("doc_id"), col("source"), col("tok"))
+    }
+
+    val p1 = fill(docs, "anneal1:", budget * 9L / 10L)
+      .withColumn("phase", lit(1))
+    val p2 = fill(hq, "anneal2:", budget / 10L)
+      .withColumn("phase", lit(2))
+    p1.unionByName(p2)
+      .groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .orderBy(col("phase"), col("source"))
+  }
+
+  val pipelineAnnealSql: String =
+    """WITH tk AS (SELECT doc_id, source,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |d AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS tok,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS uniq
+      |  FROM tk WHERE len(t) > 0),
+      |c1 AS (SELECT doc_id, source, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY
+      |      CAST(concat('0x', substr(md5('anneal1:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT),
+      |      doc_id) AS BIGINT) AS cum
+      |  FROM d),
+      |p1 AS (SELECT 1 AS phase, doc_id, source, tok FROM c1 WHERE cum <= 18000),
+      |hq AS (SELECT * FROM d
+      |  WHERE tok >= 20 AND CAST(uniq AS DOUBLE) / CAST(tok AS DOUBLE) > 0.5),
+      |c2 AS (SELECT doc_id, source, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY
+      |      CAST(concat('0x', substr(md5('anneal2:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT),
+      |      doc_id) AS BIGINT) AS cum
+      |  FROM hq),
+      |p2 AS (SELECT 2 AS phase, doc_id, source, tok FROM c2 WHERE cum <= 2000),
+      |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      |SELECT phase, source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
+      |FROM u GROUP BY phase, source ORDER BY phase, source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_budget" -> (pipelineBudget _),
     "pipeline_pps" -> ((s: SparkSession, dir: String) => ppsSample(s, dir)),
     "pipeline_moore_lewis" -> ((s: SparkSession, dir: String) => mooreLewis(s, dir)),
     "pipeline_dsir" -> ((s: SparkSession, dir: String) => dsirSelect(s, dir)),
+    "pipeline_anneal" -> ((s: SparkSession, dir: String) => pipelineAnneal(s, dir)),
     "pipeline_temperature" -> (pipelineTemperature _),
     "pipeline_sample" -> ((s: SparkSession, dir: String) => sampleK(s, dir)),
     "pipeline_shuffle" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
@@ -696,6 +788,7 @@ object TrainingPrep {
     "pipeline_pps" -> ppsSampleSql,
     "pipeline_moore_lewis" -> mooreLewisSql,
     "pipeline_dsir" -> dsirSelectSql,
+    "pipeline_anneal" -> pipelineAnnealSql,
     "pipeline_temperature" -> pipelineTemperatureSql,
     "pipeline_sample" -> sampleKSql,
     "pipeline_shuffle" -> shuffleOrderSql,

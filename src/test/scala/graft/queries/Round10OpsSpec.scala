@@ -418,4 +418,82 @@ class Round10OpsSpec extends SparkSpec {
         r.getDouble(6) == ap, s"metrics ${r.getString(0)}")
     }
   }
+
+  test("text_fertility equals a plain-Scala BPE-count replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mergesDf = graft.Tables(spark, sf, "documents")
+    val merges = graft.functions.Bpe.trainMerges(mergesDf, "doc_id", "text",
+      sampleN = 64, nMerges = 8)
+    // plain-string replay of the replace-fold apply
+    def spacedS(w: String): String = w.flatMap(c => s" $c ")
+    def applyS(w: String): String = merges.foldLeft(spacedS(w)) { (acc, p) =>
+      val from = " " + p.split(' ').mkString("  ") + " "
+      val to = " " + p.replace(" ", "") + " "
+      acc.replace(from, to)
+    }
+    def bpeCount(w: String): Int = applyS(w).trim.split("  ").length
+    val per = docs.map { case (_, lang, t) =>
+      val tv = "[a-z0-9]+".r
+        .findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector
+      (lang, tv.size.toLong, tv.map(_.length.toLong).sum,
+        tv.map(w => bpeCount(w).toLong).sum)
+    }.filter(_._2 > 0L)
+    val expected = per.groupBy(_._1).map { case (lang, g) =>
+      val (nd, ws, ch, bp) =
+        (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+      (lang, nd, ws, ch, bp,
+        bp.toDouble / ws.toDouble, bp.toDouble * 100.0 / ch.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.textFertility(spark, sf).collect()
+    assert(got.length == expected.length, "lang count")
+    got.zip(expected).foreach { case (r, (lang, nd, ws, ch, bp, f, c100)) =>
+      assert(r.getString(0) == lang, "lang order")
+      assert(r.getLong(1) == nd && r.getLong(2) == ws &&
+        r.getLong(3) == ch && r.getLong(4) == bp, s"counts $lang")
+      assert(r.getDouble(5) == f && r.getDouble(6) == c100, s"ratios $lang")
+    }
+    // the metric is live: every language pays > 1 subword per word
+    assert(got.forall(_.getDouble(5) > 1.0), "fertility > 1")
+  }
+
+  test("pipeline_anneal equals a plain-Scala two-phase schedule replay") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val tv = "[a-z0-9]+".r
+          .findAllIn(r.getString(2).toLowerCase(java.util.Locale.ROOT)).toVector
+        (r.getLong(0), r.getString(1), tv.size.toLong,
+          tv.distinct.size.toLong)
+      }.filter(_._3 > 0L)
+    def fill(pool: Seq[(Long, String, Long, Long)], salt: String,
+             cap: Long): Seq[(Long, String, Long)] = {
+      val ordered = pool.sortBy { case (id, _, _, _) =>
+        (java.lang.Long.parseLong(md5hex(s"$salt$id").take(12), 16), id)
+      }
+      var cum = 0L
+      ordered.flatMap { case (id, src, tok, _) =>
+        cum += tok
+        if (cum <= cap) Some((id, src, tok)) else None
+      }
+    }
+    val budget = 20000L
+    val hq = docs.filter(d => d._3 >= 20L && d._4.toDouble / d._3.toDouble > 0.5)
+    val sel = fill(docs, "anneal1:", budget * 9L / 10L).map(e => (1, e._2, e._3)) ++
+      fill(hq, "anneal2:", budget / 10L).map(e => (2, e._2, e._3))
+    val expected = sel.groupBy(e => (e._1, e._2)).map { case ((ph, src), g) =>
+      (ph, src, g.size.toLong, g.map(_._3).sum)
+    }.toSeq.sortBy(e => (e._1, e._2))
+    val got = TrainingPrep.pipelineAnneal(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (ph, src, nd, tk)) =>
+      assert(r.getInt(0) == ph && r.getString(1) == src &&
+        r.getLong(2) == nd && r.getLong(3) == tk, s"row $ph/$src")
+    }
+    // the anneal phase is a strict-quality subset and both caps bind
+    // at bench scales (exercised at sf0.01 by the oracle; at sf0.001
+    // the corpus may fit inside the caps — only check structure here)
+    assert(got.exists(_.getInt(0) == 2), "anneal phase present")
+  }
 }
