@@ -87,7 +87,11 @@ object ScaleStress {
     // three-ranker eval composition
     "kg_qld", "pipeline_moore_lewis", "pipeline_dsir", "kg_ranker_eval",
     // BPE replace-fold corpus map + the two-phase cumulative windows
-    "text_fertility", "pipeline_anneal")
+    "text_fertility", "pipeline_anneal",
+    // round-11 additions (r10 VERDICT #3): the rec heavies — ALS keyed
+    // solve-folds + factor equi-joins, Slope One's in-basket pair
+    // expansion, and the item-item cosine's pair shuffle
+    "rec_als", "rec_slopeone", "rec_cosine")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

@@ -671,7 +671,221 @@ object KgPipeline {
        |  CASE WHEN n_rel > 0 THEN ac.s / CAST(n_rel AS DOUBLE) ELSE 0.0e0 END AS ap
        |FROM f CROSS JOIN nr ORDER BY ranker""".stripMargin
 
+  /** Kendall-τ agreement between the three registered lexical rankers'
+    * top-50 lists (the [[kgRankerEval]] machinery's pairwise
+    * completion — the trec_eval-era system-comparison statistic;
+    * Kendall 1938, and Voorhees SIGIR 1998 for its use comparing
+    * rankings): for each ranker pair, restrict to the documents BOTH
+    * retrieved, rank each side by its own (score DESC, doc_id) total
+    * order, and count concordant/discordant doc pairs:
+    *
+    *   τ_a = (C − D) / (n·(n−1)/2)
+    *
+    * τ_a (not τ_b) because within-list ranks are tie-free by
+    * construction — the (score DESC, doc_id) order is total.
+    *
+    * Determinism: ranks re-derived by sorting on (−score, doc_id)
+    * over the round-4 scores, the kgRankerEval convention; C, D, n
+    * are exact integers; τ one exact division.
+    *
+    * Scale shape: the ranker legs are the already-budgeted retrieval
+    * plans; the agreement layer is 3 pairwise joins of ≤50-row lists
+    * (broadcast by stats) plus a ≤1225-element pair fold — constant
+    * work regardless of corpus size.
+    */
+  def kgTau(s: SparkSession, dir: String): DataFrame = {
+    val ranked =
+      kgBm25(s, dir).select(lit("bm25").as("ranker"), col("doc_id"), col("score"))
+        .unionByName(kgBm25f(s, dir)
+          .select(lit("bm25f").as("ranker"), col("doc_id"), col("score")))
+        .unionByName(kgQld(s, dir)
+          .select(lit("qld").as("ranker"), col("doc_id"), col("score")))
+    // per-ranker rank from its own total order: a per-ranker window
+    // over ≤50 rows (bounded frames, never the corpus). The ≤150-row
+    // rank table is localCheckpointed once (the RM3 recipe) so the six
+    // per-leg filters below read the pinned rows instead of re-running
+    // the three retrieval plans per reference.
+    val rk = ranked.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ranker"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("ranker"), col("doc_id"), col("rk"))
+      .localCheckpoint(true)
+    val pairs = Seq(("bm25", "bm25f"), ("bm25", "qld"), ("bm25f", "qld"))
+    val legs = pairs.map { case (a, b) =>
+      val ra = rk.filter(col("ranker") === a)
+        .select(col("doc_id"), col("rk").as("ra"))
+      val rb = rk.filter(col("ranker") === b)
+        .select(col("doc_id"), col("rk").as("rb"))
+      val common = ra.join(rb, "doc_id")
+      // pair counting WITHOUT a doc×doc join (the kgHybrid r10
+      // recipe — collect the bounded list, fold): sorted by ra
+      // (distinct), a doc pair i<j is concordant iff rb_i < rb_j, so
+      // C = non-inversions of the rb sequence — one O(n²) fold over
+      // n ≤ 50 elements, no cartesian-class join in the plan
+      val zero = struct(array().cast("array<int>").as("seen"), lit(0L).as("c"))
+      common
+        .agg(sort_array(collect_list(struct(col("ra"), col("rb")))).as("xs"))
+        .select(lit(s"$a~$b").as("pair"),
+          size(col("xs")).cast("long").as("n_common"),
+          aggregate(col("xs"), zero, (acc, x) => struct(
+            concat(acc.getField("seen"),
+              array(x.getField("rb"))).as("seen"),
+            (acc.getField("c") + size(filter(acc.getField("seen"),
+              y => y < x.getField("rb"))).cast("long")).as("c")))
+            .getField("c").as("concordant"))
+        // n·(n−1) is even and ≤ 2450, so the double division is exact
+        .withColumn("np",
+          (col("n_common") * (col("n_common") - 1L) / 2.0).cast("long"))
+        .select(col("pair"), col("n_common"), col("concordant"),
+          (col("np") - col("concordant")).as("discordant"),
+          when(col("np") > 0L,
+            (col("concordant").cast("double") * 2.0 -
+              col("np").cast("double")) / col("np").cast("double"))
+            .otherwise(lit(0.0)).as("tau"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy(col("pair"))
+  }
+
+  val kgTauSql: String =
+    s"""WITH u AS (
+       |  SELECT 'bm25' AS ranker, doc_id, score FROM ($kgBm25Sql)
+       |  UNION ALL
+       |  SELECT 'bm25f' AS ranker, doc_id, score FROM ($kgBm25fSql)
+       |  UNION ALL
+       |  SELECT 'qld' AS ranker, doc_id, score FROM ($kgQldSql)),
+       |rk AS (SELECT ranker, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY ranker ORDER BY score DESC, doc_id) AS rk
+       |  FROM u),
+       |pr AS (SELECT * FROM (VALUES ('bm25', 'bm25f'), ('bm25', 'qld'),
+       |    ('bm25f', 'qld')) AS t(a, b)),
+       |common AS (SELECT pr.a, pr.b, ra.doc_id, ra.rk AS ra, rb.rk AS rb
+       |  FROM pr JOIN rk ra ON ra.ranker = pr.a
+       |  JOIN rk rb ON rb.ranker = pr.b AND rb.doc_id = ra.doc_id),
+       |pc AS (SELECT c1.a, c1.b,
+       |    CAST(SUM(CASE WHEN (c1.ra - c2.ra) * (c1.rb - c2.rb) > 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS np
+       |  FROM common c1 JOIN common c2
+       |    ON c1.a = c2.a AND c1.b = c2.b AND c1.doc_id < c2.doc_id
+       |  GROUP BY c1.a, c1.b),
+       |n AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM common GROUP BY a, b)
+       |SELECT n.a || '~' || n.b AS pair, n.n_common,
+       |  COALESCE(pc.c, 0) AS concordant,
+       |  COALESCE(pc.np, 0) - COALESCE(pc.c, 0) AS discordant,
+       |  CASE WHEN COALESCE(pc.np, 0) > 0
+       |    THEN (CAST(COALESCE(pc.c, 0) AS DOUBLE) * 2.0 -
+       |      CAST(pc.np AS DOUBLE)) / CAST(pc.np AS DOUBLE)
+       |    ELSE 0.0e0 END AS tau
+       |FROM n LEFT JOIN pc USING (a, b) ORDER BY pair""".stripMargin
+
+  /** The reference's END-TO-END product query as ONE certified row
+    * (r10 VERDICT #4; reference docs/index.md:87-141 and
+    * sandpaper/sandbox/config/etk/config.json:1-97): two typed
+    * constraints driven through the FULL Q1→Q13 compiler composition —
+    * predicate→type mapping (Q1: constraint types `operation`/
+    * `performance` are NOT field names; the catalog resolves them),
+    * value normalization (Q2: values arrive as `" Join "`/`"FAST"`),
+    * synonym expansion (Q3/Q11: join→merge, fast→big — both LIVE in
+    * the result set: a merge-only document satisfies the first
+    * constraint), AtLeastOneField OR-combination across differently-
+    * weighted fields (Q4/Q6: `performance` maps to speed@5 and
+    * size@3), free-text shoulds (Q13: "spark stream"), ranked top-k
+    * (O1), then the post-search surface — facet aggregation over the
+    * hit set (A2), matched-fragment highlighting (Q9), and
+    * include/exclude projection (Q9) — emitted as one two-section
+    * frame (`kind` = hit | facet). The named expanders (Q3 phone/
+    * height) stay spec-certified: the corpus glossary fields have no
+    * unit/format variants to expand.
+    *
+    * Previously each Q-stage was individually oracle-certified but
+    * their composition end-to-end was spec-only (ElicitDemoSpec);
+    * this row closes that gap against the sf corpora.
+    *
+    * Scale shape: the constraint legs filter the field-partitioned KG
+    * on (field, key) — partition-prunable (Q8) — into one
+    * groupBy(doc_id); the ≤50-row hit set is localCheckpointed once
+    * and broadcast into both the highlight join and the facet join,
+    * so the corpus is scanned once per leg and never shuffled on the
+    * hit side.
+    */
+  val CoarseCatalog: Catalog = Catalog(
+    typeFieldMappings = Map(
+      "operation" -> TypeMapping(Seq("op" -> 10.0)),
+      "performance" -> TypeMapping(Seq("speed" -> 5.0, "size" -> 3.0))),
+    synonyms = Map(
+      "operation" -> Map("join" -> Seq("merge")),
+      "performance" -> Map("fast" -> Seq("big"))))
+
+  val CoarseSpec: QuerySpec = QuerySpec(
+    constraints = Seq(
+      Constraint("operation", " Join "),
+      Constraint("performance", "FAST")),
+    freeText = Some("spark stream"),
+    limit = 50)
+
+  def kgCoarse(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    // ≤50 rows by construction — pin once, reuse in both sections
+    val hits = QueryCompiler.search(kg(s, dir), docs, "doc_id", "text",
+      CoarseSpec, CoarseCatalog).localCheckpoint(true)
+    val frag = docs
+      .select(col("doc_id").cast("string").as("doc_id"), col("lang"),
+        col("n_chars"),
+        QueryCompiler.highlight(lower(col("text")), "join").as("frag"))
+      .join(broadcast(hits), "doc_id")
+    val projected = QueryCompiler.project(frag,
+      include = Seq("doc_id", "lang", "n_chars", "score", "matched", "frag"),
+      exclude = Seq("n_chars"))
+    val hitRows = projected.select(lit("hit").as("kind"),
+      col("doc_id").as("k1"), col("lang").as("k2"),
+      col("score").as("v1"), col("matched").cast("long").as("v2"),
+      col("frag"))
+    val facetRows = QueryCompiler.facets(kg(s, dir), hits,
+        Seq("op", "size"), k = 10)
+      .select(lit("facet").as("kind"), col("field").as("k1"),
+        col("key").as("k2"), col("cnt").cast("double").as("v1"),
+        col("rank").cast("long").as("v2"), lit("").as("frag"))
+    hitRows.unionByName(facetRows)
+      .orderBy(col("kind"), col("k1"), col("k2"))
+  }
+
+  val kgCoarseSql: String =
+    s"""$KgCte,
+       |tk3 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, lower(text) AS lt,
+       |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang, lt,
+       |    10.0 * (CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END)
+       |    + 10.0 * (CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END)
+       |    + 5.0 * (CASE WHEN list_contains(t, 'fast') THEN 1 ELSE 0 END)
+       |    + 3.0 * (CASE WHEN list_contains(t, 'big') THEN 1 ELSE 0 END)
+       |    + CAST(len(list_intersect(t, ['spark', 'stream'])) AS DOUBLE) AS score
+       |  FROM tk3
+       |  WHERE (list_contains(t, 'join') OR list_contains(t, 'merge'))
+       |    AND (list_contains(t, 'fast') OR list_contains(t, 'big'))),
+       |hits AS (SELECT doc_id, lang, lt, score FROM sc
+       |  ORDER BY score DESC, doc_id LIMIT 50),
+       |hit_rows AS (SELECT 'hit' AS kind, doc_id AS k1, lang AS k2,
+       |    score AS v1, CAST(2 AS BIGINT) AS v2,
+       |    regexp_extract(lt, '(.{0,30}join.{0,30})', 1) AS frag
+       |  FROM hits),
+       |fc AS (SELECT field, key, COUNT(*) AS cnt
+       |  FROM kg JOIN hits USING (doc_id)
+       |  WHERE field IN ('op', 'size') GROUP BY field, key),
+       |facet_rows AS (SELECT 'facet' AS kind, field AS k1, key AS k2,
+       |    CAST(cnt AS DOUBLE) AS v1, rank AS v2, '' AS frag
+       |  FROM (SELECT field, key, cnt,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY field
+       |        ORDER BY cnt DESC, key) AS BIGINT) AS rank FROM fc)
+       |  WHERE rank <= 10)
+       |SELECT * FROM (SELECT * FROM hit_rows UNION ALL SELECT * FROM facet_rows)
+       |ORDER BY kind, k1, k2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_coarse" -> (kgCoarse _),
+    "kg_tau" -> (kgTau _),
     "kg_spellfix" -> (kgSpellfix _),
     "kg_suggest" -> (kgSuggest _),
     "kg_mlt" -> (kgMlt _),
@@ -687,6 +901,8 @@ object KgPipeline {
     "kg_rm3" -> (kgRm3 _))
 
   val oracles: Map[String, String] = Map(
+    "kg_coarse" -> kgCoarseSql,
+    "kg_tau" -> kgTauSql,
     "kg_spellfix" -> kgSpellfixSql,
     "kg_suggest" -> kgSuggestSql,
     "kg_mlt" -> kgMltSql,

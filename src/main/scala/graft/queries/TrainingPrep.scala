@@ -578,6 +578,93 @@ object TrainingPrep {
       |  list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) / COUNT(*) AS ce_diff
       |FROM lp GROUP BY doc_id, lang ORDER BY ce_diff, doc_id LIMIT 25""".stripMargin
 
+  /** TOKEN-level selection — the RHO-1 recipe (Lin et al. 2024,
+    * "Rho-1: Not All Tokens Are What You Need"; Selective Language
+    * Modeling): instead of scoring whole documents ([[mooreLewis]]),
+    * score each TOKEN by its excess loss under a reference (in-domain)
+    * model vs the general model and keep only tokens the reference
+    * model prefers. Deterministic surrogate for the two models: the
+    * same add-one-smoothed unigram LMs as [[mooreLewis]] (in-domain =
+    * lang 'en'), so per token
+    *
+    *   excess(t) = ln p_in(t) − ln p_all(t)
+    *             = ln( (ci+1)·(n_all+V) / ((ca+1)·(n_in+V)) ),
+    *
+    * a token is SELECTED when excess > 0 (the reference model finds it
+    * more likely than the general model — RHO-1's "clean under the
+    * reference" signal), and the per-document report is the training-
+    * relevant audit: token count, selected count, selected share, and
+    * the selected excess mass — top-k documents by selected share,
+    * i.e. the documents whose token stream is densest in
+    * reference-preferred tokens.
+    *
+    * Determinism: counts are exact integers; each excess is one
+    * row-local ln of an exact rational; selection is a sign test;
+    * sel_mass is the position-ordered fold (the [[mooreLewis]]
+    * discipline); sel_share an exact integer ratio; (share DESC,
+    * doc_id) total order.
+    *
+    * Scale shape: identical to [[mooreLewis]] — the token→vocabulary
+    * joins are stats-driven (broadcast at fixture scale, shuffle
+    * equi-joins at crawl scale; DSIR's fixed feature space is the
+    * bounded-table alternative when the vocabulary outgrows
+    * broadcast), one corpus-wide per-doc fold, TakeOrderedAndProject
+    * top-k.
+    */
+  def pipelineRho(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val va = toks.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+    val vi = toks.filter(col("lang") === "en")
+      .groupBy(col("tok")).agg(count(lit(1)).as("ci"))
+    val cs = va.agg(count(lit(1)).as("v"), sum(col("ca")).as("n_all"))
+    val ct = vi.agg(coalesce(sum(col("ci")), lit(0L)).as("n_in"))
+    val lp = toks.join(va, "tok").join(vi, Seq("tok"), "left")
+      .crossJoin(broadcast(cs)).crossJoin(broadcast(ct))
+      .withColumn("ex", log(
+        ((coalesce(col("ci"), lit(0L)) + lit(1L)).cast("double") *
+          (col("n_all") + col("v")).cast("double")) /
+          ((col("ca") + lit(1L)).cast("double") *
+            (col("n_in") + col("v")).cast("double"))))
+    lp.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("ex")))).as("arr"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("n_selected", aggregate(col("arr"), lit(0L),
+        (a, x) => a + when(x.getField("ex") > 0.0, 1L).otherwise(0L)))
+      .withColumn("sel_mass", aggregate(col("arr"), lit(0.0),
+        (a, x) => a + when(x.getField("ex") > 0.0, x.getField("ex"))
+          .otherwise(lit(0.0))))
+      .withColumn("sel_share",
+        col("n_selected").cast("double") / col("n_tokens").cast("double"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_selected"), col("sel_share"), col("sel_mass"))
+      .orderBy(col("sel_share").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val pipelineRhoSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |tks AS (SELECT doc_id, lang, u.pos, u.tok FROM tk,
+      |  UNNEST(list_transform(range(len(t)), i -> struct_pack(pos := i, tok := t[i+1]))) AS s(u)),
+      |va AS (SELECT tok, COUNT(*) AS ca FROM tks GROUP BY tok),
+      |vi AS (SELECT tok, COUNT(*) AS ci FROM tks WHERE lang = 'en' GROUP BY tok),
+      |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(ca) AS BIGINT) AS n_all FROM va),
+      |ct AS (SELECT CAST(COALESCE(SUM(ci), 0) AS BIGINT) AS n_in FROM vi),
+      |lp AS (SELECT doc_id, lang, pos,
+      |    ln((CAST(COALESCE(ci, 0) + 1 AS DOUBLE) * CAST(n_all + v AS DOUBLE)) /
+      |       (CAST(ca + 1 AS DOUBLE) * CAST(n_in + v AS DOUBLE))) AS ex
+      |  FROM tks JOIN va USING (tok) LEFT JOIN vi USING (tok)
+      |  CROSS JOIN cs CROSS JOIN ct)
+      |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN ex > 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+      |  CAST(SUM(CASE WHEN ex > 0.0e0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS sel_share,
+      |  list_reduce(list(CASE WHEN ex > 0.0e0 THEN ex ELSE 0.0e0 END ORDER BY pos),
+      |    (x, y) -> x + y) AS sel_mass
+      |FROM lp GROUP BY doc_id, lang ORDER BY sel_share DESC, doc_id LIMIT 25""".stripMargin
+
   /** DSIR data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): the scalable
     * counterpart to [[mooreLewis]] — instead of unigram LMs over an
@@ -681,13 +768,22 @@ object TrainingPrep {
     * anneal" modern pretraining runs ship (decay-phase upsampling of
     * high-quality data; documented in MiniCPM (Hu et al. 2024) and the
     * Llama 3 report): phase 1 fills 90% of the token budget from the
-    * WHOLE corpus in salted-hash order; phase 2 (the anneal) fills the
-    * final 10% exclusively from the high-quality pool (unique-token
+    * WHOLE corpus in salted-hash order; phase 2 (the anneal) draws the
+    * final 10% of budget exclusively from the high-quality pool (unique-token
     * density > 0.5 with ≥ 20 tokens — the [[pipelineBudget]] quality
     * signal as an absolute gate, so membership is per-row
     * deterministic, no data-dependent quantile). The report is the
     * per-(phase, source) document/token tally — what a mixing run
     * audits before launch.
+    *
+    * The two phases sample INDEPENDENTLY (different salts, overlapping
+    * pools): a high-quality document selected in phase 1 can be
+    * selected again in phase 2. That overlap is intended upsampling —
+    * the published anneal recipes re-expose high-quality data during
+    * the decay phase rather than exclude it — so the per-phase tallies
+    * may count the same document (and its tokens) in both phases; the
+    * report reads as per-phase exposure, not a disjoint partition of
+    * the corpus.
     *
     * Determinism: selection is cumulative-integer-tokens ≤ budget over
     * a total (md5 salt, doc_id) order, different salt per phase; all
@@ -772,6 +868,7 @@ object TrainingPrep {
     "pipeline_budget" -> (pipelineBudget _),
     "pipeline_pps" -> ((s: SparkSession, dir: String) => ppsSample(s, dir)),
     "pipeline_moore_lewis" -> ((s: SparkSession, dir: String) => mooreLewis(s, dir)),
+    "pipeline_rho" -> ((s: SparkSession, dir: String) => pipelineRho(s, dir)),
     "pipeline_dsir" -> ((s: SparkSession, dir: String) => dsirSelect(s, dir)),
     "pipeline_anneal" -> ((s: SparkSession, dir: String) => pipelineAnneal(s, dir)),
     "pipeline_temperature" -> (pipelineTemperature _),
@@ -787,6 +884,7 @@ object TrainingPrep {
     "pipeline_budget" -> pipelineBudgetSql,
     "pipeline_pps" -> ppsSampleSql,
     "pipeline_moore_lewis" -> mooreLewisSql,
+    "pipeline_rho" -> pipelineRhoSql,
     "pipeline_dsir" -> dsirSelectSql,
     "pipeline_anneal" -> pipelineAnnealSql,
     "pipeline_temperature" -> pipelineTemperatureSql,

@@ -253,10 +253,14 @@ class Round10OpsSpec extends SparkSpec {
       val matched = q.filter(t => tv.contains(t)).sorted
       if (matched.isEmpty) None
       else {
+        // StrictMath.log, not math.log: Catalyst's ln evaluates via
+        // StrictMath and the Math.log intrinsic can differ by 1 ulp on
+        // some JDK/CPU combos (observed in the DSIR replay)
         val sm = matched.map { t =>
-          math.log(1.0 + tv.count(_ == t).toDouble * ctot / (mu * cf(t)))
+          StrictMath.log(1.0 + tv.count(_ == t).toDouble * ctot / (mu * cf(t)))
         }.sum
-        val score = sm + q.size.toDouble * math.log(mu / (tv.size.toDouble + mu))
+        val score = sm +
+          q.size.toDouble * StrictMath.log(mu / (tv.size.toDouble + mu))
         Some((id,
           BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
           matched.size.toLong))
@@ -267,8 +271,11 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.length == expected.length, "row count")
     got.zip(expected).foreach { case (r, (id, score, m)) =>
       assert(r.getLong(0) == id, s"doc order at $id")
-      // replay sums terms in canonical order; round-to-4 absorbs the ulp
-      assert(math.abs(r.getDouble(1) - score) <= 1e-4 + 1e-12, s"score $id")
+      // both sides are already rounded to 4 decimals — with StrictMath
+      // matching Catalyst's ln the round-4 values must agree exactly (a
+      // loose 1e-4 tolerance would silently pass a full rounding-step
+      // divergence)
+      assert(r.getDouble(1) == score, s"score $id")
       assert(r.getLong(2) == m, s"matched $id")
     }
     // the Dirichlet length prior is live: among full 3-term matches,
@@ -301,7 +308,9 @@ class Round10OpsSpec extends SparkSpec {
       // sort_array + aggregate chain
       var s = 0.0
       tv.foreach { t =>
-        s = s + math.log(
+        // StrictMath.log matches Catalyst's ln (the Math.log intrinsic
+        // can diverge by 1 ulp), required for the == assertion below
+        s = s + StrictMath.log(
           ((va(t) + 1L).toDouble * (nIn + v).toDouble) /
             ((vi.getOrElse(t, 0L) + 1L).toDouble * (nAll + v).toDouble))
       }
