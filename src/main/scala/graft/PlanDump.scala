@@ -118,7 +118,11 @@ object PlanDump {
       "kg_ranker_eval",
       // per-lang BPE fertility (narrow replace-fold) and the
       // two-phase quality-annealed token schedule
-      "text_fertility", "pipeline_anneal")
+      "text_fertility", "pipeline_anneal",
+      // round-11: the end-to-end structured query (search legs behind
+      // the checkpointed hit set), ranker tau agreement, and
+      // token-level Rho-1-style selection
+      "kg_coarse", "kg_tau", "pipeline_rho")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")

@@ -91,7 +91,11 @@ object ScaleStress {
     // round-11 additions (r10 VERDICT #3): the rec heavies — ALS keyed
     // solve-folds + factor equi-joins, Slope One's in-basket pair
     // expansion, and the item-item cosine's pair shuffle
-    "rec_als", "rec_slopeone", "rec_cosine")
+    "rec_als", "rec_slopeone", "rec_cosine",
+    // round-11 new queries: token-level selection (the moore_lewis
+    // token-onto-vocab join shape), the three-ranker tau composition,
+    // and the end-to-end structured query (KG partition-pruned legs)
+    "pipeline_rho", "kg_tau", "kg_coarse")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

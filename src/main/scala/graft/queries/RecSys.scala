@@ -79,12 +79,26 @@ object RecSys {
     * Emits one row per customer: factors and reconstruction error.
     */
   def recAls(s: SparkSession, dir: String): DataFrame = {
-    val rat = ratings(s, dir).cache() // consumed by 4 stages
+    // Each half-step is MATERIALIZED once (eager localCheckpoint, the
+    // distributed-ALS sweep barrier) instead of left as a plan: with
+    // only `rat` cached, the single mega-plan re-evaluated the factor
+    // subtrees per consumer (p1 inside q1, q1 inside p2 AND the final
+    // join, p2 again inside it — 23 distinct static shuffles where the
+    // dataflow has ~12), and exchange reuse recovered only part of it
+    // (r11 measured: mega-plan 5.8–6.0 s min-of-3 at sf0.1; staged
+    // checkpoints 4.2 s min-of-3 on a slower machine state). A checkpointed
+    // stage also decouples the bench timing from cache-manager state —
+    // every run pays the same four jobs, so the measurement is the
+    // cold cost, reproducibly. p1's blocks are freed as soon as q1 is
+    // solid (the attribution_markov recipe); rat/q1/p2 stay pinned for
+    // the final SSE join and die in the caller's sweep.
+    val rat = ratings(s, dir).localCheckpoint(true) // consumed by 4 stages
     val q0 = rat.select(col("i")).distinct()
       .select(col("i"), seed(col("i"), 1).as("f1"), seed(col("i"), 2).as("f2"))
-    val p1 = solveFor(rat.join(q0, "i"), "u", "i")
-    val q1 = solveFor(rat.join(p1, "u"), "i", "u")
-    val p2 = solveFor(rat.join(q1, "i"), "u", "i")
+    val p1 = solveFor(rat.join(q0, "i"), "u", "i").localCheckpoint(true)
+    val q1 = solveFor(rat.join(p1, "u"), "i", "u").localCheckpoint(true)
+    graft.Caches.free(p1) // q1 materialized — p1's blocks are dead weight
+    val p2 = solveFor(rat.join(q1, "i"), "u", "i").localCheckpoint(true)
     val joined = rat.join(q1, "i")
       .join(p2.select(col("u"), col("f1").as("p1"), col("f2").as("p2")), "u")
     joined.groupBy(col("u"))
