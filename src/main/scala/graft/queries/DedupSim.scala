@@ -1148,7 +1148,55 @@ object DedupSim {
        |UNION ALL SELECT qid, CAST(3 AS INT), vec_id, score FROM s3
        |ORDER BY qid, sel_rank""".stripMargin
 
+  /** Matryoshka truncation-energy report (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): MRL deployments serve the
+    * first d dims of a trained embedding as a cheaper index, and the
+    * operational question before switching is WHICH vectors a
+    * truncated index misrepresents. Per vector, the fraction of its
+    * squared L2 energy captured by the first 8 / 16 / 32 of its 64
+    * dims; report the top-k TAIL-HEAVY vectors (lowest r8, the ones a
+    * d=8 index would misplace worst) with their full energy profile.
+    *
+    * Determinism: each energy is the [[Similarity.normSq]] sequential
+    * left-to-right IEEE fold over the float→double squares (the
+    * proven sqlDot ≡ aggregate convention); ratios are single
+    * divisions of bit-identical doubles; (r8, vec_id) total order.
+    *
+    * Scale shape: one narrow codegen'd map over the corpus (four
+    * row-local folds), TakeOrderedAndProject top-k — no shuffle
+    * beyond the top-k reduction at any corpus size.
+    */
+  def simMrl(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    def pref(d: Int) = Similarity.normSq(slice(col("embedding"), 1, d))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        pref(8).as("e8"), pref(16).as("e16"), pref(32).as("e32"),
+        Similarity.normSq(col("embedding")).as("e64"))
+      .filter(col("e64") > 0.0)
+      .select(col("vec_id"), col("label"),
+        (col("e8") / col("e64")).as("r8"),
+        (col("e16") / col("e64")).as("r16"),
+        (col("e32") / col("e64")).as("r32"))
+      .orderBy(col("r8"), col("vec_id"))
+      .limit(k)
+  }
+
+  val simMrlSql: String = {
+    def prefE(d: String): String =
+      sqlDot(s"embedding[1:$d]", s"embedding[1:$d]")
+    s"""WITH e AS (SELECT vec_id, label,
+       |    ${prefE("8")} AS e8,
+       |    ${prefE("16")} AS e16,
+       |    ${prefE("32")} AS e32,
+       |    ${sqlDot("embedding", "embedding")} AS e64
+       |  FROM embeddings)
+       |SELECT vec_id, label, e8 / e64 AS r8, e16 / e64 AS r16,
+       |  e32 / e64 AS r32
+       |FROM e WHERE e64 > 0.0e0 ORDER BY r8, vec_id LIMIT 25""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mrl" -> ((s: SparkSession, dir: String) => simMrl(s, dir)),
     "sim_mmr" -> (simMmr _),
     "sim_range" -> (simRange _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1176,6 +1224,7 @@ object DedupSim {
     "stream_neardup" -> (streamNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "sim_mrl" -> simMrlSql,
     "sim_mmr" -> simMmrSql,
     "sim_range" -> simRangeSql,
     "dedup_minhash" -> dedupMinhashSql,

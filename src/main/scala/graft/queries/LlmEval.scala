@@ -370,15 +370,84 @@ object LlmEval {
       |  sqrt(sqrt(p1 * p2 * p3 * p4)) AS bleu_nobp
       |FROM w ORDER BY pair_id""".stripMargin
 
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", §2.1): THE coding-eval metric — given n
+    * sampled attempts per problem of which c succeed, the unbiased
+    * estimator of the probability that at least one of k draws
+    * succeeds is
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i),
+    *
+    * evaluated in the paper's numerically-stable product form (never
+    * the raw binomials). Deterministic surrogate attempt log: each
+    * part is a "problem", its order lines the attempts, success =
+    * quantity ≥ 45 (≈12% base rate) — a fixed predicate that
+    * exercises exactly the estimator's dataflow. Report per problem
+    * (n ≥ 20 so k ≤ 10 ≤ n everywhere): n, c, pass@1/5/10, top-k by
+    * pass@10. When n−c < k some factor hits zero and the product
+    * collapses to 0 → pass@k = 1, the estimator's own convention.
+    *
+    * Determinism: n, c exact integers; each pass@k one fixed-length
+    * left-to-right product fold of exact-rational factors (Spark
+    * `aggregate` over `sequence` ≡ DuckDB list_reduce over range,
+    * init 1.0, acc·((n−c−i)/(n−i)) with the division grouped first
+    * in both engines); (pass@10 DESC, problem) total order.
+    *
+    * Scale shape: one keyed count/sum aggregation over the attempts
+    * table (map-side combine), constant-length row-local folds,
+    * TakeOrderedAndProject top-k.
+    */
+  def evalPassK(s: SparkSession, dir: String, minN: Int = 20,
+                k: Int = 50): DataFrame = {
+    val at = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("problem"),
+        (col("l_quantity") >= 45.0).cast("long").as("ok"))
+    val g = at.groupBy(col("problem"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+      .filter(col("n") >= minN)
+    def passAt(kk: Int): Column = {
+      val nn = col("n").cast("double")
+      val cc = col("c").cast("double")
+      lit(1.0) - aggregate(sequence(lit(0), lit(kk - 1)), lit(1.0),
+        (acc, i) => acc *
+          ((nn - cc - i.cast("double")) / (nn - i.cast("double"))))
+    }
+    g.select(col("problem"), col("n"), col("c"),
+        passAt(1).as("pass1"), passAt(5).as("pass5"),
+        passAt(10).as("pass10"))
+      .orderBy(col("pass10").desc, col("problem"))
+      .limit(k)
+  }
+
+  val evalPassKSql: String = {
+    def passS(kk: Int): String =
+      s"1.0e0 - list_reduce(list_prepend(1.0e0, " +
+        s"list_transform(range(0, $kk), i -> CAST(i AS DOUBLE))), " +
+        s"(acc, x) -> acc * ((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - x) " +
+        s"/ (CAST(n AS DOUBLE) - x)))"
+    s"""WITH a AS (SELECT l_partkey AS problem,
+       |    CASE WHEN l_quantity >= 45.0 THEN 1 ELSE 0 END AS ok
+       |  FROM lineitem),
+       |g AS (SELECT problem, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(ok) AS BIGINT) AS c
+       |  FROM a GROUP BY problem HAVING COUNT(*) >= 20)
+       |SELECT problem, n, c, ${passS(1)} AS pass1, ${passS(5)} AS pass5,
+       |  ${passS(10)} AS pass10
+       |FROM g ORDER BY pass10 DESC, problem LIMIT 50""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_rouge" -> (rouge _),
     "eval_chrf" -> (chrf _),
     "eval_conformal" -> (conformal _),
+    "eval_passk" -> ((s: SparkSession, dir: String) => evalPassK(s, dir)),
     "eval_bleu" -> (bleu _))
 
   val oracles: Map[String, String] = Map(
     "eval_rouge" -> rougeSql,
     "eval_chrf" -> chrfSql,
     "eval_conformal" -> conformalSql,
+    "eval_passk" -> evalPassKSql,
     "eval_bleu" -> bleuSql)
 }

@@ -171,4 +171,73 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.exists(r => r.getLong(3) > 0L && r.getLong(3) < r.getLong(2)),
       "no document with a strict token subset selected")
   }
+
+  test("sim_mrl equals a plain-Scala truncation-energy replay") {
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def energy(v: Array[Float], d: Int): Double = {
+      var a = 0.0
+      v.take(d).foreach(x => a += x.toDouble * x.toDouble)
+      a
+    }
+    val expected = vecs.map { case (id, label, v) =>
+      val e64 = energy(v, v.length)
+      (id, label, energy(v, 8) / e64, energy(v, 16) / e64,
+        energy(v, 32) / e64, e64)
+    }.filter(_._6 > 0.0)
+      .sortBy(e => (e._3, e._1)).take(25)
+      .map(e => (e._1, e._2, e._3, e._4, e._5))
+    val got = DedupSim.simMrl(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (id, label, r8, r16, r32)) =>
+      assert(r.getLong(0) == id && r.getInt(1) == label, s"keys $id")
+      assert(r.getDouble(2) == r8, s"r8 bit-exact $id")
+      assert(r.getDouble(3) == r16 && r.getDouble(4) == r32, s"ratios $id")
+    }
+    // monotone by construction, and the report is informative: the
+    // tail-heaviest vector really loses energy at d=8
+    got.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-15 &&
+        r.getDouble(3) <= r.getDouble(4) + 1e-15, "energy monotone in d")
+    }
+    assert(got.head.getDouble(2) < 0.5, "top row loses >half energy at d=8")
+  }
+
+  test("eval_passk equals a plain-Scala unbiased-estimator replay") {
+    val rows = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val g = rows.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.count(_._2 >= 45.0).toLong)
+    }.filter(_._2 >= 20L)
+    def passAt(n: Long, c: Long, k: Int): Double = {
+      var acc = 1.0
+      (0 until k).foreach { i =>
+        acc = acc * ((n.toDouble - c.toDouble - i.toDouble) /
+          (n.toDouble - i.toDouble))
+      }
+      1.0 - acc
+    }
+    val expected = g.map { case (p, n, c) =>
+      (p, n, c, passAt(n, c, 1), passAt(n, c, 5), passAt(n, c, 10))
+    }.toSeq.sortBy(e => (-e._6, e._1)).take(50)
+    val got = LlmEval.evalPassK(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (p, n, c, p1, p5, p10)) =>
+      assert(r.getLong(0) == p && r.getLong(1) == n && r.getLong(2) == c,
+        s"keys $p")
+      assert(r.getDouble(3) == p1 && r.getDouble(4) == p5 &&
+        r.getDouble(5) == p10, s"pass@k bit-exact $p")
+    }
+    // estimator sanity on the returned rows: pass@1 ≤ pass@5 ≤ pass@10,
+    // and pass@1 is the success rate c/n up to the product-form chain
+    got.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-15 &&
+        r.getDouble(4) <= r.getDouble(5) + 1e-15, "monotone in k")
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1).toDouble) < 1e-12, "pass@1 ≈ c/n")
+    }
+  }
 }
