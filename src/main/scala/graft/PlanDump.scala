@@ -120,9 +120,11 @@ object PlanDump {
       // two-phase quality-annealed token schedule
       "text_fertility", "pipeline_anneal",
       // round-11: the end-to-end structured query (search legs behind
-      // the checkpointed hit set), ranker tau agreement, and
-      // token-level Rho-1-style selection
-      "kg_coarse", "kg_tau", "pipeline_rho")
+      // the checkpointed hit set), ranker tau agreement, token-level
+      // Rho-1-style selection, truncation-energy report, pass@k, and
+      // Bradley-Terry strengths
+      "kg_coarse", "kg_tau", "pipeline_rho", "sim_mrl", "eval_passk",
+      "eval_bt")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` (explain formatted, sf0.001).\n")

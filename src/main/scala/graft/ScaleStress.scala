@@ -94,8 +94,9 @@ object ScaleStress {
     "rec_als", "rec_slopeone", "rec_cosine",
     // round-11 new queries: token-level selection (the moore_lewis
     // token-onto-vocab join shape), the three-ranker tau composition,
-    // and the end-to-end structured query (KG partition-pruned legs)
-    "pipeline_rho", "kg_tau", "kg_coarse")
+    // the end-to-end structured query (KG partition-pruned legs), and
+    // the Bradley-Terry corpus aggregation + alphabet MM rounds
+    "pipeline_rho", "kg_tau", "kg_coarse", "eval_bt")
 
   private def pow10Above(mx: Long): Long = {
     var p = 10L

@@ -177,13 +177,156 @@ object RankingEval {
        |  CASE WHEN r10 > 0 THEN acc.s / CAST(r10 AS DOUBLE) END AS ap
        |FROM f ORDER BY user_id""".stripMargin
 
+  /** Bradley–Terry strength estimation from pairwise preferences —
+    * the arena-style model-ranking method (Bradley & Terry 1952;
+    * Hunter 2004's MM algorithm, the fixed point Chatbot-Arena-style
+    * leaderboards iterate): given pairwise battle outcomes between
+    * entities, the MM update
+    *
+    *   p_i ← W_i / Σ_j N_ij / (p_i + p_j)
+    *
+    * converges to the maximum-likelihood strengths. Deterministic
+    * battle log derived from the corpus: each order stages a battle
+    * between its lowest and highest supplier league (s_suppkey mod 8,
+    * an 8-entity league); the side with the larger total quantity in
+    * the order wins (integer compare; equal-league and tied orders
+    * are dropped). Five MM rounds from p = 1, strengths normalized to
+    * sum 1 at the end; report wins, games, strength, per entity.
+    *
+    * Determinism: battle outcomes and the W/N tables are exact
+    * integers; each round's denominator is the opponent-ordered fold
+    * (`sort_array`+`aggregate` ≡ `list(... ORDER BY j)`+`list_reduce`)
+    * of n/(p_i+p_j) terms; rounds are unrolled in the oracle CTE
+    * chain (the attribution_markov discipline); final normalization
+    * one entity-ordered fold. (strength DESC, model) total order.
+    *
+    * Scale shape: ONE corpus-wide aggregation (per-order league
+    * totals); everything after lives on alphabet-sized frames —
+    * 8-row strength tables per round, checkpointReset per round with
+    * the previous round's blocks freed (the Markov loop recipe),
+    * coalesce(1) + broadcast so the tail never schedules 32-partition
+    * jobs over 8 rows.
+    */
+  def evalBt(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        pmod(col("l_suppkey"), lit(8)).cast("long").as("lg"),
+        col("l_quantity").cast("long").as("q"))
+    // per (order, league) totals, then min/max league per order
+    val perLeague = li.groupBy(col("ok"), col("lg"))
+      .agg(sum(col("q")).as("qs"))
+    val battles = perLeague.groupBy(col("ok"))
+      .agg(min(col("lg")).as("a"), max(col("lg")).as("b"),
+        min_by(col("qs"), col("lg")).as("qa"),
+        max_by(col("qs"), col("lg")).as("qb"))
+      .filter(col("a") =!= col("b") && col("qa") =!= col("qb"))
+      .select(col("a"), col("b"),
+        when(col("qa") > col("qb"), col("a")).otherwise(col("b")).as("winner"))
+    // ordered-pair win counts → symmetric expansion with per-entity
+    // integer W (wins) and G (games)
+    val pairs = battles.groupBy(col("a"), col("b"))
+      .agg(sum(when(col("winner") === col("a"), 1L).otherwise(0L)).as("wab"),
+        sum(when(col("winner") === col("b"), 1L).otherwise(0L)).as("wba"))
+      .localCheckpoint(true)
+    val ex = pairs.select(col("a").as("i"), col("b").as("j"),
+        (col("wab") + col("wba")).as("n"), col("wab").as("w"))
+      .unionAll(pairs.select(col("b").as("i"), col("a").as("j"),
+        (col("wab") + col("wba")).as("n"), col("wba").as("w")))
+    val tot = ex.groupBy(col("i"))
+      .agg(sum(col("w")).as("wi"), sum(col("n")).as("gi"))
+    val exw = graft.Caches.checkpointReset(
+      ex.join(tot, "i").coalesce(1))
+    graft.Caches.free(pairs)
+    var p = graft.Caches.checkpointReset(
+      exw.select(col("i")).distinct().select(col("i"), lit(1.0).as("p"))
+        .coalesce(1))
+    var prev: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val pi = broadcast(p.select(col("i"), col("p").as("pi")))
+      val pj = broadcast(p.select(col("i").as("j"), col("p").as("pj")))
+      val nx = graft.Caches.checkpointReset(
+        exw.join(pi, "i").join(pj, "j")
+          .select(col("i"), col("j"), col("wi"),
+            (col("n").cast("double") / (col("pi") + col("pj"))).as("term"))
+          .groupBy(col("i"), col("wi"))
+          .agg(sort_array(collect_list(struct(col("j"), col("term")))).as("xs"))
+          .select(col("i"), (col("wi").cast("double") /
+            aggregate(col("xs"), lit(0.0),
+              (a, x) => a + x.getField("term"))).as("p"))
+          .coalesce(1))
+      if (prev != null) graft.Caches.free(prev)
+      prev = p
+      p = nx
+    }
+    val total = p
+      .agg(sort_array(collect_list(struct(col("i"), col("p")))).as("xs"))
+      .select(aggregate(col("xs"), lit(0.0),
+        (a, x) => a + x.getField("p")).as("t"))
+    // per-entity W/G re-read from exw (NOT `tot`, whose lineage runs
+    // through the already-freed `pairs` checkpoint)
+    val wg = exw.select(col("i"), col("wi"), col("gi")).distinct()
+    val out = graft.Caches.checkpointReset(
+      p.join(broadcast(wg), "i")
+        .crossJoin(broadcast(total))
+        .select(col("i").as("model"), col("wi").as("wins"),
+          col("gi").as("games"), (col("p") / col("t")).as("strength"))
+        .orderBy(col("strength").desc, col("model"))
+        .coalesce(1))
+    graft.Caches.free(prev)
+    graft.Caches.free(p)
+    graft.Caches.free(exw)
+    out
+  }
+
+  val evalBtSql: String = {
+    // one MM round as a CTE body over the previous round `pr`: the
+    // opponent-ordered fold is a list() aggregate, so GROUP BY e.i,
+    // w.wi suffices
+    def roundS2(pr: String): String =
+      s"""SELECT e.i, CAST(w.wi AS DOUBLE) / list_reduce(
+         |    list(CAST(e.n AS DOUBLE) / (pi.p + pj.p) ORDER BY e.j),
+         |    (x, y) -> x + y) AS p
+         |  FROM e JOIN $pr pi ON pi.i = e.i JOIN $pr pj ON pj.i = e.j
+         |  JOIN w ON w.i = e.i
+         |  GROUP BY e.i, w.wi""".stripMargin
+    s"""WITH pl AS (SELECT l_orderkey AS ok, l_suppkey % 8 AS lg,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+       |  FROM lineitem GROUP BY 1, 2),
+       |bt AS (SELECT ok, MIN(lg) AS a, MAX(lg) AS b,
+       |    MIN_BY(qs, lg) AS qa, MAX_BY(qs, lg) AS qb
+       |  FROM pl GROUP BY ok),
+       |bw AS (SELECT a, b, CASE WHEN qa > qb THEN a ELSE b END AS winner
+       |  FROM bt WHERE a <> b AND qa <> qb),
+       |pc AS (SELECT a, b,
+       |    CAST(SUM(CASE WHEN winner = a THEN 1 ELSE 0 END) AS BIGINT) AS wab,
+       |    CAST(SUM(CASE WHEN winner = b THEN 1 ELSE 0 END) AS BIGINT) AS wba
+       |  FROM bw GROUP BY a, b),
+       |e AS (SELECT a AS i, b AS j, wab + wba AS n, wab AS w FROM pc
+       |  UNION ALL SELECT b AS i, a AS j, wab + wba AS n, wba AS w FROM pc),
+       |w AS (SELECT i, CAST(SUM(w) AS BIGINT) AS wi,
+       |    CAST(SUM(n) AS BIGINT) AS gi FROM e GROUP BY i),
+       |r0 AS (SELECT DISTINCT i, 1.0e0 AS p FROM e),
+       |r1 AS (${roundS2("r0")}),
+       |r2 AS (${roundS2("r1")}),
+       |r3 AS (${roundS2("r2")}),
+       |r4 AS (${roundS2("r3")}),
+       |r5 AS (${roundS2("r4")}),
+       |t AS (SELECT list_reduce(list(p ORDER BY i), (x, y) -> x + y) AS t
+       |  FROM r5)
+       |SELECT r5.i AS model, w.wi AS wins, w.gi AS games, r5.p / t.t AS strength
+       |FROM r5 JOIN w ON w.i = r5.i CROSS JOIN t
+       |ORDER BY strength DESC, model""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_ndcg" -> (evalNdcg _),
     "eval_mrr" -> (evalMrr _),
+    "eval_bt" -> ((s: SparkSession, dir: String) => evalBt(s, dir)),
     "eval_map" -> (evalMap _))
 
   val oracles: Map[String, String] = Map(
     "eval_ndcg" -> evalNdcgSql,
     "eval_mrr" -> evalMrrSql,
+    "eval_bt" -> evalBtSql,
     "eval_map" -> evalMapSql)
 }

@@ -240,4 +240,55 @@ class Round11OpsSpec extends SparkSpec {
         r.getLong(2).toDouble / r.getLong(1).toDouble) < 1e-12, "pass@1 ≈ c/n")
     }
   }
+
+  test("eval_bt equals a plain-Scala Bradley-Terry MM replay") {
+    val rows = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) % 8L, r.getDouble(2).toLong))
+    val perLeague = rows.groupBy(e => (e._1, e._2))
+      .map { case ((ok, lg), g) => (ok, lg, g.map(_._3).sum) }
+    val battles = perLeague.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val a = g.minBy(_._2); val b = g.maxBy(_._2)
+      if (a._2 == b._2 || a._3 == b._3) None
+      else Some((a._2, b._2, if (a._3 > b._3) a._2 else b._2))
+    }
+    val pc = battles.groupBy(e => (e._1, e._2)).map { case ((a, b), g) =>
+      (a, b, g.count(_._3 == a).toLong, g.count(_._3 == b).toLong)
+    }
+    val ex = pc.flatMap { case (a, b, wab, wba) =>
+      Seq((a, b, wab + wba, wab), (b, a, wab + wba, wba))
+    }.toSeq
+    val wi = ex.groupBy(_._1).map { case (i, g) =>
+      i -> (g.map(_._4).sum, g.map(_._3).sum)
+    }
+    var p = ex.map(_._1).distinct.map(i => i -> 1.0).toMap
+    (1 to 5).foreach { _ =>
+      p = p.keys.map { i =>
+        // opponent-ordered fold, matching list(... ORDER BY j)
+        var den = 0.0
+        ex.filter(_._1 == i).sortBy(_._2).foreach { case (_, j, n, _) =>
+          den += n.toDouble / (p(i) + p(j))
+        }
+        i -> wi(i)._1.toDouble / den
+      }.toMap
+    }
+    var tot = 0.0
+    p.keys.toSeq.sorted.foreach(i => tot += p(i))
+    val expected = p.keys.toSeq
+      .map(i => (i, wi(i)._1, wi(i)._2, p(i) / tot))
+      .sortBy(e => (-e._4, e._1))
+    val got = RankingEval.evalBt(spark, sf).collect()
+    assert(got.length == expected.length, "row count")
+    got.zip(expected).foreach { case (r, (i, w, g, st)) =>
+      assert(r.getLong(0) == i && r.getLong(1) == w && r.getLong(2) == g,
+        s"keys $i")
+      assert(r.getDouble(3) == st, s"strength bit-exact $i")
+    }
+    // the model is live: strengths are not uniform (some league is
+    // genuinely stronger under the quantity-win rule), yet all
+    // positive and normalized
+    assert(got.map(_.getDouble(3)).distinct.length > 1, "non-uniform")
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-12, "normalized")
+    assert(got.forall(_.getDouble(3) > 0.0), "all positive")
+  }
 }
