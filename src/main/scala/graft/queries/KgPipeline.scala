@@ -747,6 +747,10 @@ object KgPipeline {
     legs.reduce(_.unionByName(_)).orderBy(col("pair"))
   }
 
+  // `n` counts FROM the pair list (LEFT JOIN), not from `common`: a
+  // ranker pair whose top-50 lists share zero documents must still
+  // emit its (n_common=0, tau=0) row, matching the Spark side's
+  // per-leg global agg which always produces one row per pair.
   val kgTauSql: String =
     s"""WITH u AS (
        |  SELECT 'bm25' AS ranker, doc_id, score FROM ($kgBm25Sql)
@@ -769,8 +773,9 @@ object KgPipeline {
        |  FROM common c1 JOIN common c2
        |    ON c1.a = c2.a AND c1.b = c2.b AND c1.doc_id < c2.doc_id
        |  GROUP BY c1.a, c1.b),
-       |n AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
-       |  FROM common GROUP BY a, b)
+       |n AS (SELECT pr.a, pr.b, CAST(COUNT(common.doc_id) AS BIGINT) AS n_common
+       |  FROM pr LEFT JOIN common ON common.a = pr.a AND common.b = pr.b
+       |  GROUP BY pr.a, pr.b)
        |SELECT n.a || '~' || n.b AS pair, n.n_common,
        |  COALESCE(pc.c, 0) AS concordant,
        |  COALESCE(pc.np, 0) - COALESCE(pc.c, 0) AS discordant,

@@ -272,7 +272,7 @@ object RankingEval {
           col("gi").as("games"), (col("p") / col("t")).as("strength"))
         .orderBy(col("strength").desc, col("model"))
         .coalesce(1))
-    graft.Caches.free(prev)
+    if (prev != null) graft.Caches.free(prev) // rounds = 0 leaves prev null
     graft.Caches.free(p)
     graft.Caches.free(exw)
     out

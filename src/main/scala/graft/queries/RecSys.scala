@@ -172,9 +172,17 @@ object RecSys {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("i"),
         col("l_quantity").cast("long").as("q"))
       .groupBy(col("ok"), col("i")).agg(sum(col("q")).as("r"))
+    // The pair expansion is MATERIALIZED once (eager localCheckpoint —
+    // the rec_als staging recipe): `pairs` is consumed by BOTH the
+    // deviation table below and the prediction join after it, and
+    // Catalyst re-evaluated the basket self-join (and `rat` beneath
+    // it) per consumer when left as a plan (r11 verdict: the slowest
+    // legitimate query at 4.18 s; staged, the self-join runs once).
+    // The blocks die in the caller's sweep.
     val pairs = rat.select(col("ok"), col("i").as("j"), col("r").as("rj"))
       .join(rat.select(col("ok"), col("i"), col("r").as("ri")), Seq("ok"))
       .where(col("j") =!= col("i"))
+      .localCheckpoint(true)
     val dev = pairs.groupBy(col("j"), col("i"))
       .agg(count(lit(1)).as("c"), sum(col("rj") - col("ri")).as("sdiff"))
       .withColumn("dev", col("sdiff").cast("double") / col("c").cast("double"))
