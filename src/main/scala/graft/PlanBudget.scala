@@ -19,8 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PlanBudget {
 
-  final case class Counts(shuffles: Int, broadcasts: Int, sorts: Int, cartesians: Int) {
-    def tsv: String = s"$shuffles\t$broadcasts\t$sorts\t$cartesians"
+  /** `jobs` is the count of Spark jobs the query launches at
+    * CONSTRUCTION time (eager localCheckpoints, bounded driver-sample
+    * collects) — work the static node counts cannot see. r11 verdict
+    * #3: eval_bt reported 0/0/0/0 because its five MM rounds are
+    * checkpoint jobs that run before the returned plan exists, so the
+    * budget gate that exists to catch expensive plans saw an empty
+    * one. The jobs column makes iterative queries' real cost visible
+    * and pinned: an edit that adds an MM round (or un-stages a
+    * checkpoint) moves the number and fails PlanBudgetSpec loudly.
+    */
+  final case class Counts(shuffles: Int, broadcasts: Int, sorts: Int,
+      cartesians: Int, jobs: Int) {
+    def tsv: String = s"$shuffles\t$broadcasts\t$sorts\t$cartesians\t$jobs"
   }
 
   /** The operator-tree block of a formatted explain (everything before
@@ -40,14 +51,63 @@ object PlanBudget {
     * `BroadcastExchange`); reused subtrees (`ReusedExchange`) are NOT
     * counted — the work happens once.
     */
-  private[graft] def counts(df: DataFrame): Counts = {
+  private[graft] def counts(df: DataFrame, jobs: Int = 0): Counts = {
     val names = NodeRx.findAllMatchIn(tree(df)).map(_.group(1)).toSeq
     Counts(
       shuffles = names.count(_ == "Exchange"),
       broadcasts = names.count(_ == "BroadcastExchange"),
       sorts = names.count(n => n == "Sort" || n == "SortAggregate"),
       cartesians = names.count(n =>
-        n == "CartesianProduct" || n == "BroadcastNestedLoopJoin"))
+        n == "CartesianProduct" || n == "BroadcastNestedLoopJoin"),
+      jobs = jobs)
+  }
+
+  /** Run `body` with a listener counting the Spark jobs it submits.
+    * Every construction-time action (eager localCheckpoint, collect)
+    * BLOCKS until its job completes, so by the time `body` returns all
+    * jobs have been submitted; only the listener-bus delivery is
+    * async. Two defenses keep the count exact (the first cut drifted
+    * ±1 between generator and spec: a late-delivered event from
+    * capture N landed in capture N+1's window):
+    *  - ATTRIBUTION: each capture runs under a unique job group, and
+    *    only events carrying that group id are counted — a leaked
+    *    late event from the previous capture can never pollute this
+    *    one;
+    *  - QUIESCENCE: the drain requires the count to hold still across
+    *    5 consecutive 40 ms polls (the bus is idle once `body` has
+    *    returned, so 200 ms of silence bounds delivery lag without
+    *    slowing the 345-query sweep meaningfully).
+    * The count is deterministic for a fixed session shape — the
+    * generator and the spec both run local[4] with 4 shuffle
+    * partitions.
+    */
+  private[graft] def withJobCount[A](spark: SparkSession)(body: => A): (A, Int) = {
+    val tag = "planbudget-" + java.util.UUID.randomUUID().toString
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (g.contains(tag)) { n.incrementAndGet(); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(tag, "PlanBudget construction capture")
+    try {
+      val a = body
+      var stable = 0
+      var last = n.get()
+      while (stable < 5) {
+        Thread.sleep(40)
+        val cur = n.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (a, last)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   /** Hermetic capture (r8 VERDICT #2): a query that `.cache()`s an
@@ -75,7 +135,20 @@ object PlanBudget {
   def hermeticCounts(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame, dir: String): Counts = {
     spark.catalog.clearCache()
-    counts(fn(spark, dir))
+    // AQE off for the capture only: under AQE one construction action
+    // (an eager checkpoint) submits one job PER MATERIALIZED QUERY
+    // STAGE, and stage reuse is a runtime decision — attribution_markov
+    // measured 57 vs 58 across two identical sessions. Without AQE a
+    // job is an ACTION (checkpoint / driver sample / broadcast build),
+    // which is the semantic this column pins: how many staged rounds
+    // the query really runs. Execution paths (Verify/Bench) keep AQE.
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val (df, jobs) = withJobCount(spark)(fn(spark, dir))
+      counts(df, jobs)
+    } finally spark.conf.set(key, saved)
   }
 
   /** Every registered query, budget-counted against `dir`. Queries
@@ -94,22 +167,29 @@ object PlanBudget {
     sb.append("asserted row-for-row by `PlanBudgetSpec`. Columns: static counts of\n")
     sb.append("shuffle `Exchange`, `BroadcastExchange`, `Sort`(+SortAggregate), and\n")
     sb.append("cartesian (`CartesianProduct`/`BroadcastNestedLoopJoin`) nodes in the\n")
-    sb.append("formatted plan at sf0.001 (pre-AQE: the static upper bound — AQE only\n")
-    sb.append("removes exchanges). An intentional plan change regenerates this file;\n")
+    sb.append("formatted plan at sf0.001, captured with AQE disabled (pre-AQE: the\n")
+    sb.append("static upper bound — at runtime AQE only removes exchanges, and its\n")
+    sb.append("per-stage job submission would make counts nondeterministic).\n")
+    sb.append("`jobs` counts the Spark jobs launched at\n")
+    sb.append("construction time (eager checkpoints / bounded driver samples) —\n")
+    sb.append("the cost of iterative queries whose staged rounds never appear in\n")
+    sb.append("the returned static plan (eval_bt's five MM rounds, rec_als's four\n")
+    sb.append("half-steps). An intentional plan change regenerates this file;\n")
     sb.append("an unintentional one fails the suite with the diff.\n\n")
-    sb.append("| query | shuffles | broadcasts | sorts | cartesians |\n")
-    sb.append("|---|---|---|---|---|\n")
+    sb.append("| query | shuffles | broadcasts | sorts | cartesians | jobs |\n")
+    sb.append("|---|---|---|---|---|---|\n")
     rows.foreach { case (n, c) =>
-      sb.append(s"| $n | ${c.shuffles} | ${c.broadcasts} | ${c.sorts} | ${c.cartesians} |\n")
+      sb.append(s"| $n | ${c.shuffles} | ${c.broadcasts} | ${c.sorts} | ${c.cartesians} | ${c.jobs} |\n")
     }
     sb.toString
   }
 
   /** Parse the checked-in table back to (name → Counts). */
   def parse(md: String): Seq[(String, Counts)] = {
-    val RowRx = """\|\s*([a-z0-9_]+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|""".r
+    val RowRx = """\|\s*([a-z0-9_]+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|""".r
     RowRx.findAllMatchIn(md).map { m =>
-      m.group(1) -> Counts(m.group(2).toInt, m.group(3).toInt, m.group(4).toInt, m.group(5).toInt)
+      m.group(1) -> Counts(m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toInt, m.group(5).toInt, m.group(6).toInt)
     }.toSeq
   }
 

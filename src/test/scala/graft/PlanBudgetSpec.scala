@@ -30,21 +30,23 @@ class PlanBudgetSpec extends AnyFunSuite {
         s"stale: ${stale.toSeq.sorted.mkString(",")}")
   }
 
-  test("every query's static plan matches its pinned shuffle/broadcast/sort/cartesian budget") {
+  test("every query's static plan matches its pinned shuffle/broadcast/sort/cartesian/jobs budget") {
     assume(Files.exists(budgetFile) && Files.isDirectory(Paths.get(dir)))
     val spark = SparkSpec.session
     val drifted = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       pinned.get(name).flatMap { want =>
         // hermetic capture: same clearCache-before-capture discipline as
-        // the generator, so the pin holds regardless of suite order
+        // the generator (hermeticCounts clears the cache manager and
+        // counts construction-time jobs), so the pin holds regardless
+        // of suite order
         spark.catalog.clearCache()
         assert(spark.sharedState.cacheManager.isEmpty,
           s"cache manager not empty before capturing $name")
-        val got = PlanBudget.counts(fn(spark, dir))
+        val got = PlanBudget.hermeticCounts(spark, fn, dir)
         if (got == want) None
         else Some(s"$name: pinned(sh=${want.shuffles},bc=${want.broadcasts}," +
-          s"so=${want.sorts},cp=${want.cartesians}) got(sh=${got.shuffles}," +
-          s"bc=${got.broadcasts},so=${got.sorts},cp=${got.cartesians})")
+          s"so=${want.sorts},cp=${want.cartesians},jobs=${want.jobs}) got(sh=${got.shuffles}," +
+          s"bc=${got.broadcasts},so=${got.sorts},cp=${got.cartesians},jobs=${got.jobs})")
       }
     }
     assert(drifted.isEmpty,
