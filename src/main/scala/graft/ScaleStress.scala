@@ -140,12 +140,21 @@ object ScaleStress {
     val plans: Map[String, Int => DataFrame] = Map(
       "region" -> (_ => raw("region")),
       "nation" -> (_ => raw("nation")),
+      // names are regenerated from the SHIFTED key (the generator's own
+      // Customer#%09d scheme): copying names verbatim would make every
+      // name-prefix ER block `copies`× deeper — a replication artifact
+      // (100² pair blow-up at 100×) that a real N× corpus, whose new
+      // customers have new names, does not have
       "customer" -> (k => raw("customer").select(
-        shift("c_custkey", k, custK), col("c_name"), col("c_nationkey"),
-        col("c_acctbal"), col("c_mktsegment"))),
+        shift("c_custkey", k, custK),
+        format_string("Customer#%09d", col("c_custkey") + lit(k * custK))
+          .as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))),
       "supplier" -> (k => raw("supplier").select(
-        shift("s_suppkey", k, suppK), col("s_name"), col("s_nationkey"),
-        col("s_acctbal"))),
+        shift("s_suppkey", k, suppK),
+        format_string("Supplier#%09d", col("s_suppkey") + lit(k * suppK))
+          .as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))),
       "part" -> (k => raw("part").select(
         shift("p_partkey", k, partK), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size"), col("p_retailprice"))),
@@ -164,10 +173,26 @@ object ScaleStress {
       "documents" -> (k => raw("documents").select(
         shift("doc_id", k, docK), saltText(k).as("text"), col("lang"),
         col("source"), col("n_chars"))),
+      // per-copy SIGN-FLIP mask (flip component i iff bit (i mod 7) of
+      // k is set): a reflection is orthogonal, so within-copy geometry
+      // — every distance, cosine, and near-dup pair — is preserved
+      // EXACTLY, while any two copies differ in ≥1 flip class (~1/7 of
+      // the vector mass, cosine ≤ ~0.71), so cross-copy twins of the
+      // same base vector stop being near-duplicates. The earlier
+      // first-component nudge (+0.01k) broke exact equality but left
+      // copies of a vector mutually near-dup, stacking every ANN/dedup
+      // bucket `copies` deep — a pair blow-up a real N× corpus does
+      // not have, quadratic in the replication factor at 100×. Masks
+      // are distinct for k ≤ 127 (7 bits).
       "embeddings" -> (k => raw("embeddings").select(
         shift("vec_id", k, vecK),
         transform(col("embedding"),
-          (x, i) => when(i === 0, (x + lit(k * 0.01f)).cast("float"))
+          (x, i) => when(
+            // bit (i mod 7) of k, as arithmetic (shiftright needs a
+            // literal shift): floor(k / 2^(i%7)) mod 2
+            pmod(floor(lit(k.toDouble) /
+              pow(lit(2.0), pmod(i, lit(7)).cast("double"))).cast("int"),
+              lit(2)) === 1, (-x).cast("float"))
             .otherwise(x)).as("embedding"),
         col("label"))))
 
@@ -264,8 +289,18 @@ object ScaleStress {
         .write.format("noop").mode("overwrite").save()
     }
 
-    val panel = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultPanel)
+    // SPARK_GRAFT_STRESS_PANEL runs a restricted panel into its OWN
+    // marker section (scale-stress-<copies>x) — the deep-replication
+    // probes (e.g. the 100× legs of the highest-exponent rows) must
+    // not clobber the full default table the way SPARK_GRAFT_ONLY
+    // would (that var is the local-iteration aid and rewrites the
+    // main section with whatever subset it ran).
+    val panelEnv = sys.env.get("SPARK_GRAFT_STRESS_PANEL")
+      .map(_.split(",").map(_.trim).toSeq)
+    val panel = panelEnv.orElse(sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSeq)).getOrElse(DefaultPanel)
+    val markerId =
+      if (panelEnv.isDefined) s"scale-stress-${copies}x" else "scale-stress"
 
     // graph index builds are their own measured entries (the Bench
     // itemization), then stay in the keep-set so graph_* rows measure
@@ -285,8 +320,8 @@ object ScaleStress {
     val table = render(rows, copies, srcDir, alertAt = 1.3)
 
     // splice into SCALING.md between markers
-    val begin = "<!-- scale-stress:begin -->"
-    val end = "<!-- scale-stress:end -->"
+    val begin = s"<!-- $markerId:begin -->"
+    val end = s"<!-- $markerId:end -->"
     val path = Paths.get("SCALING.md")
     val section = s"$begin\n\n## Empirical scaling exponents " +
       s"(${copies}× salted replication of $srcDir, min-of-$k, local[$cpus])\n\n" +

@@ -233,14 +233,24 @@ object TokenRules {
   /** Load the reference's spacy-rule JSON (museum spacy_rules files):
     * pattern token types word/token, shape, punctuation with
     * is_required / is_in_output flags and prefix/suffix constraints.
+    * `onlyActive = true` keeps just `is_active == "true"` rules — the
+    * subset the reference engine applies (inactive rules are edited-
+    * out drafts kept in the file; the corpus fixtures' `results` are
+    * generated from the active set). Rule indices still count EVERY
+    * rule in file order, so `name-idx` identifies the same rule under
+    * either loading mode.
     */
-  def fromJson(json: String, name: String): Seq[Rule] = {
+  def fromJson(json: String, name: String,
+      onlyActive: Boolean = false): Seq[Rule] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val rules = scala.collection.mutable.ArrayBuffer[Rule]()
     val arr = root.path("rules")
     var idx = 0
     arr.forEach { r =>
+      if (onlyActive && r.path("is_active").asText("true") != "true") {
+        idx += 1
+      } else {
       val toks = scala.collection.mutable.ArrayBuffer[RuleToken]()
       r.path("pattern").forEach { t =>
         def strings(field: String): Seq[String] = {
@@ -305,6 +315,7 @@ object TokenRules {
       }
       rules += Rule(s"$name-$idx", toks.toSeq)
       idx += 1
+      }
     }
     rules.toSeq
   }

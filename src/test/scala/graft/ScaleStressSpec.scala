@@ -67,6 +67,50 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(crossDup < n0 / 20, s"cross-copy exact dups: $crossDup of $n0")
   }
 
+  test("name regeneration and sign-flip salting keep in-copy structure, break cross-copy twins") {
+    val s = SparkSpec.session
+    // customer/supplier names are regenerated from the shifted key, so
+    // name-prefix ER blocks do NOT deepen with the copy count (names
+    // stay globally unique, exactly as a larger real generation would)
+    for ((t, nameCol) <- Seq("customer" -> "c_name", "supplier" -> "s_name")) {
+      val df = Tables(s, out, t)
+      assert(df.select(nameCol).distinct().count() == df.count(),
+        s"$t.$nameCol uniqueness across copies")
+    }
+    // embeddings: copy k is a sign-flip reflection of the base —
+    // magnitudes identical component-wise (within-copy geometry is
+    // EXACTLY preserved: a reflection is orthogonal), signs flipped on
+    // exactly the (i mod 7) classes where bit (i mod 7) of k is set
+    // (k=1 -> components with i % 7 == 0), so cross-copy twins of a
+    // base vector are no longer near-duplicates
+    val srcV = Tables(s, src, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val maxSrcId = srcV.agg(max(col("vec_id"))).head.getLong(0)
+    val vecK = {
+      var p = 10L; while (p <= maxSrcId + 1) p *= 10; p
+    }
+    val copy1 = Tables(s, out, "embeddings")
+      .filter(col("vec_id") > lit(maxSrcId))
+      .select((col("vec_id") - lit(vecK)).as("vec_id"),
+        col("embedding").as("e1"))
+    val joined = srcV.join(copy1, "vec_id")
+    // component-wise: |a| == |b| everywhere; sign differs iff i%7 == 0
+    val viol = joined
+      .select(aggregate(
+        zip_with(col("embedding"), col("e1"), (a, b) => struct(a.as("a"), b.as("b"))),
+        struct(lit(0).as("i"), lit(0L).as("bad")),
+        (acc, x) => {
+          val i = acc.getField("i")
+          val a = x.getField("a"); val b = x.getField("b")
+          val flipClass = pmod(i, lit(7)) === 0
+          val ok = when(flipClass, a === -b).otherwise(a === b)
+          struct((i + 1).as("i"),
+            (acc.getField("bad") + when(ok, 0L).otherwise(1L)).as("bad"))
+        }).getField("bad").as("bad"))
+      .agg(sum(col("bad"))).head.getLong(0)
+    assert(viol == 0, s"sign-flip salt violated on $viol components")
+  }
+
   test("measure -> exponents produces finite rows and the renderer flags only real alerts") {
     val s = SparkSpec.session
     val panel = Seq("window_quota", "agg_pricing")

@@ -89,4 +89,69 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(rules.nonEmpty)
     rules.foreach(r => java.util.regex.Pattern.compile(TokenRules.compile(r)._1))
   }
+
+  // ——— the COMPLETE museum spacy corpus (r11 verdict #5) ———
+  // Every rule file the project tarball ships; the files carry their
+  // own fixtures (`test_text` + expected `results`), so parity is
+  // checked against the reference's own recorded extractions, not a
+  // hand-built approximation.
+  private val SpacyFiles =
+    Seq("birth_info", "date_birth", "date_death", "phone", "stock_ticker")
+
+  test("E3: every rule in the complete museum spacy corpus compiles") {
+    val perFile = SpacyFiles.flatMap { f =>
+      readEntry(s"spacy_rules/$f.json").map { json =>
+        val rules = TokenRules.fromJson(json, f)
+        rules.foreach(r =>
+          java.util.regex.Pattern.compile(TokenRules.compile(r)._1))
+        f -> rules.size
+      }
+    }.toMap
+    assume(perFile.nonEmpty, "museum tarball not available")
+    // the corpus's full rule inventory: 0 + 2 + 1 + 49 + 42 = 94 rules,
+    // every one loads and its compiled regex is a valid Java pattern
+    assert(perFile == Map("birth_info" -> 0, "date_birth" -> 2,
+      "date_death" -> 1, "phone" -> 49, "stock_ticker" -> 42),
+      s"rule inventory drifted: $perFile")
+  }
+
+  test("E3: the corpus's own fixtures replay — active rules re-extract the recorded results") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the reference records values as TOKENIZED joins ("( 217 ) 331 -
+    // 6779") while our single-regex extractor emits source-adjacent
+    // text — compare alphanumeric content, which both preserve
+    def norm(s: String): String =
+      s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "")
+    val misses = scala.collection.mutable.ArrayBuffer[String]()
+    var filesChecked = 0
+    SpacyFiles.foreach { f =>
+      readEntry(s"spacy_rules/$f.json").foreach { json =>
+        val root = mapper.readTree(json)
+        val testText = root.path("test_text").asText("")
+        val want = scala.collection.mutable.LinkedHashSet[String]()
+        root.path("results").forEach(r => want += r.path("value").asText(""))
+        val rules = TokenRules.fromJson(json, f, onlyActive = true)
+        if (want.nonEmpty && rules.nonEmpty) {
+          filesChecked += 1
+          val df = Seq(testText).toDF("t")
+          // one job: every rule's extraction as its own column
+          val row = df.select(rules.map(r =>
+            TokenRules.extract($"t", r).as(r.name)): _*).head()
+          val got = (0 until row.length)
+            .flatMap(i => row.getSeq[String](i)).map(norm).toSet
+          want.map(norm).filter(_.nonEmpty).foreach { w =>
+            if (!got.contains(w)) misses += s"$f:$w"
+          }
+        }
+      }
+    }
+    assume(filesChecked > 0, "museum tarball not available")
+    // full recall on the corpus fixtures: every value the reference's
+    // own run recorded is re-extracted by the compiled active rules.
+    // Any residual the single-regex compilation cannot express must be
+    // enumerated here (currently none), never silently dropped.
+    assert(misses.isEmpty,
+      s"${misses.size} corpus fixture values not re-extracted: " +
+        misses.mkString(", "))
+  }
 }
