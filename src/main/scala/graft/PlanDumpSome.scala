@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 optimization evidence: dump `explain("formatted")` for the
+  * named queries into <outDir>/<name>_<tag>.txt — the before/after plan
+  * artifacts the optimization round commits under plans/r12/.
+  *
+  * Usage:
+  *   sbt "runMain graft.PlanDumpSome <sfDir> <outDir> <tag> q1,q2,..."
+  */
+object PlanDumpSome {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, outDir, tag, names) = args
+    val spark = Tables.sessionDefaults(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    names.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+      println(s"wrote $outDir/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}
