@@ -134,6 +134,17 @@ object PlanBudget {
     */
   def hermeticCounts(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame, dir: String): Counts = {
+    // Pre-build the two session-scoped indexes OUTSIDE the job-count
+    // window: whichever query happens to be the first kg/graph consumer
+    // in registry order would otherwise absorb the index build's jobs
+    // into its pin — a value that then depends on what ran earlier in
+    // the session (the r12 kg_coarse drift: pinned 5 from a fresh
+    // generator session where kg_coarse was the first kg() caller,
+    // measured 3 in the suite whose earlier specs had built the index).
+    // The bench itemizes kg_build/graph_build separately for the same
+    // reason; the jobs column pins pure query-construction cost.
+    graft.queries.KgPipeline.kg(spark, dir)
+    graft.queries.Relational.graphBuild(spark, dir)
     spark.catalog.clearCache()
     // AQE off for the capture only: under AQE one construction action
     // (an eager checkpoint) submits one job PER MATERIALIZED QUERY
