@@ -22,6 +22,8 @@ object ProfileSome {
     val spark = Tables.sessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,14 +31,21 @@ object ProfileSome {
     case class St(name: String, ms: Long, tasks: Int, shRead: Long,
         shWrite: Long, inRows: Long, outRows: Long, spill: Long)
     val stages = mutable.ArrayBuffer[St]()
+    val stageJob = mutable.Map[Int, String]() // stageId -> job callsite
     var jobs = 0
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = synchronized { jobs += 1 }
+      override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
+        jobs += 1
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        js.stageIds.foreach(id => stageJob(id) = s"job#${js.jobId} $site")
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
         val i = sc.stageInfo
         val m = i.taskMetrics
         val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
-        stages += St(i.name.takeWhile(_ != '\n').take(60), ms, i.numTasks,
+        stages += St(stageJob.getOrElse(i.stageId, "?") + " | " +
+          i.name.takeWhile(_ != '\n').take(40), ms, i.numTasks,
           m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
           m.inputMetrics.recordsRead, m.outputMetrics.recordsWritten,
           m.memoryBytesSpilled)

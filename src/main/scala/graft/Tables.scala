@@ -40,6 +40,20 @@ object Tables {
     }
   }
 
+  /** Round-robin-spread `df` across the session's full width when its
+    * natural scan parallelism is BELOW the core count — the small-SF
+    * hazard where a table fits one parquet split and every downstream
+    * per-row kernel (shingling, minhash, tokenize+md5) runs in a single
+    * task (r12 profile: dedup_cluster's whole LSH pipeline on one core,
+    * 31 idle). At scale the natural split count exceeds the session
+    * width and this is a NO-OP — no exchange enters the plan. Guide
+    * §2.5: "input skew: repartition immediately after the read".
+    */
+  def spreadToWidth(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   /** Session settings every graft session needs (nanos timestamps, UTC). */
   def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -178,7 +178,7 @@ object Dedup {
     val k = tauTenths.toLong
     // sorted ONCE: the verify step's two-pointer intersection needs
     // sorted arrays; cached because prefix build + verify both consume
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = graft.Tables.spreadToWidth(docs).select(col(idCol).as("id"),
         sort_array(array_distinct(TextFunctions.shingles(col(textCol)))).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
@@ -235,7 +235,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(tauTenths > 0 && tauTenths < 10, "tau = tauTenths/10 in (0,1)")
     val k = tauTenths.toLong
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = graft.Tables.spreadToWidth(docs).select(col(idCol).as("id"),
         sort_array(array_distinct(TextFunctions.shingles(col(textCol)))).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
@@ -270,7 +270,7 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int = 256): DataFrame = {
-    val shingled = docs.select(
+    val shingled = graft.Tables.spreadToWidth(docs).select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -277,6 +277,93 @@ object NativeExpressions {
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** chrF pair-totals kernel (r12): for a (ref, hyp) pair of ALREADY
+    * CLEANED strings (chrF source normalization, [a-z0-9]* only) emit,
+    * per character-n-gram order n = 1..3, the ref total tr, hyp total
+    * th and clipped overlap ov = Σ_g min(count_ref(g), count_hyp(g)) —
+    * exactly the integers the explode → two-level hash-aggregate
+    * formulation produced (profiled 4.6 s of the 3.9 s query: ~1.5M
+    * exploded gram strings per execution at sf0.1). Grams are coded
+    * base-37 ints (injective per order for the 36-char alphabet), ref
+    * counts land in a thread-local 37³ table, the hyp pass decrements
+    * ("clipping" is exactly min), and a final ref re-walk zeroes the
+    * touched slots — no per-row allocation beyond the 3-row result.
+    */
+  private val ChrfCnt = ThreadLocal.withInitial[Array[Int]](() =>
+    new Array[Int](37 * 37 * 37))
+
+  private def chrfDigit(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0' + 1
+    else if (b >= 'a' && b <= 'z') b - 'a' + 11
+    else 0 // precondition-violating byte: deterministic, never produced
+
+  def chrfTotalsCompute(ref: UTF8String, hyp: UTF8String): ArrayData = {
+    val rb = ref.getBytes
+    val hb = hyp.getBytes
+    val cnt = ChrfCnt.get()
+    val rows = new Array[Any](3)
+    var n = 1
+    while (n <= 3) {
+      val mod = if (n == 1) 1 else if (n == 2) 37 else 37 * 37
+      val tr = math.max(rb.length - n + 1, 0).toLong
+      val th = math.max(hb.length - n + 1, 0).toLong
+      // count ref grams
+      var code = 0
+      var i = 0
+      while (i < rb.length) {
+        code = (code % mod) * 37 + chrfDigit(rb(i))
+        if (i >= n - 1) cnt(code) += 1
+        i += 1
+      }
+      // hyp pass: clip against ref counts
+      var ov = 0L
+      code = 0
+      i = 0
+      while (i < hb.length) {
+        code = (code % mod) * 37 + chrfDigit(hb(i))
+        if (i >= n - 1 && cnt(code) > 0) { ov += 1; cnt(code) -= 1 }
+        i += 1
+      }
+      // zero the touched slots by re-walking ref (idempotent, exact)
+      code = 0
+      i = 0
+      while (i < rb.length) {
+        code = (code % mod) * 37 + chrfDigit(rb(i))
+        if (i >= n - 1) cnt(code) = 0
+        i += 1
+      }
+      rows(n - 1) = org.apache.spark.sql.catalyst.InternalRow(
+        n.toLong, tr, th, ov)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  case class ChrfPairTotals(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", LongType),
+        org.apache.spark.sql.types.StructField("tr", LongType),
+        org.apache.spark.sql.types.StructField("th", LongType),
+        org.apache.spark.sql.types.StructField("ov", LongType))),
+      containsNull = false)
+    override def prettyName: String = "chrf_pair_totals"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      chrfTotalsCompute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.plans.NativeExpressions.chrfTotalsCompute($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+        : ChrfPairTotals = copy(left = newLeft, right = newRight)
+  }
+
+  /** chrF per-order (n, tr, th, ov) totals of a cleaned string pair. */
+  def chrfPairTotals(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ChrfPairTotals(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** The latin-1 lead-byte artifacts UTF-8 text shows after a wrong
     * latin-1 decode — the same alternation TextFunctions.mojibakeCount
     * counts in-plan.

@@ -43,21 +43,28 @@ object Attribution {
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_millis(col("ts")).as("ts_ms"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    // r12: the per-user limits are WINDOW aggregates over the same
+    // user_id partitioning as rn — the old groupBy + join-back re-read
+    // the whole windowed stream a second time (profiled: two full
+    // exchanges of the event stream per execution). All three windows
+    // share one exchange + sort; values are identical integer logic.
+    val wu = Window.partitionBy(col("user_id"))
     val rn = ev.withColumn("rn", row_number().over(w).cast("long"))
-    val lim = rn.groupBy(col("user_id")).agg(
-        min(when(col("event_type") === "purchase", col("rn"))).as("fprn"),
-        max(col("rn")).as("n"))
-      .select(col("user_id"),
-        when(col("fprn").isNotNull, col("fprn") - 1).otherwise(col("n")).as("L"),
-        when(col("fprn").isNotNull, lit("CONV")).otherwise(lit("NULL")).as("term"))
-    val kept = rn.join(lim, "user_id").filter(col("rn") <= col("L"))
+      .withColumn("fprn",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wu))
+      .withColumn("n", max(col("rn")).over(wu))
+      .withColumn("L",
+        when(col("fprn").isNotNull, col("fprn") - 1).otherwise(col("n")))
+      .withColumn("term",
+        when(col("fprn").isNotNull, lit("CONV")).otherwise(lit("NULL")))
+    val kept = rn.filter(col("rn") <= col("L"))
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
     val mid = kept
       .withColumn("dst", coalesce(lead(col("event_type"), 1).over(w2), col("term")))
       .select(col("event_type").as("src"), col("dst"))
     val starts = kept.filter(col("rn") === 1L)
       .select(lit("START").as("src"), col("event_type").as("dst"))
-    val zero = lim.filter(col("L") === 0L)
+    val zero = rn.filter(col("rn") === 1L && col("L") === 0L)
       .select(lit("START").as("src"), col("term").as("dst"))
     val edges = mid.unionAll(starts).unionAll(zero)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
@@ -70,10 +77,19 @@ object Attribution {
     */
   def markov(s: SparkSession, dir: String): DataFrame = {
     val ed = journeyEdges(s, dir)
+    // r12: variants and ve are consumed by EVERY one of the unrolled MM
+    // rounds (ve in each round's join, absorb — derived from variants —
+    // in each round's unionAll). Left as plans they re-ran the distinct
+    // and the crossJoin per round (profiled ~2 extra jobs/round).
+    // Both are alphabet-bounded ((channels+1) and edges×(channels+1)
+    // rows), so one eager single-partition checkpoint each is the
+    // natural shape at any corpus size (the coalesce(1) rationale
+    // below).
     val variants = ed.select(col("src")).filter(col("src") =!= "START").distinct()
       .select(col("src").as("removed"))
       .unionAll(s.range(1).select(lit("none").as("removed")))
-    val ve = ed.crossJoin(variants)
+      .coalesce(1).localCheckpoint(true)
+    val ve = ed.crossJoin(broadcast(variants)).coalesce(1).localCheckpoint(true)
     val states = ed.select(col("src").as("state")).distinct()
       .unionAll(s.range(1).select(lit("CONV").as("state")))
       .unionAll(s.range(1).select(lit("NULL").as("state")))
@@ -141,6 +157,8 @@ object Attribution {
         .coalesce(1))
     graft.Caches.free(prevCkpt)
     graft.Caches.free(ed)
+    graft.Caches.free(variants)
+    graft.Caches.free(ve)
     result
   }
 

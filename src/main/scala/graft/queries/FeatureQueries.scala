@@ -160,9 +160,14 @@ object FeatureQueries {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("g"), col("bucket"), col("off"))
     val wb = Window.partitionBy(col("g"), col("bucket")).orderBy(col("v"))
+    // r12: preserve any EXTRA columns the caller attached to vals (after
+    // g/v/c) — stats_spearman rides its per-cell srq moment through the
+    // rank computation instead of joining the cell table back against
+    // its own ranks (one full pass of the cell table saved). Callers
+    // passing exactly (g, v, c) see the identical (g, v, c, cum, n).
     bucketed.join(broadcast(offsets), Seq("g", "bucket"))
       .withColumn("cum", col("off") + sum(col("c")).over(wb))
-      .select(col("g"), col("v"), col("c"), col("cum"), col("n"))
+      .select(vals.columns.map(col) ++ Seq(col("cum"), col("n")): _*)
   }
 
   private def orderPriceCounts(s: SparkSession, dir: String): DataFrame =

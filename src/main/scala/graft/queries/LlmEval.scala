@@ -139,7 +139,27 @@ object LlmEval {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"),
         regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("src"))
-    val per = pairTotals(docs, Seq(1, 2, 3), (c, n) => charGrams(c, n))
+    // r12: the explode → hash-aggregate shape generated ~1.5M gram
+    // strings per execution (profiled 4.6 s of the 3.9 s query). The
+    // two docs of a pair are pivoted together instead and the per-order
+    // totals come from the native clipped-overlap kernel — identical
+    // integers, so p/r/f are the same IEEE chain. A pair whose BOTH
+    // cleaned sides are empty produced no exploded rows (and no output
+    // row) before, hence the filter; a missing order (doc shorter than
+    // n) had no (pair, n) row and scored 0 via the pick() default —
+    // the kernel's tr = th = 0 row yields the same 0.0.
+    val per = docs
+      .select((col("doc_id") - (col("doc_id") % 2)).as("pair_id"),
+        (col("doc_id") % 2).as("side"), col("src"))
+      .groupBy(col("pair_id"))
+      .agg(coalesce(max(when(col("side") === 0, col("src"))), lit("")).as("ref"),
+        coalesce(max(when(col("side") === 1, col("src"))), lit("")).as("hyp"))
+      .filter(length(col("ref")) + length(col("hyp")) > 0)
+      .select(col("pair_id"), explode(
+        graft.plans.NativeExpressions.chrfPairTotals(col("ref"), col("hyp")))
+        .as("t"))
+      .select(col("pair_id"), col("t.n").as("n"), col("t.tr").as("tr"),
+        col("t.th").as("th"), col("t.ov").as("ov"))
       .withColumn("p", ratio(col("ov"), col("th")))
       .withColumn("r", ratio(col("ov"), col("tr")))
       .withColumn("f", when(col("p") + col("r") > 0,

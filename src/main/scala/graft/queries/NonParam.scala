@@ -361,7 +361,18 @@ object NonParam {
       .select(col("n_a"), col("n_b"),
         (col("sa") / col("n_a").cast("double") -
           col("sb") / col("n_b").cast("double")).as("obs"))
+    // r12: the ×200 explode multiplies whatever parallelism the SAMPLE
+    // scan happens to have — at sf0.1 the filtered branch sits in ONE
+    // parquet split, so 20M md5 evaluations ran in a single task (4.3 s
+    // measured, 31 cores idle). Spread the narrow pre-explode sample
+    // round-robin across the session's full width first (guide §2.5
+    // "input skew: repartition immediately after the read"): the
+    // exchange moves only (event_id, mv) rows, ~1/200th of the work it
+    // parallelizes, at any scale. Counts and decimal sums per
+    // permutation are order-independent, so values are unchanged.
     val perms = base
+      .select(col("event_id"), col("mv"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("event_id"), col("mv"),
         explode(sequence(lit(1L), lit(200L))).as("p"))
       .withColumn("side",

@@ -172,22 +172,30 @@ object RecSys {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("i"),
         col("l_quantity").cast("long").as("q"))
       .groupBy(col("ok"), col("i")).agg(sum(col("q")).as("r"))
-    // The pair expansion is MATERIALIZED once (eager localCheckpoint —
-    // the rec_als staging recipe): `pairs` is consumed by BOTH the
-    // deviation table below and the prediction join after it, and
-    // Catalyst re-evaluated the basket self-join (and `rat` beneath
-    // it) per consumer when left as a plan (r11 verdict: the slowest
-    // legitimate query at 4.18 s; staged, the self-join runs once).
-    // The blocks die in the caller's sweep.
+    // r12: with the deviation attached as a window (below), the pair
+    // expansion has exactly ONE consumer, so the r11 staging checkpoint
+    // became pure overhead (a 92 MB block write + re-read per run) and
+    // is dropped; the rat self-join's two branches share one exchange
+    // (ReusedExchange — identical subtrees).
     val pairs = rat.select(col("ok"), col("i").as("j"), col("r").as("rj"))
       .join(rat.select(col("ok"), col("i"), col("r").as("ri")), Seq("ok"))
       .where(col("j") =!= col("i"))
-      .localCheckpoint(true)
-    val dev = pairs.groupBy(col("j"), col("i"))
-      .agg(count(lit(1)).as("c"), sum(col("rj") - col("ri")).as("sdiff"))
-      .withColumn("dev", col("sdiff").cast("double") / col("c").cast("double"))
-      .select(col("j"), col("i"), col("c"), col("dev"))
-    val pred = pairs.join(dev, Seq("j", "i"))
+    // r12: the deviation table is attached as a WINDOW over the same
+    // (j, i) keys instead of a groupBy + join-back — the join shape
+    // shuffled the checkpointed pair table twice (once into the dev
+    // aggregation, once as the probe side; profiled 73 MB re-shuffle +
+    // SMJ at sf0.1). One partitionBy(j, i) exchange now carries the
+    // pairs once; count and the integer sum are order-independent, and
+    // dev is the same single double division, so every emitted value is
+    // bit-identical.
+    val wji = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j"), col("i"))
+    val withDev = pairs
+      .withColumn("c", count(lit(1)).over(wji))
+      .withColumn("dev",
+        sum(col("rj") - col("ri")).over(wji).cast("double") /
+          col("c").cast("double"))
+    val pred = withDev
       .groupBy(col("ok"), col("j"), col("rj"))
       .agg(sum(col("c")).as("den"),
         sort_array(collect_list(struct(col("i"), col("c"),

@@ -2381,13 +2381,30 @@ object Relational {
     * Borůvka rounds at sf0.1).
     */
   private def relabelJump(pairs: DataFrame): DataFrame = {
-    val eb = ckptReset(pairs.select(col("id_a").as("x"), col("id_b").as("y"))
-      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y"))))
+    // r12: eb is a NARROW symmetric union over the caller-checkpointed
+    // pair set — rebuilding it per consumer is two cheap block reads,
+    // so its own checkpoint bought nothing (one job per call removed).
+    val eb = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
     var p = ckptReset(eb.groupBy(col("x")).agg(min(col("y")).as("my"))
       .select(col("x"), least(col("x"), col("my")).as("p")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("p").cast("decimal(38,0)"))).first.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    // one neighbor-min + pointer-jump step as a PLAN over the current
+    // labels (r12 note: composing TWO steps per materialization was
+    // tried and measured WORSE — the inner step's three in-plan
+    // references tripled the join work while the short hook chains of
+    // this graph converge in 2–3 single steps anyway)
+    def step(cur: DataFrame): DataFrame = {
+      val nbr = eb.join(broadcast(cur.select(col("x").as("y"), col("p").as("np"))), "y")
+        .groupBy(col("x")).agg(min(col("np")).as("nmin"))
+      val jmp = cur.select(col("x").as("jx"), col("p").as("jp"))
+      cur.join(broadcast(nbr), Seq("x"), "left")
+        .join(broadcast(jmp), col("p") === col("jx"), "left")
+        .select(col("x"), least(col("p"), coalesce(col("nmin"), col("p")),
+          coalesce(col("jp"), col("p"))).as("p"))
+    }
     var prev = labelSum(p)
     var it = 0
     var conv = false
@@ -2395,13 +2412,7 @@ object Relational {
     // the full 20-round diameter budget stays usable even when the
     // last label change lands exactly on round 20 (see Dedup.clusters)
     while (it < 21 && !conv) {
-      val nbr = eb.join(broadcast(p.select(col("x").as("y"), col("p").as("np"))), "y")
-        .groupBy(col("x")).agg(min(col("np")).as("nmin"))
-      val jmp = p.select(col("x").as("jx"), col("p").as("jp"))
-      val upd = ckptReset(p.join(broadcast(nbr), Seq("x"), "left")
-        .join(broadcast(jmp), col("p") === col("jx"), "left")
-        .select(col("x"), least(col("p"), coalesce(col("nmin"), col("p")),
-          coalesce(col("jp"), col("p"))).as("p")))
+      val upd = ckptReset(step(p))
       val cur = labelSum(upd)
       graft.Caches.free(p)
       p = upd
@@ -2409,7 +2420,6 @@ object Relational {
       prev = cur
       it += 1
     }
-    graft.Caches.free(eb)
     // Pointer jumping converges in O(log diameter) rounds — 20 covers
     // diameter ~2^20, far beyond the catalog-bounded graphs here. If
     // the cap is ever hit without the sum-fixpoint, the labels are
@@ -2425,7 +2435,13 @@ object Relational {
     val nodes = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
     var labels = ckptReset(nodes.withColumn("comp", col("node")))
-    var forest = ckptReset(edges.filter(lit(false)))
+    // r12: accepted edges ACCUMULATE as the list of per-round picked
+    // checkpoints and union once at the end — the old per-round
+    // `forest = ckptReset(forest union picked)` re-materialized the
+    // whole growing forest every round (one job + one block rewrite per
+    // round for rows already durably checkpointed in `picked`). The
+    // picked frames stay alive until the caller's sweep.
+    val forests = scala.collection.mutable.Buffer.empty[DataFrame]
     var done = false
     var round = 0
     while (!done && round < 24) {
@@ -2444,20 +2460,21 @@ object Relational {
             (-col("b.neg")).as("shared"), col("b.cu").as("cu"),
             col("b.cv").as("cv"))
           .distinct())
-        forest = ckptReset(forest
-          .union(picked.select(col("u"), col("v"), col("shared"))))
+        forests += picked.select(col("u"), col("v"), col("shared"))
         val relabel = relabelJump(
           picked.select(col("cu").as("id_a"), col("cv").as("id_b")))
         val updated = ckptReset(labels
           .join(broadcast(relabel.withColumnRenamed("id", "comp")), Seq("comp"), "left")
           .select(col("node"), coalesce(col("cluster"), col("comp")).as("comp")))
-        graft.Caches.free(labels); graft.Caches.free(e2); graft.Caches.free(picked)
+        graft.Caches.free(labels); graft.Caches.free(e2)
         labels = updated
       }
       round += 1
     }
     graft.Caches.free(labels)
-    forest.orderBy(col("u"), col("v"))
+    forests.reduceOption(_ unionAll _)
+      .getOrElse(edges.filter(lit(false)).select(col("u"), col("v"), col("shared")))
+      .orderBy(col("u"), col("v"))
   }
 
   /** Kruskal replay: union–find as a single left-to-right fold over
@@ -3770,20 +3787,32 @@ object Relational {
       round(col("l_extendedprice") * 100.0).cast("long").as("p"))
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     // q-rank table: alphabet-bounded (|flags|×|quantities| ≤ 150 rows
-    // at ANY corpus size) — broadcastable always
-    val rq = FeatureQueries.cumRanksBy(
-        rows.groupBy(col("g"), col("q").as("v")).agg(count(lit(1)).as("c")))
+    // at ANY corpus size) — broadcastable always.
+    // r12: the (g, q) count table is MATERIALIZED once (eager
+    // localCheckpoint) — cumRanksBy consumes its input three times
+    // (range agg, offsets, final join) and rq itself has two consumers
+    // (cells, mx), so the un-barriered shape re-ran the 600k-row corpus
+    // aggregation up to five times (profiled: seven lineitem scans per
+    // execution, ~0.5–1.5 s each). The checkpoint is ≤150 rows.
+    val vq = rows.groupBy(col("g"), col("q").as("v"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val rq = FeatureQueries.cumRanksBy(vq)
       .select(col("g"), col("v").as("q"),
         (lit(2L) * col("cum") - col("c") + lit(1L)).as("rq"),
         col("c").as("cq"))
+    // srq rides THROUGH the rank computation as an extra column (the
+    // widened cumRanksBy), so the price-cell table is never joined back
+    // against its own ranks — its three remaining evaluations (range,
+    // offsets, final window) are independent branches of the one
+    // measured job and overlap on the scheduler, where the r12 first
+    // cut (cache barrier + join-back) serialized them.
     val cells = rows
       .join(broadcast(rq.select(col("g"), col("q"), col("rq"))), Seq("g", "q"))
       .groupBy(col("g"), col("p").as("v"))
-      .agg(count(lit(1)).as("cc"), sum(d38(col("rq"))).as("srq"))
-    val rp = FeatureQueries.cumRanksBy(
-        cells.select(col("g"), col("v"), col("cc").as("c")))
+      .agg(count(lit(1)).as("c"), sum(d38(col("rq"))).as("srq"))
+      .localCheckpoint(true)
+    val rp = FeatureQueries.cumRanksBy(cells)
       .withColumn("rp", lit(2L) * col("cum") - col("c") + lit(1L))
-      .join(cells.select(col("g"), col("v"), col("srq")), Seq("g", "v"))
     val mx = rq.groupBy(col("g")).agg(
       sum((d38(col("cq")) * col("rq")).cast("decimal(38,0)"))
         .cast("double").as("sx"),
@@ -3796,7 +3825,7 @@ object Relational {
       sum((d38(col("c")) * col("rp") * col("rp")).cast("decimal(38,0)"))
         .cast("double").as("syy"),
       sum((col("srq") * col("rp")).cast("decimal(38,0)"))
-        .cast("double").as("sxy"))
+        .cast("double").as("sxy")) // srq carried through cumRanksBy
     my.join(broadcast(mx), Seq("g"))
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))

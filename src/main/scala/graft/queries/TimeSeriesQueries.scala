@@ -1569,10 +1569,26 @@ object TimeSeriesQueries {
         }
       }
     }
-    arr.select(col("user_id"), size(col("a")).as("n"), inline(array(packed)))
+    // r12: the O(n²) slope chain used to sit BELOW the final orderBy, so
+    // the range partitioner's sampling pass evaluated it a second time
+    // (profiled: two ~1.4 s stages reading the same 2 MB exchange), and
+    // AQE coalesced the tiny exchange to 2 tasks, serializing the CPU-
+    // heavy work. Order of operations now: drop degenerate series first
+    // (all x equal ⟺ first == last on the sorted array ⟺ ns = 0 — the
+    // only rows the old post-compute filter removed), range-partition +
+    // sort by user_id at the session's full width (explicit partition
+    // count: user-specified numbers are exempt from AQE coalescing),
+    // THEN evaluate the slope chain once above the sort. Same rows,
+    // same order, same values.
+    val xOf = (p: Column) => p.getField("ts_ms").cast("double") / lit(86400000.0)
+    arr
+      .filter(xOf(element_at(col("a"), 1)) =!=
+        xOf(element_at(col("a"), size(col("a")))))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .select(col("user_id"), size(col("a")).as("n"), inline(array(packed)))
       .filter(col("ns") >= 1)
       .select(col("user_id"), col("n"), col("ns"), col("theil_slope"))
-      .orderBy(col("user_id"))
   }
 
   val tsTheilsenSql: String =
@@ -2675,58 +2691,67 @@ object TimeSeriesQueries {
       .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
       .withColumn("n", size(col("pts")))
     // middle points bucketed by integer division; per-bucket centroid of
-    // the FOLLOWING bucket precomputed so the selection fold is linear
-    val mids = ser
-      .withColumn("mid", slice(col("pts"), lit(2), greatest(col("n") - 2, lit(0))))
-      .withColumn("bk", transform(col("mid"), (e, j) => {
-        // exact floor division (the levene floor rule): numerator minus
-        // its mod is exactly divisible, so the double division is exact
-        val num = j.cast("long") * lit((B - 2).toLong)
-        val den = (col("n") - 2).cast("long")
-        struct(((num - pmod(num, den)) / den).cast("long").as("b"),
-          e.getField("day").as("day"), e.getField("x").as("x"))
-      }))
-    val sel = mids
-      .withColumn("buckets", transform(sequence(lit(0), lit(B - 3)), bi =>
-        filter(col("bk"), p => p.getField("b") === bi.cast("long"))))
-      .withColumn("cents", transform(sequence(lit(0), lit(B - 3)), bi => {
-        val nxt = when(bi === lit(B - 3),
+    // the FOLLOWING bucket precomputed so the selection fold is linear.
+    // r12: the bucket table (bk), bucket list and centroid list are
+    // bound ONCE through a let-chain — as separate withColumn
+    // projections CollapseProject re-inlined bk's transform into every
+    // one of the 20 filter lambdas and both lists into the selection
+    // fold (profiled: ~1.3 s per evaluation for ~8 series, twice per
+    // run because the final orderBy's range sampler re-evaluates its
+    // child). Same expressions, same values — only the binding changed.
+    val out = let(transform(
+        slice(col("pts"), lit(2), greatest(col("n") - 2, lit(0))),
+        (e, j) => {
+          // exact floor division (the levene floor rule): numerator minus
+          // its mod is exactly divisible, so the double division is exact
+          val num = j.cast("long") * lit((B - 2).toLong)
+          val den = (col("n") - 2).cast("long")
+          struct(((num - pmod(num, den)) / den).cast("long").as("b"),
+            e.getField("day").as("day"), e.getField("x").as("x"))
+        })) { bk =>
+      let(struct(
+          transform(sequence(lit(0), lit(B - 3)), bi =>
+            filter(bk, p => p.getField("b") === bi.cast("long"))).as("buckets"),
+          transform(sequence(lit(0), lit(B - 3)), bi => {
+            val nxt = when(bi === lit(B - 3),
+              array(struct(element_at(col("pts"), col("n")).getField("day").as("day"),
+                element_at(col("pts"), col("n")).getField("x").as("x"))))
+              .otherwise(transform(
+                filter(bk, p => p.getField("b") === bi.cast("long") + 1L),
+                p => struct(p.getField("day").as("day"), p.getField("x").as("x"))))
+            struct(
+              (aggregate(nxt, lit(0L), (a, p) => a + p.getField("day")).cast("double") /
+                greatest(size(nxt), lit(1)).cast("double")).as("cx"),
+              (aggregate(nxt, lit(0L), (a, p) => a + p.getField("x")).cast("double") /
+                greatest(size(nxt), lit(1)).cast("double")).as("cy"))
+          }).as("cents"))) { bc =>
+        val chosen = aggregate(
+          sequence(lit(0), lit(B - 3)),
+          array(struct(element_at(col("pts"), 1).getField("day").as("day"),
+            element_at(col("pts"), 1).getField("x").as("x"))),
+          (acc, bi) => {
+            val prev = element_at(acc, size(acc))
+            val cand = element_at(bc.getField("buckets"), bi + 1)
+            val cent = element_at(bc.getField("cents"), bi + 1)
+            val areas = transform(cand, p =>
+              abs((prev.getField("day") - cent.getField("cx").cast("double")) *
+                (p.getField("x") - prev.getField("x")).cast("double") -
+                (prev.getField("day") - p.getField("day")).cast("double") *
+                (cent.getField("cy") - prev.getField("x").cast("double"))))
+            val amax = array_max(areas)
+            val best = array_min(transform(
+              filter(zip_with(cand, areas, (p, a) => struct(p.getField("day").as("day"),
+                p.getField("x").as("x"), a.as("a"))),
+                e => e.getField("a") === amax),
+              e => struct(e.getField("day").as("day"), e.getField("x").as("x"))))
+            when(size(cand) > 0, concat(acc, array(best))).otherwise(acc)
+          })
+        concat(chosen,
           array(struct(element_at(col("pts"), col("n")).getField("day").as("day"),
             element_at(col("pts"), col("n")).getField("x").as("x"))))
-          .otherwise(transform(
-            filter(col("bk"), p => p.getField("b") === bi.cast("long") + 1L),
-            p => struct(p.getField("day").as("day"), p.getField("x").as("x"))))
-        struct(
-          (aggregate(nxt, lit(0L), (a, p) => a + p.getField("day")).cast("double") /
-            greatest(size(nxt), lit(1)).cast("double")).as("cx"),
-          (aggregate(nxt, lit(0L), (a, p) => a + p.getField("x")).cast("double") /
-            greatest(size(nxt), lit(1)).cast("double")).as("cy"))
-      }))
-      .withColumn("chosen", aggregate(
-        sequence(lit(0), lit(B - 3)),
-        array(struct(element_at(col("pts"), 1).getField("day").as("day"),
-          element_at(col("pts"), 1).getField("x").as("x"))),
-        (acc, bi) => {
-          val prev = element_at(acc, size(acc))
-          val cand = element_at(col("buckets"), bi + 1)
-          val cent = element_at(col("cents"), bi + 1)
-          val areas = transform(cand, p =>
-            abs((prev.getField("day") - cent.getField("cx").cast("double")) *
-              (p.getField("x") - prev.getField("x")).cast("double") -
-              (prev.getField("day") - p.getField("day")).cast("double") *
-              (cent.getField("cy") - prev.getField("x").cast("double"))))
-          val amax = array_max(areas)
-          val best = array_min(transform(
-            filter(zip_with(cand, areas, (p, a) => struct(p.getField("day").as("day"),
-              p.getField("x").as("x"), a.as("a"))),
-              e => e.getField("a") === amax),
-            e => struct(e.getField("day").as("day"), e.getField("x").as("x"))))
-          when(size(cand) > 0, concat(acc, array(best))).otherwise(acc)
-        }))
-      .withColumn("out", concat(col("chosen"),
-        array(struct(element_at(col("pts"), col("n")).getField("day").as("day"),
-          element_at(col("pts"), col("n")).getField("x").as("x")))))
-    sel.select(col("event_type"), explode(col("out")).as("p"))
+      }
+    }
+    ser.select(col("event_type"), explode(out).as("p"))
       .select(col("event_type"), col("p.day").as("day"), col("p.x").as("x"))
       .orderBy(col("event_type"), col("day"))
   }

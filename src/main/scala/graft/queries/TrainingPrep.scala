@@ -697,6 +697,11 @@ object TrainingPrep {
   def dsirSelect(s: SparkSession, dir: String, buckets: Int = 4096,
                  k: Int = 25): DataFrame = {
     val feats = Tables(s, dir, "documents")
+      // r12: spread the raw text across the session width BEFORE
+      // tokenization — cheaper than repartitioning the (2× larger)
+      // token+bigram arrays, and the single-split sf0.1 table otherwise
+      // runs the whole md5 feature pass in one task
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { tv =>
           concat(tv, zip_with(
@@ -704,20 +709,33 @@ object TrainingPrep {
             slice(tv, lit(2), greatest(size(tv) - 1, lit(0))),
             (a, b) => concat(a, lit("_"), b)))
         }.as("f"))
-    val fb = feats
-      .select(col("doc_id"), col("lang"), posexplode(col("f")).as(Seq("pos", "feat")))
-      .withColumn("b",
-        conv(substr(md5(col("feat")), lit(1), lit(8)), 16, 10).cast("long")
-          % buckets)
-    val va = fb.groupBy(col("b")).agg(count(lit(1)).as("ca"))
-    val vi = fb.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ci"))
-    val cs = va.agg(sum(col("ca")).as("n_all"))
-    val ct = vi.agg(coalesce(sum(col("ci")), lit(0L)).as("n_in"))
-    val lp = fb.join(broadcast(va), "b").join(broadcast(vi), Seq("b"), "left")
+    // r12: hash every feature to its bucket INSIDE the per-doc array
+    // (one md5 pass), spread the tokenize+hash work across the session
+    // width (the documents table is one parquet split at sf0.1 — the
+    // feature pass ran single-task), and cache the narrow per-doc
+    // bucket-array table: the previous shape re-ran tokenize+md5 for
+    // every consumer (profiled: five single-task corpus passes, ~8 s of
+    // stage time). The cache holds one int-array row per doc — strictly
+    // narrower than the text column it derives from.
+    val bs = feats
+      .select(col("doc_id"), col("lang"),
+        transform(col("f"), ft =>
+          conv(substr(md5(ft), lit(1), lit(8)), 16, 10).cast("long")
+            % buckets).as("bv"))
+      .cache()
+    val fb = bs.select(col("doc_id"), col("lang"),
+      posexplode(col("bv")).as(Seq("pos", "b")))
+    // va and vi in ONE aggregation pass: vi's left-join-then-coalesce
+    // semantics are reproduced by a conditional count (0 where the old
+    // ci was NULL — identical after the old coalesce(ci, 0)).
+    val v = fb.groupBy(col("b")).agg(count(lit(1)).as("ca"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ci"))
+    val cs = v.agg(sum(col("ca")).as("n_all"))
+    val ct = v.agg(coalesce(sum(col("ci")), lit(0L)).as("n_in"))
+    val lp = fb.join(broadcast(v), "b")
       .crossJoin(broadcast(cs)).crossJoin(broadcast(ct))
       .withColumn("lp", log(
-        ((coalesce(col("ci"), lit(0L)) + lit(1L)).cast("double") *
+        ((col("ci") + lit(1L)).cast("double") *
           (col("n_all") + lit(buckets.toLong)).cast("double")) /
           ((col("ca") + lit(1L)).cast("double") *
             (col("n_in") + lit(buckets.toLong)).cast("double"))))
