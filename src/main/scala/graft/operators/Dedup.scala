@@ -433,6 +433,11 @@ object Dedup {
       // iteration (see Caches.checkpointReset for the measured hazard);
       // a periodic reset keeps the estimate bounded without paying the
       // wrapper's Row-conversion hop on every round
+      // (r12 note: composing a pointer-jump after this propagate step —
+      // the graph_mst relabel recipe — was tried and measured a wash:
+      // these pair graphs converge in few rounds already, and the extra
+      // broadcast build plus the doubled in-plan propagate evaluation
+      // offset the rounds saved. Kept single-step.)
       val upd0 = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))

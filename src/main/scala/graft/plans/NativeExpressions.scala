@@ -364,6 +364,87 @@ object NativeExpressions {
     GraftColumnBridge.column(ChrfPairTotals(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Token-n-gram sibling of [[chrfTotalsCompute]] (r12, for BLEU /
+    * ROUGE): per order n = 1..maxN over two token arrays, the ref
+    * total, hyp total, and clipped overlap Σ_g min(count_ref, count_hyp)
+    * — the same integers the explode → two-level hash-aggregate shape
+    * produced. Grams are space-joined token runs (tokens are [a-z0-9]+
+    * so the join is injective); ref counts build a per-call hash map,
+    * the hyp pass decrements (clipping ≡ min).
+    */
+  def ngramTotalsCompute(ref: ArrayData, hyp: ArrayData, maxN: Int): ArrayData = {
+    val nr = ref.numElements()
+    val nh = hyp.numElements()
+    val rt = new Array[String](nr)
+    val ht = new Array[String](nh)
+    var i = 0
+    while (i < nr) { rt(i) = ref.getUTF8String(i).toString; i += 1 }
+    i = 0
+    while (i < nh) { ht(i) = hyp.getUTF8String(i).toString; i += 1 }
+    def gram(ts: Array[String], at: Int, n: Int): String =
+      if (n == 1) ts(at)
+      else {
+        val sb = new java.lang.StringBuilder(ts(at))
+        var k = 1
+        while (k < n) { sb.append(' ').append(ts(at + k)); k += 1 }
+        sb.toString
+      }
+    val rows = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val tr = math.max(nr - n + 1, 0)
+      val th = math.max(nh - n + 1, 0)
+      val cnt = new java.util.HashMap[String, Integer](tr * 2 + 4)
+      i = 0
+      while (i < tr) {
+        cnt.merge(gram(rt, i, n), Integer.valueOf(1), (a, b) =>
+          Integer.valueOf(a.intValue() + b.intValue()))
+        i += 1
+      }
+      var ov = 0L
+      i = 0
+      while (i < th) {
+        val key = gram(ht, i, n)
+        val c = cnt.get(key)
+        if (c != null && c.intValue() > 0) {
+          ov += 1
+          cnt.put(key, Integer.valueOf(c.intValue() - 1))
+        }
+        i += 1
+      }
+      rows(n - 1) = org.apache.spark.sql.catalyst.InternalRow(
+        n.toLong, tr.toLong, th.toLong, ov)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  case class NgramPairTotals(left: Expression, right: Expression, maxN: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", LongType),
+        org.apache.spark.sql.types.StructField("tr", LongType),
+        org.apache.spark.sql.types.StructField("th", LongType),
+        org.apache.spark.sql.types.StructField("ov", LongType))),
+      containsNull = false)
+    override def prettyName: String = "ngram_pair_totals"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      ngramTotalsCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], maxN)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.plans.NativeExpressions.ngramTotalsCompute($a, $b, $maxN)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+        : NgramPairTotals = copy(left = newLeft, right = newRight)
+  }
+
+  /** Per-order (n, tr, th, ov) token-n-gram totals of a token-array pair. */
+  def ngramPairTotals(a: Column, b: Column, maxN: Int): Column =
+    GraftColumnBridge.column(NgramPairTotals(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), maxN))
+
   /** The latin-1 lead-byte artifacts UTF-8 text shows after a wrong
     * latin-1 decode — the same alternation TextFunctions.mojibakeCount
     * counts in-plan.

@@ -579,6 +579,10 @@ object FeatureQueries {
       .withColumn("acc", when(col("n_test") > 0,
         col("n_pos_test").cast("double") / col("n_test").cast("double")))
       .withColumn("gap", abs(col("conf") - col("acc")))
+      // r12: ≤10 rows consumed by THREE downstream branches (total,
+      // contrib, final projection) — each re-ran the corpus scan +
+      // decile machinery (profiled 28 jobs); one eager checkpoint
+      .localCheckpoint(true)
     val tot = bins.agg(sum(col("n_test")).as("nt_all"))
     val withContrib = bins.crossJoin(broadcast(tot))
       .withColumn("contrib", when(col("gap").isNotNull && col("nt_all") > 0,

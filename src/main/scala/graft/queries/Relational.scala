@@ -3089,8 +3089,12 @@ object Relational {
     */
   private[graft] def statsBootstrapRows(s: SparkSession, dir: String): DataFrame = {
     val B = 32
-    Tables(s, dir, "orders")
-      .select(col("o_totalprice").as("v"),
+    // r12: the B-weights kernel (8 md5 digests per order row) ran in a
+    // single task off the one-split orders scan (profiled 1.8 s, 31
+    // cores idle) — spread the two needed columns first (no-op at scale)
+    graft.Tables.spreadToWidth(Tables(s, dir, "orders")
+      .select(col("o_totalprice").as("v"), col("o_orderkey")))
+      .select(col("v"),
         posexplode(graft.plans.NativeExpressions.bootstrapWeights(
           col("o_orderkey"), B)))
       .withColumnRenamed("pos", "b")

@@ -80,7 +80,9 @@ object TextOps {
     */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
+    // r12: both the training sample's md5 order and the per-doc merge
+    // application ran single-task off the one-split scan — spread once
+    val docs = graft.Tables.spreadToWidth(Tables(s, dir, "documents"))
     val merges = graft.functions.Bpe.trainMerges(docs, "doc_id", "text",
       sampleN = 64, nMerges = 8)
     docs.select($"doc_id",
@@ -511,7 +513,10 @@ object TextOps {
   def streamCms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val S = graft.functions.Sketches
-    val toks = Tables(s, dir, "documents")
+    // r12: the per-token d-way md5 bucket kernel ran single-task off the
+    // one-split documents scan (profiled 1.8 s) — spread first (no-op at
+    // scale where natural splits exceed the core count)
+    val toks = graft.Tables.spreadToWidth(Tables(s, dir, "documents"))
       .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
     def buckets = posexplode(array((0 until S.CmsD).map(i => S.cmsBucket($"tok", i)): _*))
     val in = toks.select(buckets)
