@@ -72,6 +72,22 @@ object ProfileSome {
     val keep = Caches.persistentIds(spark)
 
     names.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
+      if (name == "@graph_build") {
+        // special probe: time the session graph-index build itself by
+        // sweeping EVERYTHING (including the keep-set) so blocksAlive
+        // forces a rebuild
+        (1 to 2).foreach { r =>
+          Caches.sweep(spark, Set.empty)
+          stages.synchronized(stages.clear()); jobs = 0
+          val t0 = System.nanoTime()
+          graft.queries.Relational.graphBuild(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"== @graph_build run $r: $sec%.3f s, $jobs jobs, ${stages.size} stages")
+          stages.sortBy(-_.ms).take(10).foreach { s =>
+            println(f"   ${s.ms}%6d ms  tasks=${s.tasks}%3d  shR=${s.shRead}%9d shW=${s.shWrite}%9d inRows=${s.inRows}%9d  ${s.name}")
+          }
+        }
+      } else {
       // one untimed run to warm codegen/JIT for this query, then measure
       val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt
       var best = Double.MaxValue
@@ -94,6 +110,7 @@ object ProfileSome {
         }
       }
       Caches.sweep(spark, keep)
+      }
     }
     spark.stop()
   }

@@ -291,7 +291,9 @@ object DedupSim {
     * joined back to the postings; integer counts, one division.
     */
   def textNovelty(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(s, dir, "documents")
+    // r12: both shingle passes (first-seen agg + join-back) ran
+    // single-task off the one-split scan — spread once
+    val sh = graft.Tables.spreadToWidth(Tables(s, dir, "documents"))
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.TextFunctions.shingles(col("text")))).as("sh"))
@@ -409,7 +411,7 @@ object DedupSim {
     * recall-accounting convention from dedup_eval).
     */
   def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    val emb = graft.Tables.spreadToWidth(Tables(s, dir, "embeddings"))
     val b = emb.select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), nPlanes = 4).as("bucket"),
       col("embedding"))
@@ -676,7 +678,7 @@ object DedupSim {
     * raw embeddings; see [[Similarity.pqTopK]]).
     */
   def simPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    val emb = graft.Tables.spreadToWidth(Tables(s, dir, "embeddings"))
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
       m = 4, nCentroids = 8)
       .orderBy(col("qid"), col("rank"))
@@ -792,7 +794,7 @@ object DedupSim {
     * the three queries certify the three index geometries separately.
     */
   def simIvfpq(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    val emb = graft.Tables.spreadToWidth(Tables(s, dir, "embeddings"))
     Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
       m = 4, nCells = 8, pqK = 8, nProbe = 2)
       .orderBy(col("qid"), col("rank"))
@@ -882,7 +884,7 @@ object DedupSim {
     * plan-time literals.
     */
   def simIvfT(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    val emb = graft.Tables.spreadToWidth(Tables(s, dir, "embeddings"))
     Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8), k = 5,
       nCentroids = 8, nProbe = 2, sampleN = 256, iters = 1)
       .orderBy(col("qid"), col("rank"))
@@ -918,7 +920,7 @@ object DedupSim {
     * subspace on the sample's subvectors).
     */
   def simPqT(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    val emb = graft.Tables.spreadToWidth(Tables(s, dir, "embeddings"))
     Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 8), k = 5,
       m = 4, nCentroids = 8, sampleN = 256, iters = 1)
       .orderBy(col("qid"), col("rank"))
@@ -968,7 +970,10 @@ object DedupSim {
     * cells + per-subspace L2 k-means over the sample's residuals.
     */
   def simIvfpqT(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    // r12 (this and the eight sibling sim_* queries): the per-vector
+    // encode kernels ran single-task off the one-split embeddings scan
+    // (profiled 1.35 s of sim_ivfpq_t's 2.26 s) — spread to width
+    val emb = graft.Tables.spreadToWidth(Tables(s, dir, "embeddings"))
     Similarity.ivfpqTopKTrained(emb, emb.filter(col("vec_id") < 8), k = 5,
       m = 4, nCells = 8, pqK = 8, nProbe = 2, sampleN = 256, iters = 1)
       .orderBy(col("qid"), col("rank"))

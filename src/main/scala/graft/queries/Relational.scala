@@ -1444,8 +1444,17 @@ object Relational {
     graphBuild(s, dir)
 
   private def buildCoSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    // r12: one explicit pk-hash exchange at the session's full width
+    // serves BOTH the (pk, sk) dedup (hash partitioning on pk clusters
+    // every (pk, sk) group) and the self-join on pk — and, because
+    // user-specified partition counts are exempt from AQE coalescing,
+    // the join+pair-count stage (the build's dominant cost) runs at
+    // full width instead of the ~5 tasks AQE coalesced the 6 MB
+    // exchange to (profiled: 2.2 s of the 4.0 s build in that stage).
     val ps = Tables(s, dir, "lineitem")
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .repartition(s.sparkContext.defaultParallelism, col("pk"))
+      .distinct()
     // Materialized ONCE: the threshold scan and the final filter both
     // read the pair set — without the barrier the p99 pass and the edge
     // pass each re-run the self-join (the build's dominant cost).
@@ -3875,7 +3884,12 @@ object Relational {
     * scale; R² from the SSE identity Σy² − βᵀXᵀy (no second pass).
     */
   def statsOls(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+    // r12: ten decimal moment sums per row ran at the scan's natural
+    // 3-split parallelism (profiled 1.6 s stage) — spread the narrow
+    // projection first (decimal addition is exactly associative, so
+    // the re-partitioned partial sums are value-identical)
+    val li = graft.Tables.spreadToWidth(
+      Tables(s, dir, "lineitem")).select(col("l_returnflag").as("g"),
       col("l_quantity").cast("long").as("q"),
       round(col("l_discount") * 100.0).cast("long").as("d"),
       round(col("l_extendedprice") * 100.0).cast("long").as("p"))

@@ -904,7 +904,9 @@ object TextOps {
     */
   def textChunks(s: SparkSession, dir: String): DataFrame = {
     val B = 120L
-    val docs = Tables(s, dir, "documents")
+    // r12: the whole chunk-assignment fold ran inside the single-split
+    // scan's one task (profiled 1.9 s) — spread first
+    val docs = graft.Tables.spreadToWidth(Tables(s, dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("lens", transform(col("ws"), w => length(w).cast("long")))
     val folded = docs.withColumn("acc",
@@ -1104,7 +1106,8 @@ object TextOps {
     * per-subword explode), one alphabet-sized groupBy.
     */
   def textFertility(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    // r12: per-doc BPE token counting ran single-task (0.9 s) — spread
+    val docs = graft.Tables.spreadToWidth(Tables(s, dir, "documents"))
     val merges = graft.functions.Bpe.trainMerges(docs, "doc_id", "text",
       sampleN = 64, nMerges = BpeMergeRounds)
     docs.select(col("lang"),

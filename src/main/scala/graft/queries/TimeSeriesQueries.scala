@@ -169,10 +169,19 @@ object TimeSeriesQueries {
     // grouping + per-row encoder round-trips. The Breeze fit then runs
     // per (small) series on the aggregated rows — the distributed axis
     // is the number of series, same as before.
+    // r12: range-partition by user BEFORE the fit instead of orderBy
+    // after it — the final orderBy's range sampler re-evaluated the
+    // whole Breeze fit pass a second time, and AQE had coalesced the
+    // 2 MB series exchange to 2 tasks, serializing the CPU-heavy fits
+    // (profiled: two ~1.0 s fit stages per run). Fits now run once at
+    // the session's full width; a user's rows stay in one range
+    // partition through the narrow flatMap, so the local sort yields
+    // the same global (user_id, seg) order.
     val grouped = events(s, dir)
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"), col("value"))))
         .as("pts"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("user_id"))
       .as[(Long, Seq[(Long, Long, Double)])]
     grouped
       .flatMap { case (uid, pts) =>
@@ -184,7 +193,7 @@ object TimeSeriesQueries {
         }
       }
       .toDF("user_id", "seg", "start_x", "end_x", "slope", "intercept", "description")
-      .orderBy(col("user_id"), col("seg"))
+      .sortWithinPartitions(col("user_id"), col("seg"))
   }
 
   /** T6 solver certification (round 4 — closes the ts_trend no_oracle
