@@ -205,14 +205,22 @@ object Bench {
       .mkString("{", ",", "}")
     val startsJson = starts.map { case (n, o) => "\"" + n + "\":" + fmt(o) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","k":$k,"n_queries":${ok.size},"n_errs":${results.count(_._2.isLeft)},"n_requeued":${requeue.size},$canaryJson,"errs":$errs,"requeue":$rqJson,"queries":$qs,"t0_epoch":$t0Epoch,"starts":$startsJson,"sf":"$sfDir","value_tail":${fmt(total)}}"""
+    // Printed line = the DRIVER CONTRACT (r12 verdict item 1): short —
+    // total first (head-capped excerpts), then k/n/errs/requeue, then the
+    // `queries` map, sf, and the total again as value_tail so a
+    // tail-capped excerpt still ends with ...,"queries":{...},"sf":...,
+    // "value_tail":N and the driver's parser finds per-query durations.
+    // Forensics (canary series, start offsets, t0_epoch) go ONLY to
+    // BENCH_FULL.json — r12's printed `starts` map pushed `queries` out
+    // of the driver's fixed-size tail capture and blanked PERF_r12.
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","k":$k,"n_queries":${ok.size},"n_errs":${results.count(_._2.isLeft)},"n_requeued":${requeue.size},"errs":$errs,"requeue":$rqJson,"queries":$qs,"sf":"$sfDir","value_tail":${fmt(total)}}"""
     println(line)
-    // The driver's artifact is tail-capped (~300 queries no longer fit a
-    // fixed-size excerpt), so ALSO persist the full line for the judge:
     // BENCH_FULL.json in the repo root is the complete, uncapped record
-    // of the most recent bench run on this machine.
+    // of the most recent bench run on this machine: the contract line's
+    // fields plus the forensic series the printed line must not carry.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","k":$k,"n_queries":${ok.size},"n_errs":${results.count(_._2.isLeft)},"n_requeued":${requeue.size},$canaryJson,"errs":$errs,"requeue":$rqJson,"queries":$qs,"t0_epoch":$t0Epoch,"starts":$startsJson,"sf":"$sfDir","value_tail":${fmt(total)}}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case _: Throwable => () } // read-only cwd must not fail the run
     spark.stop()
   }

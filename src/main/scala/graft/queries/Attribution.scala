@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,97 +69,101 @@ object Attribution {
     val edges = mid.unionAll(starts).unionAll(zero)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
     val outs = edges.groupBy(col("src")).agg(sum(col("cnt")).as("outc"))
-    edges.join(outs, "src").localCheckpoint(true)
+    // r13: no checkpoint — the single-plan markov below consumes this
+    // exactly once, so the barrier bought nothing (one construction
+    // job + one pinned block removed).
+    edges.join(outs, "src")
   }
 
   /** channel, p_base, p_removed, re_micro (integer removal effect in
     * micro-units of p_base), attribution (share of total effect).
     */
+  /** Expression-level LET (the TimeSeriesQueries helper): evaluate `e`
+    * once, hand it to `f` as a bound lambda value — CollapseProject
+    * re-inlines a projection column per reference otherwise.
+    */
+  private def let(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
   def markov(s: SparkSession, dir: String): DataFrame = {
     val ed = journeyEdges(s, dir)
-    // r12: variants and ve are consumed by EVERY one of the unrolled MM
-    // rounds (ve in each round's join, absorb — derived from variants —
-    // in each round's unionAll). Left as plans they re-ran the distinct
-    // and the crossJoin per round (profiled ~2 extra jobs/round).
-    // Both are alphabet-bounded ((channels+1) and edges×(channels+1)
-    // rows), so one eager single-partition checkpoint each is the
-    // natural shape at any corpus size (the coalesce(1) rationale
-    // below).
-    val variants = ed.select(col("src")).filter(col("src") =!= "START").distinct()
-      .select(col("src").as("removed"))
-      .unionAll(s.range(1).select(lit("none").as("removed")))
-      .coalesce(1).localCheckpoint(true)
-    val ve = ed.crossJoin(broadcast(variants)).coalesce(1).localCheckpoint(true)
-    val states = ed.select(col("src").as("state")).distinct()
-      .unionAll(s.range(1).select(lit("CONV").as("state")))
-      .unionAll(s.range(1).select(lit("NULL").as("state")))
-    val absorb = variants
-      .select(col("removed"), lit("CONV").as("state"), lit(Scale).as("v"))
-      .unionAll(variants
-        .select(col("removed"), lit("NULL").as("state"), lit(0L).as("v")))
-    var v = variants.crossJoin(states)
-      .select(col("removed"), col("state"),
-        when(col("state") === "CONV", lit(Scale)).otherwise(lit(0L)).as("v"))
-    // ckptReset per round (the graph_mst recipe): without the barrier
-    // the 8 unrolled rounds compound into a 130-shuffle static plan
-    // whose optimization alone dominates wall time; with it every
-    // round's plan is flat (one join + one agg over the checkpointed
-    // previous round) and the per-round frame is alphabet-bounded
-    // ((channels+1) × states rows), so the eager materialization is
-    // cheap. Round N−1's blocks are freed once round N lands.
-    // coalesce(1) before each checkpoint, and broadcast() the small
-    // sides below: the checkpoint wrapper's LogicalRDD carries DEFAULT
-    // size stats, so without the hints Catalyst planned the tail's
-    // crossJoins as 32×32-partition CartesianProducts over ≤99-row
-    // frames — measured 6–7 s of pure empty-task scheduling at sf0.1
-    // (the rounds themselves are ~0.3 s each). The frame is
-    // (channels+1) × states rows — alphabet-bounded — so one
-    // partition is its natural shape at ANY corpus size.
-    var prevCkpt: DataFrame = null
-    (1 to MkRounds).foreach { _ =>
-      val p = broadcast(v.select(col("removed").as("rem_p"),
-        col("state").as("st_p"), col("v").as("pv")))
-      v = graft.Caches.checkpointReset(
-        ve.join(p, col("removed") === col("rem_p") && col("dst") === col("st_p"))
-          .groupBy(col("removed"), col("src"))
-          .agg(sum(col("cnt") * col("pv")).as("scv"), max(col("outc")).as("o"))
-          .select(col("removed"), col("src").as("state"),
-            when(col("src") === col("removed"), lit(0L))
-              .otherwise(Relational.intdiv(col("scv"), col("o"))).as("v"))
-          .unionAll(absorb)
-          .coalesce(1))
-      if (prevCkpt != null) graft.Caches.free(prevCkpt)
-      prevCkpt = v
+    // r13: the whole post-edge computation is ALPHABET-BOUNDED — the
+    // transition table is ≤(channels+2)² rows at ANY corpus size — yet
+    // the r12 shape paid per MM round one eager checkpoint + one
+    // broadcast over it, times (channels+1) knockout variants folded
+    // into the keyed frame: 27 construction jobs of ≤99-row algebra.
+    // Collapse: collect the edge table into ONE row and run every
+    // variant's 8-round value iteration as array folds inside a single
+    // linear plan (corpus window → edge aggregation → expression) —
+    // zero checkpoints, zero loop jobs. Arithmetic is EXACTLY the r12
+    // chain: per-state Σ cnt·v(dst) is an integer sum (order-free),
+    // the per-round division is the same Relational.intdiv
+    // (a − a mod b)/b double-exact chain, knockout zeroing and the
+    // CONV/NULL absorbing constants are reproduced in the lookup, and
+    // the removal-effect / attribution tail is token-identical.
+    // Oracle unchanged.
+    val one = ed.agg(sort_array(collect_list(
+      struct(col("src"), col("dst"), col("cnt"), col("outc")))).as("eds"))
+    def intdivE(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val rowsArr = let(col("eds")) { eds =>
+      // per-state table: (s, outc, xs=[(dst, cnt)]) in state order
+      let(transform(array_distinct(transform(eds, e => e.getField("src"))), st =>
+        struct(st.as("s"),
+          element_at(filter(eds, e => e.getField("src") === st), 1)
+            .getField("outc").as("o"),
+          transform(filter(eds, e => e.getField("src") === st), e =>
+            struct(e.getField("dst").as("d"), e.getField("cnt").as("c"))).as("xs")))) { pe =>
+        // v(dst) lookup: absorbing CONV/NULL are constants, else the
+        // state's slot in the current value array
+        def look(vr: Column, d: Column): Column =
+          when(d === lit("CONV"), lit(Scale))
+            .when(d === lit("NULL"), lit(0L))
+            .otherwise(element_at(
+              filter(vr, y => y.getField("s") === d), 1).getField("v"))
+        // K-round value iteration for knockout variant r → v_K(START)
+        def vStart(r: Column): Column = {
+          val v0 = transform(pe, e =>
+            struct(e.getField("s").as("s"), lit(0L).as("v")))
+          val vf = aggregate(sequence(lit(1), lit(MkRounds)), v0, (acc, _) =>
+            transform(pe, e => struct(e.getField("s").as("s"),
+              when(e.getField("s") === r, lit(0L)).otherwise(
+                intdivE(aggregate(e.getField("xs"), lit(0L), (a, x) =>
+                  a + x.getField("c") * look(acc, x.getField("d"))),
+                  e.getField("o"))).as("v"))))
+          element_at(filter(vf, y => y.getField("s") === lit("START")), 1)
+            .getField("v")
+        }
+        let(vStart(lit("none"))) { pbase =>
+          let(transform(
+            filter(transform(pe, e => e.getField("s")), st => st =!= lit("START")),
+            c => struct(c.as("channel"), vStart(c).as("prem")))) { pr =>
+            let(transform(pr, x => struct(
+              x.getField("channel").as("channel"),
+              x.getField("prem").as("prem"),
+              when(pbase > 0,
+                intdivE((pbase - x.getField("prem")) * lit(Scale), pbase))
+                .otherwise(lit(0L)).as("re_micro")))) { re =>
+              let(aggregate(re, lit(0L), (a, x) => a + x.getField("re_micro"))) { t =>
+                transform(re, x => struct(
+                  x.getField("channel").as("channel"),
+                  (pbase.cast("double") / lit(1000000.0)).as("p_base"),
+                  (x.getField("prem").cast("double") / lit(1000000.0)).as("p_removed"),
+                  x.getField("re_micro").as("re_micro"),
+                  when(t > 0,
+                    x.getField("re_micro").cast("double") / t.cast("double"))
+                    .otherwise(lit(0.0)).as("attribution")))
+              }
+            }
+          }
+        }
+      }
     }
-    val pb = v.filter(col("removed") === "none" && col("state") === "START")
-      .select(col("v").as("pbase"))
-    val pr = v.filter(col("removed") =!= "none" && col("state") === "START")
-      .select(col("removed").as("channel"), col("v").as("prem"))
-    val re = pr.crossJoin(broadcast(pb)).withColumn("re_micro",
-      when(col("pbase") > 0,
-        Relational.intdiv((col("pbase") - col("prem")) * lit(Scale), col("pbase")))
-        .otherwise(lit(0L)))
-    val tot = re.agg(sum(col("re_micro")).as("t"))
-    // Materialize the ≤channels-row result, then free the terminal
-    // round's checkpoint and the edge-table checkpoint (r9 ADVICE: a
-    // long-lived session running many queries back-to-back would
-    // otherwise accrete these blocks until Caches.sweep). The
-    // result's own single tiny block remains the sweep's job — any
-    // checkpoint-backed return value has exactly one such residue.
-    val result = graft.Caches.checkpointReset(
-      re.crossJoin(broadcast(tot)).select(col("channel"),
-          (col("pbase").cast("double") / lit(1000000.0)).as("p_base"),
-          (col("prem").cast("double") / lit(1000000.0)).as("p_removed"),
-          col("re_micro"),
-          when(col("t") > 0, col("re_micro").cast("double") / col("t").cast("double"))
-            .otherwise(lit(0.0)).as("attribution"))
-        .orderBy(col("channel"))
-        .coalesce(1))
-    graft.Caches.free(prevCkpt)
-    graft.Caches.free(ed)
-    graft.Caches.free(variants)
-    graft.Caches.free(ve)
-    result
+    one.filter(size(col("eds")) > 0)
+      .select(explode(rowsArr).as("r"))
+      .select(col("r.channel").as("channel"), col("r.p_base").as("p_base"),
+        col("r.p_removed").as("p_removed"), col("r.re_micro").as("re_micro"),
+        col("r.attribution").as("attribution"))
+      .orderBy(col("channel"))
   }
 
   val markovSql: String = {

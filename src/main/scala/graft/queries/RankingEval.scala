@@ -207,6 +207,13 @@ object RankingEval {
     * coalesce(1) + broadcast so the tail never schedules 32-partition
     * jobs over 8 rows.
     */
+  /** Expression-level LET (the TimeSeriesQueries helper): evaluate `e`
+    * once, hand it to `f` as a bound lambda value — CollapseProject
+    * re-inlines a projection column per reference otherwise.
+    */
+  private def let(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
   def evalBt(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"),
@@ -223,59 +230,77 @@ object RankingEval {
       .select(col("a"), col("b"),
         when(col("qa") > col("qb"), col("a")).otherwise(col("b")).as("winner"))
     // ordered-pair win counts → symmetric expansion with per-entity
-    // integer W (wins) and G (games)
+    // integer W (wins) and G (games). r13: the expansion is one
+    // in-row explode (no checkpoint, no self-union — pairs has ONE
+    // consumer now).
     val pairs = battles.groupBy(col("a"), col("b"))
       .agg(sum(when(col("winner") === col("a"), 1L).otherwise(0L)).as("wab"),
         sum(when(col("winner") === col("b"), 1L).otherwise(0L)).as("wba"))
-      .localCheckpoint(true)
-    val ex = pairs.select(col("a").as("i"), col("b").as("j"),
-        (col("wab") + col("wba")).as("n"), col("wab").as("w"))
-      .unionAll(pairs.select(col("b").as("i"), col("a").as("j"),
-        (col("wab") + col("wba")).as("n"), col("wba").as("w")))
-    val tot = ex.groupBy(col("i"))
-      .agg(sum(col("w")).as("wi"), sum(col("n")).as("gi"))
-    val exw = graft.Caches.checkpointReset(
-      ex.join(tot, "i").coalesce(1))
-    graft.Caches.free(pairs)
-    var p = graft.Caches.checkpointReset(
-      exw.select(col("i")).distinct().select(col("i"), lit(1.0).as("p"))
-        .coalesce(1))
-    var prev: DataFrame = null
-    (1 to rounds).foreach { _ =>
-      val pi = broadcast(p.select(col("i"), col("p").as("pi")))
-      val pj = broadcast(p.select(col("i").as("j"), col("p").as("pj")))
-      val nx = graft.Caches.checkpointReset(
-        exw.join(pi, "i").join(pj, "j")
-          .select(col("i"), col("j"), col("wi"),
-            (col("n").cast("double") / (col("pi") + col("pj"))).as("term"))
-          .groupBy(col("i"), col("wi"))
-          .agg(sort_array(collect_list(struct(col("j"), col("term")))).as("xs"))
-          .select(col("i"), (col("wi").cast("double") /
-            aggregate(col("xs"), lit(0.0),
-              (a, x) => a + x.getField("term"))).as("p"))
-          .coalesce(1))
-      if (prev != null) graft.Caches.free(prev)
-      prev = p
-      p = nx
+    val ex = pairs.select(explode(array(
+        struct(col("a").as("i"), col("b").as("j"),
+          (col("wab") + col("wba")).as("n"), col("wab").as("w")),
+        struct(col("b").as("i"), col("a").as("j"),
+          (col("wab") + col("wba")).as("n"), col("wba").as("w")))).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        col("e.n").as("n"), col("e.w").as("w"))
+    // r13 (verdict #6): the MM loop runs on an ALPHABET-BOUNDED frame
+    // (≤8 leagues by construction — suppkey mod 8 — so ≤56 directed
+    // pairs at ANY corpus size), yet the r12 shape paid per round one
+    // eager checkpoint + two broadcast exchanges + a grouped
+    // sort_array fold: ~20 scheduler round trips for ≤8-row algebra.
+    // Collapse: collect the pair table into ONE row and unroll all
+    // rounds as array folds over it — the whole query is a single
+    // linear plan (corpus aggregation → pair aggregation → expression),
+    // zero checkpoints, zero loop jobs. IEEE order preserved exactly:
+    // per-entity opponent terms fold in j order (exs is sorted by
+    // (i, j), filter preserves order — same order sort_array gave the
+    // grouped fold), each term is n.cast(double)/(pi+pj) with the same
+    // operand shapes, wins/games are integer sums (order-free), and
+    // the final normalizer folds p in entity order exactly as the old
+    // sort_array(collect_list(struct(i, p))) did. Oracle unchanged.
+    val one = ex.agg(sort_array(collect_list(
+      struct(col("i"), col("j"), col("n"), col("w")))).as("exs"))
+    val rowsArr = let(col("exs")) { exs =>
+      // per-entity table: (i, wi, gi, xs=[(j, n) in j order]),
+      // entity-ordered (exs sorted by (i, j) ⟹ first occurrences
+      // ascending)
+      let(transform(array_distinct(transform(exs, x => x.getField("i"))), e =>
+        struct(e.as("i"),
+          aggregate(filter(exs, x => x.getField("i") === e), lit(0L),
+            (a, x) => a + x.getField("w")).as("wi"),
+          aggregate(filter(exs, x => x.getField("i") === e), lit(0L),
+            (a, x) => a + x.getField("n")).as("gi"),
+          transform(filter(exs, x => x.getField("i") === e), x =>
+            struct(x.getField("j").as("j"), x.getField("n").as("n"))).as("xs")))) { pe =>
+        // p_k as array<struct<i, p>> ALIGNED with pe; p_0 = 1.0
+        val p0 = transform(pe, e => struct(e.getField("i").as("i"), lit(1.0).as("p")))
+        def mm(p: Column): Column = transform(pe, (e, idx) =>
+          struct(e.getField("i").as("i"),
+            (e.getField("wi").cast("double") /
+              aggregate(e.getField("xs"), lit(0.0), (a, x) =>
+                a + x.getField("n").cast("double") /
+                  (element_at(p, idx + 1).getField("p") +
+                    element_at(filter(p, y =>
+                      y.getField("i") === x.getField("j")), 1).getField("p"))))
+              .as("p")))
+        // unroll rounds as a let-chain (each round's array bound once)
+        def chain(p: Column, k: Int): Column =
+          if (k == 0)
+            let(aggregate(p, lit(0.0), (a, y) => a + y.getField("p"))) { t =>
+              transform(pe, (e, idx) => struct(
+                e.getField("i").as("model"),
+                e.getField("wi").as("wins"),
+                e.getField("gi").as("games"),
+                (element_at(p, idx + 1).getField("p") / t).as("strength")))
+            }
+          else let(mm(p))(pn => chain(pn, k - 1))
+        chain(p0, rounds)
+      }
     }
-    val total = p
-      .agg(sort_array(collect_list(struct(col("i"), col("p")))).as("xs"))
-      .select(aggregate(col("xs"), lit(0.0),
-        (a, x) => a + x.getField("p")).as("t"))
-    // per-entity W/G re-read from exw (NOT `tot`, whose lineage runs
-    // through the already-freed `pairs` checkpoint)
-    val wg = exw.select(col("i"), col("wi"), col("gi")).distinct()
-    val out = graft.Caches.checkpointReset(
-      p.join(broadcast(wg), "i")
-        .crossJoin(broadcast(total))
-        .select(col("i").as("model"), col("wi").as("wins"),
-          col("gi").as("games"), (col("p") / col("t")).as("strength"))
-        .orderBy(col("strength").desc, col("model"))
-        .coalesce(1))
-    if (prev != null) graft.Caches.free(prev) // rounds = 0 leaves prev null
-    graft.Caches.free(p)
-    graft.Caches.free(exw)
-    out
+    one.select(explode(rowsArr).as("r"))
+      .select(col("r.model").as("model"), col("r.wins").as("wins"),
+        col("r.games").as("games"), col("r.strength").as("strength"))
+      .orderBy(col("strength").desc, col("model"))
   }
 
   val evalBtSql: String = {

@@ -1443,25 +1443,46 @@ object Relational {
   private def coSupplyEdges(s: SparkSession, dir: String): DataFrame =
     graphBuild(s, dir)
 
-  private def buildCoSupplyEdges(s: SparkSession, dir: String): DataFrame = {
-    // r12: one explicit pk-hash exchange at the session's full width
-    // serves BOTH the (pk, sk) dedup (hash partitioning on pk clusters
-    // every (pk, sk) group) and the self-join on pk — and, because
-    // user-specified partition counts are exempt from AQE coalescing,
-    // the join+pair-count stage (the build's dominant cost) runs at
-    // full width instead of the ~5 tasks AQE coalesced the 6 MB
-    // exchange to (profiled: 2.2 s of the 4.0 s build in that stage).
+  /** The pair-count subplan of the co-supply build BEFORE its
+    * checkpoint — exposed for plan dumps (graph_build is a timed bench
+    * entry whose returned frame is a plan-opaque checkpoint).
+    *
+    * r12: one explicit pk-hash exchange at the session's full width
+    * serves BOTH the (pk, sk) dedup (hash partitioning on pk clusters
+    * every (pk, sk) group) and the self-join on pk — and, because
+    * user-specified partition counts are exempt from AQE coalescing,
+    * the join+pair-count stage (the build's dominant cost) runs at
+    * full width instead of the ~5 tasks AQE coalesced the 6 MB
+    * exchange to (profiled: 2.2 s of the 4.0 s build in that stage).
+    *
+    * r13 note (verdict #2 tried and REVERTED): replacing the distinct
+    * + self-join with collect_set + in-row i<j pair expansion measured
+    * NEUTRAL on the build itself (@graph_build probe 1.67 s before vs
+    * 1.68 s after, warm — the r12 full-width fix had already removed
+    * the join bottleneck; the residual is inherent pair volume + one-
+    * time codegen) and ~5-10% WORSE across the six graph consumers:
+    * the explode-based origin plan carries smaller size estimates into
+    * the edge checkpoint, flipping consumer joins SMJ→BHJ and adding
+    * broadcast-exchange construction jobs to every BFS-style loop
+    * (PLAN_BUDGETS jobs graph_bfs 10→16, kcore 5→10; A/B subset bench
+    * 28.8 → 30.9 s over 12 consumers). The join shape stays.
+    */
+  private[graft] def graphBuildPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val ps = Tables(s, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .repartition(s.sparkContext.defaultParallelism, col("pk"))
       .distinct()
-    // Materialized ONCE: the threshold scan and the final filter both
-    // read the pair set — without the barrier the p99 pass and the edge
-    // pass each re-run the self-join (the build's dominant cost).
-    val pairs = ps.as("a").join(ps.as("b"),
+    ps.as("a").join(ps.as("b"),
         col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
+  }
+
+  private def buildCoSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    // Materialized ONCE: the threshold scan and the final filter both
+    // read the pair set — without the barrier the p99 pass and the edge
+    // pass each re-run the self-join (the build's dominant cost).
+    val pairs = graphBuildPairsPlan(s, dir)
       .localCheckpoint(true)
     val hist = pairs.groupBy(col("shared")).agg(count(lit(1)).as("cnt"))
     // p99 threshold from the histogram WITHOUT a window: the histogram's
@@ -2395,34 +2416,51 @@ object Relational {
     // so its own checkpoint bought nothing (one job per call removed).
     val eb = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
       .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
-    var p = ckptReset(eb.groupBy(col("x")).agg(min(col("y")).as("my"))
-      .select(col("x"), least(col("x"), col("my")).as("p")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("p").cast("decimal(38,0)"))).first.getDecimal(0))
+    // r13 (verdict #4): one job per materialization — the label frame
+    // is LAZILY local-checkpointed and the convergence sum computed by
+    // the SAME action that materializes the blocks (the r12 shape paid
+    // an eager-checkpoint job PLUS a labelSum job per iteration; the
+    // loop is scheduler-bound, not compute-bound). The wrapper rebuild
+    // is the ckptReset stats-reset, applied after materialization.
+    def ckptWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val ck = df.localCheckpoint(false)
+      val s = Option(ck.agg(sum(col("p").cast("decimal(38,0)"))).first.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+      (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), s)
+    }
     // one neighbor-min + pointer-jump step as a PLAN over the current
     // labels (r12 note: composing TWO steps per materialization was
     // tried and measured WORSE — the inner step's three in-plan
     // references tripled the join work while the short hook chains of
-    // this graph converge in 2–3 single steps anyway)
+    // this graph converge in 2–3 single steps anyway).
+    // r13: the three candidate sources (own label, neighbor labels,
+    // label-of-label) feed ONE union + min aggregation instead of two
+    // left joins — same fixpoint algebra (every p-value is a domain
+    // node, so the old inner jmp lookup always matched and the
+    // coalesce fallbacks never fired; the self rows reproduce them),
+    // one broadcast exchange fewer per step.
     def step(cur: DataFrame): DataFrame = {
-      val nbr = eb.join(broadcast(cur.select(col("x").as("y"), col("p").as("np"))), "y")
-        .groupBy(col("x")).agg(min(col("np")).as("nmin"))
-      val jmp = cur.select(col("x").as("jx"), col("p").as("jp"))
-      cur.join(broadcast(nbr), Seq("x"), "left")
-        .join(broadcast(jmp), col("p") === col("jx"), "left")
-        .select(col("x"), least(col("p"), coalesce(col("nmin"), col("p")),
-          coalesce(col("jp"), col("p"))).as("p"))
+      val nbrRows = eb
+        .join(broadcast(cur.select(col("x").as("y"), col("p").as("np"))), "y")
+        .select(col("x"), col("np").as("cand"))
+      val jmpRows = cur.as("c")
+        .join(broadcast(cur.select(col("x").as("jx"), col("p").as("jp"))),
+          col("c.p") === col("jx"))
+        .select(col("c.x").as("x"), col("jp").as("cand"))
+      val selfRows = cur.select(col("x"), col("p").as("cand"))
+      nbrRows.unionAll(jmpRows).unionAll(selfRows)
+        .groupBy(col("x")).agg(min(col("cand")).as("p"))
     }
-    var prev = labelSum(p)
+    var (p, prev) = ckptWithSum(
+      eb.groupBy(col("x")).agg(min(col("y")).as("my"))
+        .select(col("x"), least(col("x"), col("my")).as("p")))
     var it = 0
     var conv = false
     // 20 + 1: the sum-fixpoint needs a CONFIRMING no-change round, so
     // the full 20-round diameter budget stays usable even when the
     // last label change lands exactly on round 20 (see Dedup.clusters)
     while (it < 21 && !conv) {
-      val upd = ckptReset(step(p))
-      val cur = labelSum(upd)
+      val (upd, cur) = ckptWithSum(step(p))
       graft.Caches.free(p)
       p = upd
       conv = cur.compareTo(prev) == 0
@@ -2441,29 +2479,38 @@ object Relational {
 
   def graphMst(s: SparkSession, dir: String): DataFrame = {
     val edges = coSupplyEdges(s, dir).select(col("u"), col("v"), col("shared"))
-    val nodes = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node"))).distinct()
-    var labels = ckptReset(nodes.withColumn("comp", col("node")))
+    // r13 (verdict #4): no node-label table at all. The output is the
+    // FOREST EDGES, so node labels were only ever consumed to rebuild
+    // the cross-component edge set — the loop now maintains exactly
+    // that working set (u, v, shared, cu, cv), relabels it in place
+    // via the round's relabel map, and strictly shrinks it. Per round
+    // this removes the labels-update checkpoint, the full-edge-set
+    // rebuild (two broadcasts of the complete label table), and the
+    // separate e2 materialization (picked is derived from the working
+    // set directly); the initial nodes-distinct job disappears too.
+    // Identity: cu/cv of a surviving edge equal comp(u)/comp(v) under
+    // the old label composition (same relabel chain applied), and the
+    // pick's (neg, u, v) prefix is unique per edge, so cu/cv never
+    // decide the per-component min — identical picked sets, identical
+    // forest.
     // r12: accepted edges ACCUMULATE as the list of per-round picked
     // checkpoints and union once at the end — the old per-round
     // `forest = ckptReset(forest union picked)` re-materialized the
     // whole growing forest every round (one job + one block rewrite per
     // round for rows already durably checkpointed in `picked`). The
     // picked frames stay alive until the caller's sweep.
+    var we = ckptReset(edges.select(col("u"), col("v"), col("shared"),
+      col("u").as("cu"), col("v").as("cv")))
     val forests = scala.collection.mutable.Buffer.empty[DataFrame]
     var done = false
     var round = 0
     while (!done && round < 24) {
-      val e2 = ckptReset(edges
-        .join(broadcast(labels.select(col("node").as("u"), col("comp").as("cu"))), "u")
-        .join(broadcast(labels.select(col("node").as("v"), col("comp").as("cv"))), "v")
-        .filter(col("cu") =!= col("cv")))
-      if (e2.isEmpty) { done = true }
+      if (we.isEmpty) { done = true }
       else {
         val cand = struct((-col("shared")).as("neg"), col("u"), col("v"),
           col("cu"), col("cv"))
-        val picked = ckptReset(e2.select(col("cu").as("comp"), cand.as("e"))
-          .union(e2.select(col("cv").as("comp"), cand.as("e")))
+        val picked = ckptReset(we
+          .select(explode(array(col("cu"), col("cv"))).as("comp"), cand.as("e"))
           .groupBy(col("comp")).agg(min(col("e")).as("b"))
           .select(col("b.u").as("u"), col("b.v").as("v"),
             (-col("b.neg")).as("shared"), col("b.cu").as("cu"),
@@ -2472,15 +2519,21 @@ object Relational {
         forests += picked.select(col("u"), col("v"), col("shared"))
         val relabel = relabelJump(
           picked.select(col("cu").as("id_a"), col("cv").as("id_b")))
-        val updated = ckptReset(labels
-          .join(broadcast(relabel.withColumnRenamed("id", "comp")), Seq("comp"), "left")
-          .select(col("node"), coalesce(col("cluster"), col("comp")).as("comp")))
-        graft.Caches.free(labels); graft.Caches.free(e2)
-        labels = updated
+        val updated = ckptReset(we
+          .join(broadcast(relabel.select(col("id").as("cu"),
+            col("cluster").as("ncu"))), Seq("cu"), "left")
+          .join(broadcast(relabel.select(col("id").as("cv"),
+            col("cluster").as("ncv"))), Seq("cv"), "left")
+          .select(col("u"), col("v"), col("shared"),
+            coalesce(col("ncu"), col("cu")).as("cu"),
+            coalesce(col("ncv"), col("cv")).as("cv"))
+          .filter(col("cu") =!= col("cv")))
+        graft.Caches.free(we)
+        we = updated
       }
       round += 1
     }
-    graft.Caches.free(labels)
+    graft.Caches.free(we)
     forests.reduceOption(_ unionAll _)
       .getOrElse(edges.filter(lit(false)).select(col("u"), col("v"), col("shared")))
       .orderBy(col("u"), col("v"))
@@ -3686,6 +3739,14 @@ object Relational {
 
   private val HitsIters = 3
 
+  /** Expression-level LET (the TimeSeriesQueries helper): evaluate `e`
+    * once, hand it to `f` as a bound lambda value — CollapseProject
+    * re-inlines a projection column per reference otherwise.
+    */
+  private def letC(e: org.apache.spark.sql.Column)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
   /** Weighted HITS (Kleinberg hubs/authorities) over the event-type
     * transition graph — the link-analysis companion to
     * [[graphPagerank]], same scaled-integer discipline: scores ×10⁶,
@@ -3709,45 +3770,71 @@ object Relational {
       .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    var hub = nodes.withColumn("h", lit(1000000L))
-    var auth: DataFrame = null
-    // unlike the pagerank loop (linear lineage), every HITS frame is
-    // consumed TWICE (once by its normalization total, once by the
-    // next join) — without a per-iteration barrier the plan doubles
-    // each round (measured: 8.7s for a 5-node graph; ~0.5s with the
-    // barriers). The raw frames are |nodes| rows, so the checkpoints
-    // are trivially small; they're freed with the session sweep.
-    val steps = scala.collection.mutable.Buffer.empty[DataFrame]
-    (1 to HitsIters).foreach { _ =>
-      val araw = nodes.join(
-          edges.join(hub.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("ar")),
-          nodes("node") === col("dst"), "left")
-        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
-        .localCheckpoint(true)
-      steps += araw
-      auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("at"))))
-        .select(col("node"), expr("(ar * 1000000) div at").as("a"))
-      val hraw = nodes.join(
-          edges.join(auth.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src")).agg(sum(col("w") * col("a")).as("hr")),
-          nodes("node") === col("src"), "left")
-        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
-        .localCheckpoint(true)
-      steps += hraw
-      hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("ht"))))
-        .select(col("node"), expr("(hr * 1000000) div ht").as("h"))
+    // r13: the HITS iteration runs on the EVENT-TYPE alphabet (≤ a
+    // dozen nodes at any corpus size), yet the r12 shape paid per
+    // half-step one eager checkpoint + a normalization agg + a
+    // broadcast — 24 construction jobs for 5-node algebra (the
+    // attribution_markov collapse, applied here). Collapse: collect
+    // the edge table into ONE row and unroll the 3 iterations as
+    // array folds in a single linear plan (corpus window → edge
+    // aggregation → expression) — zero checkpoints, zero loop jobs.
+    // Arithmetic preserved exactly: Σ w·score per node is an integer
+    // sum (order-free), absent in/out-edges contribute the same 0 the
+    // old left-join coalesce did, and (x·10⁶) div total is replayed
+    // as the (a − a mod b)/b chain — identical on these non-negative
+    // operands. Oracle unchanged.
+    val one = edges.agg(sort_array(collect_list(
+      struct(col("src"), col("dst"), col("w")))).as("es"))
+    def intdivE(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val rowsArr = letC(col("es")) { es =>
+      letC(array_sort(array_distinct(concat(
+        transform(es, e => e.getField("src")),
+        transform(es, e => e.getField("dst")))))) { nodesArr =>
+        // per-node in/out edge lists
+        letC(transform(nodesArr, n => struct(n.as("n"),
+          transform(filter(es, e => e.getField("dst") === n), e =>
+            struct(e.getField("src").as("o"), e.getField("w").as("w"))).as("ins"),
+          transform(filter(es, e => e.getField("src") === n), e =>
+            struct(e.getField("dst").as("o"), e.getField("w").as("w"))).as("outs")))) { pe =>
+          def look(vs: Column, n: Column): Column =
+            element_at(filter(vs, y => y.getField("n") === n), 1).getField("v")
+          def normalize(raw: Column): Column =
+            letC(aggregate(raw, lit(0L), (a, y) => a + y.getField("v"))) { tot =>
+              transform(raw, y => struct(y.getField("n").as("n"),
+                intdivE(y.getField("v") * lit(1000000L), tot).as("v")))
+            }
+          val h0 = transform(pe, e => struct(e.getField("n").as("n"),
+            lit(1000000L).as("v")))
+          val a0 = transform(pe, e => struct(e.getField("n").as("n"),
+            lit(0L).as("v")))
+          // acc = (hub scores, auth scores); one iteration = auth from
+          // hubs over in-edges, normalize; hubs from auths over
+          // out-edges, normalize
+          val fin = aggregate(sequence(lit(1), lit(HitsIters)),
+            struct(h0.as("hs"), a0.as("as")),
+            (acc, _) => letC(normalize(transform(pe, e =>
+              struct(e.getField("n").as("n"),
+                aggregate(e.getField("ins"), lit(0L), (a, x) =>
+                  a + x.getField("w") * look(acc.getField("hs"), x.getField("o")))
+                  .as("v"))))) { anew =>
+              struct(normalize(transform(pe, e =>
+                struct(e.getField("n").as("n"),
+                  aggregate(e.getField("outs"), lit(0L), (a, x) =>
+                    a + x.getField("w") * look(anew, x.getField("o"))).as("v"))))
+                .as("hs"), anew.as("as"))
+            })
+          transform(pe, (e, idx) => struct(
+            e.getField("n").as("node"),
+            element_at(fin.getField("hs"), idx + 1).getField("v").as("hub_score"),
+            element_at(fin.getField("as"), idx + 1).getField("v").as("auth_score")))
+        }
+      }
     }
-    val out = hub.select(col("node"), col("h").as("hub_score"))
-      .join(auth.select(col("node"), col("a").as("auth_score")), "node")
+    one.filter(size(col("es")) > 0)
+      .select(explode(rowsArr).as("r"))
+      .select(col("r.node").as("node"), col("r.hub_score").as("hub_score"),
+        col("r.auth_score").as("auth_score"))
       .orderBy(col("node"))
-      .localCheckpoint(true)
-    graft.Caches.free(edges)
-    steps.foreach(graft.Caches.free)
-    out
   }
 
   val graphHitsSql: String = {
@@ -3807,6 +3894,12 @@ object Relational {
     // (cells, mx), so the un-barriered shape re-ran the 600k-row corpus
     // aggregation up to five times (profiled: seven lineitem scans per
     // execution, ~0.5–1.5 s each). The checkpoint is ≤150 rows.
+    // r13 note (verdict #3 tried and REVERTED): merging both corpus
+    // aggregations into one (g, q, p) cell table was measured WORSE
+    // (3.0 → 4.7 s same-machine A/B) — distinct (g, q, p) is 594k of
+    // 600k rows at sf0.1, so the "cell" table is corpus-sized and the
+    // merge replaces a cheap map-side-tiny scan with a full extra
+    // shuffle + checkpoint of the corpus. Two scans stay.
     val vq = rows.groupBy(col("g"), col("q").as("v"))
       .agg(count(lit(1)).as("c")).localCheckpoint(true)
     val rq = FeatureQueries.cumRanksBy(vq)
