@@ -404,19 +404,29 @@ object Dedup {
     // localCheckpoint each round: an iterative plan referencing its own
     // previous iteration grows exponentially otherwise (join + change
     // test double the lineage every round → analyzer OOM by depth ~8).
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
     // labels only ever DECREASE (min-propagation), so the decimal sum
     // of all labels strictly decreases iff anything changed — the
     // fixpoint test is one aggregate per round instead of a
     // join + count against the previous iteration (measured ~25%
-    // of per-round wall time at sf0.1)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
+    // of per-round wall time at sf0.1).
+    // r13 (the graph_mst relabelJump recipe): the checkpoint is LAZY
+    // and the fixpoint sum is the action that materializes its blocks
+    // — one job per round instead of two (the loop is scheduler-bound
+    // at small SF and the sum is a cheap block read at scale either
+    // way). Dataset.localCheckpoint(false) still returns a
+    // LogicalRDD-backed frame carrying origin stats, so planning is
+    // unchanged; the every-8th stats-reset wrapper is applied AFTER
+    // the sum has materialized the checkpoint.
+    def ckptWithSum(df: DataFrame, reset: Boolean): (DataFrame, java.math.BigDecimal) = {
+      val ck = df.localCheckpoint(false)
       // sum over an EMPTY label table is null (no pairs → no nodes)
-      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).first.getDecimal(0))
+      val s = Option(ck.agg(sum(col("cluster").cast("decimal(38,0)"))).first.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+      (if (reset) ck.sparkSession.createDataFrame(ck.rdd, ck.schema) else ck, s)
+    }
+    var (labels, prevSum) = ckptWithSum(
+      edges.select(col("id_a").as("id")).distinct()
+        .withColumn("cluster", col("id")), reset = false)
     var iter = 0
     var converged = false
     // maxIter + 1: convergence needs a CONFIRMING no-change round, so
@@ -441,10 +451,7 @@ object Dedup {
       val upd0 = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-      val updated =
-        if (iter % 8 == 7) graft.Caches.checkpointReset(upd0)
-        else upd0.localCheckpoint(true)
-      val curSum = labelSum(updated)
+      val (updated, curSum) = ckptWithSum(upd0, reset = iter % 8 == 7)
       graft.Caches.free(labels) // round N-1 labels are dead once N lands
       labels = updated
       converged = curSum.compareTo(prevSum) == 0

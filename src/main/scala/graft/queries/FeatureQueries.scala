@@ -262,12 +262,18 @@ object FeatureQueries {
           .cast("long").as("day"),
         col("o_totalprice"))
     val maxd = o.agg(max(col("day")).as("maxd"))
+    // r13: MATERIALIZED once — cust has FOUR consumers (three quintile
+    // rank tables + the final join) and as a plain plan the orders
+    // aggregation re-ran per consumer (profiled: four 150k-row scan
+    // stages of 180-400 ms each, the query's dominant cost). The
+    // checkpoint is the per-customer working set, one pass at any scale.
     val cust = o.groupBy(col("o_custkey"))
       .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
         Exact.dsum(col("o_totalprice")).as("monetary"))
       .crossJoin(broadcast(maxd))
       .withColumn("r_days", col("maxd") - col("lastd"))
       .select(col("o_custkey"), col("r_days"), col("f"), col("monetary"))
+      .localCheckpoint(true)
     def quintiles(dim: String): DataFrame =
       cumRanks(cust.groupBy(col(dim).as("v")).agg(count(lit(1)).as("c")))
         .withColumn("q", expr("(cum - 1) * 5 div n"))

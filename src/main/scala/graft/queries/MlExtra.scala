@@ -228,9 +228,17 @@ object MlExtra {
         col("l_quantity").cast("long").as("q"),
         round(col("l_discount") * 100.0).cast("long").as("d"),
         round(col("l_tax") * 100.0).cast("long").as("t"))
+    // r13: cells0 is MATERIALIZED before f0 — it has two consumers
+    // (the f0 fold and the centered-moment projection), and as a plain
+    // plan the corpus aggregation ran TWICE per execution (profiled:
+    // two ~570 ms 600k-row scan stages, the query's dominant cost).
+    // The checkpoint is ≤ the cell alphabet (50×11×9 rows); natural
+    // partitioning kept (no coalesce(1) — it would collapse the
+    // corpus aggregation's final stage to one task).
     val cells0 = base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
         sum((col("y") * col("y")).cast("decimal(38,0)")).as("sy2"))
+      .localCheckpoint(true)
     val f0 = cells0.agg(Relational.intdiv(sum(col("sy")), sum(col("n"))).as("f0"))
     val cells = cells0.crossJoin(broadcast(f0))
       .select(keys.map(col) ++ Seq(

@@ -51,7 +51,15 @@ object RecSys {
     * order; ridge on the diagonal via the fold init.
     */
   private def solveFor(rat: DataFrame, key: String, other: String): DataFrame = {
-    val arr = rat.groupBy(col(key))
+    // r13: explicit full-width exchange on the solve key (user-
+    // specified counts are AQE-coalesce-exempt) — each solve's collect
+    // aggregation otherwise ran at the ~6 tasks AQE coalesced the
+    // ~7 MB factor join to (profiled: 200-300 ms per solve stage at
+    // sf0.1, 32 cores). groupBy reuses the partitioning, so no extra
+    // exchange enters the plan; at scale the exchange replaces the
+    // aggregation's own same-key exchange, not adds to it.
+    val w = rat.sparkSession.sparkContext.defaultParallelism
+    val arr = rat.repartition(w, col(key)).groupBy(col(key))
       .agg(sort_array(collect_list(struct(col(other).as("o"),
         col("f1"), col("f2"), col("r")))).as("xs"))
     arr.withColumn("s", aggregate(col("xs"),

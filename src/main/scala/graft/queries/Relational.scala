@@ -980,8 +980,14 @@ object Relational {
       .select(col("l_extendedprice").as("v"),
         concat_ws("-", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey")).as("rk"))
+    // r13: spread the SAMPLE branch to session width before the md5 —
+    // the hash kernel ran in the scan's 3 tasks (profiled: 494 ms
+    // 3-task TakeOrdered stage, the query's dominant cost); the exact
+    // branch below is untouched (its groupBy prunes rk/h away).
+    // Per-partition top-K then driver merge — same K rows selected.
+    val sample = graft.Tables.spreadToWidth(li)
       .withColumn("h", md5(col("rk")))
-    val sample = li.orderBy(col("h"), col("rk"), col("v")).limit(K).select(col("v"))
+      .orderBy(col("h"), col("rk"), col("v")).limit(K).select(col("v"))
     // ≤1024 rows by construction — the single-partition window is the
     // design, not an accident (the whole sample fits one task)
     val sr = sample.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
@@ -1600,9 +1606,12 @@ object Relational {
     */
   def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
     val edges = coSupplyEdges(s, dir)
+    // r13: LAZY checkpoints (the graph_bfs recipe) — fixed hop count,
+    // no per-round scalar; the eager `out` checkpoint below is the one
+    // materializing action, after which the frees are safe.
     val sym = edges.select(col("u").as("s"), col("v").as("t"))
       .unionAll(edges.select(col("v").as("s"), col("u").as("t")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = sym.select(col("s").as("node")).distinct()
     val seeds = nodes
       .orderBy(md5(concat(lit("bc:"), col("node").cast("string"))), col("node"))
@@ -1611,7 +1620,7 @@ object Relational {
     var cur = sym.join(broadcast(seeds), "s")
       .groupBy(col("s"), col("t")).agg(count(lit(1)).as("sigma"))
       .withColumn("d", lit(1L))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var levels = List(cur)
     val edge = sym.select(col("s").as("mid"), col("t").as("w"))
     (2 to BcHops).foreach { h =>
@@ -1622,7 +1631,7 @@ object Relational {
         .withColumnRenamed("w", "t")
         .join(visited, Seq("s", "t"), "left_anti")
         .withColumn("d", lit(h.toLong))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       levels = next :: levels
       cur = next
     }
@@ -1784,9 +1793,14 @@ object Relational {
   private def seededReachLevels(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, List[DataFrame]) = {
     val edges = coSupplyEdges(s, dir)
+    // r13: LAZY checkpoints throughout — the loop has a FIXED hop
+    // count and reads no per-round scalar, so nothing forces per-round
+    // jobs; each LogicalRDD still keeps the plans flat while the
+    // persists happen inside the caller's single materializing action
+    // (the graph_bfs recipe — the loop was scheduler-bound).
     val sym = edges.select(col("u").as("s"), col("v").as("t"))
       .unionAll(edges.select(col("v").as("s"), col("u").as("t")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = sym.select(col("s").as("node")).distinct()
     val seeds = nodes
       .orderBy(md5(concat(lit("bc:"), col("node").cast("string"))), col("node"))
@@ -1795,7 +1809,7 @@ object Relational {
     var cur = sym.join(broadcast(seeds), "s")
       .select(col("s"), col("t")).distinct()
       .withColumn("d", lit(1L))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var levels = List(cur)
     val edge = sym.select(col("s").as("mid"), col("t").as("w"))
     (2 to BcHops).foreach { h =>
@@ -1805,7 +1819,7 @@ object Relational {
         .select(col("s"), col("w").as("t")).distinct()
         .join(visited, Seq("s", "t"), "left_anti")
         .withColumn("d", lit(h.toLong))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       levels = next :: levels
       cur = next
     }
@@ -1924,7 +1938,7 @@ object Relational {
     val edges = coSupplyEdges(s, dir)
     val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val src = edges.agg(min(col("u")).as("node")).withColumn("hop", lit(0L))
     // Frontier ACCUMULATION, not a re-checkpointed distance table: BFS
     // frontiers are disjoint, so the visited set is the lazy union of
@@ -1932,17 +1946,24 @@ object Relational {
     // two), each block stored once (the union re-reads, never copies),
     // and the blocks ARE the result (freed by the caller's sweep, not
     // in-loop).
-    var frontiers = List(src.localCheckpoint(true))
+    // r13: the checkpoints are LAZY — the loop has a FIXED round count
+    // and reads no per-round scalar, so nothing forces per-round jobs;
+    // each LogicalRDD still truncates the dataset-level lineage (flat
+    // plans) while the persist happens inside the single final action
+    // instead of 8 sequential construction jobs (the loop was
+    // scheduler-bound, not compute-bound).
+    var frontiers = List(src.localCheckpoint(false))
     (1 to 6).foreach { h =>
       val visited = frontiers.reduce(_ unionByName _)
       val next = e2.join(frontiers.head.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontiers = next :: frontiers
     }
-    graft.Caches.free(e2)
+    // e2's blocks are swept by the caller (freeing a LAZY checkpoint
+    // before its first materialization would break it)
     frontiers.reduce(_ unionByName _).orderBy(col("node"))
   }
 
@@ -2132,11 +2153,17 @@ object Relational {
   /** Shared labelprop state: (undirected edge list, final label table). */
   private def labelpropState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = coSupplyEdges(s, dir)
+    // r13: LAZY checkpoints (the graph_bfs recipe) — fixed 3 rounds,
+    // no per-round scalar, so the whole chain materializes inside the
+    // consumer's single action instead of 5 construction jobs. The
+    // in-loop frees are gone with the eagerness (freeing a lazy
+    // checkpoint pre-materialization would break it); the node-sized
+    // blocks are swept by the caller's per-query sweep.
     val e2 = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var lbl = e2.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+      .withColumn("lbl", col("node")).localCheckpoint(false)
     (1 to 3).foreach { _ =>
       val next = e2.join(lbl.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -2144,11 +2171,9 @@ object Relational {
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
         .select(col("node"), (-col("best.nl")).as("lbl"))
-        .localCheckpoint(true)
-      graft.Caches.free(lbl) // round N-1 labels are dead once N lands
+        .localCheckpoint(false)
       lbl = next
     }
-    graft.Caches.free(e2)
     (edges, lbl)
   }
 
@@ -2265,8 +2290,11 @@ object Relational {
     val edges = coSupplyEdges(s, dir)
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    // r13: LAZY checkpoints (the graph_bfs recipe) — fixed 4 rounds,
+    // no per-round scalar; blocks swept by the caller's per-query
+    // sweep instead of in-loop frees.
     var alive = sym.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var lastDeg: DataFrame = null
     for (_ <- 1 to 4) {
       val deg = sym
@@ -2274,9 +2302,7 @@ object Relational {
         .join(alive.select(col("node").as("dst")), "dst")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       val next = deg.filter(col("deg") >= k).select(col("node"), col("deg"))
-        .localCheckpoint(true)
-      graft.Caches.free(alive) // round N−1's blocks are dead once N lands
-      if (lastDeg != null) graft.Caches.free(lastDeg)
+        .localCheckpoint(false)
       lastDeg = next
       alive = next.select(col("node"))
     }
@@ -3235,20 +3261,20 @@ object Relational {
         expr("1000 div shared").as("w"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst"),
         expr("1000 div shared").as("w")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val src = edges.agg(min(col("u")).as("node"))
       .withColumn("dist", lit(0L))
-    var dist = src.localCheckpoint(true)
+    // r13: LAZY checkpoints (the graph_bfs recipe) — fixed 4 rounds,
+    // no per-round scalar; blocks swept by the caller's sweep.
+    var dist = src.localCheckpoint(false)
     (1 to 4).foreach { _ =>
       val relaxed = e2.join(dist.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val next = relaxed.localCheckpoint(true)
-      graft.Caches.free(dist) // round N-1 distances are dead once N lands
+      val next = relaxed.localCheckpoint(false)
       dist = next
     }
-    graft.Caches.free(e2)
     dist.orderBy(col("node"))
   }
 
