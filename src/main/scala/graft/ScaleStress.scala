@@ -275,7 +275,12 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    replicate(spark, srcDir, outDir, copies)
+    // SPARK_GRAFT_STRESS_REUSE=1 reuses an existing replica dir (the
+    // replication is deterministic, and a 100× replica takes longer to
+    // write than the measurements it feeds) — local iteration aid.
+    if (sys.env.get("SPARK_GRAFT_STRESS_REUSE").isEmpty ||
+        !Files.exists(Paths.get(s"$outDir/lineitem.parquet")))
+      replicate(spark, srcDir, outDir, copies)
 
     // warm-up (Bench protocol): JVM/codegen + fs metadata + kernels
     spark.range(1000000L).selectExpr("sum(id)").collect()
